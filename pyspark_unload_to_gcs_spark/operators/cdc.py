@@ -1,0 +1,58 @@
+"""Change-data-capture operators.
+
+Parity targets (SURVEY.md §2a S2-S4, §2c P2-P3; reference
+export.py:103-128):
+- first sync: snapshot-at-timestamp with a literal 'INSERT' change type;
+- incremental: change-feed rows with Delta ``_change_type`` mapped to
+  the export discriminator ``_mp_change_type``.
+
+Real Delta CDF requires delta-spark, which is optional here: the
+mapping/planning logic is Delta-independent and tested on in-memory
+frames; ``sources/delta.py`` wires the actual Delta readers behind an
+import guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE_COLUMN = "_change_type"
+EXPORT_CHANGE_TYPE_COLUMN = "_mp_change_type"
+INSERT = "INSERT"
+DELETE = "DELETE"
+
+
+def change_type_expr(source_col: Column) -> Column:
+    """Delta CDF change type -> export discriminator (reference
+    export.py:121-126): insert/update_postimage -> INSERT,
+    update_preimage -> DELETE, anything else -> DELETE."""
+    return (
+        F.when(source_col == "update_postimage", F.lit(INSERT))
+        .when(source_col == "update_preimage", F.lit(DELETE))
+        .when(source_col == "insert", F.lit(INSERT))
+        .otherwise(F.lit(DELETE))
+    )
+
+
+def change_type_mapping(
+    df: DataFrame,
+    source_column: str = CHANGE_TYPE_COLUMN,
+    output_column: str = EXPORT_CHANGE_TYPE_COLUMN,
+    *,
+    drop_source: bool = False,
+) -> DataFrame:
+    """Append ``_mp_change_type`` derived from a CDF change-type column.
+
+    The output column is prepended (reference emits it first:
+    ``SELECT CASE ... END as _mp_change_type, *``).
+    """
+    mapped = change_type_expr(F.col(source_column))
+    out = df.select(mapped.alias(output_column), "*")
+    return out.drop(source_column) if drop_source else out
+
+
+def snapshot_as_inserts(df: DataFrame, output_column: str = EXPORT_CHANGE_TYPE_COLUMN) -> DataFrame:
+    """First-sync snapshot: every row is an INSERT (reference
+    export.py:112-114, ``SELECT 'INSERT' as _mp_change_type, *``)."""
+    return df.select(F.lit(INSERT).alias(output_column), "*")

@@ -1,0 +1,138 @@
+"""Sync planner: SyncConfig -> unexecuted DataFrame (the engine's IR).
+
+Replaces the reference's ``build_query`` SQL-string dispatch
+(export.py:131-190) with composable DataFrame planners. The IR between
+planning and execution is a Catalyst logical plan instead of a SQL
+string + params dict, so every downstream operator (hash column,
+writers) composes without string surgery and Catalyst optimizes the
+whole pipeline as one plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_unload_to_gcs_spark.config import SyncConfig, SyncResult, SyncType
+from pyspark_unload_to_gcs_spark.operators.cdc import (
+    change_type_mapping,
+    snapshot_as_inserts,
+)
+from pyspark_unload_to_gcs_spark.operators.filters import (
+    cdc_window_bounds_ms,
+    non_null_filter,
+    time_window_filter,
+)
+from pyspark_unload_to_gcs_spark.operators.guards import row_count_guard
+from pyspark_unload_to_gcs_spark.operators.hashing import content_hash
+from pyspark_unload_to_gcs_spark.operators.scd import latest_per_group
+from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+from pyspark_unload_to_gcs_spark.sources.catalog import (
+    current_timestamp_ms,
+    custom_sql_source,
+    load_table,
+)
+
+
+@dataclass
+class PlannedSync:
+    df: DataFrame
+    description: str
+    change_capture_sync_last_commit_ms: int = 0
+
+
+def plan_sync(spark: SparkSession, config: SyncConfig) -> PlannedSync:
+    """Dispatch on sync type (reference export.py:131-190)."""
+    config.validate()
+    sync_type = SyncType(config.sync_type)
+
+    if sync_type == SyncType.CDC:
+        return _plan_cdc(spark, config)
+
+    df = load_table(spark, config.table)
+    df = non_null_filter(df, config.non_nullable_columns)
+
+    if sync_type == SyncType.FULL:
+        desc = f"full({config.table})"
+    elif sync_type == SyncType.TIME_BASED:
+        df = time_window_filter(
+            df,
+            config.updated_time_column,
+            time_cutoff_ms=config.time_cutoff_ms,
+            now_ms=config.now_ms,
+            delay_ms=config.delay_ms,
+        )
+        desc = (
+            f"time-based({config.table}, {config.updated_time_column} in "
+            f"[{config.time_cutoff_ms}, {config.now_ms - config.delay_ms if config.delay_ms > 0 and config.now_ms > 0 else 'inf'}])"
+        )
+    elif sync_type == SyncType.SCD_LATEST:
+        df = latest_per_group(
+            df,
+            config.group_id_column,
+            config.scd_time_column,
+            tiebreak_columns=config.scd_tiebreak_columns,
+            keep_rank_column=config.keep_rank_column,
+        )
+        desc = f"scd-latest({config.table}, by={config.group_id_column}, t={config.scd_time_column})"
+    else:  # pragma: no cover - validate() rejects unknowns via Enum
+        raise ValueError(f"Unknown sync_type: {config.sync_type}")
+
+    return PlannedSync(df=df, description=desc)
+
+
+def _plan_cdc(spark: SparkSession, config: SyncConfig) -> PlannedSync:
+    """CDC sync (reference export.py:139-158).
+
+    First sync (cutoff==0): snapshot pinned at the table's latest commit
+    timestamp, every row an INSERT; watermark = that commit ts so
+    snapshot and checkpoint agree. Incremental: change feed over the
+    half-open window (cutoff, now].
+    """
+    from pyspark_unload_to_gcs_spark.sources import delta as delta_src
+
+    first_sync = config.time_cutoff_ms == 0
+    if first_sync and not config.use_custom_sql:
+        end_ms = delta_src.latest_commit_timestamp_ms(spark, config.table)
+    elif first_sync and config.use_custom_sql:
+        # custom SQL first sync still anchors to "now" when the table may
+        # not be Delta; prefer commit ts when it is.
+        try:
+            end_ms = delta_src.latest_commit_timestamp_ms(spark, config.table)
+        except Exception:
+            end_ms = current_timestamp_ms(spark)
+    else:
+        end_ms = current_timestamp_ms(spark)
+
+    if config.use_custom_sql:
+        df = custom_sql_source(spark, config.custom_sql_dir, config.time_cutoff_ms, end_ms)
+        desc = f"cdc-custom-sql({config.custom_sql_dir}, end={end_ms})"
+    elif first_sync:
+        df = snapshot_as_inserts(delta_src.snapshot_at_ms(spark, config.table, end_ms))
+        desc = f"cdc-first-sync({config.table} @ {end_ms})"
+    else:
+        start_ms, _ = cdc_window_bounds_ms(config.time_cutoff_ms, end_ms)
+        df = change_type_mapping(
+            delta_src.change_feed(spark, config.table, start_ms, end_ms)
+        )
+        desc = f"cdc-incremental({config.table}, ({config.time_cutoff_ms}, {end_ms}])"
+
+    return PlannedSync(df=df, description=desc, change_capture_sync_last_commit_ms=end_ms)
+
+
+def run_sync(spark: SparkSession, config: SyncConfig) -> SyncResult:
+    """Full pipeline: guard -> plan -> hash -> write -> checkpoint
+    (the reference's ``__main__`` flow, export.py:325-337)."""
+    planned = plan_sync(spark, config)
+    if config.validate_row_count > 0:
+        row_count_guard(planned.df, config.validate_row_count)
+    df = content_hash(
+        planned.df, config.computed_hash_column, config.computed_hash_ignore_columns
+    )
+    uri = write_export(df, config)
+    return SyncResult(
+        plan_description=planned.description,
+        change_capture_sync_last_commit_ms=planned.change_capture_sync_last_commit_ms,
+        output_uri=uri,
+    )

@@ -1,0 +1,211 @@
+"""Driver-contract query registry: one (spark_query, oracle_sql) pair per
+implemented operator from SURVEY.md §2 + extensions.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash, columns sorted by name — see __spark_entry__.py):
+- every computed column is aliased identically in Spark and SQL;
+- timestamps are emitted as epoch-ms BIGINT (``unix_millis`` /
+  ``epoch_ms``) so engine-level timestamp precision differences
+  (Spark µs vs DuckDB ns) can't skew the hash;
+- double aggregates go through exact DECIMAL accumulation then one
+  cast to DOUBLE, so floating summation order can't skew the hash;
+- raw double *passthrough* columns are safe (identical parquet bits).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+from pyspark_unload_to_gcs_spark.operators.cdc import change_type_mapping
+from pyspark_unload_to_gcs_spark.operators.filters import non_null_filter, time_window_filter
+from pyspark_unload_to_gcs_spark.operators.hashing import content_hash
+from pyspark_unload_to_gcs_spark.operators.scd import latest_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Core reference operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_sync_non_null",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_name IS NOT NULL AND c_name != ''
+      AND c_mktsegment IS NOT NULL AND c_mktsegment != ''
+    """,
+)
+def full_sync_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sync P1+P4: star projection + non-null/non-empty filter."""
+    return non_null_filter(_t(spark, sf_dir, "customer"), ["c_name", "c_mktsegment"])
+
+
+@register(
+    "time_based_window",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+      AND ts <  TIMESTAMP '2024-09-30 00:00:01'
+    """,
+)
+def time_based_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sync P5-P7: half-open incremental window at second
+    granularity (cutoff=2024-03-01T00:00:00Z ms, now=2024-10-01, delay=1d
+    -> upper bound 2024-09-30T00:00:00 inclusive at second granularity)."""
+    df = time_window_filter(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        time_cutoff_ms=1709251200000,
+        now_ms=1727740800000,
+        delay_ms=86400000,
+    )
+    return df.select(
+        "event_id",
+        epoch_ms(df, "ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "scd_latest_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS row_num
+        FROM orders
+    ) RankedRows
+    WHERE row_num = 1
+    """,
+)
+def scd_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd-latest W1+P8: latest order per customer (o_orderkey DESC
+    tie-break for determinism; rank column dropped — see operators/scd.py)."""
+    df = latest_per_group(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", tiebreak_columns=["o_orderkey"]
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        epoch_ms(df, "o_orderdate").alias("o_orderdate_ms"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "content_hash_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           md5(concat_ws('|',
+               COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)),
+               COALESCE(CAST(l_linestatus AS VARCHAR), chr(0)),
+               COALESCE(CAST(l_orderkey   AS VARCHAR), chr(0)),
+               COALESCE(CAST(l_partkey    AS VARCHAR), chr(0)),
+               COALESCE(CAST(l_returnflag AS VARCHAR), chr(0)),
+               COALESCE(CAST(l_suppkey    AS VARCHAR), chr(0)))) AS row_hash
+    FROM lineitem
+    """,
+)
+def content_hash_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash operator (engine-portable ``concat`` method over the
+    name-sorted column set; the reference-parity ``json`` method is
+    covered by unit tests since JSON serialization is engine-specific)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    df = content_hash(df, "row_hash", method="concat")
+    return df.select("l_orderkey", "l_linenumber", "row_hash")
+
+
+@register(
+    "row_count_guard",
+    oracle="SELECT count(*) AS row_count FROM region",
+)
+def row_count_guard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 row-count guard's counting core, as a query."""
+    return _t(spark, sf_dir, "region").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@register(
+    "cdc_change_mapping",
+    oracle="""
+    SELECT
+        CASE
+            WHEN _change_type = 'update_postimage' THEN 'INSERT'
+            WHEN _change_type = 'update_preimage' THEN 'DELETE'
+            WHEN _change_type = 'insert' THEN 'INSERT'
+            ELSE 'DELETE'
+        END AS _mp_change_type,
+        event_id, _change_type
+    FROM (
+        SELECT event_id,
+               CASE CAST(event_id % 4 AS INTEGER)
+                   WHEN 0 THEN 'insert'
+                   WHEN 1 THEN 'update_preimage'
+                   WHEN 2 THEN 'update_postimage'
+                   ELSE 'delete'
+               END AS _change_type
+        FROM events
+    )
+    """,
+)
+def cdc_change_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC P2/P3 change-type mapping over a synthesized ``_change_type``
+    (testdata is parquet, not Delta — mapping semantics are identical)."""
+    kinds = F.array(
+        F.lit("insert"), F.lit("update_preimage"), F.lit("update_postimage"), F.lit("delete")
+    )
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(kinds, (F.col("event_id") % 4 + 1).cast("int")).alias("_change_type"),
+    )
+    return change_type_mapping(df)
+
+
+# ---------------------------------------------------------------------------
+# public accessors
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,73 @@
+"""Export sinks (SURVEY.md §2b K1-K4; reference export.py:216-232).
+
+URI-agnostic: the same writer handles ``gs://bucket/prefix`` in
+production and ``file:/tmp/...`` in tests — only Hadoop conf differs
+(``configure_gcs_auth``).
+
+Scale posture vs the reference:
+- JSON (default): gzip JSON-lines, parallel write, ``maxRecordsPerFile``
+  to bound compressed file size — same as reference K1/K3.
+- CSV: the reference hardcodes ``coalesce(1)`` (K2) so one task writes
+  the entire export — a non-starter at 100 TB. Here single-file is a
+  *flag* defaulting to the reference behavior for CSV only; pass
+  ``single_file=False`` for partitioned CSV.
+- PARQUET (engine extension): zstd columnar output for pipeline
+  consumers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig
+
+
+def configure_gcs_auth(
+    spark: SparkSession,
+    project_id: str,
+    service_account_email: str = "",
+    service_account_key: str = "",
+    service_account_key_id: str = "",
+) -> None:
+    """Inject GCS connector auth into the active Hadoop conf (reference
+    K4, export.py:197-201). The gcs-connector jar itself ships with the
+    cluster image; keys here are the connector's public conf surface."""
+    spark.conf.set("google.cloud.auth.service.account.enable", "true")
+    spark.conf.set("fs.gs.project.id", project_id)
+    if service_account_email:
+        spark.conf.set("fs.gs.auth.service.account.email", service_account_email)
+    if service_account_key:
+        spark.conf.set("fs.gs.auth.service.account.private.key", service_account_key)
+    if service_account_key_id:
+        spark.conf.set("fs.gs.auth.service.account.private.key.id", service_account_key_id)
+
+
+def write_export(df: DataFrame, config: SyncConfig) -> str:
+    """Write ``df`` per the sync config; returns the output URI.
+
+    Mirrors reference write semantics: mode=overwrite, gzip compression,
+    optional maxRecordsPerFile, CSV gets a header row. (We do not
+    reproduce the reference's double-slash URI quirk,
+    ``gs://bucket//prefix/`` at export.py:226/232 — single slash here.)
+    """
+    if not config.output_uri:
+        raise ValueError("output_uri is required")
+    fmt = ExportFormat(config.export_format)
+
+    single_file = config.single_file
+    if single_file is None:
+        single_file = fmt == ExportFormat.CSV  # reference compat
+    out = df.coalesce(1) if single_file else df
+
+    writer = out.write.format(fmt.value).mode("overwrite")
+    compression = config.compression
+    if fmt == ExportFormat.PARQUET and compression == "gzip":
+        compression = "zstd"
+    if compression:
+        writer = writer.option("compression", compression)
+    if config.max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", config.max_records_per_file)
+    if fmt == ExportFormat.CSV:
+        writer = writer.option("header", "true")
+    writer.save(config.output_uri)
+    return config.output_uri

@@ -1,0 +1,121 @@
+"""Table sources (SURVEY.md §2a S1, S6, S7).
+
+The reference reads exactly one three-part catalog table per run via
+``spark.sql`` (export.py:137, 203) and supports per-table custom SQL
+files loaded from the workspace (export.py:70-100). Here a "table" may
+be a catalog/temp-view name or a parquet path/directory, so everything
+runs identically on local test parquet and on a warehouse.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.timeutil import ms_to_datetime
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+    read natively (PARQUET_TYPE_ILLEGAL). Detected from the parquet
+    footer via pyarrow (no data read)."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        probe = files[0]
+    schema = pq.read_schema(probe)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, transparently handling nanosecond timestamps:
+    reads them as long nanos (legacy conf) then truncates to microsecond
+    TimestampType — the same ns->us truncation DuckDB applies, so both
+    engines see identical values."""
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, table: str) -> DataFrame:
+    """Load a table by catalog name, view name, or parquet path."""
+    if table.endswith(".parquet") or "/" in table:
+        return load_parquet(spark, table)
+    return spark.table(table)
+
+
+def load_sf_dir(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver's scale-factor directory as a dict of DataFrames."""
+    return {name: load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet")) for name in names}
+
+
+def register_sf_dir(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register each parquet table as a temp view for spark.sql use."""
+    for name, df in load_sf_dir(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def custom_sql_source(
+    spark: SparkSession,
+    sql_dir: str,
+    time_cutoff_ms: int,
+    end_ms: int,
+) -> DataFrame:
+    """Per-table custom SQL source (reference S6, export.py:70-100).
+
+    Loads ``initial_query.sql`` on first sync (cutoff==0) else
+    ``recurring_query.sql`` from ``sql_dir`` and executes it with named
+    parameters ``:start_timestamp`` / ``:end_timestamp`` (Spark 3.4+
+    parameterized SQL — reference S7, export.py:203). Start is the
+    +1 ms exclusive watermark; both are ISO-8601 strings, matching the
+    reference's parameter currency (export.py:94-98).
+    """
+    filename = "initial_query.sql" if time_cutoff_ms == 0 else "recurring_query.sql"
+    path = os.path.join(sql_dir, filename)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Custom SQL query file not found: {path}")
+    with open(path) as f:
+        query = f.read()
+
+    params: dict[str, str] = {"end_timestamp": ms_to_datetime(end_ms).isoformat()}
+    if time_cutoff_ms > 0:
+        params["start_timestamp"] = ms_to_datetime(time_cutoff_ms + 1).isoformat()
+    return spark.sql(query, args=params)
+
+
+def current_timestamp_ms(spark: SparkSession) -> int:
+    """End-of-window probe (reference S5, export.py:63-67)."""
+    from pyspark_unload_to_gcs_spark.timeutil import datetime_to_ms
+    from datetime import timezone
+
+    now = spark.sql("SELECT current_timestamp()").first()[0]
+    return datetime_to_ms(now.replace(tzinfo=timezone.utc))

@@ -1,0 +1,75 @@
+"""Delta Lake sources (SURVEY.md §2a S2-S4), behind an import guard.
+
+delta-spark is not available in this build environment, so these
+readers raise a clear error when Delta is absent; the Delta-independent
+CDC logic (change-type mapping, watermark arithmetic, snapshot-as-
+inserts) lives in ``operators/cdc.py`` and is fully tested without it.
+
+Reference behaviors being mirrored:
+- latest commit timestamp probe: DESCRIBE HISTORY ... LIMIT 1
+  (export.py:49-60)
+- snapshot read pinned TIMESTAMP AS OF the last commit (export.py:112-114)
+- change feed between starting/ending timestamps (export.py:115-128)
+"""
+
+from __future__ import annotations
+
+from datetime import timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_unload_to_gcs_spark.timeutil import datetime_to_ms, ms_to_datetime
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_delta() -> None:
+    if not delta_available():
+        raise ImportError(
+            "delta-spark is required for Delta CDC sources; install delta-spark "
+            "and configure spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+        )
+
+
+def latest_commit_timestamp_ms(spark: SparkSession, table: str) -> int:
+    """Most recent Delta commit as epoch ms (reference export.py:49-60)."""
+    _require_delta()
+    from delta.tables import DeltaTable
+
+    row = DeltaTable.forName(spark, table).history(1).select("timestamp").first()
+    return datetime_to_ms(row[0].replace(tzinfo=timezone.utc))
+
+
+def snapshot_at_ms(spark: SparkSession, table: str, ts_ms: int) -> DataFrame:
+    """Time-travel snapshot pinned to a commit timestamp (reference S2)."""
+    _require_delta()
+    ts = ms_to_datetime(ts_ms).isoformat()
+    return spark.read.format("delta").option("timestampAsOf", ts).table(table)
+
+
+def change_feed(spark: SparkSession, table: str, start_ms: int, end_ms: int) -> DataFrame:
+    """Change Data Feed rows in ``[start_ms, end_ms]`` (reference S3).
+
+    Caller supplies the half-open +1 ms start
+    (``operators.filters.cdc_window_bounds_ms``). Sets the OSS analogue
+    of the reference's timestampOutOfRange conf (export.py:196) so a
+    start past the last commit returns empty instead of erroring.
+    """
+    _require_delta()
+    spark.conf.set(
+        "spark.databricks.delta.changeDataFeed.timestampOutOfRange.enabled", "true"
+    )
+    return (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", ms_to_datetime(start_ms).isoformat())
+        .option("endingTimestamp", ms_to_datetime(end_ms).isoformat())
+        .table(table)
+    )

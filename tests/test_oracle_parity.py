@@ -1,0 +1,34 @@
+"""Run every registered query against its DuckDB oracle at sf0.001 —
+a local replica of the driver's t2 gate, so mismatches surface before
+the driver runs them at sf0.01."""
+
+import pytest
+
+from pyspark_unload_to_gcs_spark import registry
+from tests.oracle_harness import assert_matches, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+ORACLE_KEYS = sorted(registry.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    q = registry.queries()[name]
+    oracle = registry.oracle_sql()[name]
+    assert_matches(q(spark, sf_dir), duck, oracle, name=name)
+
+
+def test_every_query_runs_and_all_have_oracle_or_reason(spark, sf_dir):
+    """Queries without an oracle (approximate ops) must still run and
+    return a stable schema."""
+    for name, q in registry.queries().items():
+        df = q(spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
