@@ -1,0 +1,378 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2l).
+
+Five tiers, all designed shuffle-light for 100 TB corpora:
+
+- exact:       hash-groupBy on the raw (or normalized) content key. One
+               shuffle on a short hash, partial map-side min for the
+               keeper id.
+- minhash_lsh: word-shingles -> k-minhash signature (builtin xxhash64,
+               JVM-side) -> banded LSH bucket join. Candidate pairs only
+               where a band collides (explode -> groupBy band key);
+               verified with exact Jaccard before dropping. This is the
+               standard MinHash+LSH banding construction (Broder 1997 /
+               MMDS ch.3) expressed in DataFrame ops.
+- simhash:     64-bit simhash from token hashes, computed with a
+               vectorized Pandas UDF (bit arithmetic over 64 positions
+               is not expressible efficiently in builtin columns);
+               near-dups = identical simhash band keys + hamming check.
+- ngram_jaccard: exact Jaccard over word n-gram sets for candidate
+               pairs from LSH buckets (no quadratic blow-up).
+- embedding:   cosine near-dup over embedding vectors — see
+               operators/similarity.py for the bucketed join.
+
+Dedup policy everywhere: the *earliest* id in a duplicate group is the
+canonical survivor (deterministic, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.text import normalize_text, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_columns: list[str],
+    order_column: str,
+    *,
+    normalize: bool = False,
+) -> DataFrame:
+    """Keep one row per distinct key: the one with the smallest
+    ``order_column`` (deterministic, unlike ``dropDuplicates``).
+
+    ``normalize=True`` dedups on the normalized form of each (string)
+    key column instead of raw bytes.
+
+    Scale: row_number over a window partitioned by the key = one hash
+    shuffle on the key columns. For very hot keys (the classic empty-
+    document skew), AQE skew handling splits the partition; a
+    ``F.md5``-of-key pre-projection keeps shuffle rows narrow when the
+    key is a long text column.
+    """
+    if normalize:
+        parts = [normalize_text(F.col(c)) for c in key_columns]
+    else:
+        parts = [F.col(c) for c in key_columns]
+    # hash the (possibly long) key so the shuffle carries 32 bytes, not
+    # the full document text
+    key = F.md5(F.concat_ws("\x1f", *[p.cast("string") for p in parts]))
+    w = Window.partitionBy(key).orderBy(F.col(order_column).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash signatures (builtin expressions only)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text. Documents with
+    fewer than ``n`` tokens contribute their whole token string as the
+    single shingle (so short docs can still collide)."""
+    toks = tokens_col(normalize_text(text))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle identities, built WITHOUT materializing
+    shingle strings: hash each token once, then hash the n consecutive
+    token hashes per position (xxhash64 over an n-tuple of longs). The
+    Jaccard over these hash sets equals the Jaccard over string shingles
+    up to negligible 64-bit collisions, at a fraction of the cost — per
+    position this is one fixed-width hash instead of an O(n)-string
+    slice+concat."""
+    toks = tokens_col(normalize_text(text))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    k = F.size(th)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]),
+    )
+    # short docs (< n tokens): single shingle over all token hashes
+    short = F.array(F.xxhash64(F.concat_ws(",", F.transform(th, lambda h: h.cast("string")))))
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.when(k > 0, short).otherwise(F.array().cast("array<bigint>")))
+    )
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (public splitmix64 constants) for
+    generating per-seed XOR masks Python-side."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """k-minhash signature over pre-hashed shingles: permutation s is
+    ``h XOR mask_s`` (a bijection on 64-bit values — the standard cheap
+    min-wise family), so the base hash is computed ONCE per shingle and
+    each signature slot is just an XOR + array_min pass. Bitwise ops
+    cannot overflow, so this is safe under ANSI mode."""
+    masks = [_to_signed64(_splitmix64(s)) for s in range(num_hashes)]
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_hashes, lambda h, m=m: h.bitwiseXOR(F.lit(m))))
+            for m in masks
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split the signature into ``bands`` bands of ``rows_per_band`` and
+    hash each band -> array of band bucket keys (band index baked in so
+    buckets from different bands never collide)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b, F.concat_ws(",", F.transform(
+                F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ))
+        ),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) whose exact shingle
+    Jaccard >= threshold, found via banded MinHash LSH.
+
+    Plan shape (scales to 100 TB):
+      1. narrow map: shingle + signature + band keys per doc (no shuffle)
+      2. explode band keys -> shuffle on band bucket (short key)
+      3. self-join within bucket -> candidate pairs only
+      4. exact Jaccard verify on the pair (shingle arrays carried only
+         for candidates; for very large corpora carry a shingle *hash*
+         array instead of strings — done here via xxhash64)
+    """
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_column).alias("__id"),
+        shingle_hashes(F.col(text_column), shingle_n).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # The (id, shingle-hash, signature) projection feeds four plan
+    # branches (two band-join sides, two verify join-backs); persist it
+    # once instead of recomputing shingling+minhash per branch.
+    # MEMORY_AND_DISK: ~1 KB/doc, spills gracefully at scale.
+    docs = docs.persist()
+
+    # Narrow candidate generation: the band self-join carries ONLY
+    # (id, band_key) — 16 bytes/row — never the shingle arrays. Both
+    # join inputs are the same subplan, so Spark reuses the exchange.
+    banded = docs.select(
+        "__id",
+        F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
+    )
+    cand = (
+        banded.select(F.col("__band"), F.col("__id").alias("id_a"))
+        .join(banded.select(F.col("__band"), F.col("__id").alias("id_b")), "__band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Shingle arrays are joined back for candidates only (pairs are a
+    # tiny fraction of the corpus), then verified with exact Jaccard.
+    sh = docs.select("__id", "__sh")
+    pairs = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")), "id_b")
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: a doc is removed if it pairs (at >= the
+    Jaccard threshold) with any *earlier* (smaller-id) doc.
+
+    Single-link transitive closure is deliberately NOT computed (it
+    needs iterative connected components — see note below); dropping
+    anything similar to an earlier survivor-or-not doc is the standard
+    one-pass policy and is deterministic. For full CC semantics, run
+    ``minhash_candidate_pairs`` through an iterative large-star/small-
+    star loop (Kiveris et al.) — pairs output here is the input to that.
+    """
+    pairs = minhash_candidate_pairs(df, id_column, text_column, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(losers, on=id_column, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact verify over LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    bands: int = 16,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Like ``minhash_dedup`` but with more bands (higher recall) —
+    candidates still come from LSH so there is no O(n^2) pair blow-up,
+    and the final decision is the *exact* n-gram Jaccard."""
+    return minhash_dedup(
+        df,
+        id_column,
+        text_column,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        bands=bands,
+        num_hashes=num_hashes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash (vectorized Pandas UDF — bit-position sums aren't builtin)
+# ---------------------------------------------------------------------------
+
+
+def simhash_column(text_column: str = "text", bits: int = 64):
+    """Returns a Pandas-UDF column computing the classic simhash:
+    sign of the per-bit weighted sum of token hashes (Charikar 2002).
+    Arrow-batched; ~10-100x faster than a row-at-a-time UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        # token -> (+1/-1)^64 bit vector, cached: the distinct vocab is
+        # far smaller than the token stream, so each token hashes once
+        # per Arrow batch
+        vocab: dict[str, "np.ndarray"] = {}
+
+        def tok_bits(tok: str) -> "np.ndarray":
+            v = vocab.get(tok)
+            if v is None:
+                h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                bit_arr = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
+                # unpackbits yields MSB-first per byte; map to bit b of the
+                # big-endian integer: bit index = 63 - position
+                v = (bit_arr.astype(np.int64) * 2 - 1)[::-1]
+                vocab[tok] = v
+            return v
+
+        powers = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = str(t).lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                acc += tok_bits(tok)
+            v = int((powers[acc > 0]).sum(dtype=np.uint64))
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out[i] = v
+        return pd.Series(out)
+
+    return _simhash(text_column)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    *,
+    hamming_threshold: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dedup: docs whose simhash is within
+    ``hamming_threshold`` bits of an earlier doc are dropped.
+
+    Candidates via the standard pigeonhole trick: split 64 bits into
+    ``bands`` chunks — any pair within ``bands-1`` bit flips shares at
+    least one exact chunk, so an equality join on chunk values finds all
+    candidates without O(n^2)."""
+    # simhash is the expensive (Pandas-UDF) step and feeds three plan
+    # branches (two join sides + the survivor anti-join) — compute once.
+    hashed = df.withColumn("__simhash", simhash_column(text_column)).persist()
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("__simhash"), b * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_column).alias("__id"), F.col("__simhash"), F.explode(chunks).alias("__c")
+    )
+    left = banded.select(
+        F.col("__c"), F.col("__id").alias("id_a"), F.col("__simhash").alias("h_a")
+    )
+    right = banded.select(
+        F.col("__c"), F.col("__id").alias("id_b"), F.col("__simhash").alias("h_b")
+    )
+    pairs = (
+        left.join(right, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
+    return hashed.join(losers, on=id_column, how="left_anti").drop("__simhash")

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing (SURVEY.md §2l).
+
+Images/audio/video are carried as opaque ``binary`` payload columns plus
+a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
+shape, ``mapInPandas`` partitioned decode, feature schemas — is real and
+tested; the actual media decode is STUBBED (this container has no
+image/audio libraries): ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, in which case a deterministic fake decoder
+(byte-histogram "features", length-derived "dimensions") exercises the
+full pipeline.
+
+At 100 TB: payloads stay in executor memory only one Arrow batch at a
+time (``mapInPandas`` is streaming per-partition); metadata-only queries
+never touch the payload column thanks to parquet column pruning — keep
+payloads and metadata in the same table but NEVER select the payload
+unless decoding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # png, wav, mp4, ...
+        StructField("byte_length", LongType()),
+        StructField("width", IntegerType()),  # -1 when unknown/not applicable
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("feature", StringType()),  # feature fingerprint
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, source_column: str, *, media_type: str = "image", fmt: str = "raw"
+) -> DataFrame:
+    """Build a (payload, media_meta) pair from a source column —
+    deterministic fake payload = UTF-8 bytes of the source column, so
+    pipelines are testable without real media files."""
+    payload = F.encode(F.col(source_column), "UTF-8").cast(BinaryType())
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.octet_length(payload).cast("long").alias("byte_length"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.lit(-1).cast("long").alias("duration_ms"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def decode_media(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode payloads to features via ``mapInPandas`` (streaming Arrow
+    batches per partition — constant memory regardless of table size).
+
+    ``fake=False`` raises NotImplementedError at plan-build time: real
+    decoders (PIL/librosa/ffmpeg) are not in this environment. The fake
+    decoder is deterministic: feature = hex of a byte-histogram digest,
+    width/height derived from payload length.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this "
+            "environment; pass fake=True for the deterministic test decoder"
+        )
+
+    id_col = id_column
+    payload_col = payload_column
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            ids = pdf[id_col]
+            rows = []
+            for i, raw in zip(ids, payloads):
+                b = bytes(raw) if raw is not None else b""
+                digest = hashlib.blake2b(b, digest_size=16).hexdigest()
+                n = len(b)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "media_type": "image",
+                        "feature": digest,
+                        "n_bytes": n,
+                        "width": int(n % 1024),
+                        "height": int(n // 1024),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.select(id_column, payload_column).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never touches the payload column, so the
+    parquet scan prunes it (verify with .explain: ReadSchema excludes
+    payload)."""
+    return df.groupBy(F.col("media_meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("media_meta.byte_length").alias("total_bytes"),
+        F.max("media_meta.byte_length").alias("max_bytes"),
+    )

@@ -1,0 +1,210 @@
+"""Approximate-nearest-neighbor / similarity search over an embedding
+column (``array<float>``) — SURVEY.md §2l.
+
+Two paths:
+
+- ``cosine_topk``: brute-force exact top-k against one query vector.
+  The dot product is a builtin ``F.zip_with`` + ``F.aggregate`` fold —
+  JVM-side, no Python. Top-k = orderBy + limit, which Spark executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  no global sort shuffle). This is the correctness baseline and is also
+  the right plan for "score 100 TB of candidates against one query".
+
+- ``lsh_bucketed_topk`` / ``ann_join``: random-hyperplane (sign) LSH —
+  vectors land in sign-pattern buckets; the query only scans its bucket
+  (and optionally multi-probe neighbors). This is the scale path for
+  vector-vs-vector joins: candidate generation is an equality join on
+  the bucket key, never O(n^2).
+
+- ``embedding_near_dedup``: drop vectors whose cosine to an earlier
+  vector exceeds a threshold, with LSH-bucketed candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_literal(vec_col: Column, query: Sequence[float]) -> Column:
+    """Dot product of a vector column with a Python-side query vector,
+    as a single fused expression: sum_i vec[i]*q[i]. Left-to-right fold
+    -> deterministic double result."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_to_query(vec_col: Column, query: Sequence[float]) -> Column:
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    denom = norm(vec_col) * F.lit(qn)
+    return F.when(denom > 0, dot_literal(vec_col, query) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``. Ties broken by id
+    ascending for deterministic output."""
+    scored = df.select(
+        F.col(id_column),
+        cosine_to_query(F.col(vec_column), query).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_column).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, seed-stable
+    across runs/engines — no numpy RNG state dependence)."""
+    planes = []
+    state = seed & 0x7FFFFFFF or 1
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # uniform-ish [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def sign_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit b = sign(vec . plane_b). 2^len(planes) buckets."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        bit = F.when(dot_literal(vec_col, plane) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_column: str = "embedding",
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    bucket_column: str = "lsh_bucket",
+) -> DataFrame:
+    return df.withColumn(
+        bucket_column, sign_bucket(F.col(vec_column), _hyperplanes(dim, n_planes, seed))
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe).
+    At 1000x scale this scans ~ (probes/2^n_planes) of the corpus; the
+    bucket column is precomputable + partitionable for repeated queries."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_bucket = 0
+    for b, plane in enumerate(planes):
+        if sum(float(a) * float(p) for a, p in zip(query, plane)) >= 0:
+            q_bucket |= 1 << b
+    bucketed = with_lsh_bucket(
+        df, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed
+    )
+    probe = F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_hamming
+    return cosine_topk(
+        bucketed.filter(probe), query, k, id_column=id_column, vec_column=vec_column
+    )
+
+
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_left: str = "vec_id",
+    id_right: str = "vec_id",
+    vec_column: str = "embedding",
+    dim: int,
+    n_planes: int = 8,
+    cosine_threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """All (left, right) pairs with cosine >= threshold, candidates from
+    shared LSH buckets (equality join on bucket — shuffle on a small int
+    key; never a cross join)."""
+    lb = with_lsh_bucket(left, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    rb = with_lsh_bucket(right, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    l = lb.select(
+        F.col("lsh_bucket"), F.col(id_left).alias("id_a"), F.col(vec_column).alias("__va")
+    )
+    r = rb.select(
+        F.col("lsh_bucket"), F.col(id_right).alias("id_b"), F.col(vec_column).alias("__vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    return (
+        l.join(r, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    dim: int,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop rows whose embedding is near-identical (cosine >= threshold)
+    to an earlier (smaller-id) row."""
+    pairs = ann_join(
+        df,
+        df,
+        id_left=id_column,
+        id_right=id_column,
+        vec_column=vec_column,
+        dim=dim,
+        n_planes=n_planes,
+        cosine_threshold=cosine_threshold,
+        seed=seed,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
+    return df.join(losers, on=id_column, how="left_anti")

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2l).
+
+All hot-path computation is builtin ``pyspark.sql.functions`` column
+expressions (JVM-side, whole-stage codegen) — no Python UDFs — so these
+scale linearly over 100 TB document sets: narrow per-row transforms with
+no shuffle except the explicit group-bys in ``text_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Word lists are universal public knowledge.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "den", "ist", "mit", "des", "ein"),
+}
+
+WORD_SPLIT = "\\s+"
+PUNCT_PATTERN = "[^\\p{L}\\p{N}\\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array (Spark's
+    split('', pattern) returns [''], which would count as one token)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WORD_SPLIT)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count regex word pieces (runs of
+    letters, digits, or single punctuation marks), the standard cheap
+    proxy for BPE token counts when no tokenizer model is available."""
+    pieces = F.regexp_extract_all(text, F.lit("(\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s])"), 0)
+    return F.size(pieces)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords for ``lang``."""
+    toks = tokens_col(F.lower(text))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hit_count = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hit_count.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation
+    noise, reasonable mean word length. Deterministic + SQL-portable."""
+    n_tok = token_count(text).cast("double")
+    n_char = F.length(F.trim(text)).cast("double")
+    mean_word = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_term = F.when((mean_word >= 3.0) & (mean_word <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return (length_term * 0.4 + word_term * 0.3 + punct_term * 0.3).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID: the language whose stopword list hits
+    the most token occurrences; ties broken by language code order;
+    'und' (undetermined) when nothing hits."""
+    toks = tokens_col(F.lower(text))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse alphabetical order so that on ties the
+    # alphabetically-first language wins (strict > comparison)
+    for code in sorted(STOPWORDS, reverse=True):
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, strip
+    punctuation, collapse whitespace, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, PUNCT_PATTERN, " ")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (A rolling/shingle-based fingerprint for near-dup detection lives in
+    operators/dedup.py; this one is the exact-content key.)"""
+    return F.md5(normalize_text(text))
+
+
+def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Append the full per-document analysis column set."""
+    t = F.col(text_column)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_pieces", bpe_ish_token_count(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("stopword_ratio_en", stopword_ratio(t, "en"))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_guess", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -203,9 +203,18 @@ def cdc_change_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _load_extensions() -> None:
+    """Import side-effect registries (analytics + extension operators).
+    Deferred to avoid circulars; idempotent (module cache)."""
+    from pyspark_unload_to_gcs_spark import registry_analytics  # noqa: F401
+    from pyspark_unload_to_gcs_spark import registry_extensions  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(_ORACLES)

@@ -1,0 +1,253 @@
+"""Analytics/benchmark queries (TPC-H-style) over the test tables.
+
+These exercise the engine surface the reference inherits from Spark —
+joins (broadcast + shuffled), grouped aggregation, top-k, JSON
+extraction — and serve as the bench headliners at sf0.1.
+
+Oracle-portability conventions: monetary aggregates accumulate in
+DECIMAL (exact, order-independent) and cast to DOUBLE once at the end;
+see registry.py module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.registry import _t, register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan -> filter -> hash agg.
+    Catalyst plans partial (map-side) + final aggregation automatically;
+    the shuffle carries only (flag, status) groups."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import ts_bound_literal
+
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = ts_bound_literal(li, "l_shipdate", 904694400)  # 1998-09-02 UTC
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_order_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           epoch_ms(o.o_orderdate) AS o_orderdate_ms
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> two joins -> agg ->
+    top-k. customer(filtered) is broadcast to both joins; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+
+    agg = agg.select(
+        "o_orderkey", "revenue", epoch_ms(agg, "o_orderdate").alias("o_orderdate_ms")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue rolled up to customer region.
+    region/nation/customer are broadcast (small dims); the only shuffle
+    is orders |><| lineitem on orderkey + the final tiny agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey ASC
+    LIMIT 20
+    """,
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join: lineitem rolls up to partkey FIRST (shrinks
+    to |parts| rows), then joins part for names — at 100 TB this is the
+    difference between joining 600B rows and joining 20M."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    agg = li.groupBy("l_partkey").agg(F.sum(rev).alias("__rev"))
+    return (
+        agg.join(p, p.p_partkey == agg.l_partkey)
+        .select("p_partkey", "p_name", F.col("__rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "user_activity",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg with exact distinct — Catalyst expands count(distinct)
+    into a two-phase partial/final plan. (At 100 TB prefer
+    approx_count_distinct — provided as events_approx_users, rows-only.)"""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register("events_approx_users")  # rows-only: approx result differs from exact SQL
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type — the 100 TB
+    substitute for exact countDistinct (no second shuffle phase)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path over a string column
+    (builtin get_json_object — JVM-side Jackson, no UDF)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH ts AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+    ), marked AS (
+        SELECT user_id, ts_ms,
+               CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    ), sessions AS (
+        SELECT user_id, ts_ms,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_ms) AS start_ms,
+           MAX(ts_ms) AS end_ms,
+           MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + conditional cumsum,
+    single shuffle on user_id shared by both windows."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_ms=1800000)

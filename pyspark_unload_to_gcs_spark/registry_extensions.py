@@ -1,0 +1,291 @@
+"""Extension-operator queries (SURVEY.md §2l): dedup, similarity search,
+text analysis, multimodal — the LLM-training-data pipeline surface.
+
+Approximate / hash-seeded operators (minhash, simhash, LSH similarity)
+have no DuckDB-expressible oracle and register rows-only; exact variants
+all carry oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.registry import _t, register
+from pyspark_unload_to_gcs_spark.operators import dedup as D
+from pyspark_unload_to_gcs_spark.operators import similarity as S
+from pyspark_unload_to_gcs_spark.operators import text as T
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+# DuckDB spellings of operators/text.py normalization (RE2 'g' flag needed;
+# Spark regexp_replace is global by default)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats grouped by language/source."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per document (empty text -> 0)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over normalized text (exact-dup key)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS t
+        FROM documents
+    ), votes AS (
+        SELECT doc_id,
+            len(list_filter(t, x -> x IN ('der','die','und','das','von','den','ist','mit','des','ein'))) AS de_hits,
+            len(list_filter(t, x -> x IN ('the','and','of','to','in','is','that','it','for','was'))) AS en_hits,
+            len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','los','del','las'))) AS es_hits,
+            len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une','du','est'))) AS fr_hits
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE
+               WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+               WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+               WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+               WHEN es_hits >= fr_hits THEN 'es'
+               ELSE 'fr'
+           END AS lang_guess
+    FROM votes
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (alphabetical tie-break)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+        (least(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
+         + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                 AND length(trim(text)) * 1.0 / (CASE WHEN trim(text) = '' THEN 1
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 3.0 AND 10.0
+                THEN 1.0 ELSE 0.5 END * 0.3
+         + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                        * 1.0 / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 5.0, 1.0)) * 0.3
+        ) AS quality
+    FROM documents
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality heuristic (length/word-shape/punctuation)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on raw text; earliest doc_id survives."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "normalized_dedup",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on normalized text (case/punct/whitespace-insensitive)."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id", normalize=True)
+
+
+@register("near_dedup_minhash")  # rows-only: xxhash64 seeds not SQL-portable
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup survivors (Jaccard >= 0.8 on 3-shingles)."""
+    return D.minhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "lang", "source")
+
+
+@register("near_dedup_pairs")  # rows-only
+def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-duplicate pair list behind near_dedup_minhash."""
+    pairs = D.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+@register("near_dedup_simhash")  # rows-only: Pandas-UDF bit arithmetic
+def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup survivors (hamming <= 3 on 64-bit simhash)."""
+    return D.simhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "lang", "source")
+
+
+@register("near_dedup_ngram")  # rows-only
+def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup (exact Jaccard over LSH candidates,
+    higher-recall banding)."""
+    return D.ngram_jaccard_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", jaccard_threshold=0.7
+    ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query vector for similarity benchmarks: embedding of vec_id=0
+    (a one-row lookup — a query *parameter*, not a data loop)."""
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "vector_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine_r
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 to the vec_id=0 embedding.
+    Double-precision left-fold dot product matches DuckDB's
+    list_cosine_similarity on DOUBLE[] bit-exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    out = S.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+@register("vector_topk_lsh")  # rows-only: approximate
+def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane, multi-probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    out = S.lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+@register("embedding_near_dedup")  # rows-only: LSH-seeded
+def embedding_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup (cosine >= 0.95 to an earlier vector)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir))
+    return S.embedding_near_dedup(emb, dim=dim).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT 'image' AS media_type,
+           COUNT(*) AS n,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata plumbing: attach payload from
+    text bytes, roll up metadata only (payload column pruned from scan)."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, media_stats
+
+    return media_stats(attach_payload(_t(spark, sf_dir, "documents"), "text"))
+
+
+@register("multimodal_decode")  # rows-only: blake2b digest not in DuckDB
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline with the deterministic fake decoder
+    (real decode is stubbed — no media libs in this environment)."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, decode_media
+
+    docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_media(docs, fake=True)

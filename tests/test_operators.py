@@ -1,0 +1,194 @@
+"""Unit tests for core operators on small in-memory frames, including the
+reference-quirk compat flags (SURVEY.md §7 risk list)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.cdc import (
+    change_type_mapping,
+    snapshot_as_inserts,
+)
+from pyspark_unload_to_gcs_spark.operators.filters import non_null_filter, time_window_filter
+from pyspark_unload_to_gcs_spark.operators.guards import RowCountExceededError, row_count_guard
+from pyspark_unload_to_gcs_spark.operators.hashing import content_hash, hashed_columns
+from pyspark_unload_to_gcs_spark.operators.scd import latest_per_group, latest_per_group_maxby
+
+
+# --- non_null_filter (P4) ---------------------------------------------------
+
+
+def test_non_null_filter_drops_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "")], "id long, email string"
+    )
+    out = non_null_filter(df, ["email"]).collect()
+    assert [r.id for r in out] == [1]
+
+
+def test_non_null_filter_empty_list_is_identity(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, email string")
+    assert non_null_filter(df, []).count() == 1
+    assert non_null_filter(df, [""]).count() == 1
+
+
+def test_non_null_filter_multi_column_and(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", ""), (3, None, "z")], "id long, a string, b string"
+    )
+    assert [r.id for r in non_null_filter(df, ["a", "b"]).collect()] == [1]
+
+
+# --- time_window_filter (P5-P7): sargable == compat -------------------------
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    rows = [
+        (1, datetime(2024, 3, 1, 0, 0, 0)),      # exactly at cutoff second
+        (2, datetime(2024, 2, 29, 23, 59, 59)),  # below
+        (3, datetime(2024, 6, 1, 12, 0, 0, 500000)),   # inside
+        (4, datetime(2024, 9, 30, 0, 0, 0, 999000)),   # upper bound second
+        (5, datetime(2024, 9, 30, 0, 0, 1)),      # above upper
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp")
+
+
+@pytest.mark.parametrize("sargable", [True, False])
+def test_time_window_filter_bounds(ts_df, sargable):
+    out = time_window_filter(
+        ts_df,
+        "ts",
+        time_cutoff_ms=1709251200000,  # 2024-03-01T00:00:00Z
+        now_ms=1727740800000,          # 2024-10-01
+        delay_ms=86400000,             # upper = 2024-09-30T00:00:00 (second granularity)
+        sargable=sargable,
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 3, 4]
+
+
+@pytest.mark.parametrize("sargable", [True, False])
+def test_time_window_no_upper_when_delay_zero(ts_df, sargable):
+    out = time_window_filter(ts_df, "ts", time_cutoff_ms=0, now_ms=123, delay_ms=0, sargable=sargable)
+    assert out.count() == 5
+
+
+def test_sargable_filter_pushes_down(ts_df):
+    plan = time_window_filter(
+        ts_df, "ts", time_cutoff_ms=1709251200000
+    )._jdf.queryExecution().executedPlan().toString()
+    # bare column comparison (no unix_timestamp wrapper) => pushable
+    assert "unix_timestamp" not in plan
+
+
+# --- latest_per_group (W1+P8) ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def scd_df(spark):
+    rows = [
+        (1, 10, datetime(2024, 1, 1), "v1"),
+        (2, 10, datetime(2024, 2, 1), "v2"),
+        (3, 20, datetime(2024, 1, 15), "w1"),
+        (4, 20, datetime(2024, 1, 15), "w2"),  # tie on time -> id desc wins
+    ]
+    return spark.createDataFrame(rows, "id long, gid long, t timestamp, v string")
+
+
+def test_latest_per_group(scd_df):
+    out = {r.gid: r.v for r in latest_per_group(scd_df, "gid", "t", ["id"]).collect()}
+    assert out == {10: "v2", 20: "w2"}
+    assert "row_num" not in latest_per_group(scd_df, "gid", "t").columns
+
+
+def test_latest_per_group_rank_leak_compat(scd_df):
+    # reference leaks row_num into output (export.py:180-185)
+    out = latest_per_group(scd_df, "gid", "t", ["id"], keep_rank_column=True)
+    assert "row_num" in out.columns
+    assert all(r.row_num == 1 for r in out.collect())
+
+
+def test_latest_per_group_maxby_matches_window(scd_df):
+    a = latest_per_group(scd_df, "gid", "t", ["id"]).orderBy("gid").collect()
+    b = latest_per_group_maxby(scd_df, "gid", "t", ["id"]).orderBy("gid").collect()
+    assert a == b
+
+
+# --- content_hash ------------------------------------------------------------
+
+
+def test_content_hash_column_order_invariant(spark):
+    df1 = spark.createDataFrame([(1, "a")], "x long, y string")
+    df2 = df1.select("y", "x")  # different column order, same content
+    h1 = content_hash(df1, "h").select("h").first()[0]
+    h2 = content_hash(df2, "h").select("h").first()[0]
+    assert h1 == h2  # struct is name-sorted before hashing
+
+
+def test_content_hash_ignore_membership_vs_substring_bug(spark):
+    df = spark.createDataFrame([(1, 2, "e")], "id long, user_id long, email string")
+    # intended semantics: ignoring user_id keeps id in the hash
+    cols = hashed_columns(df.columns, ["user_id"])
+    assert cols == ["email", "id"]
+    # reference bug compat: 'id' matches substring of 'user_id' and is
+    # wrongly excluded (export.py:208)
+    cols_bug = hashed_columns(df.columns, ["user_id"], ignore_substring_compat=True)
+    assert cols_bug == ["email"]
+
+
+def test_content_hash_empty_output_col_is_identity(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    assert content_hash(df, "").columns == ["id"]
+
+
+def test_content_hash_nested_types_json(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": ["x", "y"]})], "id long, nested struct<a:long, b:array<string>>"
+    )
+    out = content_hash(df, "h")
+    v = out.select("h").first()[0]
+    assert len(v) == 32  # md5 hex
+
+
+def test_content_hash_concat_null_vs_empty_distinct(spark):
+    df = spark.createDataFrame([(None,), ("",)], "s string")
+    hashes = [r.h for r in content_hash(df, "h", method="concat").collect()]
+    assert hashes[0] != hashes[1]  # NULL sentinel != empty string
+
+
+# --- cdc mapping -------------------------------------------------------------
+
+
+def test_change_type_mapping_all_kinds(spark):
+    df = spark.createDataFrame(
+        [("insert", 1), ("update_preimage", 2), ("update_postimage", 3), ("delete", 4), ("garbage", 5)],
+        "_change_type string, id long",
+    )
+    out = {r.id: r._mp_change_type for r in change_type_mapping(df).collect()}
+    assert out == {1: "INSERT", 2: "DELETE", 3: "INSERT", 4: "DELETE", 5: "DELETE"}
+    # output column is first (reference emits it before *)
+    assert change_type_mapping(df).columns[0] == "_mp_change_type"
+
+
+def test_snapshot_as_inserts(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = snapshot_as_inserts(df).collect()
+    assert out[0]._mp_change_type == "INSERT"
+
+
+# --- guards ------------------------------------------------------------------
+
+
+def test_row_count_guard_disabled(spark):
+    df = spark.range(100)
+    assert row_count_guard(df, 0) == -1
+
+
+def test_row_count_guard_passes(spark):
+    assert row_count_guard(spark.range(5), 10) == 5
+
+
+def test_row_count_guard_raises(spark):
+    with pytest.raises(RowCountExceededError):
+        row_count_guard(spark.range(100), 10)

@@ -1,0 +1,148 @@
+"""Planner + writer pipeline tests (reference build_query/export flow at
+DataFrame level)."""
+
+import glob
+import gzip
+import json
+
+import pytest
+
+from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig, SyncType
+from pyspark_unload_to_gcs_spark.plans.sync import plan_sync, run_sync
+
+ORDERS = "/root/testdata/sf0.001/orders.parquet"
+CUSTOMER = "/root/testdata/sf0.001/customer.parquet"
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_full_sync_plan(spark):
+    planned = plan_sync(spark, SyncConfig(table=CUSTOMER, sync_type=SyncType.FULL))
+    assert planned.df.count() == 150
+    assert planned.change_capture_sync_last_commit_ms == 0
+
+
+def test_full_sync_non_null(spark):
+    base = plan_sync(spark, SyncConfig(table=CUSTOMER)).df.count()
+    filtered = plan_sync(
+        spark, SyncConfig(table=CUSTOMER, non_nullable_columns=("c_name",))
+    ).df.count()
+    assert filtered <= base
+
+
+def test_time_based_requires_column(spark):
+    with pytest.raises(ValueError):
+        plan_sync(spark, SyncConfig(table=EVENTS, sync_type=SyncType.TIME_BASED))
+
+
+def test_scd_latest_one_row_per_group(spark):
+    planned = plan_sync(
+        spark,
+        SyncConfig(
+            table=ORDERS,
+            sync_type=SyncType.SCD_LATEST,
+            group_id_column="o_custkey",
+            scd_time_column="o_orderdate",
+            scd_tiebreak_columns=("o_orderkey",),
+        ),
+    )
+    n_groups = planned.df.select("o_custkey").distinct().count()
+    assert planned.df.count() == n_groups
+    assert "row_num" not in planned.df.columns
+
+
+def test_scd_missing_args_raises(spark):
+    with pytest.raises(ValueError, match="scd-latest"):
+        plan_sync(spark, SyncConfig(table=ORDERS, sync_type=SyncType.SCD_LATEST))
+
+
+def test_run_sync_json_gzip_with_hash(spark, tmp_path):
+    out = f"file:{tmp_path}/json_out"
+    res = run_sync(
+        spark,
+        SyncConfig(
+            table=CUSTOMER,
+            computed_hash_column="row_hash",
+            computed_hash_ignore_columns=("c_acctbal",),
+            output_uri=out,
+        ),
+    )
+    files = glob.glob(f"{tmp_path}/json_out/*.json.gz")
+    assert files
+    row = json.loads(gzip.open(files[0]).readline())
+    assert "row_hash" in row and len(row["row_hash"]) == 32
+    assert res.change_capture_sync_last_commit_ms == 0
+
+
+def test_run_sync_csv_single_file(spark, tmp_path):
+    run_sync(
+        spark,
+        SyncConfig(
+            table=CUSTOMER,
+            export_format=ExportFormat.CSV,
+            output_uri=f"file:{tmp_path}/csv_out",
+        ),
+    )
+    files = glob.glob(f"{tmp_path}/csv_out/*.csv.gz")
+    assert len(files) == 1  # reference coalesce(1) compat
+    header = gzip.open(files[0]).readline().decode()
+    assert header.startswith("c_custkey")
+
+
+def test_run_sync_csv_partitioned_override(spark, tmp_path):
+    run_sync(
+        spark,
+        SyncConfig(
+            table=ORDERS,
+            export_format=ExportFormat.CSV,
+            single_file=False,
+            output_uri=f"file:{tmp_path}/csv_part",
+        ),
+    )
+    assert glob.glob(f"{tmp_path}/csv_part/*.csv.gz")
+
+
+def test_run_sync_parquet_zstd(spark, tmp_path):
+    run_sync(
+        spark,
+        SyncConfig(
+            table=ORDERS,
+            export_format=ExportFormat.PARQUET,
+            output_uri=f"file:{tmp_path}/pq_out",
+        ),
+    )
+    assert glob.glob(f"{tmp_path}/pq_out/*.parquet")
+
+
+def test_max_records_per_file(spark, tmp_path):
+    run_sync(
+        spark,
+        SyncConfig(
+            table=ORDERS,
+            max_records_per_file=100,
+            output_uri=f"file:{tmp_path}/capped",
+        ),
+    )
+    files = glob.glob(f"{tmp_path}/capped/*.json.gz")
+    assert len(files) >= 15  # 1500 rows / 100 per file
+    for f in files:
+        n = sum(1 for _ in gzip.open(f))
+        assert n <= 100
+
+
+def test_custom_sql_source(spark, tmp_path):
+    sql_dir = tmp_path / "custom"
+    sql_dir.mkdir()
+    (sql_dir / "initial_query.sql").write_text(
+        "SELECT 1 AS one WHERE :end_timestamp IS NOT NULL"
+    )
+    (sql_dir / "recurring_query.sql").write_text(
+        "SELECT 2 AS two WHERE :start_timestamp < :end_timestamp"
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import custom_sql_source
+
+    first = custom_sql_source(spark, str(sql_dir), 0, 1709251200000)
+    assert first.first().one == 1
+    rec = custom_sql_source(spark, str(sql_dir), 1000, 1709251200000)
+    assert rec.first().two == 2
+    with pytest.raises(FileNotFoundError):
+        custom_sql_source(spark, str(tmp_path / "missing"), 0, 1)
