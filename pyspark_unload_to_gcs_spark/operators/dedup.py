@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 from pyspark_unload_to_gcs_spark.operators.text import normalize_text, tokens_col
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer partitions than the
+    cluster has cores (e.g. one small local parquet file). At real scale
+    the source already has >= cores partitions and this is a no-op — no
+    shuffle is added. Used ahead of per-row-expensive map stages so a
+    single-file input doesn't serialize onto one task."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -91,16 +103,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array().cast("array<string>")))
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 64-bit shingle identities, built WITHOUT materializing
-    shingle strings: hash each token once, then hash the n consecutive
-    token hashes per position (xxhash64 over an n-tuple of longs). The
-    Jaccard over these hash sets equals the Jaccard over string shingles
-    up to negligible 64-bit collisions, at a fraction of the cost — per
-    position this is one fixed-width hash instead of an O(n)-string
-    slice+concat."""
-    toks = tokens_col(normalize_text(text))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+def token_hashes(text: Column) -> Column:
+    """64-bit hash per token of the normalized text (xxhash64, JVM-side)."""
+    return F.transform(tokens_col(normalize_text(text)), lambda t: F.xxhash64(t))
+
+
+def shingle_hashes_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle identities from a token-hash array, built
+    WITHOUT materializing shingle strings: hash the n consecutive token
+    hashes per position (xxhash64 over an n-tuple of longs). The Jaccard
+    over these hash sets equals the Jaccard over string shingles up to
+    negligible 64-bit collisions.
+
+    PERFORMANCE CONTRACT: ``th`` must be a *materialized column
+    attribute* (a plain ``F.col``), never a nested expression tree.
+    Higher-order-function lambdas are evaluated per array element
+    outside whole-stage codegen, so any expression referenced inside
+    the lambda is re-evaluated per element — a nested token-hash
+    pipeline here costs O(tokens^2) normalize+hash work per row
+    (measured 25x slowdown at sf0.1). Stage projections instead:
+    select token_hashes() into a column first, then call this.
+    """
     k = F.size(th)
     grams = F.transform(
         F.sequence(F.lit(1), k - (n - 1)),
@@ -111,6 +134,17 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(k >= n, grams).otherwise(F.when(k > 0, short).otherwise(F.array().cast("array<bigint>")))
     )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """One-expression convenience form of
+    ``token_hashes`` -> ``shingle_hashes_from_token_hashes``.
+
+    WARNING: fine for tests/small frames, but in hot paths use the
+    staged two-projection form (see performance contract above) —
+    this nests the token pipeline inside a lambda and re-evaluates it
+    per gram position."""
+    return shingle_hashes_from_token_hashes(token_hashes(text), n)
 
 
 def _splitmix64(x: int) -> int:
@@ -184,15 +218,25 @@ def minhash_candidate_pairs(
          array instead of strings — done here via xxhash64)
     """
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_column).alias("__id"),
-        shingle_hashes(F.col(text_column), shingle_n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # Staged projections (NOT one nested expression): each heavy array
+    # becomes a real column attribute before any lambda references it,
+    # so it is computed once per row. Collapsing these into one select
+    # re-evaluates the token pipeline per gram position (see
+    # shingle_hashes_from_token_hashes docstring; 25x at sf0.1).
+    docs = (
+        ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
+        .select("__id", token_hashes(F.col(text_column)).alias("__th"))
+        .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
+        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    )
     # The (id, shingle-hash, signature) projection feeds four plan
     # branches (two band-join sides, two verify join-backs); persist it
     # once instead of recomputing shingling+minhash per branch.
-    # MEMORY_AND_DISK: ~1 KB/doc, spills gracefully at scale.
+    # MEMORY_AND_DISK: ~1 KB/doc, spills gracefully at scale. Materialize
+    # eagerly: concurrent downstream stages racing on an unpopulated
+    # cache would each recompute the signature pipeline.
     docs = docs.persist()
+    docs.count()
 
     # Narrow candidate generation: the band self-join carries ONLY
     # (id, band_key) — 16 bytes/row — never the shingle arrays. Both
@@ -341,9 +385,16 @@ def simhash_dedup(
     ``bands`` chunks — any pair within ``bands-1`` bit flips shares at
     least one exact chunk, so an equality join on chunk values finds all
     candidates without O(n^2)."""
-    # simhash is the expensive (Pandas-UDF) step and feeds three plan
-    # branches (two join sides + the survivor anti-join) — compute once.
-    hashed = df.withColumn("__simhash", simhash_column(text_column)).persist()
+    # simhash is the expensive (Pandas-UDF) step and feeds multiple plan
+    # branches. Hash ONLY (id, simhash) — narrow rows — persist, and
+    # materialize eagerly: concurrent downstream stages racing on an
+    # unpopulated cache each recompute the UDF (measured 3x at sf0.1).
+    hashed = (
+        ensure_parallelism(df.select(F.col(id_column), F.col(text_column)))
+        .select(F.col(id_column), simhash_column(text_column).alias("__simhash"))
+        .persist()
+    )
+    hashed.count()
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
@@ -375,4 +426,6 @@ def simhash_dedup(
         .filter(F.col("hamming") <= hamming_threshold)
     )
     losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
-    return hashed.join(losers, on=id_column, how="left_anti").drop("__simhash")
+    # survivors keep the original schema; the narrow hashed frame is only
+    # used for candidate generation
+    return df.join(losers, on=id_column, how="left_anti")

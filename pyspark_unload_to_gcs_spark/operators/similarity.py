@@ -62,9 +62,19 @@ def cosine_topk(
     *,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    ensure_parallel: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query``. Ties broken by id
-    ascending for deterministic output."""
+    ascending for deterministic output.
+
+    ``ensure_parallel=False`` skips the partition-count probe — pass it
+    when ``df`` is already known to be well-partitioned (the probe
+    forces physical-plan materialization, which is not free on complex
+    upstream plans)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
+    if ensure_parallel:
+        df = ensure_parallelism(df)
     scored = df.select(
         F.col(id_column),
         cosine_to_query(F.col(vec_column), query).alias("cosine"),
@@ -109,7 +119,11 @@ def with_lsh_bucket(
     seed: int = 42,
     bucket_column: str = "lsh_bucket",
 ) -> DataFrame:
-    return df.withColumn(
+    from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
+    # n_planes interpreted dot-folds per row: make sure a small single-
+    # file scan doesn't serialize this onto one task (no-op at scale).
+    return ensure_parallelism(df).withColumn(
         bucket_column, sign_bucket(F.col(vec_column), _hyperplanes(dim, n_planes, seed))
     )
 
@@ -140,7 +154,12 @@ def lsh_bucketed_topk(
     )
     probe = F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_hamming
     return cosine_topk(
-        bucketed.filter(probe), query, k, id_column=id_column, vec_column=vec_column
+        bucketed.filter(probe),
+        query,
+        k,
+        id_column=id_column,
+        vec_column=vec_column,
+        ensure_parallel=False,  # with_lsh_bucket already parallelized
     )
 
 
