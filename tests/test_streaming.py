@@ -1,0 +1,172 @@
+"""Streaming facade tests: file-source micro-batch runs with
+availableNow triggers, checked against the batch operators on the same
+data (the batch forms are the oracle-checked reference semantics)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.config import SyncConfig
+from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+from pyspark_unload_to_gcs_spark.streaming.export import start_stream_export
+from pyspark_unload_to_gcs_spark.streaming.sessionize import sessionize_stream
+from pyspark_unload_to_gcs_spark.streaming.sources import stream_parquet_dir
+from pyspark_unload_to_gcs_spark.streaming.windows import session_window_agg, tumbling_agg
+
+GAP_MS = 30 * 60 * 1000
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events table as a 3-file parquet directory, range-partitioned and
+    mtime-ordered by event time, so micro-batches arrive in time order
+    (realistic for an append log; keeps watermark semantics exact vs the
+    batch oracle — out-of-order *files* would drop whole batches as
+    late)."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_parquet(spark, f"{sf_dir}/events.parquet").repartitionByRange(3, "ts").write.mode(
+        "overwrite"
+    ).parquet(out)
+    parts = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(parts) == 3
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))  # file source processes by mtime
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_stream_dir):
+    return spark.read.parquet(events_stream_dir).schema
+
+
+def _drain(stream_df, name: str, spark, mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_agg_stream_matches_batch(spark, events_stream_dir, events_schema):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema)
+    kwargs = dict(
+        time_column="ts",
+        window_duration="1 day",
+        group_columns=("event_type",),
+        aggs={"n_events": "count(1)"},
+    )
+    expected = {
+        (r.window_start_ms, r.event_type): r.n_events
+        for r in tumbling_agg(batch, **kwargs).collect()
+    }
+    got = {
+        (r.window_start_ms, r.event_type): r.n_events
+        for r in _drain(tumbling_agg(stream, **kwargs), "t_tumble", spark, "complete").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_session_window_agg_stream_matches_batch(spark, events_stream_dir, events_schema):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema)
+    kwargs = dict(time_column="ts", gap="30 minutes", group_columns=("user_id",))
+    expected = sorted(
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in session_window_agg(batch, **kwargs).collect()
+    )
+    got = sorted(
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in _drain(
+            session_window_agg(stream, **kwargs), "t_sess_win", spark, "complete"
+        ).collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_session_window_matches_batch_sessionization(spark, events_stream_dir):
+    """builtin session_window semantics == the batch gap construction:
+    start = min ts, end = max ts + gap, same event counts."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+
+    batch = spark.read.parquet(events_stream_dir)
+    via_window = sorted(
+        (r.user_id, r.session_start_ms, r.session_end_ms - GAP_MS, r.n_events)
+        for r in session_window_agg(
+            batch, time_column="ts", gap="30 minutes", group_columns=("user_id",)
+        ).collect()
+    )
+    via_lag = sorted(
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in session_stats(batch, gap_ms=GAP_MS).collect()
+    )
+    assert via_window == via_lag
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, events_stream_dir, events_schema):
+    """applyInPandasWithState emits only watermark-closed sessions; every
+    emitted session must match the batch operator's row exactly."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_ms, r.end_ms, r.duration_ms)
+        for r in session_stats(batch, gap_ms=GAP_MS).collect()
+    }
+
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    out = _drain(
+        sessionize_stream(stream, gap_ms=GAP_MS, watermark_delay="0 seconds"),
+        "t_sess_state",
+        spark,
+    ).collect()
+
+    assert len(out) > 0  # watermark advanced across micro-batches -> closures
+    for r in out:
+        key = (r.user_id, r.session_seq)
+        assert key in expected, f"spurious session {key}"
+        assert expected[key] == (r.n_events, r.start_ms, r.end_ms, r.duration_ms), key
+
+
+def test_stream_export_foreachbatch(spark, events_stream_dir, events_schema, tmp_path):
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=2)
+    cfg = SyncConfig(
+        table="events_stream",
+        output_uri=f"file:{tmp_path}/out",
+        export_format="json",
+        computed_hash_column="row_hash",
+    )
+    q, stats = start_stream_export(
+        stream, cfg, checkpoint_dir=str(tmp_path / "ckpt"), count_rows=True
+    )
+    q.awaitTermination(120)
+    batch_dirs = glob.glob(f"{tmp_path}/out/batch=*")
+    assert len(batch_dirs) >= 2  # 3 files / maxFilesPerTrigger=2
+    files = glob.glob(f"{tmp_path}/out/batch=*/*.gz")
+    assert files
+    rec = json.loads(gzip.open(files[0]).readline())
+    assert "row_hash" in rec and len(rec["row_hash"]) == 32
+    total = spark.read.parquet(events_stream_dir).count()
+    assert stats.total_rows == total
+
+
+def test_rate_source_smoke(spark):
+    from pyspark_unload_to_gcs_spark.streaming.sources import stream_rate
+
+    df = stream_rate(spark, 10)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
