@@ -163,6 +163,97 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_column: str = "embedding",
+    cell_column: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by dot product over
+    L2-normalized centroids ~ cosine). ``centroids`` is a small
+    driver-side list [(cell_id, vector)] — the coarse quantizer of a
+    classic IVF index. One narrow map, no shuffle; the cell column is
+    then the partition/cluster key for probing."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    # Linear-size expression: one (score, cell) struct per centroid,
+    # argmax via array_max (struct ordering: score first). A chained
+    # when(cand > best, cand).otherwise(best) would DUPLICATE the whole
+    # tree at every level — O(2^n_centroids) nodes, driver OOM at plan
+    # build for n=16.
+    cands = []
+    for cell_id, vec in centroids:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        unit = [float(x) / n for x in vec]
+        cands.append(
+            F.struct(
+                dot_literal(F.col(vec_column), unit).alias("score"),
+                F.lit(cell_id).alias("cell"),
+            )
+        )
+    return df.withColumn(cell_column, F.array_max(F.array(*cands))["cell"])
+
+
+def ivf_centroids_from_sample(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` smallest-id
+    vectors (bounded driver collect — an index-build parameter, like
+    LSH planes). A k-means refinement is a drop-in upgrade; sampled
+    seeds are the standard cheap start (IVF-Flat)."""
+    rows = (
+        df.select(F.col(id_column), F.col(vec_column))
+        .orderBy(F.col(id_column).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine scan restricted to the
+    ``n_probe`` cells whose centroids are closest to the query.
+
+    At scale the assignment is precomputed once (``ivf_assign`` then
+    write partitioned by cell); a query then reads only
+    n_probe/n_centroids of the data — partition pruning does the work,
+    which is exactly how a 100 TB vector corpus should be laid out."""
+    centroids = ivf_centroids_from_sample(
+        df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
+    )
+
+    def unit_dot(vec: list[float]) -> float:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return sum(float(a) * x / n for a, x in zip(query, vec))
+
+    probes = sorted(centroids, key=lambda c: -unit_dot(c[1]))[:n_probe]
+    probe_ids = [c[0] for c in probes]
+    assigned = ivf_assign(df, centroids, vec_column=vec_column)
+    return cosine_topk(
+        assigned.filter(F.col("ivf_cell").isin(probe_ids)),
+        query,
+        k,
+        id_column=id_column,
+        vec_column=vec_column,
+        ensure_parallel=False,  # ivf_assign input already scanned; keep plan simple
+    )
+
+
 def ann_join(
     left: DataFrame,
     right: DataFrame,

@@ -219,6 +219,162 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grouping_lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (flag -> flag+status -> grand total) with
+    grouping_id — Catalyst expands to a single Expand + one aggregation,
+    not three scans."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("grouping_lvl"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (k=3 priciest orders per customer): rank over a
+    per-key window — one shuffle on the group key; with AQE the skewed
+    customers split. The generalization of the reference's scd-latest
+    top-1 (SURVEY.md W1/P8)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "asof_latest_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS purchase_ms,
+           c.event_id AS click_event_id, epoch_ms(c.ts) AS click_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the same
+    user's latest click at-or-before it (operators/asof.py union-marker
+    construction: one shuffle, no pair amplification)."""
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=("click_event_id",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("purchase_ms"),
+        "click_event_id",
+        F.unix_millis(F.col("ts_right")).alias("click_ms"),
+    )
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS delta_ms
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 1800000
+    """,
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 30 min after a view by the same
+    user (funnel attribution)."""
+    from pyspark_unload_to_gcs_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = range_join(
+        views, purchases, on="user_id", left_time="ts", right_time="ts", max_delta_ms=1800000
+    )
+    return out.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        "delta_ms",
+    )
+
+
+@register(
+    "tumbling_daily_events",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day') AS window_end_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows — the SAME operator the
+    streaming facade uses (streaming/windows.py), here in batch mode so
+    the oracle can check it."""
+    from pyspark_unload_to_gcs_spark.streaming.windows import tumbling_agg
+
+    return tumbling_agg(
+        _t(spark, sf_dir, "events"),
+        time_column="ts",
+        window_duration="1 day",
+        group_columns=("event_type",),
+        aggs={
+            "n_events": "count(1)",
+            "total_value": "cast(sum(cast(value as decimal(18,2))) as double)",
+        },
+    )
+
+
+@register(
     "sessionization",
     oracle="""
     WITH ts AS (

@@ -250,6 +250,32 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
+@register("vector_topk_ivf")  # rows-only: approximate (probe subset)
+def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse-quantizer cells, probe the 4
+    nearest of 16 — the partition-pruning layout for 100 TB vector
+    search (see operators/similarity.py ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    out = S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+@register(
+    "bpe_ish_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '(\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s])')) AS n_pieces
+    FROM documents
+    """,
+)
+def bpe_ish_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish piece counts (letters-run | digits-run | single
+    punctuation) — the cheap BPE token-count proxy."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_pieces"))
+
+
 @register("embedding_near_dedup")  # rows-only: LSH-seeded
 def embedding_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup (cosine >= 0.95 to an earlier vector)."""

@@ -1,0 +1,87 @@
+"""Unit tests for as-of / range joins and IVF assignment on tiny frames
+(edge semantics the oracle queries don't isolate: ties, tolerance,
+no-match NULLs)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.asof import asof_join, range_join
+from pyspark_unload_to_gcs_spark.operators.similarity import ivf_assign
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_tie_and_null(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00:00")),  # matches r2 (exact tie)
+            (2, 10, _ts("2024-01-01T09:30:00")),  # matches r1
+            (3, 10, _ts("2024-01-01T08:00:00")),  # before everything -> NULL
+            (4, 20, _ts("2024-01-01T12:00:00")),  # no right rows for key -> NULL
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T09:00:00")),
+            (200, 10, _ts("2024-01-01T10:00:00")),
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r.id: r.rid
+        for r in asof_join(
+            left, right, on="k", left_time="ts", right_time="ts", right_payload=("rid",)
+        ).collect()
+    }
+    assert out == {1: 200, 2: 100, 3: None, 4: None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01T08:00:00"))], "rid long, k long, ts timestamp"
+    )
+    with_tol = asof_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        right_payload=("rid",), tolerance_ms=3600_000,
+    ).first()
+    assert with_tol.rid is None  # 2h gap > 1h tolerance
+    no_tol = asof_join(
+        left, right, on="k", left_time="ts", right_time="ts", right_payload=("rid",)
+    ).first()
+    assert no_tol.rid == 100
+
+
+def test_range_join_bounds_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T10:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01T10:00:00")),   # delta 0 -> in
+            (200, 10, _ts("2024-01-01T10:30:00")),   # delta = max -> in
+            (300, 10, _ts("2024-01-01T10:30:01")),   # past max -> out
+            (400, 10, _ts("2024-01-01T09:59:59")),   # negative -> out
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    out = range_join(
+        left, right, on="k", left_time="ts", right_time="ts", max_delta_ms=1800_000
+    )
+    assert sorted(r["rid"] for r in out.select(F.col("r.rid")).collect()) == [100, 200]
+
+
+def test_ivf_assign_nearest_cell(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r.vec_id: r.ivf_cell for r in ivf_assign(df, centroids).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
