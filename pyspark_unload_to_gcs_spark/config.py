@@ -66,6 +66,10 @@ class SyncConfig:
     compression: str = "gzip"
     max_records_per_file: int | None = None
     single_file: bool | None = None  # None -> CSV defaults True (reference compat)
+    # engine extension: hive-style partitioned output (e.g. by a date
+    # column) — at 100 TB the partition column is what makes downstream
+    # incremental reads prune
+    partition_by: tuple[str, ...] = ()
 
     # cdc (reference export.py:103-128)
     use_custom_sql: bool = False

@@ -56,10 +56,12 @@ def write_export(df: DataFrame, config: SyncConfig) -> str:
 
     single_file = config.single_file
     if single_file is None:
-        single_file = fmt == ExportFormat.CSV  # reference compat
+        single_file = fmt == ExportFormat.CSV and not config.partition_by  # reference compat
     out = df.coalesce(1) if single_file else df
 
     writer = out.write.format(fmt.value).mode("overwrite")
+    if config.partition_by:
+        writer = writer.partitionBy(*config.partition_by)
     compression = config.compression
     if fmt == ExportFormat.PARQUET and compression == "gzip":
         compression = "zstd"

@@ -56,7 +56,14 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, transparently handling nanosecond timestamps:
     reads them as long nanos (legacy conf) then truncates to microsecond
     TimestampType — the same ns->us truncation DuckDB applies, so both
-    engines see identical values."""
+    engines see identical values.
+
+    Pushdown note: predicates on a converted ns column wrap the
+    conversion expression and therefore can NOT be pushed to the parquet
+    scan — a property of the ns fixture encoding, not of the engine's
+    predicates (``time_window_filter`` emits bare column comparisons,
+    which push down on native TIMESTAMP(MICROS)/DATE columns; asserted
+    in tests/test_operators.py::test_sargable_filter_pushes_down)."""
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -129,6 +129,21 @@ def test_max_records_per_file(spark, tmp_path):
         assert n <= 100
 
 
+def test_run_sync_hive_partitioned(spark, tmp_path):
+    run_sync(
+        spark,
+        SyncConfig(
+            table=ORDERS,
+            export_format=ExportFormat.PARQUET,
+            partition_by=("o_orderstatus",),
+            output_uri=f"file:{tmp_path}/part_out",
+        ),
+    )
+    dirs = glob.glob(f"{tmp_path}/part_out/o_orderstatus=*")
+    assert len(dirs) >= 2  # one dir per status value
+    assert glob.glob(f"{dirs[0]}/*.parquet")
+
+
 def test_custom_sql_source(spark, tmp_path):
     sql_dir = tmp_path / "custom"
     sql_dir.mkdir()
