@@ -219,6 +219,122 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter -> global agg. Every predicate is a
+    bare column compare (sargable; reaches PushedFilters on native
+    types), one partial+final agg, no shuffle of data rows."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import ts_bound_literal
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo = ts_bound_literal(li, "l_shipdate", 820454400)   # 1996-01-01 UTC
+    hi = ts_bound_literal(li, "l_shipdate", 852076800)   # 1997-01-01 UTC
+    out = li.filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "orders_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: LEFT SEMI join — probe side streams, no
+    row duplication, only the join key shuffles (vs inner-join+distinct
+    which would materialize matches)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: LEFT ANTI join (the dedup survivors pattern —
+    operators/dedup.py uses the same shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "nations_customers_not_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_customers_not_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT DISTINCT): nation keys with customers but
+    no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    same definition in Spark ``percentile`` and DuckDB quantile_cont).
+    At 100 TB swap for approx_percentile; exact needs per-group sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@register(
     "rollup_pricing",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,123 @@
+"""Plan-shape regression tests: the scale posture (pushdown, pruning,
+broadcast, shuffle counts) asserted on physical plans so it can't
+silently regress. These are the properties that decide 100 TB behavior;
+row-level correctness is covered by the oracle suite."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark import registry
+
+
+def _plan(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q3_order_revenue")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p  # lineitem join may be broadcast or shuffled-hash at this SF
+    assert "TakeOrderedAndProject" in p  # top-k never global-sorts
+
+
+def test_regional_revenue_star_join_broadcasts(spark, sf_dir):
+    p = _plan(spark, sf_dir, "regional_revenue")
+    assert p.count("BroadcastHashJoin") >= 3  # nation, region, dims
+
+
+def test_full_sync_filters_pushed_to_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "full_sync_non_null")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "IsNotNull(c_name)" in m.group(1)
+    assert "Not(EqualTo(c_name,))" in m.group(1)
+
+
+def _scan_columns(plan: str) -> set[str]:
+    """Column names in the FileScan output list (ReadSchema is truncated
+    in plan strings; the scan's attribute list is complete)."""
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    return {c.split("#")[0] for c in m.group(1).split(",") if c}
+
+
+def test_content_hash_scan_prunes_columns(spark, sf_dir):
+    cols = _scan_columns(_plan(spark, sf_dir, "content_hash_lineitem"))
+    assert "l_extendedprice" not in cols and "l_shipdate" not in cols
+    assert "l_orderkey" in cols
+
+
+def test_multimodal_meta_never_scans_payload_source_extra_columns(spark, sf_dir):
+    assert _scan_columns(_plan(spark, sf_dir, "multimodal_meta")) == {"text"}
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "asof_latest_click")
+    assert "Join" not in p  # union-marker construction, not a join
+    assert p.count("Exchange hashpartitioning") == 1  # the window shuffle only
+
+
+def test_sessionization_windows_share_one_exchange(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sessionization")
+    assert p.count("Exchange hashpartitioning") <= 2  # window + final agg at most
+
+
+def test_sargable_time_filter_no_unix_timestamp_wrapper(spark, sf_dir):
+    p = _plan(spark, sf_dir, "time_based_window")
+    assert "unix_timestamp" not in p
+
+
+def test_aggregate_before_join_in_top_parts(spark, sf_dir):
+    """The lineitem rollup must happen under the join with part (join
+    input is |partkeys|, not |lineitems|)."""
+    p = _plan(spark, sf_dir, "top_parts_by_revenue")
+    join_pos = p.index("BroadcastHashJoin") if "BroadcastHashJoin" in p else p.index("Join")
+    # a partial_sum over l_* columns must appear below (after) the join line
+    partial = p.index("partial_sum")
+    assert partial > join_pos
+
+
+# --- skew utilities ---------------------------------------------------------
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.operators.skew import salted_aggregate
+
+    ev = registry._t(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.total, 6), r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total, 6), r.mx)
+        for r in salted_aggregate(
+            ev,
+            ["event_type"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "total": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+                "mx": ("max", F.max("value")),
+            },
+        )
+        .withColumn("total", F.col("total").cast("double"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_skewed_keys_probe(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.operators.skew import skewed_keys
+
+    ev = registry._t(spark, sf_dir, "events")
+    out = skewed_keys(ev, "event_type", min_fraction=0.1)
+    rows = out.collect()
+    assert len(rows) == 5  # uniform fixture: every type ~20%
+    assert all(r.fraction > 0.1 for r in rows)
