@@ -205,6 +205,48 @@ def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@register(
+    "clean_corpus_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT *,
+            (least(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
+             + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+                     AND length(trim(text)) * 1.0 / (CASE WHEN trim(text) = '' THEN 1
+                               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END * 0.3
+             + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
+                            * 1.0 / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 5.0, 1.0)) * 0.3
+            ) AS q
+        FROM documents
+    ), kept AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id ASC) AS rn
+            FROM scored WHERE q >= 0.8
+        ) WHERE rn = 1
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens
+    FROM kept
+    GROUP BY lang, source
+    """,
+)
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline: quality filter ->
+    normalized dedup -> corpus stats. One narrow scoring map, one dedup
+    shuffle (on the md5 of normalized text), one tiny agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(T.quality_score(F.col("text")) >= 0.8)
+    kept = D.exact_dedup(kept, ["text"], "doc_id", normalize=True)
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

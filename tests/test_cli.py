@@ -1,0 +1,64 @@
+"""CLI surface tests: reference-flag compatibility and the stdout
+checkpoint document."""
+
+import glob
+import gzip
+import json
+
+import pytest
+
+from pyspark_unload_to_gcs_spark.cli import build_parser, config_from_args, main
+
+ORDERS = "/root/testdata/sf0.001/orders.parquet"
+
+
+def test_config_from_reference_flags():
+    args = build_parser().parse_args(
+        [
+            "--sync_type", "time-based",
+            "--catalog", "c", "--schema_name", "s", "--table", "t",
+            "--bucket", "b", "--prefix", "/p/",
+            "--updated_time_column", "updated_at",
+            "--time_cutoff_ms", "1000",
+            "--now_ms", "2000",
+            "--delay_ms", "10",
+            "--non_nullable_columns", "a, b",
+            "--computed_hash_column", "h",
+            "--computed_hash_ignore_columns", "x y",
+            "--validate_row_count", "5",
+            "--mixpanel_project_id", "123",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.table == "c.s.t"
+    assert cfg.output_uri == "gs://b/p"
+    assert cfg.non_nullable_columns == ("a", "b")  # comma split (reference)
+    assert cfg.computed_hash_ignore_columns == ("x", "y")  # whitespace split
+    assert cfg.time_cutoff_ms == 1000 and cfg.delay_ms == 10
+
+
+def test_missing_output_raises():
+    args = build_parser().parse_args(["--table", "t"])
+    with pytest.raises(ValueError, match="output_uri"):
+        config_from_args(args)
+
+
+def test_cli_end_to_end_prints_checkpoint(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "--table", ORDERS,
+            "--sync_type", "scd-latest",
+            "--group_id_column", "o_custkey",
+            "--scd_time_column", "o_orderdate",
+            "--computed_hash_column", "row_hash",
+            "--output_uri", f"file:{tmp_path}/out",
+        ]
+    )
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "scd-latest" in doc["query"]
+    assert doc["change_capture_sync_last_commit_ms"] == 0
+    files = glob.glob(f"{tmp_path}/out/*.json.gz")
+    assert files
+    row = json.loads(gzip.open(files[0]).readline())
+    assert len(row["row_hash"]) == 32
