@@ -1,0 +1,148 @@
+"""Connected components over an undirected edge list — the iterative
+closure step that turns near-duplicate *pairs* (operators/dedup.py)
+into duplicate *clusters* (single-link transitive closure).
+
+Algorithm: alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+round is two shuffles (groupBy on node); the component id converges to
+the minimum node id reachable — O(log n) rounds on real graphs, each
+round a pure DataFrame transform.
+
+Why not GraphX/graphframes: not available from PySpark without extra
+jars; this needs only groupBy/join and stays in the DataFrame engine.
+
+Scale notes: edges are checkpointed each round (localCheckpoint) to cut
+lineage growth — an iterative plan otherwise compounds into an
+exponentially deep tree; convergence is detected with a count of
+changed edges (one action per round, unavoidable for a data-dependent
+loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-greater neighbors to min) or
+    small-star (connect not-greater neighbors to min) round. Input and
+    output are canonical (u, v) edges with u = node, v = neighbor."""
+    both = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = both.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min(F.concat(F.col("nbrs"), F.array(F.col("u"))))
+    if large:
+        # every neighbor > u links to min(N(u) + u)
+        out = grouped.select(
+            F.col("u"),
+            m.alias("m"),
+            F.filter(F.col("nbrs"), lambda x: x > F.col("u")).alias("targets"),
+        )
+    else:
+        # every neighbor <= u AND u itself link to the min
+        out = grouped.select(
+            F.col("u"),
+            m.alias("m"),
+            F.concat(
+                F.filter(F.col("nbrs"), lambda x: x <= F.col("u")),
+                F.array(F.col("u")),
+            ).alias("targets"),
+        )
+    exploded = out.select(F.explode("targets").alias("u"), F.col("m").alias("v"))
+    return exploded.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _driver_union_find(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find with path compression; component id = min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the representative is the minimum id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(node, find(node)) for node in parent]
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_column: str = "id_a",
+    dst_column: str = "id_b",
+    max_rounds: int = 20,
+    driver_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Resolve components: returns (node, component) where component is
+    the minimum node id in the node's component. Nodes appearing in no
+    edge are absent (callers left-join and coalesce to the node id).
+
+    Size-gated execution (same philosophy as a broadcast threshold):
+    near-dup edge sets are usually a tiny fraction of the corpus, so
+    when the deduplicated edge count fits comfortably on the driver
+    (<= ``driver_edge_threshold``), a collect + union-find resolves the
+    closure in one pass — O(E α(E)), no per-round job overhead. Larger
+    graphs run the distributed alternating-star loop, whose per-round
+    convergence check is a single (count, hash-sum) aggregate rather
+    than two exceptAll shuffles.
+    """
+    edges = (
+        pairs.select(F.col(src_column).alias("u"), F.col(dst_column).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    if n_edges <= driver_edge_threshold:
+        resolved = _driver_union_find([(r.u, r.v) for r in edges.collect()])
+        return spark.createDataFrame(resolved, "node long, component long")
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)), F.sum(F.xxhash64("u", "v")), F.sum("v")
+        ).first()
+        return tuple(row)
+
+    prev = fingerprint(edges)
+    for _ in range(max_rounds):
+        after_large = _star_round(edges, large=True)
+        edges = _star_round(after_large, large=False).localCheckpoint()
+        cur = fingerprint(edges)
+        # stable (count, hash-sum) => fixed point (collision odds ~2^-64)
+        if cur == prev:
+            break
+        prev = cur
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return comp.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_column: str,
+    src_column: str = "id_a",
+    dst_column: str = "id_b",
+) -> DataFrame:
+    """Annotate ``df`` with a ``cluster_id`` = min id of its near-dup
+    component (its own id when unpaired). Keeping ``cluster_id ==
+    id_column`` rows implements true single-link dedup."""
+    comps = connected_components(pairs, src_column=src_column, dst_column=dst_column)
+    joined = df.join(
+        comps.withColumnRenamed("node", id_column), on=id_column, how="left"
+    )
+    return joined.withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_column))
+    ).drop("component")

@@ -205,6 +205,18 @@ def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-link duplicate clusters: MinHash-LSH pairs closed under
+    transitivity by alternating-star connected components
+    (operators/graph.py) — the iterative-algorithm path."""
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
+
+
 @register(
     "clean_corpus_stats",
     oracle=f"""

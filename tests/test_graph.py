@@ -1,0 +1,96 @@
+"""Connected-components + metamorphic properties of the approximate
+dedup/similarity operators (the ops without a SQL oracle — SURVEY.md §7
+risk list prescribes subset/idempotence/closure checks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators import dedup as D
+from pyspark_unload_to_gcs_spark.operators.graph import connected_components, dedup_clusters
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, triangle 20-21-22, isolated 99 (no edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    n = 64  # path graph: worst case for naive propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    assert comp.select(F.count_distinct("component")).first()[0] == 1
+    assert comp.count() == n + 1
+
+
+def test_dedup_clusters_on_documents(spark):
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, DOCS)
+    pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    clustered = dedup_clusters(docs, pairs, id_column="doc_id")
+    assert clustered.count() == docs.count()  # annotation, not filtering
+    # cluster representative is a member of the corpus
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(r.cluster_id in ids for r in clustered.select("cluster_id").collect())
+    # single-link survivors <= one-pass survivors (closure can only merge)
+    single_link = clustered.filter(F.col("cluster_id") == F.col("doc_id")).count()
+    one_pass = D.minhash_dedup(docs, "doc_id", "text").count()
+    assert single_link <= one_pass
+
+
+def test_minhash_dedup_metamorphic(spark):
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, DOCS)
+    out = D.minhash_dedup(docs, "doc_id", "text")
+    # subset of input
+    assert out.count() <= docs.count()
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+    # idempotent: deduping survivors drops nothing
+    assert D.minhash_dedup(out, "doc_id", "text").count() == out.count()
+
+
+def test_simhash_dedup_metamorphic(spark):
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, DOCS)
+    out = D.simhash_dedup(docs, "doc_id", "text")
+    assert out.count() <= docs.count()
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+    assert D.simhash_dedup(out, "doc_id", "text").count() == out.count()
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark):
+    """LSH/IVF are for finding strong similars; on uniform random
+    vectors every bucket is equally (un)likely to hold the weak top-k,
+    so recall is tested on PLANTED near-duplicates of the query (the
+    actual near-dup retrieval regime)."""
+    import random
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    dim = 32
+
+    def rand_vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    q = rand_vec()
+    rows = [(i, rand_vec()) for i in range(1, 201)]  # background noise
+    for i in range(201, 211):  # 10 planted near-dups of q
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in q]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = [r.vec_id for r in S.cosine_topk(emb, q, k=10).collect()]
+    assert set(exact) == set(range(201, 211))  # sanity: planted are the top-10
+    approx = [r.vec_id for r in S.lsh_bucketed_topk(emb, q, k=10).collect()]
+    ivf = [r.vec_id for r in S.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()]
+    assert len(set(exact) & set(approx)) >= 8  # planted dups share the query's bucket
+    assert len(set(exact) & set(ivf)) >= 8

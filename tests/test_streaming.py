@@ -164,6 +164,30 @@ def test_stream_export_foreachbatch(spark, events_stream_dir, events_schema, tmp
     assert stats.total_rows == total
 
 
+def test_tumbling_append_mode_emits_finalized_windows(spark, events_stream_dir, events_schema):
+    """Append mode + watermark: only watermark-finalized windows emit,
+    and every emitted row must equal the batch result for that window
+    (the late-data guarantee the reference approximated with delay_ms)."""
+    batch = spark.read.parquet(events_stream_dir)
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    kwargs = dict(
+        time_column="ts",
+        window_duration="1 day",
+        watermark_delay="1 hour",
+        group_columns=("event_type",),
+        aggs={"n_events": "count(1)"},
+    )
+    expected = {
+        (r.window_start_ms, r.event_type): r.n_events
+        for r in tumbling_agg(batch, **kwargs).collect()
+    }
+    got = _drain(tumbling_agg(stream, **kwargs), "t_tumble_append", spark, "append").collect()
+    assert len(got) > 0  # multiple micro-batches advanced the watermark
+    assert len(got) < len(expected)  # tail windows above watermark held back
+    for r in got:
+        assert expected[(r.window_start_ms, r.event_type)] == r.n_events
+
+
 def test_rate_source_smoke(spark):
     from pyspark_unload_to_gcs_spark.streaming.sources import stream_rate
 
