@@ -31,8 +31,21 @@ def main() -> None:
     spark = get_spark(app_name="pyspark-unload-to-gcs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet reader + codegen paths
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warmup: JVM, parquet reader, codegen, shuffle, broadcast and noop-
+    # sink paths — so the first measured query isn't billed JIT costs
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    nation = load_parquet(spark, os.path.join(sf_dir, "nation.parquet"))
+    region = load_parquet(spark, os.path.join(sf_dir, "region.parquet"))
+    warm = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("n_name") != "")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    materialize(warm)
 
     timings: dict[str, float] = {}
     for name, q in registry.queries().items():

@@ -126,6 +126,10 @@ def run_sync(spark: SparkSession, config: SyncConfig) -> SyncResult:
     (the reference's ``__main__`` flow, export.py:325-337)."""
     planned = plan_sync(spark, config)
     if config.validate_row_count > 0:
+        # Deliberate divergence: the reference counts the BASE TABLE
+        # before planning (export.py:38 — a second full scan, and a
+        # limit on the wrong quantity for filtered syncs); we guard the
+        # planned result, which is what actually gets exported.
         row_count_guard(planned.df, config.validate_row_count)
     df = content_hash(
         planned.df, config.computed_hash_column, config.computed_hash_ignore_columns

@@ -15,6 +15,14 @@ from pyspark_unload_to_gcs_spark.registry import _t, register
 from pyspark_unload_to_gcs_spark.operators import dedup as D
 from pyspark_unload_to_gcs_spark.operators import similarity as S
 from pyspark_unload_to_gcs_spark.operators import text as T
+from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with scan parallelism guaranteed: the per-row regex/
+    tokenize expressions below are the expensive part, and the local
+    fixture is one small file (one task). No-op at scale."""
+    return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -67,7 +75,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts per document (empty text -> 0)."""
-    df = _t(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     return df.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
 
 
@@ -80,7 +88,7 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over normalized text (exact-dup key)."""
-    df = _t(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     return df.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -113,7 +121,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (alphabetical tie-break)."""
-    df = _t(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -136,7 +144,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text-quality heuristic (length/word-shape/punctuation)."""
-    df = _t(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     return df.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
@@ -326,7 +334,7 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_ish_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish piece counts (letters-run | digits-run | single
     punctuation) — the cheap BPE token-count proxy."""
-    df = _t(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     return df.select("doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_pieces"))
 
 
