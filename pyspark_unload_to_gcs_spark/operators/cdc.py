@@ -56,3 +56,50 @@ def snapshot_as_inserts(df: DataFrame, output_column: str = EXPORT_CHANGE_TYPE_C
     """First-sync snapshot: every row is an INSERT (reference
     export.py:112-114, ``SELECT 'INSERT' as _mp_change_type, *``)."""
     return df.select(F.lit(INSERT).alias(output_column), "*")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_columns: list[str],
+    *,
+    output_column: str = EXPORT_CHANGE_TYPE_COLUMN,
+) -> DataFrame:
+    """Engine extension: CDC without a change log — diff two snapshots
+    of the same table into the reference's change-row model. An updated
+    key emits BOTH a DELETE (old values) and an INSERT (new values),
+    exactly like a Delta CDF update_preimage/update_postimage pair
+    (reference export.py:121-126); adds/removes emit one row.
+
+    Plan: one full-outer join on the key columns + a row-content hash
+    comparison per side (md5 over the name-sorted non-key columns, the
+    same fingerprint as operators/hashing.py). One shuffle per side on
+    the key; unchanged rows are dropped before the union, so output
+    size is O(changes).
+    """
+    from pyspark_unload_to_gcs_spark.operators.hashing import row_hash_expr
+
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    value_cols = [c for c in old.columns if c not in key_columns]
+
+    o = old.withColumn("__h", row_hash_expr(value_cols)).alias("o")
+    n = new.withColumn("__h", row_hash_expr(value_cols)).alias("n")
+    joined = o.join(n, on=key_columns, how="full_outer")
+    o_exists = F.col("o.__h").isNotNull()
+    n_exists = F.col("n.__h").isNotNull()
+    changed = o_exists & n_exists & (F.col("o.__h") != F.col("n.__h"))
+
+    deletes = joined.filter((o_exists & ~n_exists) | changed).select(
+        F.lit(DELETE).alias(output_column),
+        *[F.col(c) for c in key_columns],
+        *[F.col(f"o.{c}").alias(c) for c in value_cols],
+    )
+    inserts = joined.filter((~o_exists & n_exists) | changed).select(
+        F.lit(INSERT).alias(output_column),
+        *[F.col(c) for c in key_columns],
+        *[F.col(f"n.{c}").alias(c) for c in value_cols],
+    )
+    return deletes.unionByName(inserts)

@@ -45,6 +45,18 @@ def hashed_columns(
     return sorted(kept)
 
 
+def row_hash_expr(columns: Sequence[str]):
+    """md5 fingerprint Column over the name-sorted ``columns`` (concat
+    method, NULL-sentinel distinct from empty string). Never NULL —
+    callers may use its nullness to detect outer-join misses."""
+    cols = sorted(columns)
+    return F.md5(
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+        )
+    )
+
+
 def content_hash(
     df: DataFrame,
     output_column: str,

@@ -134,9 +134,18 @@ def run_sync(spark: SparkSession, config: SyncConfig) -> SyncResult:
     df = content_hash(
         planned.df, config.computed_hash_column, config.computed_hash_ignore_columns
     )
+    # Row count piggybacked on the write itself via an Observation —
+    # exported-row accounting with NO second scan (the reference's guard
+    # does a full pre-count; export.py:38).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     uri = write_export(df, config)
     return SyncResult(
         plan_description=planned.description,
         change_capture_sync_last_commit_ms=planned.change_capture_sync_last_commit_ms,
+        rows_written=obs.get["rows"],
         output_uri=uri,
     )

@@ -198,6 +198,48 @@ def cdc_change_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_type_mapping(df)
 
 
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 != 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 != 0
+    )
+    SELECT 'DELETE' AS _mp_change_type, o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM old o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    UNION ALL
+    SELECT 'INSERT' AS _mp_change_type, n.o_orderkey, n.o_orderstatus, n.o_totalprice
+    FROM new n LEFT JOIN old o ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC (engine extension; operators/cdc.py
+    ``snapshot_diff``): two deterministic snapshots derived from orders
+    (some keys removed, some added, every fifth price bumped) diffed
+    into DELETE/INSERT change rows — Delta-free CDC semantics."""
+    from pyspark_unload_to_gcs_spark.operators.cdc import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 10 != 0)
+    new = base.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------

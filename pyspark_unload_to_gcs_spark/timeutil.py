@@ -9,24 +9,39 @@ semantics: half-open incremental windows depend on them.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 MS_PER_SECOND = 1000
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
 
 def ms_to_datetime(ms: int) -> datetime:
-    """Epoch milliseconds -> timezone-aware UTC datetime."""
-    return datetime.fromtimestamp(ms / MS_PER_SECOND, tz=timezone.utc)
+    """Epoch milliseconds -> timezone-aware UTC datetime.
+
+    Integer timedelta arithmetic, NOT ``fromtimestamp(ms / 1000)``: the
+    float division loses ulps (32181/1000 = 32.180999...), which after
+    ``datetime_to_ms`` truncation shifts the watermark by 1 ms — enough
+    to re-export or skip a boundary row. (The reference has this float
+    round-trip wart, export.py:9-16; deliberate fix.)
+    """
+    return _EPOCH + timedelta(milliseconds=ms)
 
 
 def datetime_to_ms(dt: datetime) -> int:
     """Datetime -> epoch milliseconds, truncating sub-ms precision.
 
-    ``int()`` truncation (not rounding) is intentional: the watermark
-    protocol treats 1 ms as the finest granularity, and the +1 ms
-    exclusive-start arithmetic (operators/filters.py) assumes floor.
+    Truncation (not rounding) is intentional and reference-asserted
+    (its tests/test_export.py:22-36): the watermark protocol treats
+    1 ms as the finest granularity, and the +1 ms exclusive-start
+    arithmetic (operators/filters.py) assumes floor. Exact integer
+    arithmetic over the timedelta components; naive datetimes are
+    interpreted as UTC wall clock.
     """
-    return int(dt.timestamp() * MS_PER_SECOND)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    delta = dt - _EPOCH
+    return (delta.days * 86400 + delta.seconds) * MS_PER_SECOND + delta.microseconds // MS_PER_SECOND
 
 
 def exclusive_start_ms(time_cutoff_ms: int) -> int:
