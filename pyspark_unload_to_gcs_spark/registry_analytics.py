@@ -219,6 +219,72 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: LEFT OUTER join + two-level aggregation
+    (orders per customer, then customers per order count). count(col)
+    ignores the NULLs from customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "big_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING over a rollup, then join back order and
+    customer attributes — the aggregate runs FIRST so the joins see only
+    qualifying orders (tiny), not all lineitems."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = qualifying.join(o, o.o_orderkey == qualifying.l_orderkey).join(
+        F.broadcast(c), c.c_custkey == o.o_custkey
+    )
+    return joined.select(
+        "c_name",
+        "o_orderkey",
+        epoch_ms(joined, "o_orderdate").alias("o_orderdate_ms"),
+        F.col("total_qty").cast("double").alias("total_qty"),
+    )
+
+
+@register(
     "q6_revenue_delta",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
