@@ -124,6 +124,101 @@ def decode_media(
     return df.select(id_column, payload_column).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (streaming Arrow
+    batches, constant memory). Real resize (PIL) is STUBBED — not in
+    this environment; ``fake=True`` emits a deterministic truncated/
+    padded byte payload of width*height bytes so partitioning, schema
+    and batch shape are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not present in this environment; "
+            "pass fake=True for the deterministic test resizer"
+        )
+    target = width * height
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_column], pdf[payload_column]):
+                b = bytes(raw) if raw is not None else b""
+                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                rows.append(
+                    {"doc_id": int(i), "payload": resized, "width": width, "height": height}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_column, payload_column).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Sample "frames" from a video payload via ``mapInPandas`` — a
+    1->N exploding transform (one input row yields up to ``max_frames``
+    frame rows). Real frame extraction (ffmpeg) is STUBBED; ``fake=True``
+    slices the payload every ``every_n_bytes`` so the fan-out shape,
+    schema and batch behavior are real."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg bindings, not present in this "
+            "environment; pass fake=True for the deterministic test sampler"
+        )
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_column], pdf[payload_column]):
+                b = bytes(raw) if raw is not None else b""
+                for k in range(min(max_frames, max(len(b) // every_n_bytes, 1) if b else 0)):
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_index": k,
+                            "frame_payload": b[k * every_n_bytes : (k + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(id_column, payload_column).mapInPandas(_frames, FRAME_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the payload column, so the
     parquet scan prunes it (verify with .explain: ReadSchema excludes

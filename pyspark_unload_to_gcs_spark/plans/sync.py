@@ -42,6 +42,31 @@ class PlannedSync:
     change_capture_sync_last_commit_ms: int = 0
 
 
+def _validate_columns_exist(df: DataFrame, config: SyncConfig) -> None:
+    """Fail fast with a clear error instead of deep inside Catalyst
+    analysis (the reference resolves names late, SURVEY.md §1)."""
+    available = set(df.columns)
+    named = {
+        "updated_time_column": [config.updated_time_column],
+        "group_id_column": [config.group_id_column],
+        "scd_time_column": [config.scd_time_column],
+        "scd_tiebreak_columns": list(config.scd_tiebreak_columns),
+        "non_nullable_columns": list(config.non_nullable_columns),
+        "partition_by": list(config.partition_by),
+    }
+    missing = [
+        f"{arg}: {col!r}"
+        for arg, cols in named.items()
+        for col in cols
+        if col and col not in available
+    ]
+    if missing:
+        raise ValueError(
+            f"columns not found in {config.table} "
+            f"(available: {sorted(available)}): {', '.join(missing)}"
+        )
+
+
 def plan_sync(spark: SparkSession, config: SyncConfig) -> PlannedSync:
     """Dispatch on sync type (reference export.py:131-190)."""
     config.validate()
@@ -51,6 +76,7 @@ def plan_sync(spark: SparkSession, config: SyncConfig) -> PlannedSync:
         return _plan_cdc(spark, config)
 
     df = load_table(spark, config.table)
+    _validate_columns_exist(df, config)
     df = non_null_filter(df, config.non_nullable_columns)
 
     if sync_type == SyncType.FULL:

@@ -55,6 +55,20 @@ def test_scd_missing_args_raises(spark):
         plan_sync(spark, SyncConfig(table=ORDERS, sync_type=SyncType.SCD_LATEST))
 
 
+def test_unknown_column_fails_fast(spark):
+    with pytest.raises(ValueError, match="columns not found.*no_such_col"):
+        plan_sync(
+            spark,
+            SyncConfig(
+                table=ORDERS,
+                sync_type=SyncType.TIME_BASED,
+                updated_time_column="no_such_col",
+            ),
+        )
+    with pytest.raises(ValueError, match="non_nullable_columns"):
+        plan_sync(spark, SyncConfig(table=ORDERS, non_nullable_columns=("nope",)))
+
+
 def test_run_sync_json_gzip_with_hash(spark, tmp_path):
     out = f"file:{tmp_path}/json_out"
     res = run_sync(
