@@ -557,6 +557,41 @@ def tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_user_value",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_value
+    FROM events
+    """,
+)
+def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 7-day sum of value ordered
+    by event time — one shuffle on user_id, ordered frame scan per
+    partition (DECIMAL accumulation so fp addition order can't skew the
+    hash)."""
+    from pyspark.sql import Window
+
+    from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = epoch_ms(ev, "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_ms.asc())
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_7d_value"),
+    )
+
+
+@register(
     "sessionization",
     oracle="""
     WITH ts AS (
