@@ -557,6 +557,32 @@ def tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_events",
+    oracle="""
+    SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - to_hours(6 * k)) AS window_start_ms,
+           epoch_ms(time_bucket(INTERVAL '6 hours', ts) - to_hours(6 * k) + INTERVAL '1 day') AS window_end_ms,
+           COUNT(*) AS n_events
+    FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 day long, 6 h slide): every event
+    lands in 4 overlapping windows. Spark's F.window handles the fan-out
+    natively (Expand node); the oracle replicates it with an explicit
+    offset unnest."""
+    from pyspark_unload_to_gcs_spark.streaming.windows import tumbling_agg
+
+    return tumbling_agg(
+        _t(spark, sf_dir, "events"),
+        time_column="ts",
+        window_duration="1 day",
+        slide="6 hours",
+        aggs={"n_events": "count(1)"},
+    )
+
+
+@register(
     "rolling_user_value",
     oracle="""
     SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

@@ -42,6 +42,29 @@ def configure_gcs_auth(
         spark.conf.set("fs.gs.auth.service.account.private.key.id", service_account_key_id)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_columns: list[str],
+    *,
+    n_buckets: int = 32,
+    sort_columns: list[str] | None = None,
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is THE shuffle-elimination tool for repeated big-big
+    joins/aggregations on the same key at 100 TB: two tables bucketed by
+    the join key with the same bucket count join with NO Exchange (and
+    no sort, when sorted) — asserted in tests/test_plans.py. The write
+    itself shuffles once; every subsequent join amortizes it.
+    """
+    writer = df.write.format(format).mode("overwrite").bucketBy(n_buckets, *bucket_columns)
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table_name)
+
+
 def write_export(df: DataFrame, config: SyncConfig) -> str:
     """Write ``df`` per the sync config; returns the output URI.
 
