@@ -216,6 +216,45 @@ def ivf_centroids_from_sample(
     return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
 
 
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-refined coarse quantizer: sampled seeds, then
+    assign (distributed, narrow map) -> per-cell mean (posexplode +
+    groupBy(cell, dim) — one shuffle carrying (cell, dim, partial sums))
+    -> new centroids (k x dim rows to the driver, an index-build
+    parameter). Deterministic: seeds from smallest ids, ties stable.
+
+    At 100 TB the assignment scan dominates and parallelizes linearly;
+    the driver only ever holds k x dim floats.
+    """
+    centroids = ivf_centroids_from_sample(
+        df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
+    )
+    vecs = df.select(F.col(vec_column).alias("__v"))
+    for _ in range(iterations):
+        assigned = ivf_assign(vecs, centroids, vec_column="__v")
+        means = (
+            assigned.select("ivf_cell", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("ivf_cell", "__dim")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .groupBy("ivf_cell")
+            .agg(F.map_from_arrays(F.collect_list("__dim"), F.collect_list("__m")).alias("__mm"))
+            .collect()
+        )
+        new = dict(centroids)
+        for r in means:
+            mm = r["__mm"]
+            new[r["ivf_cell"]] = [mm[i] for i in sorted(mm)]
+        centroids = sorted(new.items())
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -225,17 +264,29 @@ def ivf_topk(
     vec_column: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine scan restricted to the
     ``n_probe`` cells whose centroids are closest to the query.
+    ``kmeans_iterations > 0`` refines the sampled seeds with Lloyd
+    rounds (better-balanced cells -> better recall per probe).
 
     At scale the assignment is precomputed once (``ivf_assign`` then
     write partitioned by cell); a query then reads only
     n_probe/n_centroids of the data — partition pruning does the work,
     which is exactly how a 100 TB vector corpus should be laid out."""
-    centroids = ivf_centroids_from_sample(
-        df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
-    )
+    if kmeans_iterations > 0:
+        centroids = ivf_centroids_kmeans(
+            df,
+            id_column=id_column,
+            vec_column=vec_column,
+            n_centroids=n_centroids,
+            iterations=kmeans_iterations,
+        )
+    else:
+        centroids = ivf_centroids_from_sample(
+            df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
+        )
 
     def unit_dot(vec: list[float]) -> float:
         n = math.sqrt(sum(x * x for x in vec)) or 1.0

@@ -94,3 +94,11 @@ def test_lsh_topk_recall_on_planted_neighbors(spark):
     ivf = [r.vec_id for r in S.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()]
     assert len(set(exact) & set(approx)) >= 8  # planted dups share the query's bucket
     assert len(set(exact) & set(ivf)) >= 8
+    # Lloyd-refined centroids must not hurt recall on planted dups
+    ivf_km = [
+        r.vec_id
+        for r in S.ivf_topk(
+            emb, q, k=10, n_centroids=8, n_probe=3, kmeans_iterations=2
+        ).collect()
+    ]
+    assert len(set(exact) & set(ivf_km)) >= 8
