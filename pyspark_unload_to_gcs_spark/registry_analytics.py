@@ -557,6 +557,33 @@ def tumbling_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 500 THEN 21
+                ELSE 1 + CAST(floor(value * 20 / 500) AS BIGINT) END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — one partial+final agg on
+    a 22-value key (the profiling primitive for training-data stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
     "sliding_window_events",
     oracle="""
     SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts) - to_hours(6 * k)) AS window_start_ms,
