@@ -129,6 +129,42 @@ def scd_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd_latest_order_maxby",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS row_num
+        FROM orders
+    ) RankedRows
+    WHERE row_num = 1
+    """,
+)
+def scd_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as scd_latest_order via max_by aggregation instead of
+    a ranking window: partial max_by runs MAP-SIDE, so the shuffle
+    carries one candidate row per (partition, key) instead of every row
+    — the preferred top-1 formulation at 100 TB. (Same oracle as the
+    window form: the two implementations must agree.)"""
+    from pyspark_unload_to_gcs_spark.operators.scd import latest_per_group_maxby
+
+    df = latest_per_group_maxby(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", tiebreak_columns=["o_orderkey"]
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        epoch_ms(df, "o_orderdate").alias("o_orderdate_ms"),
+        "o_orderpriority",
+    )
+
+
+@register(
     "content_hash_lineitem",
     oracle="""
     SELECT l_orderkey, l_linenumber,

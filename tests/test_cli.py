@@ -43,6 +43,36 @@ def test_missing_output_raises():
         config_from_args(args)
 
 
+def test_cli_time_based_with_custom_knobs(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "--table", "/root/testdata/sf0.001/events.parquet",
+            "--sync_type", "time-based",
+            "--updated_time_column", "ts",
+            "--time_cutoff_ms", "1705276800000",  # 2024-01-15 (fixture spans Jan 2024)
+            "--export_format", "parquet",
+            "--partition_by", "event_type",
+            "--output_uri", f"file:{tmp_path}/tb_out",
+        ]
+    )
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["rows_written"] > 0
+    assert glob.glob(f"{tmp_path}/tb_out/event_type=*/*.parquet")
+
+
+def test_cli_cdc_without_delta_fails_clearly(spark, tmp_path, capsys):
+    with pytest.raises(ImportError, match="delta-spark"):
+        main(
+            [
+                "--table", "some_delta_table",
+                "--sync_type", "cdc",
+                "--time_cutoff_ms", "0",
+                "--output_uri", f"file:{tmp_path}/cdc_out",
+            ]
+        )
+
+
 def test_cli_end_to_end_prints_checkpoint(spark, tmp_path, capsys):
     rc = main(
         [
