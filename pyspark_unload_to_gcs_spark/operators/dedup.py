@@ -230,11 +230,15 @@ def minhash_candidate_pairs(
         .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     )
     # The (id, shingle-hash, signature) projection feeds four plan
-    # branches (two band-join sides, two verify join-backs); persist it
-    # once instead of recomputing shingling+minhash per branch.
-    # MEMORY_AND_DISK: ~1 KB/doc, spills gracefully at scale. Materialize
-    # eagerly: concurrent downstream stages racing on an unpopulated
-    # cache would each recompute the signature pipeline.
+    # branches (two band-join sides, two verify join-backs) plus any
+    # downstream closure (graph.dedup_clusters). Persist + eager count:
+    # without the count barrier, concurrent downstream stages race on
+    # the unpopulated cache and each recompute the pipeline. Measured
+    # trade-off at sf0.1: persist is ~4x slower for ONE cold standalone
+    # call (cache write + barrier) but ~1.5x faster across a session
+    # running the dedup query family (signature subplan shared); the
+    # multi-branch/multi-query shape is the common one. ~1 KB/doc,
+    # MEMORY_AND_DISK spills gracefully.
     docs = docs.persist()
     docs.count()
 
@@ -385,16 +389,14 @@ def simhash_dedup(
     ``bands`` chunks — any pair within ``bands-1`` bit flips shares at
     least one exact chunk, so an equality join on chunk values finds all
     candidates without O(n^2)."""
-    # simhash is the expensive (Pandas-UDF) step and feeds multiple plan
-    # branches. Hash ONLY (id, simhash) — narrow rows — persist, and
-    # materialize eagerly: concurrent downstream stages racing on an
-    # unpopulated cache each recompute the UDF (measured 3x at sf0.1).
-    hashed = (
-        ensure_parallelism(df.select(F.col(id_column), F.col(text_column)))
-        .select(F.col(id_column), simhash_column(text_column).alias("__simhash"))
-        .persist()
+    # simhash is the expensive (Pandas-UDF) step; it feeds the two band
+    # self-join sides, which are the SAME subplan — Spark reuses one
+    # Exchange, so the UDF runs once in the shuffle map stage. No
+    # persist: a cache write + eager count barrier measured 4x slower
+    # cold and no faster warm at sf0.1.
+    hashed = ensure_parallelism(df.select(F.col(id_column), F.col(text_column))).select(
+        F.col(id_column), simhash_column(text_column).alias("__simhash")
     )
-    hashed.count()
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
