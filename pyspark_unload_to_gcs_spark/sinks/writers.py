@@ -17,6 +17,8 @@ Scale posture vs the reference:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig
@@ -40,6 +42,55 @@ def configure_gcs_auth(
         spark.conf.set("fs.gs.auth.service.account.private.key", service_account_key)
     if service_account_key_id:
         spark.conf.set("fs.gs.auth.service.account.private.key.id", service_account_key_id)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    target_file_mb: int = 128,
+    compression: str = "zstd",
+) -> int:
+    """Compact a directory of small files into ~``target_file_mb``
+    outputs (the maintenance pass every incremental export pipeline
+    needs — micro-batch/foreachBatch sinks produce one file set per
+    epoch, and small files kill scan parallelism economics at scale).
+
+    Sizing uses the actual on-disk byte size of the input, not row
+    counts, so it adapts to compression ratio. Returns the new file
+    count. Rewrite is staged through a sibling temp dir then moved, so
+    a crash mid-compact never leaves the directory half-overwritten.
+    """
+    import shutil
+    import uuid
+
+    if "://" in path:
+        raise NotImplementedError(
+            "compact_files sizes inputs via local filesystem walk; for object "
+            "stores drive the same repartition-rewrite through the Hadoop "
+            "FileSystem API (listStatus for sizes, rename for the swap)"
+        )
+    src = path[len("file:"):] if path.startswith("file:") else path
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(src)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(format).load(path)
+    tmp = f"{src}__compact_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(n_files)
+        .write.format(format)
+        .option("compression", compression)
+        .mode("overwrite")
+        .save(f"file:{tmp}" if path.startswith("file:") or "://" not in path else tmp)
+    )
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+    return n_files
 
 
 def write_bucketed_table(

@@ -188,6 +188,27 @@ def test_tumbling_append_mode_emits_finalized_windows(spark, events_stream_dir, 
         assert expected[(r.window_start_ms, r.event_type)] == r.n_events
 
 
+def test_windowed_streaming_export_end_to_end(spark, events_stream_dir, events_schema, tmp_path):
+    """The full incremental-analytics loop: file stream -> event-time
+    tumbling agg -> foreachBatch gzip-JSON export, one dir per epoch."""
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    agg = tumbling_agg(
+        stream,
+        time_column="ts",
+        window_duration="1 day",
+        watermark_delay="1 hour",
+        group_columns=("event_type",),
+        aggs={"n_events": "count(1)"},
+    )
+    cfg = SyncConfig(table="windowed", output_uri=f"file:{tmp_path}/wout", export_format="json")
+    q, stats = start_stream_export(agg, cfg, checkpoint_dir=str(tmp_path / "wckpt"))
+    q.awaitTermination(120)
+    files = glob.glob(f"{tmp_path}/wout/batch=*/*.gz")
+    assert files  # finalized windows were exported
+    rec = json.loads(gzip.open(files[0]).readline())
+    assert {"window_start_ms", "window_end_ms", "event_type", "n_events"} <= set(rec)
+
+
 def test_rate_source_smoke(spark):
     from pyspark_unload_to_gcs_spark.streaming.sources import stream_rate
 

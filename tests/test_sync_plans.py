@@ -158,6 +158,21 @@ def test_run_sync_hive_partitioned(spark, tmp_path):
     assert glob.glob(f"{dirs[0]}/*.parquet")
 
 
+def test_compact_files(spark, tmp_path):
+    from pyspark_unload_to_gcs_spark.sinks.writers import compact_files
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    out = str(tmp_path / "many")
+    load_parquet(spark, ORDERS).repartition(16).write.parquet(out)
+    import glob as g
+
+    assert len(g.glob(f"{out}/part-*.parquet")) == 16
+    n = compact_files(spark, out, target_file_mb=128)
+    files = g.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1  # tiny input -> one file
+    assert spark.read.parquet(out).count() == 1500  # content preserved
+
+
 def test_custom_sql_source(spark, tmp_path):
     sql_dir = tmp_path / "custom"
     sql_dir.mkdir()
