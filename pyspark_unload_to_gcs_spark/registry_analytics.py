@@ -191,6 +191,34 @@ def user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_user_activity",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MAX(value) AS mx
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — the hot-key
+    mitigation MUST produce byte-identical results to the plain
+    aggregation, so its oracle IS the plain SQL."""
+    from pyspark_unload_to_gcs_spark.operators.skew import salted_aggregate
+
+    return salted_aggregate(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+            "mx": ("max", F.max("value")),
+        },
+    ).withColumn("total", F.col("total").cast("double"))
+
+
 @register("events_approx_users")  # rows-only: approx result differs from exact SQL
 def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type — the 100 TB
