@@ -213,6 +213,48 @@ def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix 80/20 split (operators/sampling.py) —
+    stable under retries/engines/cluster sizes, unlike randomSplit.
+    Rolled up per language to show split balance."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import deterministic_split
+
+    out = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id", train_fraction=0.8)
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "balanced_corpus_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def balanced_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: 40 docs per lang, picked by md5
+    order (deterministic yet unbiased w.r.t. any natural column)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import take_per_stratum
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.md5(F.col("doc_id").cast("string")).alias("__pick")
+    )
+    return take_per_stratum(docs, ["lang"], 40, order_column="__pick").drop("__pick")
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

@@ -79,6 +79,28 @@ def test_aggregate_before_join_in_top_parts(spark, sf_dir):
     assert partial > join_pos
 
 
+def test_big_orders_aggregates_before_joins(spark, sf_dir):
+    p = _plan(spark, sf_dir, "big_orders")
+    join_pos = p.index("Join")
+    assert "partial_sum" in p and p.index("partial_sum") > join_pos
+
+
+def test_rolling_and_sliding_single_exchange(spark, sf_dir):
+    for name in ["rolling_user_value", "sliding_window_events"]:
+        p = _plan(spark, sf_dir, name)
+        assert p.count("Exchange hashpartitioning") == 1, name
+
+
+def test_deterministic_split_is_narrow(spark, sf_dir):
+    """The split itself must add no shuffle (an Exchange would mean the
+    assignment depends on partitioning — nondeterministic at scale)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import deterministic_split
+
+    df = deterministic_split(registry._t(spark, sf_dir, "documents"), "doc_id")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     """Two tables bucketed on the join key with equal bucket counts
     join shuffle-free — the amortized-shuffle layout for repeated
