@@ -705,3 +705,64 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
 
     return session_stats(_t(spark, sf_dir, "events"), gap_ms=1800000)
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grouping_lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (status, priority): all four grouping combinations
+    in ONE pass — Catalyst plans a single Expand (4x row multiply) feeding
+    one hash aggregation, so the scan and shuffle are shared across all
+    groupings instead of four scans + a union. Extends the reference's
+    aggregation surface (SURVEY.md §2e: plain count only)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.grouping_id().alias("grouping_lvl"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grouping_lvl
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical grouping sets: per-flag totals, per-
+    shipmode totals, and the grand total — the two independent dimension
+    rollups a reporting export needs, WITHOUT the full cube's cross
+    products. Single Expand (3x) + one aggregation; at 100 TB this is
+    strictly cheaper than cube because the expand factor is |sets|, not
+    2^dims. Uses the Spark 4 DataFrame groupingSets API."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum((F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("grouping_lvl"),
+    )
