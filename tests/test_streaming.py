@@ -215,3 +215,149 @@ def test_rate_source_smoke(spark):
     df = stream_rate(spark, 10)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState needs google.protobuf (not in container)"
+)
+def test_sessionize_stream_tws_closed_sessions_match_batch(
+    spark, events_stream_dir, events_schema
+):
+    """Spark 4 transformWithStateInPandas sessionizer: every emitted
+    (watermark-closed) session must match the batch operator exactly,
+    same contract as the applyInPandasWithState twin."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_tws import (
+        sessionize_stream_tws,
+        tws_state_store_conf,
+    )
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_ms, r.end_ms, r.duration_ms)
+        for r in session_stats(batch, gap_ms=GAP_MS).collect()
+    }
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    for k, v in tws_state_store_conf().items():
+        spark.conf.set(k, v)
+    try:
+        stream = stream_parquet_dir(
+            spark, events_stream_dir, events_schema, max_files_per_trigger=1
+        )
+        out = _drain(
+            sessionize_stream_tws(stream, gap_ms=GAP_MS, watermark_delay="0 seconds"),
+            "t_sess_tws",
+            spark,
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+    assert len(out) > 0
+    for r in out:
+        key = (r.user_id, r.session_seq)
+        assert key in expected, f"spurious session {key}"
+        assert expected[key] == (r.n_events, r.start_ms, r.end_ms, r.duration_ms), key
+
+
+def test_tws_session_processor_unit():
+    """Drive the StatefulProcessor directly (no streaming runtime, no
+    protobuf): gap splitting, seq numbering across closes, stale-timer
+    rejection — semantics must match operators/sessions.py."""
+    import pandas as pd
+
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_tws import SessionProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def getValueState(self, name, schema):
+            return FakeState()
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self.wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm
+
+    class FakeExpiredInfo:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def getExpiryTimeInMs(self):
+            return self.ts
+
+    gap = 1000
+    p = SessionProcessor(gap)
+    handle = FakeHandle()
+    p.init(handle)
+
+    # Batch 1: two sessions' worth of events; watermark still behind, so
+    # session 1 closes by gap-split, session 2 stays open with a timer.
+    out = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"__ts_ms": [100, 200, 5000]})]), FakeTimerValues(0)
+        )
+    )
+    rows = pd.concat(out).to_dict("records")
+    assert rows == [
+        {"user_id": 7, "session_seq": 1, "n_events": 2, "start_ms": 100,
+         "end_ms": 200, "duration_ms": 100}
+    ]
+    assert handle.timers == [6000]
+    assert p.state.get() == (5000, 2, 1, 5000, 1)
+
+    # Stale timer (expiry < last+gap after more events): ignored.
+    out = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"__ts_ms": [5500]})]), FakeTimerValues(0))
+    )
+    assert out == []
+    stale = list(p.handleExpiredTimer((7,), FakeTimerValues(5900), FakeExpiredInfo(6000)))
+    assert stale == []
+
+    # Valid timer closes session 2, keeps seq for session 3.
+    fired = list(p.handleExpiredTimer((7,), FakeTimerValues(7000), FakeExpiredInfo(6500)))
+    rows = pd.concat(fired).to_dict("records")
+    assert rows == [
+        {"user_id": 7, "session_seq": 2, "n_events": 2, "start_ms": 5000,
+         "end_ms": 5500, "duration_ms": 500}
+    ]
+    assert p.state.get() == (5500, 2, 0, 0, 0)
+
+    # Next event starts session 3; watermark already past it -> inline close.
+    out = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"__ts_ms": [8000]})]), FakeTimerValues(9500))
+    )
+    rows = pd.concat(out).to_dict("records")
+    assert rows[0]["session_seq"] == 3 and rows[0]["n_events"] == 1
