@@ -165,3 +165,46 @@ def test_skewed_keys_probe(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 5  # uniform fixture: every type ~20%
     assert all(r.fraction > 0.1 for r in rows)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering (Spark 3.3+): with a selective filter
+    on the orders side of a shuffled join, Catalyst injects a bloom
+    filter built from the filtered side and probes it (`might_contain`)
+    on the lineitem scan BEFORE the shuffle — at 100 TB this drops most
+    probe-side rows pre-exchange. Thresholds are production defaults
+    (10 GB application side); lowered here only to demonstrate on toy
+    data. Result must equal the bloom-free plan's."""
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+
+    def q():
+        orders = load_parquet(spark, f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    expected = {(r.o_orderpriority, r.n) for r in q().collect()}
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert {(r.o_orderpriority, r.n) for r in df.collect()} == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
