@@ -275,6 +275,8 @@ def minhash_dedup(
     df: DataFrame,
     id_column: str,
     text_column: str,
+    *,
+    pairs: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates: a doc is removed if it pairs (at >= the
@@ -287,7 +289,8 @@ def minhash_dedup(
     ``minhash_candidate_pairs`` through an iterative large-star/small-
     star loop (Kiveris et al.) — pairs output here is the input to that.
     """
-    pairs = minhash_candidate_pairs(df, id_column, text_column, **kwargs)
+    if pairs is None:
+        pairs = minhash_candidate_pairs(df, id_column, text_column, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
     return df.join(losers, on=id_column, how="left_anti")
 

@@ -24,6 +24,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture is one small file (one task). No-op at scale."""
     return ensure_parallelism(_t(spark, sf_dir, "documents"))
 
+
+_PAIRS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE candidate-pairs DataFrame per (session, sf_dir), shared by the
+    minhash family (survivors / pair list / clusters). Sharing the
+    object — not just an equal plan — pins all consumers to the same
+    persisted signature frame, so reuse cannot depend on Spark's plan-
+    canonicalization cache lookup (observed to miss across a long
+    session, recomputing the 4x-cost signature pipeline)."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_MEMO:
+        _PAIRS_MEMO[key] = D.minhash_candidate_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+    return _PAIRS_MEMO[key]
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -185,14 +203,17 @@ def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup survivors (Jaccard >= 0.8 on 3-shingles)."""
     return D.minhash_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        pairs=_shared_minhash_pairs(spark, sf_dir),
     ).select("doc_id", "lang", "source")
 
 
 @register("near_dedup_pairs")  # rows-only
 def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-duplicate pair list behind near_dedup_minhash."""
-    pairs = D.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -263,7 +284,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_unload_to_gcs_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
 
 
