@@ -1,0 +1,106 @@
+"""Randomized oracle fuzzing: seeded random predicates/aggregations in
+the Spark∩DuckDB SQL subset, executed by BOTH engines on the same
+parquet and compared row-for-row (order-insensitive value hash via
+oracle_harness). Catches dialect/semantics drift the hand-written
+query suite doesn't reach — null comparison edges, modulo arithmetic,
+string functions, AND/OR/NOT nesting.
+
+Deterministic by construction (fixed seed, no hypothesis shrinking
+needed: any failure reproduces by name)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+from tests.oracle_harness import assert_matches, duckdb_connection
+
+SEED = 20260813
+N_FILTERS = 20
+N_AGGS = 8
+
+# columns of `orders` usable identically in both dialects
+NUM_COLS = ["o_orderkey", "o_custkey"]
+DEC_COL = "o_totalprice"
+STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def _predicate(rng: random.Random, depth: int = 0) -> str:
+    kind = rng.choice(
+        ["num_cmp", "mod", "str_eq", "str_in", "between", "not_null", "substr"]
+        + (["and", "or", "not"] if depth < 2 else [])
+    )
+    if kind == "num_cmp":
+        col = rng.choice(NUM_COLS + [DEC_COL])
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+        lit = rng.choice([0, 1, 7, 500, 1499, 75000, 150000])
+        return f"{col} {op} {lit}"
+    if kind == "mod":
+        col = rng.choice(NUM_COLS)
+        k = rng.choice([2, 3, 7, 10])
+        return f"{col} % {k} = {rng.randrange(k)}"
+    if kind == "str_eq":
+        col = rng.choice(STR_COLS)
+        lit = rng.choice(["O", "F", "P", "1-URGENT", "3-MEDIUM", "5-LOW", ""])
+        return f"{col} {rng.choice(['=', '!='])} '{lit}'"
+    if kind == "str_in":
+        return f"o_orderstatus IN ({rng.choice([chr(39) + 'O' + chr(39), chr(39) + 'O' + chr(39) + ', ' + chr(39) + 'F' + chr(39)])})"
+    if kind == "between":
+        lo = rng.choice([0, 100, 10000])
+        hi = lo + rng.choice([50, 5000, 100000])
+        return f"{rng.choice(NUM_COLS + [DEC_COL])} BETWEEN {lo} AND {hi}"
+    if kind == "not_null":
+        return f"{rng.choice(STR_COLS + NUM_COLS)} IS NOT NULL"
+    if kind == "substr":
+        return f"substring(o_orderpriority, 1, 1) = '{rng.randrange(1, 6)}'"
+    if kind == "not":
+        return f"NOT ({_predicate(rng, depth + 1)})"
+    a, b = _predicate(rng, depth + 1), _predicate(rng, depth + 1)
+    return f"({a}) {kind.upper()} ({b})"
+
+
+def _agg_sql(rng: random.Random) -> str:
+    group = rng.choice(STR_COLS)
+    pred = _predicate(rng)
+    return f"""
+    SELECT {group},
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_custkey) AS max_cust
+    FROM orders WHERE {pred} GROUP BY {group}
+    """
+
+
+def _filter_sql(rng: random.Random) -> str:
+    pred = _predicate(rng)
+    return f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE {pred}
+    """
+
+
+_RNG = random.Random(SEED)
+FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
+AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def orders_view(spark, sf_dir):
+    load_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    yield
+    spark.catalog.dropTempView("orders")
+
+
+@pytest.mark.parametrize("name,sql", FILTER_CASES + AGG_CASES, ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "")
+def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
+    assert_matches(spark.sql(sql), duck, sql, name=name)
