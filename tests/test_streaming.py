@@ -361,3 +361,34 @@ def test_tws_session_processor_unit():
     )
     rows = pd.concat(out).to_dict("records")
     assert rows[0]["session_seq"] == 3 and rows[0]["n_events"] == 1
+
+
+def test_stream_exact_dedup_drops_redeliveries(spark, events_stream_dir, events_schema, tmp_path):
+    """dropDuplicatesWithinWatermark twin of batch exact dedup: a stream
+    carrying every event TWICE (two identical files per batch window)
+    must come out with each event_id exactly once, matching the batch
+    distinct set."""
+    import shutil
+
+    from pyspark_unload_to_gcs_spark.streaming.dedup import stream_exact_dedup
+
+    # stream dir where every part file is duplicated -> exact redelivery
+    dup_dir = tmp_path / "events_dup"
+    dup_dir.mkdir()
+    parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
+    for i, p in enumerate(parts):
+        shutil.copy(p, dup_dir / f"{i:03d}-a.parquet")
+        shutil.copy(p, dup_dir / f"{i:03d}-b.parquet")
+
+    expected = {r.event_id for r in spark.read.parquet(events_stream_dir).collect()}
+
+    stream = stream_parquet_dir(spark, str(dup_dir), events_schema, max_files_per_trigger=2)
+    out = _drain(
+        stream_exact_dedup(stream, ["event_id"], watermark_delay="1 hour"),
+        "t_stream_dedup",
+        spark,
+    ).collect()
+
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert set(ids) == expected
