@@ -1,0 +1,298 @@
+"""Additional Catalyst-exercising query shapes (TPC-H q12/q14/q15/q17/
+q19/q22 analogues adapted to the fixture schemas, plus pivot and
+lag/lead windows).
+
+These extend the analytics surface beyond SURVEY.md §2 with the plan
+shapes a 100 TB deployment leans on: decorrelated scalar subqueries
+(aggregate-then-broadcast-join instead of per-row subquery execution),
+disjunctive predicate factoring, single-pass conditional aggregation,
+pivot (one shuffle for all output columns), and ordered per-key
+lag/lead frames.
+
+Oracle-portability: same conventions as registry.py — DECIMAL
+accumulation cast to DOUBLE once, epoch-ms BIGINT timestamps,
+identical aliases both sides. Threshold comparisons against averages
+are cross-multiplied (``5*qty*cnt < sum``) so they stay in exact
+decimal arithmetic instead of comparing against a floating-point
+average.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+from pyspark_unload_to_gcs_spark.registry import _t, register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.cnt < a.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, explicitly
+    decorrelated: ``l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE
+    same part)`` becomes aggregate-per-part THEN join back — one
+    aggregation + one join instead of a per-row subquery. The
+    threshold is cross-multiplied (``5*qty*cnt < sum``) so the compare
+    stays in exact decimal. At 100 TB the per-part aggregate is tiny
+    (|parts| rows) and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = li.join(F.broadcast(per_part), li.l_partkey == per_part.pk).filter(
+        F.col("l_quantity").cast(DEC) * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return joined.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-conjunctions over a join. Catalyst
+    extracts the common factors each side can evaluate alone
+    (p_size <= 15 / brand set on part; quantity range on lineitem) and
+    pushes them below the join, so both scans shrink before the
+    disjunction is applied — the part side then broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return joined.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation: both priority classes
+    counted in ONE pass with sum(CASE ...) — no second scan, no union
+    of two filtered aggregates. The orders side projects only
+    (orderkey, priority) before the join, so the shuffle carries two
+    columns, not the whole row."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: conditional numerator and
+    unconditional denominator computed in the same aggregation (one
+    scan, one broadcast join). Both sums accumulate in DECIMAL; the
+    ratio is left to the consumer so the checked values stay exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax via scalar subquery: revenue per
+    supplier, keep the row(s) equal to the global max. The max is a
+    1-row aggregate broadcast into the filter (no single-partition
+    global window, which would serialize at scale); equality compares
+    exact DECIMALs so ties are exact, not fp-fuzzy."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    best = per_supp.agg(F.max("total_rev").alias("best_rev"))
+    return (
+        per_supp.join(F.broadcast(best), per_supp.total_rev == best.best_rev)
+        .join(F.broadcast(s), s.s_suppkey == per_supp.l_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH stats AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, stats
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.cnt > stats.total
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average (positive)
+    balance and no orders — scalar-subquery threshold (1-row aggregate
+    broadcast) + anti join. The average compare is cross-multiplied
+    (``bal*cnt > sum``) to stay exact-decimal."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("cnt") > F.col("total"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "pivot_returnflag_status",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_count,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS f_qty,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_count,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per returnflag, one output column pair per
+    linestatus value. Pivot values are listed EXPLICITLY — omitting
+    them makes Spark run an extra distinct job to discover them, a full
+    scan you don't want at 100 TB. One shuffle produces all columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_count").alias("f_count"),
+        F.coalesce(F.col("F_qty"), F.lit(0).cast(DEC)).cast("double").alias("f_qty"),
+        F.col("O_count").alias("o_count"),
+        F.coalesce(F.col("O_qty"), F.lit(0).cast(DEC)).cast("double").alias("o_qty"),
+    )
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS prev_gap_ms,
+           lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS next_gap_ms,
+           row_number() OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset windows: per-user inter-event gaps (the feature
+    primitive for retention/cadence models). All three window functions
+    share ONE window spec, so Catalyst plans a single shuffle on
+    user_id and a single sort — not one per function. event_id
+    tie-breaks equal timestamps so lag/lead are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = epoch_ms(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy(ts_ms.asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        (ts_ms - F.lag(ts_ms).over(w)).alias("prev_gap_ms"),
+        (F.lead(ts_ms).over(w) - ts_ms).alias("next_gap_ms"),
+        F.row_number().over(w).alias("seq"),
+    )

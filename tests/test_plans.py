@@ -208,3 +208,51 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_q17_decorrelated_single_agg_broadcast(spark, sf_dir):
+    """The correlated-avg threshold must plan as agg-then-broadcast-join:
+    one shuffle (the per-part aggregate), the tiny aggregate broadcast —
+    never a per-row subquery or a shuffled self-join."""
+    p = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """Catalyst must factor the OR-of-conjunctions into per-side
+    residuals pushed into BOTH parquet scans (quantity ranges on
+    lineitem, brand/size on part) — the join then sees pre-shrunk
+    inputs."""
+    p = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)", p))
+    assert "LessThanOrEqual(l_quantity" in pushed
+    assert "EqualTo(p_brand" in pushed
+    assert p.count("BroadcastHashJoin") == 1
+
+
+def test_q15_scalar_max_is_broadcast_not_global_window(spark, sf_dir):
+    """The global-max filter must come from a 1-row aggregate joined by
+    broadcast — a rank-over-everything window would collapse to a
+    single partition at scale."""
+    p = _plan(spark, sf_dir, "q15_top_supplier")
+    assert "Window" not in p
+    assert p.count("BroadcastHashJoin") == 2  # max-row + supplier dim
+
+
+def test_user_event_gaps_one_shuffle_for_all_window_functions(spark, sf_dir):
+    """lag, lead and row_number share one window spec, so the plan must
+    carry exactly one hash exchange (user_id) and one Window node."""
+    p = _plan(spark, sf_dir, "user_event_gaps")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+
+
+def test_pivot_is_single_aggregation_no_value_discovery(spark, sf_dir):
+    """With pivot values listed explicitly there is no distinct-values
+    job and the whole wide result comes from one partial/final
+    aggregation pair."""
+    p = _plan(spark, sf_dir, "pivot_returnflag_status")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Expand" not in p  # pivot lowers to conditional aggs, not grouping sets
