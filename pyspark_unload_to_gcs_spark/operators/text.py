@@ -123,3 +123,46 @@ def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    chunk_size: int = 32,
+    stride: int = 16,
+    keep_columns: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the LLM
+    training-data primitive: context-window-sized pieces with
+    ``chunk_size - stride`` tokens of overlap).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)``;
+    windows are emitted while their start is inside the document, so
+    every token lands in ``ceil(chunk_size/stride)`` chunks (boundary
+    chunks fewer). An empty document yields one empty chunk (so no
+    documents silently disappear; filter ``n_tokens > 0`` to drop).
+
+    Entirely builtin expressions (split/sequence/explode/slice) — a
+    narrow per-row fan-out with no shuffle and no Python, so it runs at
+    scan speed over 100 TB and Catalyst prunes every column except
+    ``keep_columns`` + the text.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    staged = df.select(*keep_columns, tokens_col(F.col(text_column)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = staged.select(*keep_columns, "__toks", F.explode(starts).alias("__start"))
+    n2 = F.size(F.col("__toks"))
+    return exploded.select(
+        *keep_columns,
+        F.floor(F.col("__start") / stride).cast("bigint").alias("chunk_idx"),
+        F.col("__start").cast("bigint").alias("start"),
+        F.greatest(F.least(F.lit(chunk_size), n2 - F.col("__start")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_size)), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -296,3 +296,92 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead(ts_ms).over(w) - ts_ms).alias("next_gap_ms"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@register(
+    "document_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), 16)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           start // 16 AS chunk_idx,
+           start,
+           CAST(greatest(least(32, len(toks) - start), 0) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 16)
+    — the context-window-preparation primitive for LLM training data.
+    Pure builtin split/sequence/explode/slice: narrow fan-out, no
+    shuffle, no Python in the row path (operators/text.py
+    ``chunk_documents``)."""
+    from pyspark_unload_to_gcs_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", chunk_size=32, stride=16
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    the stream is split into two watermark windows, each partial-
+    aggregated to per-key mergeable state (count / exact-decimal sum /
+    min / max), and the states are merged. The oracle is a DIRECT
+    aggregation over all rows — equality proves the merge is exact and
+    associative, i.e. window boundaries and retries can't change
+    results. At 100 TB each sync folds one batch into |keys| state
+    rows instead of rescanning history."""
+    from pyspark_unload_to_gcs_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    old_window = ev.filter(F.col("ts") < cutoff)
+    new_window = ev.filter(F.col("ts") >= cutoff)
+    keys = ["event_type"]
+    merged = merge_aggregate_states(
+        [aggregate_state(old_window, keys, "value"), aggregate_state(new_window, keys, "value")],
+        keys,
+    )
+    return finalize_state(merged, keys)
+
+
+@register("value_percentiles_approx")  # rows-only: sketch-based, not bit-exact vs SQL
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the 100 TB replacement for
+    exact per-group percentiles — mergeable map-side sketches, no
+    per-group sort. Paired with the exact ``value_percentiles`` so both
+    cost profiles are on the menu."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99"),
+        )
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig
 
@@ -147,3 +148,41 @@ def write_export(df: DataFrame, config: SyncConfig) -> str:
         writer = writer.option("header", "true")
     writer.save(config.output_uri)
     return config.output_uri
+
+
+def clustered_frame(
+    df: DataFrame, cluster_columns: list[str], *, num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + sort a frame so each output file covers a
+    narrow, non-overlapping slice of the cluster key (single-dimension
+    ZORDER-lite). Exposed separately from the write so plan tests can
+    assert the rangepartitioning Exchange."""
+    cols = [F.col(c) for c in cluster_columns]
+    out = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    return out.sortWithinPartitions(*cols)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    *,
+    num_partitions: int | None = None,
+    format: str = "parquet",
+) -> str:
+    """Write files clustered on ``cluster_columns``: a range-partition
+    shuffle (sampled split points, so skewed keys still spread) then an
+    in-partition sort. Each parquet file's min/max stats for the key
+    then span a narrow range, so any engine reading the output (Spark,
+    DuckDB, Trino) can skip most files for key-range predicates — the
+    scan-locality half of bucketing, without requiring a metastore
+    table. At 100 TB this is what makes time-range queries on exported
+    data read 1% of the files instead of all of them."""
+    clustered_frame(df, cluster_columns, num_partitions=num_partitions).write.format(
+        format
+    ).mode("overwrite").save(path)
+    return path

@@ -1,0 +1,124 @@
+"""Unit tests: document chunking, incremental aggregate-state
+maintenance, and range-clustered writes."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.incremental import (
+    aggregate_state,
+    finalize_state,
+    merge_aggregate_states,
+)
+from pyspark_unload_to_gcs_spark.operators.text import chunk_documents
+from pyspark_unload_to_gcs_spark.sinks.writers import clustered_frame, write_clustered
+from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_windows_cover_all_tokens_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(40))  # 40 tokens, size 8 stride 4
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_size=8, stride=4
+    ).collect()
+    # starts at 0,4,...,36 -> 10 chunks
+    assert [r.start for r in out] == list(range(0, 40, 4))
+    assert [r.chunk_idx for r in out] == list(range(10))
+    full = out[0]
+    assert full.n_tokens == 8 and full.chunk_text == " ".join(f"w{i}" for i in range(8))
+    # consecutive chunks overlap by size - stride = 4 tokens
+    assert out[1].chunk_text.split()[:4] == out[0].chunk_text.split()[4:]
+    # boundary chunk is short, never padded
+    last = out[-1]
+    assert last.start == 36 and last.n_tokens == 4
+    # every token appears in ceil(8/4)=2 chunks except the first/last stride
+    from collections import Counter
+
+    seen = Counter(tok for r in out for tok in r.chunk_text.split())
+    assert seen[f"w{20}"] == 2 and seen["w0"] == 1
+
+
+def test_chunk_empty_and_whitespace_documents_survive(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, ""), (2, "   "), (3, "one")]), chunk_size=8, stride=4
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 3  # one (empty) chunk each — no silent row loss
+    assert by_id[1].n_tokens == 0 and by_id[1].chunk_text == ""
+    assert by_id[2].n_tokens == 0
+    assert by_id[3].n_tokens == 1 and by_id[3].chunk_text == "one"
+
+
+def test_chunk_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_size=0, stride=4)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_size=4, stride=-1)
+
+
+def test_chunking_is_narrow_no_shuffle(spark, sf_dir):
+    df = chunk_documents(load_parquet(spark, f"{sf_dir}/documents.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_incremental_merge_equals_one_shot_any_split(spark, sf_dir):
+    """Splitting the input at ANY boundary and merging the partial
+    states must equal the one-shot aggregation (associativity), even
+    merging out of order."""
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    keys = ["event_type"]
+    expected = {
+        tuple(r) for r in finalize_state(aggregate_state(ev, keys, "value"), keys).collect()
+    }
+    thirds = [
+        ev.filter(F.col("user_id") % 3 == i) for i in range(3)
+    ]
+    states = [aggregate_state(t, keys, "value") for t in thirds]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        merged = merge_aggregate_states([states[i] for i in order], keys)
+        assert {tuple(r) for r in finalize_state(merged, keys).collect()} == expected
+
+
+def test_incremental_merge_handles_disjoint_keys(spark):
+    a = spark.createDataFrame([("x", 1.0), ("x", 3.0)], "k string, v double")
+    b = spark.createDataFrame([("y", 5.0)], "k string, v double")
+    merged = finalize_state(
+        merge_aggregate_states(
+            [aggregate_state(a, ["k"], "v"), aggregate_state(b, ["k"], "v")], ["k"]
+        ),
+        ["k"],
+    ).collect()
+    got = {r.k: (r.n_rows, r.total, r.min_value, r.max_value, r.avg_value) for r in merged}
+    assert got == {"x": (2, 4.0, 1.0, 3.0, 2.0), "y": (1, 5.0, 5.0, 5.0, 5.0)}
+
+
+def test_clustered_write_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    """Each output file must cover a narrow slice of the cluster key:
+    per-file [min, max] ranges must not overlap (this is what makes
+    min/max-stat file skipping effective on the exported data)."""
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    plan = clustered_frame(orders, ["o_orderkey"], num_partitions=4)
+    assert "rangepartitioning" in plan._jdf.queryExecution().executedPlan().toString()
+
+    path = str(tmp_path / "clustered")
+    write_clustered(orders, path, ["o_orderkey"], num_partitions=4)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        t = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # nothing lost
+    total = sum(
+        pq.read_table(f).num_rows for f in glob.glob(f"{path}/part-*.parquet")
+    )
+    assert total == orders.count()
