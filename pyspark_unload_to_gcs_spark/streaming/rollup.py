@@ -1,0 +1,94 @@
+"""Streaming incremental rollup: a continuously-maintained aggregate
+table, built from ``foreachBatch`` + the mergeable aggregate states of
+``operators/incremental.py``.
+
+Each micro-batch is partial-aggregated to per-key state (count /
+exact-decimal sum / min / max) and folded into the previous state —
+cost per batch is O(|keys| + batch), never O(history). This is the
+streaming materialized-view counterpart of the reference's
+orchestrator-driven incremental export loop (export.py:131-158): the
+watermark lives in the stream checkpoint, the rollup state in a
+versioned parquet directory.
+
+Exactly-once across retries: state version ``v=<batch_id>`` is derived
+ONLY from version ``max(v) < batch_id`` plus the batch rows, and is
+written with overwrite — a retried batch rewrites the identical state
+instead of double-counting (``fold_batch`` is deterministic in
+(prev_state, batch)). At very large key cardinality swap the rewrite
+for a Delta/Iceberg MERGE; the state algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_unload_to_gcs_spark.operators.incremental import (
+    aggregate_state,
+    merge_aggregate_states,
+)
+
+_VERSION_RE = re.compile(r"v=(\d+)$")
+
+
+def _versions(state_path: str) -> list[int]:
+    return sorted(
+        int(m.group(1))
+        for d in glob.glob(os.path.join(state_path, "v=*"))
+        if (m := _VERSION_RE.search(d)) and glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
+def read_state(spark: SparkSession, state_path: str, *, before: int | None = None) -> DataFrame | None:
+    """Latest committed state (optionally: latest strictly before a
+    batch id, which is what a retrying batch must fold onto)."""
+    versions = [v for v in _versions(state_path) if before is None or v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_path, f"v={versions[-1]}"))
+
+
+def fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    keys: Sequence[str],
+    value_column: str,
+    state_path: str,
+) -> None:
+    """Fold one micro-batch into the versioned state. Deterministic in
+    (state@<batch_id, batch rows): safe to re-run on Spark's
+    foreachBatch retry."""
+    spark = batch_df.sparkSession
+    batch_state = aggregate_state(batch_df, keys, value_column)
+    prev = read_state(spark, state_path, before=batch_id)
+    merged = (
+        merge_aggregate_states([prev, batch_state], keys) if prev is not None else batch_state
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+
+
+def start_incremental_rollup(
+    stream_df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_column: str,
+    state_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the rollup continuously; returns the StreamingQuery.
+    ``read_state`` (or ``finalize_state`` over it) serves the current
+    aggregate view at any time without touching raw history."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, bid: fold_batch(
+            bdf, bid, keys=keys, value_column=value_column, state_path=state_path
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -256,3 +256,53 @@ def test_pivot_is_single_aggregation_no_value_discovery(spark, sf_dir):
     p = _plan(spark, sf_dir, "pivot_returnflag_status")
     assert p.count("Exchange hashpartitioning") <= 2
     assert "Expand" not in p  # pivot lowers to conditional aggs, not grouping sets
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With AQE skew handling on, a sort-merge join against a heavily
+    skewed key must show split skew partitions (skew=true) in the final
+    adaptive plan — the runtime answer to hot keys that static salting
+    (operators/skew.py) solves manually. Result equivalence is asserted
+    against the unskewed-config run.
+
+    Synthetic range inputs (not the single-file parquet fixtures): skew
+    splitting works at MAPPER granularity, so the skewed shuffle must be
+    fed by many map tasks for AQE to have split points — true on any
+    real cluster, and true for range's 32 input slices here."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+
+    def q():
+        # 80% of fact rows collapse onto one hot join key; pad makes the
+        # hot partition's bytes unambiguous vs the thresholds above
+        fact = (
+            spark.range(0, 100000)
+            .withColumn("k", F.when(F.col("id") % 100 < 80, F.lit(0)).otherwise(F.col("id")))
+            .withColumn("pad", F.repeat(F.lit("x"), 100))
+        )
+        dim = spark.range(0, 100000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+        )
+        return fact.join(dim, "k").groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+    expected = {(r.tag, r.n) for r in q().collect()}
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = q()
+        rows = {(r.tag, r.n) for r in df.collect()}  # run first: AQE finalizes at execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert rows == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)

@@ -392,3 +392,49 @@ def test_stream_exact_dedup_drops_redeliveries(spark, events_stream_dir, events_
     ids = [r.event_id for r in out]
     assert len(ids) == len(set(ids)), "duplicates survived"
     assert set(ids) == expected
+
+
+def test_incremental_rollup_stream_matches_batch_and_is_retry_safe(
+    spark, events_stream_dir, events_schema, tmp_path
+):
+    """foreachBatch rollup over 3 micro-batches must equal the one-shot
+    batch aggregation, and re-folding a batch (Spark retry semantics)
+    must not double-count."""
+    from pyspark_unload_to_gcs_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.rollup import (
+        fold_batch,
+        read_state,
+        start_incremental_rollup,
+    )
+
+    state = str(tmp_path / "state")
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    q = start_incremental_rollup(
+        stream,
+        keys=["event_type"],
+        value_column="value",
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        tuple(r)
+        for r in finalize_state(
+            aggregate_state(batch, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    final = read_state(spark, state)
+    got = {tuple(r) for r in finalize_state(final, ["event_type"]).collect()}
+    assert got == expected
+
+    # retry of the last batch: re-fold batch_id=2 with the same rows -> unchanged
+    parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
+    last_rows = spark.read.parquet(parts[-1])
+    fold_batch(last_rows, 2, keys=["event_type"], value_column="value", state_path=state)
+    refolded = {tuple(r) for r in finalize_state(read_state(spark, state), ["event_type"]).collect()}
+    assert refolded == expected
