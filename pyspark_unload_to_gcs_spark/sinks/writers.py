@@ -186,3 +186,74 @@ def write_clustered(
         format
     ).mode("overwrite").save(path)
     return path
+
+
+def zorder_key(
+    df: DataFrame, columns: list[str], *, bits_per_column: int = 8
+) -> DataFrame:
+    """Append ``__zkey``: the Z-order (Morton) interleaving of the
+    quantized cluster columns — multi-dimensional locality for file
+    skipping, same idea as Delta's OPTIMIZE ZORDER BY re-expressed as
+    plain column arithmetic.
+
+    Each column is min/max-normalized into ``2^bits_per_column`` ranks
+    (bounds from a broadcast 1-row aggregate — one cheap extra pass),
+    then the rank bits are interleaved so nearby (c1, c2, ...) tuples
+    get nearby keys. Range-partitioning + sorting by ``__zkey`` then
+    gives every output file a small bounding BOX in all cluster
+    dimensions at once, where 1-d clustering gives a narrow range in
+    one dimension and the full range in the others. Everything is
+    builtin integer expressions — codegen'd, no UDF, no shuffle beyond
+    the final range partition."""
+    n = 1 << bits_per_column
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in columns],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in columns],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    # stage ranks as attributes first so the quantization expression
+    # appears once per column, not once per interleaved bit
+    rank_cols = {}
+    for c in columns:
+        wb = F.width_bucket(
+            F.col(c).cast("double"), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), F.lit(n)
+        )
+        rank_cols[f"__rank_{c}"] = F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1))
+    out = out.withColumns(rank_cols)
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_column):
+        for j, c in enumerate(columns):
+            rank = F.col(f"__rank_{c}")
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(rank, bit).bitwiseAND(F.lit(1)), bit * len(columns) + j)
+            )
+    return out.withColumn("__zkey", z).drop(
+        *[f"__lo_{c}" for c in columns],
+        *[f"__hi_{c}" for c in columns],
+        *rank_cols.keys(),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    *,
+    num_partitions: int | None = None,
+    bits_per_column: int = 8,
+    format: str = "parquet",
+) -> str:
+    """Write files Z-order-clustered on several columns: each file's
+    min/max stats are narrow in EVERY cluster dimension, so predicates
+    on any subset of them skip files. Use over ``write_clustered``
+    when queries filter on more than one column."""
+    keyed = zorder_key(df, cluster_columns, bits_per_column=bits_per_column)
+    out = (
+        keyed.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    out.sortWithinPartitions("__zkey").drop("__zkey").write.format(format).mode(
+        "overwrite"
+    ).save(path)
+    return path

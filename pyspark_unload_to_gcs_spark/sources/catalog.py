@@ -126,3 +126,43 @@ def current_timestamp_ms(spark: SparkSession) -> int:
 
     now = spark.sql("SELECT current_timestamp()").first()[0]
     return datetime_to_ms(now.replace(tzinfo=timezone.utc))
+
+
+def load_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under DIFFERENT
+    schema versions (columns added over time — the normal life of an
+    incrementally-exported table; the reference's ``SELECT *`` planners
+    inherit whatever schema each run sees, SURVEY.md §1).
+
+    ``mergeSchema`` unions all file footers into one superset schema;
+    files missing a column yield NULLs. Spark only merges *compatible*
+    evolution (added/reordered columns, int->long style widening is NOT
+    merged — a true type conflict raises, which is what you want at
+    100 TB rather than silent corruption)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def union_evolved(dfs: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted: align by COLUMN NAME and fill
+    columns missing on either side with NULLs (position-based union
+    would silently mix columns). The cross-window concatenation
+    primitive for incremental exports."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def conform_to_schema(df: DataFrame, target) -> DataFrame:
+    """Project ``df`` onto a target schema: missing columns become typed
+    NULLs, extra columns are DROPPED, matching columns are cast to the
+    target type. Gives every export window an identical column set and
+    types, no matter which schema version produced its source files —
+    downstream consumers never see a moving schema."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for field in target.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

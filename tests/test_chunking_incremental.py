@@ -122,3 +122,99 @@ def test_clustered_write_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path)
         pq.read_table(f).num_rows for f in glob.glob(f"{path}/part-*.parquet")
     )
     assert total == orders.count()
+
+
+def test_schema_evolution_merge_union_conform(spark, tmp_path):
+    """Evolving source schemas: v1 files lack a column v2 adds.
+    mergeSchema read yields the superset with NULLs; union_evolved
+    aligns by name; conform_to_schema pins every window to one stable
+    output schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pyspark_unload_to_gcs_spark.sources.catalog import (
+        conform_to_schema,
+        load_parquet_evolved,
+        union_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    v2 = spark.createDataFrame([(3, "c", 1.5)], "id bigint, name string, score double")
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+
+    merged = load_parquet_evolved(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[3] == 1.5
+
+    unioned = union_evolved([v1, v2])
+    assert set(unioned.columns) == {"id", "name", "score"}
+    assert unioned.count() == 3
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("score", DoubleType()),
+            StructField("grade", StringType()),  # not in any source -> NULL
+        ]
+    )
+    conformed = conform_to_schema(v1, target)
+    assert conformed.columns == ["id", "score", "grade"]
+    assert conformed.schema == target
+    assert {tuple(r) for r in conformed.collect()} == {(1, None, None), (2, None, None)}
+
+
+def test_zorder_files_are_narrow_in_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order vs 1-d clustering on (o_custkey, o_totalprice): 1-d
+    clustering leaves each file spanning ~the full price range, while
+    Z-order files must be narrow in BOTH dimensions — the property that
+    lets min/max stats skip files for predicates on either column."""
+    from pyspark_unload_to_gcs_spark.sinks.writers import write_clustered, write_zordered
+
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    lo_k, hi_k, lo_p, hi_p = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+
+    def file_fracs(path):
+        fracs = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=["o_custkey", "o_totalprice"])
+            ck, tp = t["o_custkey"].to_pylist(), t["o_totalprice"].to_pylist()
+            if ck:
+                fracs.append(
+                    (
+                        (max(ck) - min(ck)) / (hi_k - lo_k),
+                        (max(tp) - min(tp)) / (hi_p - lo_p),
+                    )
+                )
+        return fracs
+
+    zpath = str(tmp_path / "zorder")
+    cpath = str(tmp_path / "clustered1d")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_partitions=16)
+    write_clustered(orders, cpath, ["o_custkey"], num_partitions=16)
+
+    zfracs = file_fracs(zpath)
+    cfracs = file_fracs(cpath)
+    assert len(zfracs) >= 8
+    zk = sum(f[0] for f in zfracs) / len(zfracs)
+    zp = sum(f[1] for f in zfracs) / len(zfracs)
+    ck_ = sum(f[0] for f in cfracs) / len(cfracs)
+    cp = sum(f[1] for f in cfracs) / len(cfracs)
+    # 1-d: narrow in the cluster key, ~full range in price
+    assert ck_ < 0.35 and cp > 0.8
+    # z-order: meaningfully narrow in BOTH dims
+    assert zk < 0.6 and zp < 0.6, (zk, zp)
+    # no row loss
+    total = sum(pq.read_table(f).num_rows for f in glob.glob(f"{zpath}/part-*.parquet"))
+    assert total == orders.count()
+    # schema untouched (no __zkey leak)
+    assert "__zkey" not in pq.read_schema(glob.glob(f"{zpath}/part-*.parquet")[0]).names
