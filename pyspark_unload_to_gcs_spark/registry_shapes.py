@@ -385,3 +385,20 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99"),
         )
     )
+
+
+@register(
+    "nations_with_customers_and_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT (completes the set-op family next to the
+    EXCEPT in registry.py): nation keys present on both sides — planned
+    as a left-semi over distinct keys, so only distinct keys shuffle."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
