@@ -20,6 +20,8 @@ from tests.oracle_harness import assert_matches, duckdb_connection
 SEED = 20260813
 N_FILTERS = 20
 N_AGGS = 8
+N_JOINS = 10
+N_WINDOWS = 6
 
 # columns of `orders` usable identically in both dialects
 NUM_COLS = ["o_orderkey", "o_custkey"]
@@ -82,9 +84,66 @@ def _filter_sql(rng: random.Random) -> str:
     """
 
 
+def _cust_predicate(rng: random.Random) -> str:
+    kind = rng.choice(["bal", "seg", "mod", "null"])
+    if kind == "bal":
+        return f"c_acctbal {rng.choice(['<', '>', '<=', '>='])} {rng.choice([-500, 0, 1000, 5000])}"
+    if kind == "seg":
+        seg = rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"])
+        return f"c_mktsegment {rng.choice(['=', '!='])} '{seg}'"
+    if kind == "mod":
+        return f"c_nationkey % {rng.choice([2, 5])} = 0"
+    return "c_name IS NOT NULL"
+
+
+def _join_sql(rng: random.Random) -> str:
+    """Random join fuzz: INNER/LEFT orders⋈customer with predicates on
+    either side. COUNT(c_name) exercises outer-join NULL counting;
+    aggregates stay exact (count / decimal sum / min / max)."""
+    join_type = rng.choice(["JOIN", "LEFT JOIN"])
+    where = _predicate(rng)
+    if join_type == "JOIN" and rng.random() < 0.5:
+        where = f"({where}) AND ({_cust_predicate(rng)})"
+    group = rng.choice(STR_COLS)
+    return f"""
+    SELECT {group},
+           COUNT(*) AS n,
+           COUNT(c_name) AS n_matched,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(c_nationkey) AS min_nation
+    FROM orders {join_type} customer ON o_custkey = c_custkey
+    WHERE {where} GROUP BY {group}
+    """
+
+
+def _window_sql(rng: random.Random) -> str:
+    """Deterministic window fuzz: frames ordered by the unique
+    o_orderkey so ranking/offset results can't tie."""
+    part = rng.choice(STR_COLS)
+    direction = rng.choice(["ASC", "DESC"])
+    fn = rng.choice(
+        [
+            "ROW_NUMBER() OVER w",
+            f"LAG(o_orderkey) OVER w",
+            f"LEAD(o_custkey) OVER w",
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+            "(PARTITION BY {p} ORDER BY o_orderkey {d} ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS DOUBLE)",
+        ]
+    ).format(p=part, d=direction)
+    pred = _predicate(rng)
+    return f"""
+    SELECT o_orderkey, {part}, {fn} AS w_val
+    FROM orders WHERE {pred}
+    WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey {direction})
+    """
+
+
 _RNG = random.Random(SEED)
 FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
 AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
+JOIN_CASES = [(f"join_{i}", _join_sql(_RNG)) for i in range(N_JOINS)]
+WINDOW_CASES = [(f"window_{i}", _window_sql(_RNG)) for i in range(N_WINDOWS)]
 
 
 @pytest.fixture(scope="module")
@@ -97,10 +156,16 @@ def duck(sf_dir):
 @pytest.fixture(scope="module")
 def orders_view(spark, sf_dir):
     load_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    load_parquet(spark, f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
     yield
     spark.catalog.dropTempView("orders")
+    spark.catalog.dropTempView("customer")
 
 
-@pytest.mark.parametrize("name,sql", FILTER_CASES + AGG_CASES, ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "")
+@pytest.mark.parametrize(
+    "name,sql",
+    FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES,
+    ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "",
+)
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
     assert_matches(spark.sql(sql), duck, sql, name=name)
