@@ -166,3 +166,90 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+# PII scrub patterns (RE2-compatible so the DuckDB oracle can run the
+# SAME regexes: no lookaround, no backreferences). Order matters: URLs
+# can contain '@', so scrub them before emails.
+PII_PATTERNS = (
+    ("https?://\\S+", "<URL>"),
+    ("[\\w.+-]+@[\\w-]+\\.[\\w.-]+", "<EMAIL>"),
+    ("\\+?\\d[\\d()\\s-]{7,}\\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub URLs, emails and phone-shaped digit runs to typed
+    placeholders — the standard pre-training privacy pass. Chained
+    builtin regexp_replace (JVM regex, codegen'd); patterns are kept in
+    the RE2-compatible subset so the same strings drive any engine."""
+    out = text
+    for pattern, replacement in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def repetition_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher/C4-style quality
+    rules): token count and distinct-token count. High duplicate-token
+    ratios (n_distinct/n_tokens low) flag boilerplate/spam for the
+    quality gate."""
+    toks = tokens_col(F.col(text_column))
+    staged = df.withColumn("__toks", toks)
+    return staged.select(
+        *df.columns,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("__toks"))).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when the document has
+    fewer than ``n`` tokens). Token array is staged as an attribute by
+    callers before use in lambdas (HOF re-evaluation hazard — see
+    operators/dedup.py)."""
+    toks = tokens_col(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check (decontamination primitive): for
+    every corpus document, how many of its word n-grams appear in the
+    benchmark set. Returns (id, n_grams, n_contaminated); filter on
+    ``n_contaminated`` to drop tainted training documents.
+
+    Plan shape at 100 TB: the benchmark gram set is distinct-reduced
+    (small — benchmarks are thousands of docs, not billions) and
+    broadcast into a left join against the exploded corpus grams, so
+    the corpus never shuffles; docs with fewer than ``n`` tokens are
+    preserved with counts 0 (explode_outer keeps a NULL-gram row).
+    """
+    corpus_grams = corpus.select(
+        F.col(id_column), F.explode_outer(word_ngrams(F.col(text_column), n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_column), n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        corpus_grams.join(F.broadcast(bench_grams), on="gram", how="left")
+        .groupBy(id_column)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+    )
+    return per_doc

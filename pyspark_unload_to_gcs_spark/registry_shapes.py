@@ -402,3 +402,102 @@ def nations_with_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> Da
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id || '@example.com or https://ex.com/p/'
+                      || doc_id || ' tel +1 (555) 010-' || doc_id,
+                 'https?://\S+', '<URL>', 'g'),
+               '[\w.+-]+@[\w-]+\.[\w.-]+', '<EMAIL>', 'g'),
+             '\+?\d[\d()\s-]{7,}\d', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py ``redact_pii``): URL/email/phone
+    patterns to typed placeholders. The fixture text carries no PII, so
+    the query APPENDS synthetic contact strings first — both engines
+    then redact real matches, which pins the regex dialects to each
+    other (RE2-compatible subset)."""
+    from pyspark_unload_to_gcs_spark.operators.text import redact_pii
+
+    df = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or https://ex.com/p/"),
+        F.col("doc_id"),
+        F.lit(" tel +1 (555) 010-"),
+        F.col("doc_id"),
+    )
+    return df.select("doc_id", redact_pii(salted).alias("redacted"))
+
+
+@register(
+    "repetition_stats",
+    oracle=r"""
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals for the quality gate
+    (duplicate-token share flags boilerplate/spam)."""
+    from pyspark_unload_to_gcs_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text")).drop(
+        "text"
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+                    ELSE [array_to_string(t[i + 1 : i + 5], ' ')
+                          FOR i IN generate_series(0, len(t) - 5)] END AS g
+        FROM toks
+    ), corpus AS (
+        SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 != 0
+        UNION ALL
+        SELECT doc_id, NULL AS gram FROM grams WHERE doc_id % 20 != 0 AND len(g) = 0
+    ), bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0
+    )
+    SELECT c.doc_id,
+           COUNT(c.gram) AS n_grams,
+           COUNT(b.gram) AS n_contaminated
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination primitive: word-5-gram overlap of every corpus
+    document against a benchmark set (deterministic fixture split:
+    doc_id % 20 == 0 plays the benchmark). The distinct benchmark gram
+    set broadcasts; the corpus explodes narrowly and never shuffles
+    rows — only the tiny per-doc counts aggregate."""
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(corpus, bench, n=5)

@@ -218,3 +218,41 @@ def test_zorder_files_are_narrow_in_every_dimension(spark, sf_dir, tmp_path):
     assert total == orders.count()
     # schema untouched (no __zkey leak)
     assert "__zkey" not in pq.read_schema(glob.glob(f"{zpath}/part-*.parquet")[0]).names
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_contamination
+
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "intro text then the quick brown fox jumps over something else"),
+            (2, "completely unrelated words appear in this document here"),
+            (3, "tiny doc"),  # < 5 tokens -> zero grams, must survive with 0/0
+        ],
+    )
+    out = {r.doc_id: (r.n_grams, r.n_contaminated) for r in
+           ngram_contamination(corpus, bench, n=5).collect()}
+    assert out[1][0] == 7 and out[1][1] == 2  # "the quick brown fox jumps", "quick brown fox jumps over"
+    assert out[2] == (4, 0)  # 8 tokens -> 4 grams, none shared
+    assert out[3] == (0, 0)
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import redact_pii
+
+    rows = _docs(
+        spark,
+        [
+            (1, "mail me at a.b+c@d-corp.example.org today"),
+            (2, "see https://x.io/p?q=1#frag and http://y.z/path"),
+            (3, "call +1 (555) 010-7788 now"),
+            (4, "clean text stays untouched"),
+        ],
+    ).select("doc_id", redact_pii(F.col("text")).alias("t"))
+    got = {r.doc_id: r.t for r in rows.collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "clean text stays untouched"
