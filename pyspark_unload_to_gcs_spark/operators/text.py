@@ -203,18 +203,28 @@ def repetition_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Array of space-joined word n-grams (empty when the document has
-    fewer than ``n`` tokens). Token array is staged as an attribute by
-    callers before use in lambdas (HOF re-evaluation hazard — see
-    operators/dedup.py)."""
-    toks = tokens_col(text)
+    fewer than ``n`` tokens).
+
+    PERFORMANCE CONTRACT: ``toks`` must be a *materialized column
+    attribute* (plain ``F.col`` staged by a prior projection), never a
+    nested tokenization expression — the ``F.transform`` lambda body is
+    evaluated per gram position outside codegen, so a nested ``split``
+    re-runs per element (see operators/dedup.py, 25x measured)."""
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """One-expression convenience form of ``tokens_col`` ->
+    ``word_ngrams_from_tokens``. Fine for tests/small frames; hot paths
+    stage the token array first (performance contract above)."""
+    return word_ngrams_from_tokens(tokens_col(text), n)
 
 
 def ngram_contamination(
@@ -236,11 +246,18 @@ def ngram_contamination(
     the corpus never shuffles; docs with fewer than ``n`` tokens are
     preserved with counts 0 (explode_outer keeps a NULL-gram row).
     """
-    corpus_grams = corpus.select(
-        F.col(id_column), F.explode_outer(word_ngrams(F.col(text_column), n)).alias("gram")
+    # Staged projections: token arrays become real column attributes
+    # before the n-gram lambda references them (HOF re-eval hazard).
+    corpus_grams = (
+        corpus.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
+        .select(
+            F.col(id_column),
+            F.explode_outer(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+        )
     )
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_column), n)).alias("gram"))
+        benchmark.select(tokens_col(F.col(text_column)).alias("__toks"))
+        .select(F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

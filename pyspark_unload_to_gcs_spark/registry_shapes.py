@@ -501,3 +501,200 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     return ngram_contamination(corpus, bench, n=5)
+
+
+@register(
+    "q7_nation_pair_revenue",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+      AND n2.n_name IN ('NATION_18', 'NATION_19')
+      AND n1.n_name != n2.n_name
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+)
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped 6-way join: shipping revenue between two nations
+    by year, both directions. The classic disjunction ``(n1=A AND n2=B)
+    OR (n1=B AND n2=A)`` is rewritten as ``n1 IN (A,B) AND n2 IN (A,B)
+    AND n1 != n2`` so each membership test pushes into ITS dimension
+    scan independently — the fact table only meets pre-filtered dims.
+    nation and supplier broadcast (tiny); customer pre-joins its nation
+    so only one wide shuffle (lineitem⋈orders) remains."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = ["NATION_18", "NATION_19"]
+    supp_dim = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin(pair))),
+            s.s_nationkey == n.n_nationkey,
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        c.join(
+            F.broadcast(n.filter(F.col("n_name").isin(pair))),
+            c.c_nationkey == n.n_nationkey,
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(t.revenue AS DOUBLE) AS revenue
+    FROM (
+        SELECT o.o_custkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY o.o_custkey
+    ) t
+    JOIN customer c ON c.c_custkey = t.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: customers who returned the most revenue.
+    Aggregate-then-join — lineitem('R') ⋈ orders rolls up to |customers|
+    rows BEFORE touching the customer/nation dims, so the dims join a
+    tiny frame and the top-k TakeOrderedAndProject sees pre-aggregated
+    input. Tie-break on c_custkey keeps the LIMIT deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), c.c_custkey == per_cust.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .select(
+            "c_custkey", "c_name", "n_name", F.col("__rev").cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand != 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per part attribute
+    group, excluding a supplier blacklist (the fixture has no complaint
+    strings, so a deterministic key predicate plays the blacklist).
+    NOT IN becomes a broadcast LEFT ANTI join; (partkey, suppkey) pairs
+    are distinct-reduced FIRST so the part join and the count-distinct
+    expansion see collapsed pairs, not raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(p), p.p_partkey == pairs.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS + NOT EXISTS with a non-equi
+    component: in multi-supplier 'F' orders, the supplier who alone
+    returned items. Both subqueries become self-joins on l_orderkey
+    (equi, hash-joinable) carrying the ``suppkey !=`` inequality as an
+    extra join condition — LEFT SEMI for EXISTS, LEFT ANTI for NOT
+    EXISTS; l1 rows never duplicate. Supplier names broadcast in last."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    others = li.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk"))
+    l1 = l1.join(
+        others,
+        (l1.l_orderkey == others.__ok) & (l1.l_suppkey != others.__sk),
+        "left_semi",
+    )
+    r_others = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("__rok"), F.col("l_suppkey").alias("__rsk"))
+    )
+    l1 = l1.join(
+        r_others,
+        (l1.l_orderkey == r_others.__rok) & (l1.l_suppkey != r_others.__rsk),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
