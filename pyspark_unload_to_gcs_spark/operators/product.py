@@ -1,0 +1,184 @@
+"""Product-analytics operators over event streams: funnels, retention
+cohorts, rolling active users.
+
+These are the workloads the reference's upstream product (event
+analytics; see SURVEY.md §1 — the reference exports event tables for
+exactly this kind of downstream analysis) runs constantly; here they
+are first-class distributed operators instead of export-then-analyze.
+
+Scale posture (100 TB of events):
+- Funnel: ONE shuffle (groupBy user) + a per-user fold over the sorted
+  event array (builtin ``F.aggregate``; state is a tiny struct, the
+  lambda touches only attributes — cheap interpreted ops, no UDF).
+  Event arrays per user are bounded by per-user activity, not corpus
+  size; skewed power users can be pre-capped upstream if needed.
+- Retention: two aggregations over (user, period) pairs — the first
+  collapses raw events to distinct user-periods (map-side partial
+  dedup), everything after is |users|-scale, not |events|-scale.
+- Rolling actives: the day dimension is tiny (years of days fit in a
+  broadcast), so the range join expands each (user, day) at most
+  ``window`` times — a narrow broadcast-nested-loop, never a cartesian.
+
+Time is handled as epoch-ms BIGINT from ``functions.timestamps``
+(session-tz independent), with integer day/7-day-bucket arithmetic so
+any SQL engine reproduces the boundaries exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+
+MS_PER_DAY = 86_400_000
+
+
+def day_number(ts_ms: Column) -> Column:
+    """Integral day index since the epoch (ms // 86_400_000). Integer
+    division keeps bucket boundaries bit-identical across engines
+    (float division would not)."""
+    return (ts_ms / F.lit(MS_PER_DAY)).cast("bigint")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    type_column: str = "event_type",
+) -> DataFrame:
+    """Strict ordered funnel: per user, ``step_i`` completes at the
+    FIRST occurrence of ``steps[i]`` strictly after the completion of
+    ``step_{i-1}`` (first-touch semantics — the canonical product-
+    analytics funnel).
+
+    Returns one row per user who completed step 1, with nullable
+    ``step{i}_ms`` epoch-ms columns. Conversion counts are a trivial
+    aggregation over this frame.
+
+    Implementation: one groupBy(user) collecting (ts, type) structs,
+    ``sort_array`` (chronological; struct compare breaks ties by type),
+    then a single ``F.aggregate`` fold carrying the step-timestamp
+    struct. The fold sees each event once, so the whole funnel is one
+    shuffle + O(events-per-user) work — no per-step joins, no windows,
+    no Python. The events scan is pre-filtered to the step types, so
+    irrelevant events never shuffle.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = events.select(
+        F.col(user_column).alias("user_id"),
+        epoch_ms(events, time_column).alias("__ts_ms"),
+        F.col(type_column).alias("__etype"),
+    ).filter(F.col("__etype").isin(list(steps)))
+
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("__ts_ms", "__etype"))).alias("__seq")
+    )
+
+    n = len(steps)
+    zero = F.struct(
+        *[F.lit(None).cast("bigint").alias(f"s{i}") for i in range(n)]
+    )
+
+    def fold(acc: Column, e: Column) -> Column:
+        fields = []
+        for i, step in enumerate(steps):
+            prev_done = F.lit(True) if i == 0 else acc[f"s{i - 1}"].isNotNull()
+            gate = F.lit(0) if i == 0 else F.coalesce(acc[f"s{i - 1}"], F.lit(0))
+            hit = (
+                acc[f"s{i}"].isNull()
+                & prev_done
+                & (e["__etype"] == step)
+                & (e["__ts_ms"] > gate)
+            )
+            fields.append(
+                F.coalesce(acc[f"s{i}"], F.when(hit, e["__ts_ms"])).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    folded = per_user.select(
+        "user_id", F.aggregate("__seq", zero, fold).alias("__f")
+    )
+    out = folded.select(
+        "user_id",
+        *[F.col(f"__f.s{i}").alias(f"step{i + 1}_ms") for i in range(n)],
+    )
+    return out.filter(F.col("step1_ms").isNotNull())
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their first-activity
+    period (``period_days``-day buckets anchored at the epoch), counted
+    in every later period they return. Returns
+    (cohort_period, period_offset, n_users).
+
+    Two-phase: raw events collapse to DISTINCT (user, period) pairs
+    first (the |events| -> |user-periods| reduction happens map-side in
+    the distinct's partial aggregation), then a per-user min() derives
+    the cohort and a broadcast join back tags each activity period.
+    Everything after the first distinct is user-scale.
+    """
+    pd_ms = period_days * MS_PER_DAY
+    per = (
+        events.select(
+            F.col(user_column).alias("user_id"),
+            (epoch_ms(events, time_column) / F.lit(pd_ms)).cast("bigint").alias("period"),
+        )
+        .distinct()
+    )
+    cohort = per.groupBy("user_id").agg(F.min("period").alias("cohort_period"))
+    return (
+        per.join(cohort, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per observed day: exact distinct actives that day (DAU) and over
+    the trailing ``window_days`` (e.g. WAU/MAU). Returns
+    (day_num, dau, wau).
+
+    Exact rolling distinct cannot use a window frame (distinct doesn't
+    decompose), so: collapse to distinct (user, day), build the tiny
+    observed-day dimension, and range-join it back — each user-day lands
+    in at most ``window_days`` output rows. The day dimension broadcasts
+    (years of days ≪ broadcast threshold), so the expansion is a narrow
+    broadcast-nested-loop over an already user-scale frame, not a
+    shuffle of raw events.
+    """
+    user_days = (
+        events.select(
+            F.col(user_column).alias("user_id"),
+            day_number(epoch_ms(events, time_column)).alias("day_num"),
+        )
+        .distinct()
+    )
+    days = user_days.select("day_num").distinct().withColumnRenamed("day_num", "d")
+    joined = user_days.join(
+        F.broadcast(days),
+        (F.col("day_num") <= F.col("d"))
+        & (F.col("day_num") > F.col("d") - window_days),
+    )
+    return joined.groupBy(F.col("d").alias("day_num")).agg(
+        F.countDistinct(F.when(F.col("day_num") == F.col("d"), F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )

@@ -286,6 +286,7 @@ def _load_extensions() -> None:
     Deferred to avoid circulars; idempotent (module cache)."""
     from pyspark_unload_to_gcs_spark import registry_analytics  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_extensions  # noqa: F401
+    from pyspark_unload_to_gcs_spark import registry_product  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_shapes  # noqa: F401
 
 

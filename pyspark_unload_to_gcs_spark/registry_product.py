@@ -1,0 +1,106 @@
+"""Product-analytics queries over the events fixture: funnel, cohort
+retention, rolling active users (operators/product.py).
+
+The funnel's DuckDB oracle deliberately uses a DIFFERENT formulation
+(per-step min-joins with strict-inequality gates) than the Spark
+implementation (single sorted-array fold): both compute the same
+first-touch strict-ordered semantics, so the hash match validates the
+fold against an independently-derived answer, not against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_unload_to_gcs_spark.operators.product import (
+    funnel,
+    retention_cohorts,
+    rolling_active_users,
+)
+from pyspark_unload_to_gcs_spark.registry import _t, register
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_type
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, MIN(ts_ms) AS step1_ms
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts_ms) AS step2_ms
+        FROM e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_ms > s1.step1_ms
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts_ms) AS step3_ms
+        FROM e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_ms > s2.step2_ms
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.step1_ms, s2.step2_ms, s3.step3_ms
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered view→click→purchase funnel, one row per user who
+    viewed, nullable epoch-ms completion per step. Spark side is a
+    single groupBy + sorted-array fold (one shuffle); the oracle is the
+    classic per-step min-join cascade — independent formulations, same
+    semantics."""
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH per AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS period
+        FROM events
+    ),
+    coh AS (
+        SELECT user_id, MIN(period) AS cohort_period FROM per GROUP BY user_id
+    )
+    SELECT coh.cohort_period,
+           per.period - coh.cohort_period AS period_offset,
+           COUNT(DISTINCT per.user_id) AS n_users
+    FROM per JOIN coh ON coh.user_id = per.user_id
+    GROUP BY coh.cohort_period, period_offset
+    """,
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (7-day buckets anchored at the
+    epoch — pure integer arithmetic, engine-portable boundaries)."""
+    return retention_cohorts(_t(spark, sf_dir, "events"), period_days=7)
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_num
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_num AS d FROM ud)
+    SELECT days.d AS day_num,
+           COUNT(DISTINCT CASE WHEN ud.day_num = days.d THEN ud.user_id END) AS dau,
+           COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud ON ud.day_num <= days.d AND ud.day_num > days.d - 7
+    GROUP BY days.d
+    """,
+)
+def rolling_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-7-day actives per observed day. Distinct
+    (user, day) first, then a broadcast range join against the tiny day
+    dimension — rolling distinct can't use a window frame (distinct
+    doesn't decompose into frame increments)."""
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
