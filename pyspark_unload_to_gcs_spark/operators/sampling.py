@@ -19,8 +19,16 @@ def split_threshold_hex(fraction: float, hex_digits: int = _HEX_DIGITS) -> str:
     strictly below it fall in the selected fraction. Lowercase-hex
     string order is isomorphic to numeric order, so a plain string
     comparison works in ANY engine (no hex->int builtin needed).
-    Effective fraction quantizes to 1/16^hex_digits (~6e-5 at 4)."""
-    return format(int(fraction * 16**hex_digits), f"0{hex_digits}x")
+    Effective fraction quantizes to 1/16^hex_digits (~6e-5 at 4).
+
+    fraction >= 1 returns ``"g"`` — a single char sorting above every
+    hex digit, so ``prefix < "g"`` keeps all rows (the naive
+    ``"10000"`` would compare char-by-char against 4-char prefixes and
+    wrongly DROP anything starting with '2'-'f')."""
+    n = int(fraction * 16**hex_digits)
+    if n >= 16**hex_digits:
+        return "g"
+    return format(n, f"0{hex_digits}x")
 
 
 def deterministic_split(
@@ -57,3 +65,37 @@ def take_per_stratum(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_column: str,
+    rates: dict[str, float],
+    id_column: str,
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic source mixing: keep each row of stratum ``s`` with
+    probability ``rates[s]`` (strata absent from ``rates`` get
+    ``default_rate``) — the data-mixing primitive for assembling a
+    training corpus from per-source target weights.
+
+    Selection hashes (id, stratum) through md5 and string-compares the
+    prefix against the stratum's threshold, so membership is a pure
+    per-row function: reproducible across runs, engines, cluster sizes
+    and retries, and rows keep/drop CONSISTENTLY as rates move (raising
+    a rate only ever adds rows — hash prefixes sort below the higher
+    threshold too — so mixture sweeps are nested, not re-rolled).
+    Narrow map + filter; no shuffle, no RNG state.
+    """
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_column).cast("string"), F.col(stratum_column))),
+        1,
+        _HEX_DIGITS,
+    )
+    thresh = F.lit(split_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_column) == value, F.lit(split_threshold_hex(rate))
+        ).otherwise(thresh)
+    return df.filter(prefix < thresh)

@@ -276,6 +276,37 @@ def balanced_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return take_per_stratum(docs, ["lang"], 40, order_column="__pick").drop("__pick")
 
 
+@register(
+    "weighted_source_mix",
+    # thresholds = split_threshold_hex: 1.0->'g', 0.5->'8000',
+    # 0.25->'4000', 0.1->'1999', default 0.05->'0ccc'
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
+          CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+                      WHEN 'src2' THEN '4000' WHEN 'src3' THEN '1999'
+                      ELSE '0ccc' END
+    GROUP BY source
+    """,
+)
+def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing (operators/sampling.py weighted_mix):
+    per-source keep rates via md5(id:source)-prefix thresholds — the
+    corpus-assembly primitive. Nested under rate sweeps (raising a rate
+    only adds rows), no RNG, no shuffle; rolled up per source."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import weighted_mix
+
+    out = weighted_mix(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        "doc_id",
+        default_rate=0.05,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

@@ -192,3 +192,35 @@ def test_row_count_guard_passes(spark):
 def test_row_count_guard_raises(spark):
     with pytest.raises(RowCountExceededError):
         row_count_guard(spark.range(100), 10)
+
+
+def test_weighted_mix_rates_and_nesting(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.operators.sampling import weighted_mix
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+    import os
+
+    docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = weighted_mix(docs, "source", rates, "doc_id", default_rate=0.2)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["src0"] == total["src0"]          # rate 1.0 keeps ALL rows
+    assert "src2" not in counts                     # rate 0.0 drops all
+    assert 0 < counts["src1"] < total["src1"]
+    # nesting: raising a rate only ADDS rows (no re-roll)
+    lo = set(r.doc_id for r in weighted_mix(docs, "source", {"src1": 0.3}, "doc_id").collect())
+    hi = set(r.doc_id for r in weighted_mix(docs, "source", {"src1": 0.6}, "doc_id").collect())
+    assert lo <= hi
+    # determinism across invocations
+    again = set(r.doc_id for r in weighted_mix(docs, "source", {"src1": 0.3}, "doc_id").collect())
+    assert lo == again
+
+
+def test_split_threshold_hex_boundaries():
+    from pyspark_unload_to_gcs_spark.operators.sampling import split_threshold_hex
+
+    assert split_threshold_hex(0.0) == "0000"
+    assert split_threshold_hex(0.5) == "8000"
+    assert split_threshold_hex(1.0) == "g"      # sorts above every hex prefix
+    assert split_threshold_hex(2.0) == "g"
+    assert "ffff" < "g"
