@@ -65,13 +65,14 @@ def skewed_keys(
 ) -> DataFrame:
     """Frequency probe: keys holding more than ``min_fraction`` of all
     rows (the candidates to isolate into a broadcast-joined hot path).
-    One aggregation over the key only."""
+    One aggregation over the key only; the key itself tie-breaks the
+    top-k so the cut is deterministic across engines and retries."""
     total = df.count()
     return (
         df.groupBy(key_column)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("fraction", F.col("n_rows") / F.lit(float(total)))
         .filter(F.col("fraction") >= min_fraction)
-        .orderBy(F.col("n_rows").desc())
+        .orderBy(F.col("n_rows").desc(), F.col(key_column).asc())
         .limit(top)
     )

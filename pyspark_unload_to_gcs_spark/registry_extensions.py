@@ -307,6 +307,27 @@ def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@register(
+    "hot_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS fraction
+    FROM events
+    GROUP BY user_id
+    HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) >= 0.002
+    ORDER BY n_rows DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter probe (operators/skew.py skewed_keys): users holding
+    >= 0.2% of all events, deterministic top-20 — the skew-mitigation
+    planning input (which keys to salt or broadcast-isolate)."""
+    from pyspark_unload_to_gcs_spark.operators.skew import skewed_keys
+
+    return skewed_keys(_t(spark, sf_dir, "events"), "user_id", min_fraction=0.002, top=20)
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under
