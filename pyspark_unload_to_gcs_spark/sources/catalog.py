@@ -166,3 +166,48 @@ def conform_to_schema(df: DataFrame, target) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV ingestion (the reverse of the K2 export path). Prefer an
+    explicit ``schema`` DDL string: ``inferSchema`` costs a FULL extra
+    pass over the data before the real read — at 100 TB that doubles
+    the scan, so inference is opt-in and meant for exploration only.
+    PERMISSIVE mode with a ``_corrupt_record`` column would be the
+    quarantine pattern; default here is strict (fail fast on bad rows,
+    matching the engine's fail-early posture)."""
+    reader = spark.read.format("csv").option("header", header).option("mode", "FAILFAST")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    else:
+        raise ValueError("load_csv needs schema=... or infer=True (full extra pass)")
+    return reader.load(path)
+
+
+def load_json(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """JSON-lines ingestion (the reverse of the K1 export path; reads
+    .json and .json.gz alike — codecs come from file extensions). Same
+    explicit-schema posture as load_csv: schema inference over JSON
+    samples the data with an extra pass and can mistype sparse fields,
+    so production readers pass the DDL."""
+    reader = spark.read.format("json")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not infer:
+        raise ValueError("load_json needs schema=... or infer=True (full extra pass)")
+    return reader.load(path)

@@ -190,3 +190,36 @@ def test_custom_sql_source(spark, tmp_path):
     assert rec.first().two == 2
     with pytest.raises(FileNotFoundError):
         custom_sql_source(spark, str(tmp_path / "missing"), 0, 1)
+
+
+def test_export_roundtrip_json_and_csv(spark, sf_dir, tmp_path):
+    """K1/K2 exports are re-ingestable: gzip JSON-lines and CSV written
+    by write_export read back with identical contents through the
+    explicit-schema readers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_csv, load_json, load_parquet
+
+    src = load_parquet(spark, os.path.join(sf_dir, "nation.parquet"))
+    ddl = "n_nationkey int, n_name string, n_regionkey int"
+
+    jdir = f"file:{tmp_path}/j"
+    write_export(src, SyncConfig(table="nation", output_uri=jdir, export_format="json"))
+    back_j = load_json(spark, jdir, schema=ddl)
+    assert {tuple(r) for r in back_j.collect()} == {tuple(r) for r in src.collect()}
+
+    cdir = f"file:{tmp_path}/c"
+    write_export(src, SyncConfig(table="nation", output_uri=cdir, export_format="csv"))
+    back_c = load_csv(spark, cdir, schema=ddl)
+    assert {tuple(r) for r in back_c.collect()} == {tuple(r) for r in src.collect()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_csv(spark, cdir)
+    with pytest.raises(ValueError):
+        load_json(spark, jdir)
