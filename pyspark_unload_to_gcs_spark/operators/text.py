@@ -8,7 +8,7 @@ no shuffle except the explicit group-bys in ``text_stats``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -270,3 +270,51 @@ def ngram_contamination(
         )
     )
     return per_doc
+
+
+def pack_documents(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    token_budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget bins. Returns (id, shard, bin_id, n_tokens, bin_offset)
+    — a downstream writer concatenates each (shard, bin_id) group.
+
+    Packing is start-offset binning: documents are laid end-to-end in
+    deterministic id order and a document belongs to the bin its FIRST
+    token falls in (bins can overflow by at most one document — the
+    standard pack-with-overflow used when truncation/splitting is
+    handled by the tokenizer stage).
+
+    Scale shape: a global running sum would serialize onto one
+    partition, so documents first shard by ``id % n_shards`` and the
+    cumulative sum runs per shard (Window.partitionBy(shard)) —
+    embarrassingly parallel, bins never cross shards. At 100 TB set
+    ``n_shards`` ≈ cluster cores; determinism is preserved because the
+    shard function and the intra-shard order are both pure functions of
+    the id.
+    """
+    toks = tokens_col(F.col(text_column))
+    staged = df.select(
+        F.col(id_column),
+        (F.col(id_column) % n_shards).alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_column).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__pre")
+    staged = staged.select(F.col(id_column), "shard", "n_tokens", pre)
+    return staged.select(
+        F.col(id_column),
+        "shard",
+        F.floor(F.col("__pre") / token_budget).cast("bigint").alias("bin_id"),
+        "n_tokens",
+        (F.col("__pre") % token_budget).cast("bigint").alias("bin_offset"),
+    )

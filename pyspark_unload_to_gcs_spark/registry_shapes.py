@@ -698,3 +698,34 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "sequence_packing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), pre AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS p
+        FROM toks
+    )
+    SELECT doc_id, shard, p // 512 AS bin_id, n_tokens, p % 512 AS bin_offset
+    FROM pre
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (operators/text.py ``pack_documents``):
+    documents laid end-to-end in deterministic id order within hash
+    shards, binned by 512-token budgets via a per-shard running sum —
+    embarrassingly parallel (bins never cross shards), no global
+    ordering bottleneck."""
+    from pyspark_unload_to_gcs_spark.operators.text import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), token_budget=512, n_shards=8)

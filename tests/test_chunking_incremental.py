@@ -256,3 +256,20 @@ def test_redact_pii_patterns(spark):
     assert got[2] == "see <URL> and <URL>"
     assert got[3] == "call <PHONE> now"
     assert got[4] == "clean text stays untouched"
+
+
+def test_pack_documents_bins_respect_budget_semantics(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import pack_documents
+
+    # doc i has i+1 tokens; shard = doc_id % 2
+    docs = _docs(spark, [(i, " ".join(["w"] * (i + 1))) for i in range(8)])
+    out = {r.doc_id: r for r in
+           pack_documents(docs, token_budget=10, n_shards=2).collect()}
+    # shard 0: docs 0(1),2(3),4(5),6(7) -> pre-sums 0,1,4,9 -> bins 0,0,0,0
+    assert [out[i].bin_id for i in (0, 2, 4, 6)] == [0, 0, 0, 0]
+    assert [out[i].bin_offset for i in (0, 2, 4, 6)] == [0, 1, 4, 9]
+    # shard 1: docs 1(2),3(4),5(6),7(8) -> pre 0,2,6,12 -> bins 0,0,0,1
+    assert [out[i].bin_id for i in (1, 3, 5, 7)] == [0, 0, 0, 1]
+    assert out[7].bin_offset == 2
+    # start-offset binning: a doc belongs to the bin its first token falls in
+    assert all(r.bin_offset < 10 for r in out.values())
