@@ -328,6 +328,34 @@ def hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skewed_keys(_t(spark, sf_dir, "events"), "user_id", min_fraction=0.002, top=20)
 
 
+@register(
+    "constraint_profile_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS nulls__o_custkey,
+           COUNT(DISTINCT o_orderkey) AS distinct__o_orderkey,
+           COUNT(o_orderkey) AS present__o_orderkey,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min__o_totalprice,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max__o_totalprice
+    FROM orders
+    """,
+)
+def constraint_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile (operators/quality.py): null
+    count, key uniqueness counters and value ranges from ONE
+    aggregation — the batch-gate pattern that avoids a scan per rule."""
+    from pyspark_unload_to_gcs_spark.operators.quality import Rules, constraint_profile
+
+    return constraint_profile(
+        _t(spark, sf_dir, "orders"),
+        Rules(
+            not_null=("o_custkey",),
+            unique=("o_orderkey",),
+            ranges={"o_totalprice": (0.0, 1e9)},
+        ),
+    )
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

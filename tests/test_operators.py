@@ -224,3 +224,37 @@ def test_split_threshold_hex_boundaries():
     assert split_threshold_hex(1.0) == "g"      # sorts above every hex prefix
     assert split_threshold_hex(2.0) == "g"
     assert "ffff" < "g"
+
+
+def test_constraint_gate_passes_and_fails(spark):
+    import pytest
+
+    from pyspark_unload_to_gcs_spark.operators.quality import (
+        ConstraintViolation,
+        Rules,
+        validate_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.5), (3, None, 9.9)],
+        "id bigint, name string, score double",
+    )
+    # clean rules pass and return the profile row
+    row = validate_batch(df, Rules(not_null=("id",), unique=("id",), min_rows=3,
+                                   ranges={"score": (0.0, 10.0)}))
+    assert row.n_rows == 3
+
+    # every violated rule is reported, not just the first
+    bad = Rules(not_null=("name",), unique=("name",), min_rows=10,
+                ranges={"score": (6.0, 8.0)})
+    with pytest.raises(ConstraintViolation) as exc:
+        validate_batch(df, bad)
+    msg = str(exc.value)
+    assert "min_rows" in msg and "not_null[name]" in msg
+    assert "range[score]: min" in msg and "range[score]: max" in msg
+
+    # uniqueness counts duplicates over PRESENT values only
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "k bigint")
+    with pytest.raises(ConstraintViolation) as exc2:
+        validate_batch(dup, Rules(unique=("k",)))
+    assert "unique[k]: 1 duplicate" in str(exc2.value)
