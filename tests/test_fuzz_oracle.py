@@ -22,6 +22,8 @@ N_FILTERS = 20
 N_AGGS = 8
 N_JOINS = 10
 N_WINDOWS = 6
+N_SETOPS = 6
+N_SCALARS = 8
 
 # columns of `orders` usable identically in both dialects
 NUM_COLS = ["o_orderkey", "o_custkey"]
@@ -139,11 +141,49 @@ def _window_sql(rng: random.Random) -> str:
     """
 
 
+def _setop_sql(rng: random.Random) -> str:
+    """Set-operation fuzz: UNION / UNION ALL / INTERSECT / EXCEPT over
+    two differently-filtered projections of the same table. DISTINCT
+    variants exercise Spark's HashAggregate-based dedup vs DuckDB's."""
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = rng.choice(["o_orderstatus", "o_orderstatus, o_orderpriority", "o_custkey % 10 AS k"])
+    a, b = _predicate(rng), _predicate(rng)
+    return f"""
+    SELECT {cols} FROM orders WHERE {a}
+    {op}
+    SELECT {cols} FROM orders WHERE {b}
+    """
+
+
+def _scalar_sql(rng: random.Random) -> str:
+    """Scalar-expression fuzz over the shared function subset: string
+    case/trim/concat/length, integer arithmetic, CASE, coalesce/nullif,
+    greatest/least — projected per row (no aggregation masking)."""
+    expr = rng.choice(
+        [
+            "upper(o_orderstatus) || '_' || lower(o_orderpriority)",
+            "length(trim(o_orderpriority))",
+            "abs(o_custkey - 750) + o_orderkey % 13",
+            "CASE WHEN o_totalprice > 100000 THEN 'big' WHEN o_totalprice > 10000 THEN 'mid' ELSE 'small' END",
+            "coalesce(nullif(o_orderstatus, 'O'), 'open')",
+            "greatest(o_orderkey % 97, o_custkey % 89)",
+            "least(length(o_orderpriority), o_orderkey % 7)",
+            "replace(o_orderpriority, '-', ':')",
+        ]
+    )
+    pred = _predicate(rng)
+    return f"""
+    SELECT o_orderkey, {expr} AS v FROM orders WHERE {pred}
+    """
+
+
 _RNG = random.Random(SEED)
 FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
 AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
 JOIN_CASES = [(f"join_{i}", _join_sql(_RNG)) for i in range(N_JOINS)]
 WINDOW_CASES = [(f"window_{i}", _window_sql(_RNG)) for i in range(N_WINDOWS)]
+SETOP_CASES = [(f"setop_{i}", _setop_sql(_RNG)) for i in range(N_SETOPS)]
+SCALAR_CASES = [(f"scalar_{i}", _scalar_sql(_RNG)) for i in range(N_SCALARS)]
 
 
 @pytest.fixture(scope="module")
@@ -164,7 +204,7 @@ def orders_view(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name,sql",
-    FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES,
+    FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES + SETOP_CASES + SCALAR_CASES,
     ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "",
 )
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
