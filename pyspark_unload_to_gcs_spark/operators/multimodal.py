@@ -23,7 +23,9 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -228,3 +230,61 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum("media_meta.byte_length").alias("total_bytes"),
         F.max("media_meta.byte_length").alias("max_bytes"),
     )
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def embed_media(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+    dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Media -> embedding extraction over ``mapInPandas`` (the encoder
+    stage of a multimodal retrieval/dedup pipeline; output plugs
+    straight into operators/similarity.py cosine_topk /
+    embedding_near_dedup).
+
+    A real encoder (CLIP-style vision tower) is STUBBED — no model
+    runtimes in this environment; ``fake=False`` raises. The fake
+    encoder is a deterministic L2-normalized byte histogram folded to
+    ``dim`` buckets, which preserves the property tests need: identical
+    payloads embed identically, near-identical payloads embed nearby.
+
+    Batch shape matters at scale: histogramming is numpy-vectorized per
+    Arrow batch (no per-row Python in the inner loop beyond the byte
+    view), and only (id, payload) ship to Python — Catalyst prunes all
+    other columns from the scan.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media embedding requires a model runtime not present in this "
+            "environment; pass fake=True for the deterministic test encoder"
+        )
+
+    id_col, payload_col, d = id_column, payload_column, dim
+
+    def _embed(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_vecs = [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(raw) if raw is not None else b"", dtype=np.uint8)
+                hist = np.bincount(b % d, minlength=d).astype(np.float32) if b.size else np.zeros(d, np.float32)
+                norm = float(np.linalg.norm(hist))
+                vec = (hist / norm) if norm > 0 else hist
+                out_ids.append(int(i))
+                out_vecs.append(vec.tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "embedding": out_vecs})
+
+    return df.select(id_column, payload_column).mapInPandas(_embed, EMBED_SCHEMA)

@@ -356,6 +356,24 @@ def constraint_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_embed_topk")  # rows-only: Pandas-UDF encoder, not SQL-expressible
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval: binary payloads -> deterministic
+    fake encoder (mapInPandas, numpy-vectorized per Arrow batch) ->
+    exact cosine top-k against the embedded corpus — the encoder stage
+    plugging straight into the similarity stack."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, embed_media
+    from pyspark_unload_to_gcs_spark.operators.similarity import cosine_topk
+
+    docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
+    embedded = embed_media(docs, dim=16, fake=True)
+    query = [1.0] + [0.0] * 15
+    return cosine_topk(
+        embedded, query, k=25, id_column="doc_id", vec_column="embedding",
+        ensure_parallel=False,
+    )
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

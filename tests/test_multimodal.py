@@ -60,3 +60,41 @@ def test_decode_deterministic(payloads):
     a = {r.doc_id: r.feature for r in decode_media(payloads, fake=True).collect()}
     b = {r.doc_id: r.feature for r in decode_media(payloads, fake=True).collect()}
     assert a == b and len(a) == 50
+
+
+def test_embed_media_deterministic_and_normalized(spark):
+    import math
+
+    import pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, embed_media
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb"), (2, "aaaa bbbb"), (3, "zzzz completely different")],
+        "doc_id bigint, text string",
+    )
+    payloads = attach_payload(docs, "text")
+    out = {r.doc_id: r.embedding for r in embed_media(payloads, dim=16, fake=True).collect()}
+    # identical payloads embed identically
+    assert out[1] == out[2]
+    # unit-normalized
+    assert math.isclose(sum(v * v for v in out[1]), 1.0, rel_tol=1e-5)
+    assert len(out[3]) == 16 and out[3] != out[1]
+    # real encoder is stubbed
+    with pytest.raises(NotImplementedError):
+        embed_media(payloads, fake=False)
+
+
+def test_embed_topk_retrieves_self(spark):
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, embed_media
+    from pyspark_unload_to_gcs_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    emb = embed_media(attach_payload(docs, "text"), dim=16, fake=True)
+    target = emb.filter("doc_id = 7").first().embedding
+    top = cosine_topk(emb, [float(v) for v in target], k=3,
+                      id_column="doc_id", vec_column="embedding", ensure_parallel=False)
+    assert top.first().doc_id == 7  # nearest neighbor of a vector is itself
