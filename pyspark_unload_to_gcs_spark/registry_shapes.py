@@ -729,3 +729,111 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_unload_to_gcs_spark.operators.text import pack_documents
 
     return pack_documents(_t(spark, sf_dir, "documents"), token_budget=512, n_shards=8)
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN ns.n_name = 'NATION_19'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within ASIA-customer orders, one
+    supplier nation's revenue share per year. Numerator and denominator
+    come from the SAME conditional aggregation (one pass over the
+    7-table join; the ratio stays with the consumer so checked values
+    remain exact decimals). Every dimension broadcasts pre-filtered:
+    the region predicate collapses customer-nation to the ASIA subset
+    BEFORE the fact join, so non-ASIA orders drop at the earliest
+    possible join, not in a post-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_nations = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust_asia = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == F.col("cust_nk")
+    ).select("c_custkey")
+    supp_dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    zero = F.lit(0).cast(DEC)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"), "inner")
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_19", rev).otherwise(zero))
+        .cast("double")
+        .alias("nation_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS amount,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, order_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit rollup by supplier nation ×
+    year (fixture has no partsupp, so amount = discounted revenue).
+    The part LIKE-filter prunes the fact FIRST via a broadcast semi
+    join on the filtered part keys — the big lineitem⋈orders shuffle
+    then only carries widget lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    supp_dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return joined.groupBy(
+        "nation", F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.sum(rev).cast("double").alias("amount"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
