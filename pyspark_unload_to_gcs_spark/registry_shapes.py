@@ -837,3 +837,69 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("double").alias("amount"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH mn AS (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT DISTINCT l.l_partkey, l.l_suppkey, l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN mn ON mn.l_partkey = l.l_partkey AND l.l_extendedprice = mn.min_price
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin retrieval: the supplier(s) charging the
+    minimum price per part. The correlated ``= (SELECT MIN ...)``
+    decorrelates into aggregate-then-join-back on (key, value) equality
+    — the per-part minimum frame is |parts|-sized and broadcasts; ties
+    (several suppliers at the min) all survive, deduped exactly.
+    Price equality compares raw parquet doubles — bit-identical on
+    both sides, no arithmetic applied."""
+    li = _t(spark, sf_dir, "lineitem")
+    mn = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            F.broadcast(mn),
+            (li.l_partkey == mn.pk) & (li.l_extendedprice == mn.min_price),
+        )
+        .select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("min_price"))
+        .distinct()
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM rev
+    WHERE v * 500 > (SELECT SUM(v) FROM rev)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped HAVING against a global scalar subquery: parts
+    whose revenue exceeds 0.2% of total revenue. The global total is a
+    one-row aggregate broadcast into the per-part frame (no driver
+    collect — the scalar stays in the plan); the fraction threshold is
+    cross-multiplied (v*500 > total) so the comparison stays in exact
+    decimal on both engines. The per-part aggregate is computed ONCE
+    and feeds both the total and the filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("v")
+    )
+    total = rev.agg(F.sum("v").alias("t"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("t"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
