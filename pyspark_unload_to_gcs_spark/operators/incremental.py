@@ -67,3 +67,59 @@ def finalize_state(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.col("state_max").alias("max_value"),
         (F.col("state_sum").cast("double") / F.col("state_cnt")).alias("avg_value"),
     )
+
+
+def topk_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_column: str,
+    id_column: str,
+    k: int,
+) -> DataFrame:
+    """Per-key mergeable TOP-K state: a sorted array of the k largest
+    (value, id) structs (ties broken id-descending — the same order
+    struct comparison yields, so batch and merge agree bit-for-bit).
+
+    Bounded before collection: a per-key ``row_number`` keeps only k
+    rows per key ahead of ``collect_list``, so state size is O(k) per
+    key no matter how large the batch — the window and the groupBy
+    share one hash partitioning (single Exchange). The states form a
+    commutative monoid under ``merge_topk_states`` (echoing the
+    incremental interactive top-k literature): any window split,
+    retry, or arrival order merges to the same top-k.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(*keys, F.col(value_column).alias("v"), F.col(id_column).alias("id"))
+    w = Window.partitionBy(*keys).orderBy(F.col("v").desc(), F.col("id").desc())
+    bounded = staged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    s = F.struct(F.col("v"), F.col("id"))
+    return bounded.groupBy(*keys).agg(
+        F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("state_topk")
+    )
+
+
+def merge_topk_states(states: Sequence[DataFrame], keys: Sequence[str], k: int) -> DataFrame:
+    """Fold top-k state tables: per key, concatenate candidate arrays,
+    re-sort descending, keep k. Pure array expressions — merge cost is
+    O(|keys| × windows × k), never touches raw rows."""
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("state_topk")), asc=False), 1, k
+        ).alias("state_topk")
+    )
+
+
+def finalize_topk(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Explode the state array to user-facing (keys, rank, id, value)
+    rows; rank 1 = largest value."""
+    exploded = state.select(
+        *keys, F.posexplode("state_topk").alias("__pos", "__s")
+    )
+    return exploded.select(
+        *keys,
+        (F.col("__pos") + 1).cast("bigint").alias("rank"),
+        F.col("__s.id").alias("id"),
+        F.col("__s.v").alias("value"),
+    )

@@ -903,3 +903,44 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v") * 500 > F.col("t"))
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
+
+
+@register(
+    "incremental_topk_merge",
+    oracle="""
+    SELECT l_returnflag, rank, id, value FROM (
+        SELECT l_returnflag,
+               l_orderkey * 8 + l_linenumber AS id,
+               l_extendedprice AS value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey * 8 + l_linenumber DESC
+               ) AS rank
+        FROM lineitem
+    ) WHERE rank <= 5
+    """,
+)
+def incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable TOP-K maintenance (operators/incremental.py): the
+    stream splits into two shipdate windows, each reduced to a per-key
+    O(k) top-k state, states merged, then finalized. The oracle ranks
+    ALL rows directly — equality proves the bounded state loses nothing
+    and the merge is associative. At 100 TB each sync folds one batch
+    against |keys|×k state rows instead of re-ranking history."""
+    from pyspark_unload_to_gcs_spark.operators.incremental import (
+        finalize_topk,
+        merge_topk_states,
+        topk_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    keys = ["l_returnflag"]
+    parts = [
+        topk_state(li.filter(F.col("l_shipdate") < cutoff), keys, "l_extendedprice", "row_id", 5),
+        topk_state(li.filter(F.col("l_shipdate") >= cutoff), keys, "l_extendedprice", "row_id", 5),
+    ]
+    merged = merge_topk_states(parts, keys, 5)
+    return finalize_topk(merged, keys).select("l_returnflag", "rank", "id", "value")

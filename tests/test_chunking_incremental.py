@@ -273,3 +273,35 @@ def test_pack_documents_bins_respect_budget_semantics(spark):
     assert out[7].bin_offset == 2
     # start-offset binning: a doc belongs to the bin its first token falls in
     assert all(r.bin_offset < 10 for r in out.values())
+
+
+def test_topk_state_any_split_associativity(spark, sf_dir):
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.incremental import (
+        finalize_topk,
+        merge_topk_states,
+        topk_state,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    ev = load_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    keys, k = ["event_type"], 3
+
+    def result(frames):
+        merged = merge_topk_states(
+            [topk_state(f, keys, "value", "event_id", k) for f in frames], keys, k
+        )
+        return sorted(tuple(r) for r in finalize_topk(merged, keys).collect())
+
+    direct = result([ev])
+    # 2-way and 3-way splits on unrelated predicates must merge identically
+    two = result([ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")])
+    three = result([ev.filter("event_id % 3 = 0"), ev.filter("event_id % 3 = 1"),
+                    ev.filter("event_id % 3 = 2")])
+    assert direct == two == three
+    # rank 1 really is the per-key max
+    mx = {r.event_type: r.mx for r in
+          ev.groupBy("event_type").agg(F.max("value").alias("mx")).collect()}
+    for row in [t for t in direct if t[1] == 1]:
+        assert row[3] == mx[row[0]]
