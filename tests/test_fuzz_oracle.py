@@ -24,6 +24,8 @@ N_JOINS = 10
 N_WINDOWS = 6
 N_SETOPS = 6
 N_SCALARS = 8
+N_EVENTS = 8
+N_DOCS = 8
 
 # columns of `orders` usable identically in both dialects
 NUM_COLS = ["o_orderkey", "o_custkey"]
@@ -177,6 +179,70 @@ def _scalar_sql(rng: random.Random) -> str:
     """
 
 
+def _event_predicate(rng: random.Random) -> str:
+    kind = rng.choice(["ts_cmp", "type_in", "value_range", "user_mod", "year_eq"])
+    if kind == "ts_cmp":
+        day = rng.randrange(1, 29)
+        op = rng.choice(["<", ">=", ">", "<="])
+        return f"ts {op} TIMESTAMP '2024-01-{day:02d} 12:00:00'"
+    if kind == "type_in":
+        types = rng.sample(["click", "view", "purchase", "signup", "error"], rng.randrange(1, 4))
+        lits = ", ".join(f"'{x}'" for x in types)
+        return f"event_type IN ({lits})"
+    if kind == "value_range":
+        lo = rng.choice([0, 10, 50])
+        return f"value BETWEEN {lo} AND {lo + rng.choice([5, 40, 200])}"
+    if kind == "user_mod":
+        k = rng.choice([2, 5, 11])
+        return f"user_id % {k} = {rng.randrange(k)}"
+    return f"year(ts) = 2024 AND month(ts) = {rng.randrange(1, 13)}"
+
+
+def _event_sql(rng: random.Random) -> str:
+    """Timestamp fuzz over events: TIMESTAMP-literal bounds and
+    year/month/day extraction in the shared dialect subset (the ts
+    column itself is never projected — extraction results are engine-
+    comparable, raw timestamp objects are not)."""
+    preds = " AND ".join(_event_predicate(rng) for _ in range(rng.randrange(1, 3)))
+    if rng.random() < 0.5:
+        return f"""
+        SELECT event_id, user_id, year(ts) AS y, month(ts) AS m, day(ts) AS d
+        FROM events WHERE {preds}
+        """
+    return f"""
+    SELECT event_type, month(ts) AS m, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MIN(event_id) AS min_id
+    FROM events WHERE {preds} GROUP BY event_type, m
+    """
+
+
+def _doc_sql(rng: random.Random) -> str:
+    """String fuzz over documents: length/case/md5/LIKE in the shared
+    subset; text itself projects only through deterministic functions."""
+    pred = rng.choice(
+        [
+            f"length(text) > {rng.choice([50, 200, 500])}",
+            f"lang = '{rng.choice(['en', 'es', 'fr', 'de'])}'",
+            f"source IN ('src{rng.randrange(20)}', 'src{rng.randrange(20)}')",
+            f"text LIKE '%{rng.choice(['the', 'and', 'data', 'ipsum'])}%'",
+            f"doc_id % {rng.choice([3, 7])} = 0",
+            f"n_chars BETWEEN {rng.choice([0, 100])} AND {rng.choice([400, 2000])}",
+        ]
+    )
+    if rng.random() < 0.5:
+        return f"""
+        SELECT doc_id, length(text) AS n_len, substring(md5(text), 1, 8) AS h,
+               upper(lang) AS lang_u
+        FROM documents WHERE {pred}
+        """
+    return f"""
+    SELECT lang, source, COUNT(*) AS n, MIN(length(text)) AS min_len,
+           MAX(doc_id) AS max_id
+    FROM documents WHERE {pred} GROUP BY lang, source
+    """
+
+
 _RNG = random.Random(SEED)
 FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
 AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
@@ -184,6 +250,8 @@ JOIN_CASES = [(f"join_{i}", _join_sql(_RNG)) for i in range(N_JOINS)]
 WINDOW_CASES = [(f"window_{i}", _window_sql(_RNG)) for i in range(N_WINDOWS)]
 SETOP_CASES = [(f"setop_{i}", _setop_sql(_RNG)) for i in range(N_SETOPS)]
 SCALAR_CASES = [(f"scalar_{i}", _scalar_sql(_RNG)) for i in range(N_SCALARS)]
+EVENT_CASES = [(f"event_{i}", _event_sql(_RNG)) for i in range(N_EVENTS)]
+DOC_CASES = [(f"doc_{i}", _doc_sql(_RNG)) for i in range(N_DOCS)]
 
 
 @pytest.fixture(scope="module")
@@ -195,16 +263,17 @@ def duck(sf_dir):
 
 @pytest.fixture(scope="module")
 def orders_view(spark, sf_dir):
-    load_parquet(spark, f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
-    load_parquet(spark, f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
+    for name in ("orders", "customer", "events", "documents"):
+        load_parquet(spark, f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
     yield
-    spark.catalog.dropTempView("orders")
-    spark.catalog.dropTempView("customer")
+    for name in ("orders", "customer", "events", "documents"):
+        spark.catalog.dropTempView(name)
 
 
 @pytest.mark.parametrize(
     "name,sql",
-    FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES + SETOP_CASES + SCALAR_CASES,
+    FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES + SETOP_CASES + SCALAR_CASES
+    + EVENT_CASES + DOC_CASES,
     ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "",
 )
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
