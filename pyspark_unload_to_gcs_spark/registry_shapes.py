@@ -944,3 +944,42 @@ def incremental_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = merge_topk_states(parts, keys, 5)
     return finalize_topk(merged, keys).select("l_returnflag", "rank", "id", "value")
+
+
+@register(
+    "q20_heavy_widget_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+    )
+    """,
+)
+def q20_heavy_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped aggregate-gated semi join (fixture has no
+    partsupp, so the availability predicate becomes a shipped-quantity
+    threshold): suppliers who moved >300 units of some widget part.
+    The IN-subquery plans as part-filter -> per-(supplier, part)
+    aggregate -> threshold -> LEFT SEMI into supplier — the aggregate
+    gate runs FIRST so the semi join probes a tiny key set; the part
+    filter reaches lineitem through a broadcast semi join before any
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    gated = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return s.join(gated, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
