@@ -369,3 +369,51 @@ def embedding_near_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
     return df.join(losers, on=id_column, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per vector, scale =
+    max(|v_i|)/127, stored as (qvec array<tinyint>, scale float) — a 4x
+    storage/bandwidth cut for 100 TB embedding corpora, with max
+    per-coordinate error scale/2 (≈0.4% of the vector's peak).
+
+    Everything is builtin array expressions. The vector is staged as a
+    column attribute before any lambda references it (HOF re-eval
+    hazard — operators/dedup.py); the all-zero vector gets scale 0 and
+    an all-zero qvec (dequantizes exactly)."""
+    staged = df.select(F.col(id_column), F.col(vec_column).alias("__v"))
+    v = F.col("__v")
+    peak = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    staged = staged.select(id_column, "__v", (peak / F.lit(127.0)).alias("scale"))
+    qvec = F.when(F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col("scale")).cast("tinyint"))
+    )
+    return staged.select(
+        id_column, qvec.alias("qvec"), F.col("scale").cast("float").alias("scale")
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, *, id_column: str = "vec_id"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: embedding_i ≈ qvec_i * scale
+    (float array, ready for the exact-similarity operators)."""
+    staged = df.select(F.col(id_column), F.col("qvec").alias("__q"), F.col("scale"))
+    return staged.select(
+        id_column,
+        F.transform(F.col("__q"), lambda x: (x.cast("double") * F.col("scale")).cast("float")).alias(
+            "embedding"
+        ),
+    )

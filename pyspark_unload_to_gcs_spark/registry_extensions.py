@@ -374,6 +374,24 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("vector_topk_quantized")  # rows-only: float rounding through int8 not SQL-portable
+def vector_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over int8-quantized embeddings (similarity.py): 4x
+    smaller vectors, exact cosine on the dequantized form — the
+    storage-tier path for 100 TB corpora. Rows-only; recall vs exact
+    top-k is asserted in tests (>=8/10)."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(deq.filter(F.col("vec_id") != 0), q, k=10, ensure_parallel=False)
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

@@ -102,3 +102,50 @@ def test_lsh_topk_recall_on_planted_neighbors(spark):
         ).collect()
     ]
     assert len(set(exact) & set(ivf_km)) >= 8
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    emb = load_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    q = quantize_embeddings(emb)
+    # qvec values fit int8; scale nonneg
+    row = q.first()
+    assert all(-127 <= v <= 127 for v in row.qvec)
+    assert row.scale >= 0.0
+
+    # round-trip error bounded by scale/2 per coordinate
+    orig = {r.vec_id: r.embedding for r in emb.select("vec_id", "embedding").collect()}
+    scales = {r.vec_id: r.scale for r in q.collect()}
+    back = {r.vec_id: r.embedding for r in dequantize_embeddings(q).collect()}
+    for vid, vec in list(orig.items())[:50]:
+        tol = scales[vid] / 2 + 1e-6
+        assert all(abs(a - b) <= tol for a, b in zip(vec, back[vid]))
+
+    # retrieval survives quantization: top-10 by dequantized vectors shares
+    # >= 8 of 10 with the exact top-10 for a fixture query vector
+    target = emb.first().embedding
+    exact = [r.vec_id for r in cosine_topk(emb, [float(x) for x in target], k=10).collect()]
+    approx = [r.vec_id for r in
+              cosine_topk(dequantize_embeddings(q), [float(x) for x in target], k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_quantization_zero_vector(spark):
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>")
+    q = quantize_embeddings(df)
+    r = q.first()
+    assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+    assert list(dequantize_embeddings(q).first().embedding) == [0.0, 0.0, 0.0]
