@@ -143,20 +143,26 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
 
 
+# Composite quality heuristic as portable SQL (mirrors operators/text.py
+# quality_score exactly — bit-identical float arithmetic, proven by the
+# quality_score hash match). Shared by quality_score and the composed
+# training_corpus_pipeline oracle.
+_QUALITY_SQL = """(least(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
+     + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
+             AND length(trim(text)) * 1.0 / (CASE WHEN trim(text) = '' THEN 1
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 3.0 AND 10.0
+            THEN 1.0 ELSE 0.5 END * 0.3
+     + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                    * 1.0 / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 5.0, 1.0)) * 0.3
+    )"""
+
+
 @register(
     "quality_score",
-    oracle="""
-    SELECT doc_id,
-        (least(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
-         + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) > 0
-                 AND length(trim(text)) * 1.0 / (CASE WHEN trim(text) = '' THEN 1
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 3.0 AND 10.0
-                THEN 1.0 ELSE 0.5 END * 0.3
-         + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
-                        * 1.0 / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END * 5.0, 1.0)) * 0.3
-        ) AS quality
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     """,
 )
@@ -390,6 +396,65 @@ def vector_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = dequantize_embeddings(quantize_embeddings(emb))
     q = _query_vec(spark, sf_dir)
     return cosine_topk(deq.filter(F.col("vec_id") != 0), q, k=10, ensure_parallel=False)
+
+
+@register(
+    "training_corpus_pipeline",
+    # thresholds: 1.0->'g', 0.25->'4000', default 0.5->'8000'
+    oracle=f"""
+    WITH q AS (
+        SELECT * FROM documents WHERE {_QUALITY_SQL} >= 0.5
+    ), d AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+            FROM q
+        ) WHERE rn = 1
+    ), m AS (
+        SELECT * FROM d
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) <
+              CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '4000' ELSE '8000' END
+    ), tok AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        FROM m
+    ), pre AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS p
+        FROM tok
+    )
+    SELECT shard, p // 256 AS bin_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM pre GROUP BY shard, bin_id
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composed pipeline: quality gate -> exact dedup ->
+    weighted source mixing -> sequence packing -> per-bin stats. Every
+    stage is the registered operator itself (text.quality_score,
+    dedup.exact_dedup, sampling.weighted_mix, text.pack_documents), and
+    the oracle replays the whole chain in SQL — proving the stages
+    compose without semantic drift, not just pass in isolation. Plan
+    shape: narrow filters -> one dedup shuffle -> narrow mix filter ->
+    per-shard window -> final small agg; nothing quadratic, one wide
+    exchange on text, one on shard."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import weighted_mix
+    from pyspark_unload_to_gcs_spark.operators.text import pack_documents, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(quality_score(F.col("text")) >= 0.5)
+    deduped = D.exact_dedup(gated, ["text"], "doc_id")
+    mixed = weighted_mix(
+        deduped, "source", {"src0": 1.0, "src1": 0.25}, "doc_id", default_rate=0.5
+    )
+    packed = pack_documents(mixed, token_budget=256, n_shards=4)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
 
 
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
