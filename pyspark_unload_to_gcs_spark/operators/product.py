@@ -86,14 +86,14 @@ def funnel(
     def fold(acc: Column, e: Column) -> Column:
         fields = []
         for i, step in enumerate(steps):
-            prev_done = F.lit(True) if i == 0 else acc[f"s{i - 1}"].isNotNull()
-            gate = F.lit(0) if i == 0 else F.coalesce(acc[f"s{i - 1}"], F.lit(0))
-            hit = (
-                acc[f"s{i}"].isNull()
-                & prev_done
-                & (e["__etype"] == step)
-                & (e["__ts_ms"] > gate)
-            )
+            if i == 0:
+                # first step has no time gate (an epoch-0 literal would
+                # wrongly exclude pre-1970 events)
+                ordered = F.lit(True)
+            else:
+                prev = acc[f"s{i - 1}"]
+                ordered = prev.isNotNull() & (e["__ts_ms"] > F.coalesce(prev, F.lit(0)))
+            hit = acc[f"s{i}"].isNull() & ordered & (e["__etype"] == step)
             fields.append(
                 F.coalesce(acc[f"s{i}"], F.when(hit, e["__ts_ms"])).alias(f"s{i}")
             )

@@ -49,10 +49,12 @@ def _state_schema(n_steps: int) -> StructType:
 
 def _derive(bufs: list[list[int]]) -> list[int | None]:
     answers: list[int | None] = []
-    gate: int | None = 0
-    for buf in bufs:
+    gate: int | None = None  # first step is ungated (pre-1970 ts valid)
+    for i, buf in enumerate(bufs):
         ans = None
-        if gate is not None:
+        if i == 0:
+            ans = buf[0] if buf else None
+        elif gate is not None:
             for t in buf:  # sorted ascending; first t past the gate wins
                 if t > gate:
                     ans = t

@@ -100,3 +100,16 @@ def test_rolling_active_users_window(spark):
     assert out[0] == (2, 2)   # day 1: u1, u2
     assert out[4] == (1, 2)   # day 5: dau u1; trailing includes day1 users
     assert out[8] == (1, 2)   # day 9: dau u3; u1@day5 in window, day1 aged out
+
+
+def test_funnel_pre_epoch_timestamps(spark):
+    # step 1 must be ungated: events before 1970 (negative epoch ms) count
+    ev = _events(
+        spark,
+        [
+            (1, datetime(1969, 12, 31, 23), "view"),
+            (1, datetime(1970, 1, 1, 1), "click"),
+        ],
+    )
+    row = funnel(ev, ["view", "click"]).collect()[0]
+    assert row.step1_ms < 0 < row.step2_ms
