@@ -623,9 +623,11 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-shaped: distinct supplier count per part attribute
     group, excluding a supplier blacklist (the fixture has no complaint
     strings, so a deterministic key predicate plays the blacklist).
-    NOT IN becomes a broadcast LEFT ANTI join; (partkey, suppkey) pairs
-    are distinct-reduced FIRST so the part join and the count-distinct
-    expansion see collapsed pairs, not raw lineitems."""
+    NOT IN becomes a broadcast LEFT ANTI join. No pre-``distinct``:
+    count-distinct already dedups inside its partial aggregation, so a
+    separate distinct would just add a full extra shuffle of the pairs
+    — everything before the single aggregation exchange is narrow
+    (broadcast anti + broadcast join over a two-column projection)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     bad = (
@@ -633,10 +635,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_suppkey") % 4 == 0)
         .select("s_suppkey")
     )
-    pairs = (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    pairs = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
         pairs.join(F.broadcast(p), p.p_partkey == pairs.l_partkey)
