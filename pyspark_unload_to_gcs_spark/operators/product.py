@@ -121,12 +121,17 @@ def retention_cohorts(
     in every later period they return. Returns
     (cohort_period, period_offset, n_users).
 
-    Two-phase: raw events collapse to DISTINCT (user, period) pairs
-    first (the |events| -> |user-periods| reduction happens map-side in
-    the distinct's partial aggregation), then a per-user min() derives
-    the cohort and a broadcast join back tags each activity period.
-    Everything after the first distinct is user-scale.
+    Three shuffles, one scan: raw events collapse to DISTINCT
+    (user, period) pairs (the |events| -> |user-periods| reduction
+    happens map-side in the distinct's partial aggregation), a
+    whole-partition window min derives each user's cohort WITHOUT
+    re-scanning events or joining back, and the final rollup uses a
+    plain count — (user, period_offset) is already unique per row
+    (period = cohort + offset and cohort is constant per user), so a
+    count-distinct's extra dedup exchange would be pure waste.
     """
+    from pyspark.sql import Window
+
     pd_ms = period_days * MS_PER_DAY
     per = (
         events.select(
@@ -135,14 +140,14 @@ def retention_cohorts(
         )
         .distinct()
     )
-    cohort = per.groupBy("user_id").agg(F.min("period").alias("cohort_period"))
+    cohort = F.min("period").over(Window.partitionBy("user_id"))
     return (
-        per.join(cohort, "user_id")
+        per.withColumn("cohort_period", cohort)
         .groupBy(
             "cohort_period",
             (F.col("period") - F.col("cohort_period")).alias("period_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
