@@ -163,12 +163,14 @@ def rolling_active_users(
     (day_num, dau, wau).
 
     Exact rolling distinct cannot use a window frame (distinct doesn't
-    decompose), so: collapse to distinct (user, day), build the tiny
-    observed-day dimension, and range-join it back — each user-day lands
-    in at most ``window_days`` output rows. The day dimension broadcasts
-    (years of days ≪ broadcast threshold), so the expansion is a narrow
-    broadcast-nested-loop over an already user-scale frame, not a
-    shuffle of raw events.
+    decompose), so: collapse to distinct (user, day), then EXPLODE each
+    user-day into the ``window_days`` trailing windows it serves (a
+    narrow ×window_days fan-out — no day-dimension join, no second
+    scan) and aggregate per window-end day. Observed days are recovered
+    by ``dau > 0`` (a window-end with no same-day activity is not an
+    observed day), and dau itself is a plain conditional count because
+    (user, day) rows are already distinct. One scan, one distinct
+    shuffle, one distinct-aggregate chain.
     """
     user_days = (
         events.select(
@@ -177,13 +179,18 @@ def rolling_active_users(
         )
         .distinct()
     )
-    days = user_days.select("day_num").distinct().withColumnRenamed("day_num", "d")
-    joined = user_days.join(
-        F.broadcast(days),
-        (F.col("day_num") <= F.col("d"))
-        & (F.col("day_num") > F.col("d") - window_days),
+    slots = user_days.select(
+        "user_id",
+        "day_num",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))
+        ).alias("d"),
     )
-    return joined.groupBy(F.col("d").alias("day_num")).agg(
-        F.countDistinct(F.when(F.col("day_num") == F.col("d"), F.col("user_id"))).alias("dau"),
-        F.countDistinct("user_id").alias("wau"),
+    return (
+        slots.groupBy(F.col("d").alias("day_num"))
+        .agg(
+            F.count(F.when(F.col("day_num") == F.col("d"), 1)).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
     )
