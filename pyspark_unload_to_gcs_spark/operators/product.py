@@ -15,9 +15,10 @@ Scale posture (100 TB of events):
 - Retention: two aggregations over (user, period) pairs — the first
   collapses raw events to distinct user-periods (map-side partial
   dedup), everything after is |users|-scale, not |events|-scale.
-- Rolling actives: the day dimension is tiny (years of days fit in a
-  broadcast), so the range join expands each (user, day) at most
-  ``window`` times — a narrow broadcast-nested-loop, never a cartesian.
+- Rolling actives: each distinct (user, day) explodes into the
+  ``window`` trailing windows it serves — a narrow fan-out, no join,
+  one scan; the HLL variant collapses to one mergeable sketch per day
+  so even the user-day frame is touched exactly once.
 
 Time is handled as epoch-ms BIGINT from ``functions.timestamps``
 (session-tz independent), with integer day/7-day-bucket arithmetic so
@@ -194,3 +195,49 @@ def rolling_active_users(
         )
         .filter(F.col("dau") > 0)
     )
+
+
+def rolling_active_users_approx(
+    events: DataFrame,
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Sketch-based rolling actives — the 100 TB path where even the
+    distinct (user, day) frame is too heavy to fan out: ONE pass builds
+    a mergeable HLL sketch per day (|days| rows of ~KB sketches), and
+    the trailing window is a union of sketches over that tiny per-day
+    table — window cost is days x window_days sketch merges,
+    independent of user cardinality. Returns (day_num, dau_approx,
+    wau_approx); ±~2-3% standard HLL error (lgConfigK default 12).
+    """
+    per_day = (
+        events.select(
+            F.col(user_column).alias("user_id"),
+            day_number(epoch_ms(events, time_column)).alias("day_num"),
+        )
+        .groupBy("day_num")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    slots = per_day.select(
+        "day_num",
+        "sketch",
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + (window_days - 1))
+        ).alias("d"),
+    )
+    merged = (
+        slots.groupBy(F.col("d"))
+        .agg(
+            F.max(F.when(F.col("day_num") == F.col("d"), 1)).alias("__observed"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("wau_approx"),
+        )
+        .filter(F.col("__observed") == 1)
+    )
+    day_est = per_day.select(
+        "day_num", F.hll_sketch_estimate("sketch").alias("dau_approx")
+    )
+    return merged.select(F.col("d").alias("day_num"), "wau_approx").join(
+        day_est, "day_num"
+    ).select("day_num", "dau_approx", "wau_approx")

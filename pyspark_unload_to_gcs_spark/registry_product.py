@@ -16,6 +16,7 @@ from pyspark_unload_to_gcs_spark.operators.product import (
     funnel,
     retention_cohorts,
     rolling_active_users,
+    rolling_active_users_approx,
 )
 from pyspark_unload_to_gcs_spark.registry import _t, register
 
@@ -104,3 +105,12 @@ def rolling_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — rolling distinct can't use a window frame (distinct
     doesn't decompose into frame increments)."""
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@register("rolling_active_users_approx")  # rows-only: HLL estimates, not exact SQL
+def rolling_active_users_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL rolling actives: one sketch per day, trailing
+    window = sketch unions over the tiny per-day table — user-scale
+    work happens exactly once. Accuracy vs the exact operator asserted
+    in tests (within a few percent)."""
+    return rolling_active_users_approx(_t(spark, sf_dir, "events"), window_days=7)

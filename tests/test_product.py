@@ -113,3 +113,23 @@ def test_funnel_pre_epoch_timestamps(spark):
     )
     row = funnel(ev, ["view", "click"]).collect()[0]
     assert row.step1_ms < 0 < row.step2_ms
+
+
+def test_rolling_active_users_approx_close_to_exact(spark, sf_dir):
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.product import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    ev = load_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    exact = {r.day_num: (r.dau, r.wau) for r in rolling_active_users(ev).collect()}
+    approx = {r.day_num: (r.dau_approx, r.wau_approx)
+              for r in rolling_active_users_approx(ev).collect()}
+    assert set(approx) == set(exact)  # same observed-day set
+    for d, (dau, wau) in exact.items():
+        da, wa = approx[d]
+        assert abs(da - dau) <= max(2, 0.05 * dau), (d, dau, da)
+        assert abs(wa - wau) <= max(2, 0.05 * wau), (d, wau, wa)
