@@ -241,3 +241,79 @@ def rolling_active_users_approx(
     return merged.select(F.col("d").alias("day_num"), "wau_approx").join(
         day_est, "day_num"
     ).select("day_num", "dau_approx", "wau_approx")
+
+
+def growth_accounting(
+    events: DataFrame,
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Growth accounting: per period, users who are NEW (first-ever
+    activity), RETAINED (also active the previous period), RESURRECTED
+    (active before, but not the previous period), and CHURNED (active
+    the previous period, absent this one). Active = new + retained +
+    resurrected; net growth = new + resurrected - churned.
+
+    One scan, user-scale after the first distinct: per-user period
+    ordering comes from lag/lead windows over the distinct
+    (user, period) frame; churn is attributed to the period AFTER the
+    user's last consecutive activity (emitted via a shifted
+    contribution union, so churn rows exist even for periods where no
+    other activity happened — then inner-restricted to observed
+    periods, matching the convention that the report covers periods
+    with any activity).
+    """
+    from pyspark.sql import Window
+
+    pd_ms = period_days * MS_PER_DAY
+    per = (
+        events.select(
+            F.col(user_column).alias("user_id"),
+            (epoch_ms(events, time_column) / F.lit(pd_ms)).cast("bigint").alias("period"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("period")
+    marked = per.select(
+        "user_id",
+        "period",
+        F.lag("period").over(w).alias("prev_p"),
+        F.lead("period").over(w).alias("next_p"),
+        F.min("period").over(Window.partitionBy("user_id")).alias("first_p"),
+    )
+    activity = marked.select(
+        "period",
+        F.when(F.col("period") == F.col("first_p"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_p") == F.col("period") - 1, 1).otherwise(0).alias("is_retained"),
+        F.when(
+            (F.col("period") != F.col("first_p"))
+            & (F.coalesce(F.col("prev_p"), F.lit(-(1 << 62))) < F.col("period") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+        F.lit(0).alias("is_churned"),
+    )
+    churn = marked.filter(
+        F.col("next_p").isNull() | (F.col("next_p") > F.col("period") + 1)
+    ).select(
+        (F.col("period") + 1).alias("period"),
+        F.lit(0).alias("is_new"),
+        F.lit(0).alias("is_retained"),
+        F.lit(0).alias("is_resurrected"),
+        F.lit(1).alias("is_churned"),
+    )
+    observed = per.select("period").distinct()
+    return (
+        activity.unionByName(churn)
+        .join(observed, "period", "left_semi")
+        .groupBy("period")
+        .agg(
+            F.sum("is_new").alias("n_new"),
+            F.sum("is_retained").alias("n_retained"),
+            F.sum("is_resurrected").alias("n_resurrected"),
+            F.sum("is_churned").alias("n_churned"),
+        )
+    )

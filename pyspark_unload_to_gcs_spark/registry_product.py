@@ -114,3 +114,47 @@ def rolling_active_users_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame
     work happens exactly once. Accuracy vs the exact operator asserted
     in tests (within a few percent)."""
     return rolling_active_users_approx(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@register(
+    "growth_accounting",
+    oracle="""
+    WITH per AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS period FROM events
+    ), marked AS (
+        SELECT user_id, period,
+               LAG(period) OVER (PARTITION BY user_id ORDER BY period) AS prev_p,
+               LEAD(period) OVER (PARTITION BY user_id ORDER BY period) AS next_p,
+               MIN(period) OVER (PARTITION BY user_id) AS first_p
+        FROM per
+    ), contrib AS (
+        SELECT period,
+               CASE WHEN period = first_p THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev_p = period - 1 THEN 1 ELSE 0 END AS is_retained,
+               CASE WHEN period != first_p
+                     AND COALESCE(prev_p, -4611686018427387904) < period - 1
+                    THEN 1 ELSE 0 END AS is_resurrected,
+               0 AS is_churned
+        FROM marked
+        UNION ALL
+        SELECT period + 1, 0, 0, 0, 1
+        FROM marked WHERE next_p IS NULL OR next_p > period + 1
+    )
+    SELECT c.period,
+           SUM(is_new) AS n_new,
+           SUM(is_retained) AS n_retained,
+           SUM(is_resurrected) AS n_resurrected,
+           SUM(is_churned) AS n_churned
+    FROM contrib c
+    WHERE c.period IN (SELECT period FROM per)
+    GROUP BY c.period
+    """,
+)
+def growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (new / retained / resurrected / churned per
+    7-day period) — the standard companion to the retention matrix;
+    churn attributed to the period after the user's last consecutive
+    activity, restricted to observed periods."""
+    from pyspark_unload_to_gcs_spark.operators.product import growth_accounting
+
+    return growth_accounting(_t(spark, sf_dir, "events"), period_days=7)

@@ -133,3 +133,28 @@ def test_rolling_active_users_approx_close_to_exact(spark, sf_dir):
         da, wa = approx[d]
         assert abs(da - dau) <= max(2, 0.05 * dau), (d, dau, da)
         assert abs(wa - wau) <= max(2, 0.05 * wau), (d, wau, wa)
+
+
+def test_growth_accounting_lifecycle(spark):
+    from pyspark_unload_to_gcs_spark.operators.product import growth_accounting
+
+    # periods (7-day buckets): P=2817 covers Jan 1-3; P+1 Jan 4-10; P+2 Jan 11-17; P+3 Jan 18-24
+    ev = _events(
+        spark,
+        [
+            (1, ts(1), "view"),    # u1: P, P+1, skips P+2, back P+3 (resurrected)
+            (1, ts(5), "view"),
+            (1, ts(20), "view"),
+            (2, ts(2), "view"),    # u2: P only -> churns at P+1
+            (3, ts(6), "view"),    # u3: new at P+1, retained P+2
+            (3, ts(12), "view"),
+        ],
+    )
+    out = {r.period - 2817: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+           for r in growth_accounting(ev, period_days=7).collect()}
+    assert out[0] == (2, 0, 0, 0)          # u1, u2 new
+    assert out[1] == (1, 1, 0, 1)          # u3 new, u1 retained, u2 churned
+    assert out[2] == (0, 1, 0, 1)          # u3 retained, u1 churned (absent P+2)
+    assert out[3] == (0, 0, 1, 1)          # u1 resurrected; u3 churned
+    # u1's final churn at P+4 is outside observed periods -> absent
+    assert 4 not in out
