@@ -11,6 +11,7 @@ fold against an independently-derived answer, not against itself.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspark_unload_to_gcs_spark.operators.product import (
     funnel,
@@ -158,3 +159,49 @@ def growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_unload_to_gcs_spark.operators.product import growth_accounting
 
     return growth_accounting(_t(spark, sf_dir, "events"), period_days=7)
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n_transitions DESC, event_type ASC, next_type ASC
+    LIMIT 20
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event flows: the most common consecutive event-type transitions
+    across users (the paths/flows report). One window shuffle keyed by
+    user (ties broken by event_id for a deterministic sequence), then a
+    tiny |event_types|^2 aggregation; top-k is deterministic via the
+    full tie-break chain."""
+    from pyspark.sql import Window
+
+    from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(epoch_ms(ev, "ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(
+            F.col("n_transitions").desc(),
+            F.col("event_type").asc(),
+            F.col("next_type").asc(),
+        )
+        .limit(20)
+    )
