@@ -108,10 +108,60 @@ def config_from_args(args: argparse.Namespace) -> SyncConfig:
     )
 
 
+def run_query_mode(argv: list[str]) -> int:
+    """Analytics runner: execute a registered query by name against a
+    scale-factor directory — the query library as a shell command.
+
+    ``--list_queries`` prints every name (one per line, * = has a SQL
+    oracle). ``--run_query NAME`` executes it; rows go to stdout as JSON
+    lines (bounded by ``--limit``), or the full result is written as
+    gzip JSON-lines when ``--output_uri`` is given (no driver collect on
+    the full-result path)."""
+    from pyspark_unload_to_gcs_spark import registry
+
+    p = argparse.ArgumentParser(description="registered-query runner")
+    p.add_argument("--run_query", default="")
+    p.add_argument("--list_queries", action="store_true")
+    p.add_argument("--sf_dir", default="/root/testdata/sf0.001")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--output_uri", default="")
+    args = p.parse_args(argv)
+
+    queries = registry.queries()
+    if args.list_queries:
+        oracles = registry.oracle_sql()
+        for name in sorted(queries):
+            print(f"{name}{' *' if name in oracles else ''}")
+        return 0
+    if args.run_query not in queries:
+        close = [n for n in sorted(queries) if args.run_query in n]
+        hint = f"; close matches: {', '.join(close)}" if close else ""
+        print(f"unknown query {args.run_query!r}{hint}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"query-{args.run_query}")
+    df = queries[args.run_query](spark, args.sf_dir)
+    if args.output_uri:
+        from pyspark_unload_to_gcs_spark.config import SyncConfig
+        from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+
+        write_export(
+            df, SyncConfig(table=args.run_query, output_uri=args.output_uri)
+        )
+        print(json.dumps({"query": args.run_query, "output_uri": args.output_uri}))
+    else:
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from pyspark_unload_to_gcs_spark.plans.sync import run_sync
     from pyspark_unload_to_gcs_spark.sinks.writers import configure_gcs_auth
 
+    argv = sys.argv[1:] if argv is None else argv
+    if "--list_queries" in argv or "--run_query" in argv:
+        return run_query_mode(argv)
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     spark = get_spark(app_name="pyspark-unload-to-gcs-export")

