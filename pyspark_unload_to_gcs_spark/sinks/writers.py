@@ -129,6 +129,24 @@ def write_export(df: DataFrame, config: SyncConfig) -> str:
         raise ValueError("output_uri is required")
     fmt = ExportFormat(config.export_format)
 
+    if fmt == ExportFormat.CSV:
+        # fail early with the offending columns — Spark's CSV writer only
+        # rejects struct/array/map deep inside the write job (SURVEY.md §7:
+        # the reference surfaces this as an opaque mid-job analysis error)
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            raise ValueError(
+                "CSV export cannot serialize nested columns "
+                f"{complex_cols}; drop/flatten them (to_json) or use the "
+                "json/parquet format"
+            )
+
     single_file = config.single_file
     if single_file is None:
         single_file = fmt == ExportFormat.CSV and not config.partition_by  # reference compat

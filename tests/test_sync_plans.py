@@ -223,3 +223,22 @@ def test_export_roundtrip_json_and_csv(spark, sf_dir, tmp_path):
         load_csv(spark, cdir)
     with pytest.raises(ValueError):
         load_json(spark, jdir)
+
+
+def test_csv_export_rejects_nested_columns_early(spark, tmp_path):
+    """SURVEY §7: CSV + struct/array/map must fail at plan time with the
+    offending columns named, not mid-write inside Spark."""
+    import pytest
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+
+    df = spark.createDataFrame(
+        [(1, {"a": 2}, [3, 4])], "id bigint, s map<string,bigint>, arr array<bigint>"
+    )
+    with pytest.raises(ValueError, match=r"\['s', 'arr'\]"):
+        write_export(df, SyncConfig(table="t", output_uri=f"file:{tmp_path}/c",
+                                    export_format="csv"))
+    # json path unaffected
+    write_export(df, SyncConfig(table="t", output_uri=f"file:{tmp_path}/j",
+                                export_format="json"))
