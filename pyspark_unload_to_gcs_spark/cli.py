@@ -125,6 +125,7 @@ def run_query_mode(argv: list[str]) -> int:
     p.add_argument("--sf_dir", default="/root/testdata/sf0.001")
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--output_uri", default="")
+    p.add_argument("--explain", action="store_true")
     args = p.parse_args(argv)
 
     queries = registry.queries()
@@ -141,6 +142,9 @@ def run_query_mode(argv: list[str]) -> int:
 
     spark = get_spark(app_name=f"query-{args.run_query}")
     df = queries[args.run_query](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")  # prints the formatted physical plan
+        return 0
     if args.output_uri:
         from pyspark_unload_to_gcs_spark.config import SyncConfig
         from pyspark_unload_to_gcs_spark.sinks.writers import write_export

@@ -110,3 +110,10 @@ def test_cli_list_and_run_query(capsys):
 
     assert main(["--run_query", "nope_missing"]) == 2
     assert "close matches" not in capsys.readouterr().err or True
+
+
+def test_cli_explain_prints_plan(capsys):
+    from pyspark_unload_to_gcs_spark.cli import main
+
+    assert main(["--run_query", "q6_revenue_delta", "--explain"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
