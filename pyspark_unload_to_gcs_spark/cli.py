@@ -34,7 +34,7 @@ from pyspark_unload_to_gcs_spark.session import get_spark
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="PySpark-native table export engine")
-    p.add_argument("--export_format", default="json", choices=["json", "csv", "parquet"])
+    p.add_argument("--export_format", default="json", choices=["json", "csv", "parquet", "orc"])
     p.add_argument("--gcp_project", default="")
     p.add_argument("--bucket", default="")
     p.add_argument("--prefix", default="")

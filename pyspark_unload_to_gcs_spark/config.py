@@ -24,6 +24,7 @@ class ExportFormat(str, Enum):
     JSON = "json"
     CSV = "csv"
     PARQUET = "parquet"  # engine extension: columnar output for pipelines
+    ORC = "orc"  # engine extension: builtin columnar alternative (no extra jars)
 
 
 @dataclass

@@ -156,7 +156,7 @@ def write_export(df: DataFrame, config: SyncConfig) -> str:
     if config.partition_by:
         writer = writer.partitionBy(*config.partition_by)
     compression = config.compression
-    if fmt == ExportFormat.PARQUET and compression == "gzip":
+    if fmt in (ExportFormat.PARQUET, ExportFormat.ORC) and compression == "gzip":
         compression = "zstd"
     if compression:
         writer = writer.option("compression", compression)

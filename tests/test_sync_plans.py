@@ -242,3 +242,24 @@ def test_csv_export_rejects_nested_columns_early(spark, tmp_path):
     # json path unaffected
     write_export(df, SyncConfig(table="t", output_uri=f"file:{tmp_path}/j",
                                 export_format="json"))
+
+
+def test_orc_export_roundtrip(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    from pyspark.sql import functions as F
+
+    src = load_parquet(spark, os.path.join(sf_dir, "nation.parquet"))
+    uri = f"file:{tmp_path}/o"
+    write_export(src, SyncConfig(table="nation", output_uri=uri, export_format="orc"))
+    back = spark.read.orc(uri)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    # nested types are fine in ORC (unlike CSV)
+    nested = src.groupBy("n_regionkey").agg(F.collect_list("n_name").alias("names"))
+    write_export(nested, SyncConfig(table="n2", output_uri=f"file:{tmp_path}/o2",
+                                    export_format="orc"))
+    assert spark.read.orc(f"file:{tmp_path}/o2").count() == nested.count()
