@@ -26,6 +26,7 @@ N_SETOPS = 6
 N_SCALARS = 8
 N_EVENTS = 8
 N_DOCS = 8
+N_SUBQ = 8
 
 # columns of `orders` usable identically in both dialects
 NUM_COLS = ["o_orderkey", "o_custkey"]
@@ -243,6 +244,37 @@ def _doc_sql(rng: random.Random) -> str:
     """
 
 
+def _subq_sql(rng: random.Random) -> str:
+    """Subquery fuzz: HAVING over aggregates, EXISTS / NOT EXISTS / IN
+    correlated and uncorrelated forms — the decorrelation paths Catalyst
+    and DuckDB must agree on."""
+    kind = rng.choice(["having", "exists", "not_exists", "in_agg"])
+    pred = _predicate(rng)
+    if kind == "having":
+        op = rng.choice([">", "<", ">="])
+        thresh = rng.choice([3, 10, 40])
+        return f"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE {pred}
+        GROUP BY o_orderstatus HAVING COUNT(*) {op} {thresh}
+        """
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        return f"""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE {neg}EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND ({pred})
+        )
+        """
+    return f"""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > {rng.choice([0, 1000, 5000])}
+    ) AND ({pred})
+    """
+
+
 _RNG = random.Random(SEED)
 FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
 AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
@@ -252,6 +284,7 @@ SETOP_CASES = [(f"setop_{i}", _setop_sql(_RNG)) for i in range(N_SETOPS)]
 SCALAR_CASES = [(f"scalar_{i}", _scalar_sql(_RNG)) for i in range(N_SCALARS)]
 EVENT_CASES = [(f"event_{i}", _event_sql(_RNG)) for i in range(N_EVENTS)]
 DOC_CASES = [(f"doc_{i}", _doc_sql(_RNG)) for i in range(N_DOCS)]
+SUBQ_CASES = [(f"subq_{i}", _subq_sql(_RNG)) for i in range(N_SUBQ)]
 
 
 @pytest.fixture(scope="module")
@@ -273,7 +306,7 @@ def orders_view(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,sql",
     FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES + SETOP_CASES + SCALAR_CASES
-    + EVENT_CASES + DOC_CASES,
+    + EVENT_CASES + DOC_CASES + SUBQ_CASES,
     ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "",
 )
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
