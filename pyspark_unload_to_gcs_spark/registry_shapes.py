@@ -983,3 +983,49 @@ def q20_heavy_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(gated, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           MIN(greatest(least(e.value, b.hi), b.lo)) AS min_clipped,
+           MAX(greatest(least(e.value, b.hi), b.lo)) AS max_clipped
+    FROM events e JOIN b ON b.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping — the standard numeric-feature
+    outlier treatment): per-group exact p01/p99 bounds computed once
+    (|groups| rows, broadcast back), values clamped, clip counts and
+    clipped extrema reported. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, and
+    min/max of clamped values avoid any float-accumulation ordering —
+    every output is an exact pick or an integer count."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.percentile("value", 0.01).alias("lo"),
+        F.percentile("value", 0.99).alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return (
+        ev.join(F.broadcast(bounds), ev.event_type == F.col("et"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_clipped_high"),
+            F.min(clipped).alias("min_clipped"),
+            F.max(clipped).alias("max_clipped"),
+        )
+    )
