@@ -434,3 +434,54 @@ def simhash_dedup(
     # survivors keep the original schema; the narrow hashed frame is only
     # used for candidate generation
     return df.join(losers, on=id_column, how="left_anti")
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-table fuzzy match (entity resolution): pairs of (left id,
+    right id) whose texts have shingle-Jaccard >= threshold. Returns
+    (left_id, right_id, jaccard).
+
+    Composed from the single-table LSH machinery: the two sides union
+    under a side tag with disjoint synthetic ids (left ids double to
+    even, right ids to odd — collision-free and reversible without a
+    join), candidate pairs come from the usual band-bucket self-join,
+    and only cross-side pairs survive. Same scale shape as
+    ``minhash_candidate_pairs``: narrow signatures, one short-key
+    shuffle, verify on candidates only — never |left| x |right|.
+    """
+    lt = left.select(
+        (F.col(id_column).cast("long") * 2).alias("__uid"), F.col(text_column)
+    )
+    rt = right.select(
+        (F.col(id_column).cast("long") * 2 + 1).alias("__uid"), F.col(text_column)
+    )
+    pairs = minhash_candidate_pairs(
+        lt.unionByName(rt),
+        "__uid",
+        text_column,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    # candidate pairs are (id_a < id_b); cross-side = opposite parity.
+    # Normalize so left id comes first regardless of pair order.
+    a, b = F.col("id_a"), F.col("id_b")
+    cross = pairs.filter((a % 2) != (b % 2))
+    left_uid = F.when(a % 2 == 0, a).otherwise(b)
+    right_uid = F.when(a % 2 == 0, b).otherwise(a)
+    return cross.select(
+        (left_uid / 2).cast("long").alias("left_id"),
+        ((right_uid - 1) / 2).cast("long").alias("right_id"),
+        F.col("jaccard"),
+    )

@@ -457,6 +457,22 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("fuzzy_entity_join")  # rows-only: seeded minhash not SQL-portable
+def fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table entity resolution (operators/dedup.py
+    fuzzy_text_join): near-matching documents across two disjoint
+    fixture slices via banded MinHash LSH — blocking + verify, never
+    |left| x |right|."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_text_join(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        jaccard_threshold=0.8,
+    )
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

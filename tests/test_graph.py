@@ -149,3 +149,27 @@ def test_quantization_zero_vector(spark):
     r = q.first()
     assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
     assert list(dequantize_embeddings(q).first().embedding) == [0.0, 0.0, 0.0]
+
+
+def test_fuzzy_text_join_cross_table_matches(spark):
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    left = spark.createDataFrame(
+        [(1, base), (2, "entirely different content with no overlap whatsoever here")],
+        "doc_id bigint, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, base + " extra"), (11, "unrelated text on the right side of the join")],
+        "doc_id bigint, text string",
+    )
+    out = fuzzy_text_join(left, right, jaccard_threshold=0.5).collect()
+    assert [(r.left_id, r.right_id) for r in out] == [(1, 10)]
+    assert out[0].jaccard >= 0.5
+    # same-side near-dups must NOT appear (cross-side only)
+    left2 = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id bigint, text string"
+    )
+    out2 = fuzzy_text_join(left2, right, jaccard_threshold=0.5).collect()
+    assert all(r.left_id in (1, 2) and r.right_id == 10 for r in out2)
+    assert len(out2) == 2
