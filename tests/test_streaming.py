@@ -516,3 +516,51 @@ def test_funnel_stream_refold_pruning_pure():
 
     with _pytest.raises(ValueError):
         funnel_stream(None, ["only"])
+
+
+def test_funnel_stream_checkpoint_recovery(spark, sf_dir, tmp_path_factory):
+    """State survives a query RESTART: run over two files with a
+    checkpoint, stop, drop a third file carrying the EARLIEST events
+    (max reorder stress), restart on the same checkpoint — the resumed
+    state must refold to the batch answer over all three files."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.product import funnel
+    from pyspark_unload_to_gcs_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    events = load_parquet(spark, f"{sf_dir}/events.parquet")
+
+    src = str(tmp_path_factory.mktemp("funnel_ckpt_src"))
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt"))
+    late = events.orderBy("ts").limit(200)          # earliest 200 events held back
+    first = events.join(late.select("event_id"), "event_id", "left_anti")
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    final: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            final[r.user_id] = (r.step1_ms, r.step2_ms, r.step3_ms)
+
+    def run_once():
+        q = (
+            funnel_stream(stream_parquet_dir(spark, src, schema, max_files_per_trigger=1), steps)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # restart with the held-back earliest events added
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    expected = {r.user_id: (r.step1_ms, r.step2_ms, r.step3_ms)
+                for r in funnel(events, steps).collect()}
+    got = {u: v for u, v in final.items() if v[0] is not None}
+    assert got == expected and len(got) > 0
