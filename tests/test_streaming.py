@@ -564,3 +564,16 @@ def test_funnel_stream_checkpoint_recovery(spark, sf_dir, tmp_path_factory):
                 for r in funnel(events, steps).collect()}
     got = {u: v for u, v in final.items() if v[0] is not None}
     assert got == expected and len(got) > 0
+
+
+def test_funnel_stream_buffer_cap_keeps_smallest():
+    from pyspark_unload_to_gcs_spark.streaming.funnel import _derive, _prune
+
+    # cap keeps the K SMALLEST candidates (min-seeking), not arbitrary ones
+    bufs = [[5], [1, 2, 3, 4, 9], [10]]
+    ans = _derive(bufs)          # s1=5, s2=9 (first click > 5), s3=10
+    pruned = _prune(bufs, ans, 3)
+    assert pruned[1] == [1, 2, 3]  # <= ans kept, capped to 3 smallest
+    # exactness within cap: a late view at 0 re-gates to click 1
+    bufs2 = [[0, 5], pruned[1], [10]]
+    assert _derive(bufs2) == [0, 1, 10]
