@@ -318,3 +318,46 @@ def pack_documents(
         "n_tokens",
         (F.col("__pre") % token_budget).cast("bigint").alias("bin_offset"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn-style smooth idf).
+    Returns (id, term, tf, df, tfidf) with deterministic tie-breaks
+    (tfidf desc, term asc).
+
+    Shape at scale: explode to (doc, term) pairs, ONE aggregation for
+    per-doc term counts, ONE for document frequencies (|vocab| rows —
+    broadcasts), join back, rank. The corpus size N rides along from
+    the df aggregation (count of distinct docs is precomputed by the
+    caller-side count only once — here a scalar subframe broadcast, no
+    driver collect)."""
+    toks = df.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
+    pairs = toks.select(id_column, F.explode("__toks").alias("term"))
+    tf = pairs.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_column).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_column).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(id_column, "term", "tf", "df", "tfidf")
+    )

@@ -473,6 +473,40 @@ def fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE trim(text) != ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.py) — classic feature extraction; both engines use
+    the identical double-arithmetic formula so values hash-match."""
+    from pyspark_unload_to_gcs_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under
