@@ -361,3 +361,54 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= top_k)
         .select(id_column, "term", "tf", "df", "tfidf")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 lexical retrieval: rank documents against a bag of query
+    terms (the classic Okapi formula; idf = ln(1+(N-df+0.5)/(df+0.5))).
+    Returns (id, score) top-k, tie-broken by id for determinism.
+
+    Shape at scale: term frequencies for the (tiny) query-term set only
+    — the explode filters to query terms BEFORE aggregating, so the
+    per-doc frame carries at most |query| rows per document; document
+    length and the global N/avgdl ride along as broadcast one-row
+    frames (no driver collect). Every arithmetic step is double with a
+    fixed evaluation order, so any engine reproduces the scores
+    bit-for-bit."""
+    toks = df.select(
+        F.col(id_column), tokens_col(F.col(text_column)).alias("__toks")
+    )
+    lens = toks.select(id_column, F.size("__toks").cast("double").alias("dl"))
+    pairs = toks.select(id_column, F.explode("__toks").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    tf = pairs.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(lens, id_column)
+        .join(F.broadcast(stats))
+        .withColumn("__s", idf * tf_term)
+        .groupBy(id_column)
+        .agg(F.sum("__s").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_column).asc()).limit(top_k)

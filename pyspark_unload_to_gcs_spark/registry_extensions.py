@@ -507,6 +507,87 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
 
 
+_BM25_TERMS = ("scan", "window", "agg")
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) != ''
+    ), lens AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+        UNION ALL
+        SELECT doc_id, 0.0 AS dl FROM documents WHERE trim(text) = ''
+    ), pairs AS (
+        SELECT doc_id, unnest(t) AS term FROM toks
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM pairs
+        WHERE term IN ('scan', 'window', 'agg') GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM lens
+    ), contrib AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+        FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ), scored AS (
+        SELECT doc_id,
+               COALESCE(SUM(CASE WHEN term = 'scan' THEN c END), 0.0)
+               + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0.0)
+               + COALESCE(SUM(CASE WHEN term = 'agg' THEN c END), 0.0) AS score
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 9) AS score_r FROM scored
+    ORDER BY score_r DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval for a fixed 3-term query. The per-document
+    score adds the per-term contributions in a FIXED order (conditional
+    sums over at most one row each, then s1+s2+s3) so float addition
+    order — the one nondeterminism in the formula — is pinned on both
+    engines; everything else is bit-identical double arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens_col(F.col("text")).alias("__toks"))
+    lens = toks.select("doc_id", F.size("__toks").cast("double").alias("dl"))
+    pairs = toks.select("doc_id", F.explode("__toks").alias("term")).filter(
+        F.col("term").isin(list(_BM25_TERMS))
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (F.col("tf") * (F.lit(1.2) + 1.0)) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn("c", idf * tf_term)
+    )
+    parts = [
+        F.coalesce(F.sum(F.when(F.col("term") == term, F.col("c"))), F.lit(0.0))
+        for term in _BM25_TERMS
+    ]
+    score = parts[0] + parts[1] + parts[2]
+    # scores round to 9 decimals before ranking: java Math.log and C libm
+    # ln can disagree in the last ulp, which must not flip the top-k cut
+    scored = contrib.groupBy("doc_id").agg(F.round(score, 9).alias("score_r"))
+    return scored.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(20)
+
+
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-link duplicate clusters: MinHash-LSH pairs closed under

@@ -258,3 +258,22 @@ def test_constraint_gate_passes_and_fails(spark):
     with pytest.raises(ConstraintViolation) as exc2:
         validate_batch(dup, Rules(unique=("k",)))
     assert "unique[k]: 1 duplicate" in str(exc2.value)
+
+
+def test_bm25_ranking_sanity(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),           # high tf for 'spark'
+            (2, "spark engine with many other words diluting the term here now"),
+            (3, "completely unrelated document text"),
+            (4, "engine"),                              # rare-term-only doc
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_search(docs, ["spark", "engine"], top_k=4).collect()
+    ranks = [r.doc_id for r in out]
+    assert ranks[0] == 1          # highest tf, short doc wins
+    assert 3 not in ranks         # no query terms -> no score row
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
