@@ -131,16 +131,38 @@ def retention_cohorts(
     (period = cohort + offset and cohort is constant per user), so a
     count-distinct's extra dedup exchange would be pure waste.
     """
-    from pyspark.sql import Window
+    per = user_periods(
+        events, user_column=user_column, time_column=time_column, period_days=period_days
+    )
+    return retention_matrix_from_periods(per)
 
+
+def user_periods(
+    events: DataFrame,
+    *,
+    user_column: str = "user_id",
+    time_column: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Distinct (user_id, period) activity pairs — the shared
+    user-scale substrate of retention/growth analytics, and the
+    mergeable STATE of their streaming twins (set union = distinct, so
+    folding a batch in is idempotent under retries)."""
     pd_ms = period_days * MS_PER_DAY
-    per = (
+    return (
         events.select(
             F.col(user_column).alias("user_id"),
             (epoch_ms(events, time_column) / F.lit(pd_ms)).cast("bigint").alias("period"),
         )
         .distinct()
     )
+
+
+def retention_matrix_from_periods(per: DataFrame) -> DataFrame:
+    """Cohort matrix from a distinct (user_id, period) frame (see
+    retention_cohorts for the full semantics)."""
+    from pyspark.sql import Window
+
     cohort = F.min("period").over(Window.partitionBy("user_id"))
     return (
         per.withColumn("cohort_period", cohort)

@@ -32,9 +32,16 @@ TESTDATA_TABLES = (
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
-    read natively (PARQUET_TYPE_ILLEGAL). Detected from the parquet
-    footer via pyarrow (no data read)."""
+    """Columns stored as parquet INT64 TIMESTAMP(NANOS), which Spark 4
+    cannot read natively (PARQUET_TYPE_ILLEGAL). Detected from the
+    parquet footer via pyarrow (no data read).
+
+    Physical type matters: Spark's own legacy INT96 timestamps ALSO
+    surface as ``timestamp[ns]`` in the *arrow* schema, but Spark reads
+    those natively — treating them as ns-longs would apply an integer
+    div to a TIMESTAMP column and fail analysis. Only INT64 columns
+    whose parquet logical type is TIMESTAMP(NANOS) need the conversion.
+    """
     import pyarrow.parquet as pq
 
     probe = path
@@ -43,12 +50,17 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         if not files:
             return []
         probe = files[0]
-    schema = pq.read_schema(probe)
+    pq_schema = pq.ParquetFile(probe).schema  # parquet (not arrow) schema
     out = []
-    for field in schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
-            out.append(field.name)
+    for i in range(len(pq_schema)):
+        col = pq_schema.column(i)
+        logical = str(col.logical_type).lower()
+        if (
+            col.physical_type == "INT64"
+            and logical.startswith("timestamp")
+            and "nanosecond" in logical
+        ):
+            out.append(col.name)
     return out
 
 

@@ -277,3 +277,25 @@ def test_bm25_ranking_sanity(spark):
     assert ranks[0] == 1          # highest tf, short doc wins
     assert 3 not in ranks         # no query terms -> no score row
     assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_nanos_detection_ignores_spark_written_timestamps(spark, sf_dir, tmp_path):
+    """Regression: Spark-written timestamp files (INT96 legacy or INT64
+    micros) surface as timestamp[ns] in pyarrow's ARROW schema, but must
+    NOT be treated as raw-nanos columns — only INT64 TIMESTAMP(NANOS)
+    parquet logical types need the div-1000 conversion."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.sources.catalog import (
+        _nanos_timestamp_columns,
+        load_parquet,
+    )
+
+    ev = load_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    out = str(tmp_path / "spark_written")
+    ev.write.mode("overwrite").parquet(out)
+    assert _nanos_timestamp_columns(out) == []
+    back = load_parquet(spark, out)  # must not apply ns conversion
+    assert back.count() == ev.count()
+    # the true-nanos fixture is still detected and converted
+    assert _nanos_timestamp_columns(os.path.join(sf_dir, "events.parquet")) == ["ts"]

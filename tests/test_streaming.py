@@ -577,3 +577,39 @@ def test_funnel_stream_buffer_cap_keeps_smallest():
     # exactness within cap: a late view at 0 re-gates to click 1
     bufs2 = [[0, 5], pruned[1], [10]]
     assert _derive(bufs2) == [0, 1, 10]
+
+
+def test_streaming_retention_matches_batch_and_is_retry_safe(
+    spark, events_stream_dir, events_schema, tmp_path_factory
+):
+    from pyspark_unload_to_gcs_spark.operators.product import retention_cohorts
+    from pyspark_unload_to_gcs_spark.streaming.retention import (
+        current_retention_matrix,
+        fold_periods_batch,
+        start_streaming_retention,
+    )
+
+    state = str(tmp_path_factory.mktemp("ret_state"))
+    ckpt = str(tmp_path_factory.mktemp("ret_ckpt"))
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    q = start_streaming_retention(stream, state_path=state, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    expected = {(r.cohort_period, r.period_offset): r.n_users
+                for r in retention_cohorts(spark.read.parquet(events_stream_dir)).collect()}
+    got = {(r.cohort_period, r.period_offset): r.n_users
+           for r in current_retention_matrix(spark, state).collect()}
+    assert got == expected and len(got) > 0
+
+    # retry-idempotence: re-folding the LAST batch rewrites identical state
+    last_file = sorted(
+        __import__("glob").glob(f"{events_stream_dir}/part-*.parquet"),
+        key=lambda p: __import__("os").path.getmtime(p),
+    )[-1]
+    from pyspark_unload_to_gcs_spark.streaming.rollup import _versions
+
+    last_v = _versions(state)[-1]
+    fold_periods_batch(spark.read.parquet(last_file), last_v, state_path=state)
+    refolded = {(r.cohort_period, r.period_offset): r.n_users
+                for r in current_retention_matrix(spark, state).collect()}
+    assert refolded == expected
