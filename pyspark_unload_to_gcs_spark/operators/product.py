@@ -289,14 +289,18 @@ def growth_accounting(
     """
     from pyspark.sql import Window
 
-    pd_ms = period_days * MS_PER_DAY
-    per = (
-        events.select(
-            F.col(user_column).alias("user_id"),
-            (epoch_ms(events, time_column) / F.lit(pd_ms)).cast("bigint").alias("period"),
-        )
-        .distinct()
+    per = user_periods(
+        events, user_column=user_column, time_column=time_column, period_days=period_days
     )
+    return growth_accounting_from_periods(per)
+
+
+def growth_accounting_from_periods(per: DataFrame) -> DataFrame:
+    """Growth accounting from a distinct (user_id, period) frame — the
+    same substrate (and streaming state) retention reads; one folded
+    state serves both views."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("user_id").orderBy("period")
     marked = per.select(
         "user_id",

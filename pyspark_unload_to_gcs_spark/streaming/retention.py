@@ -74,9 +74,19 @@ def current_retention_matrix(spark: SparkSession, state_path: str) -> DataFrame 
     return None if state is None else retention_matrix_from_periods(state)
 
 
+def current_growth_accounting(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Growth accounting served from the SAME folded state — one
+    user-period state, multiple analytics views."""
+    from pyspark_unload_to_gcs_spark.operators.product import growth_accounting_from_periods
+
+    state = read_state(spark, state_path)
+    return None if state is None else growth_accounting_from_periods(state)
+
+
 __all__ = [
     "fold_periods_batch",
     "start_streaming_retention",
     "current_retention_matrix",
+    "current_growth_accounting",
     "_versions",
 ]

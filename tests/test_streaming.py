@@ -613,3 +613,25 @@ def test_streaming_retention_matches_batch_and_is_retry_safe(
     refolded = {(r.cohort_period, r.period_offset): r.n_users
                 for r in current_retention_matrix(spark, state).collect()}
     assert refolded == expected
+
+
+def test_streaming_growth_accounting_from_same_state(
+    spark, events_stream_dir, events_schema, tmp_path_factory
+):
+    from pyspark_unload_to_gcs_spark.operators.product import growth_accounting
+    from pyspark_unload_to_gcs_spark.streaming.retention import (
+        current_growth_accounting,
+        start_streaming_retention,
+    )
+
+    state = str(tmp_path_factory.mktemp("ga_state"))
+    ckpt = str(tmp_path_factory.mktemp("ga_ckpt"))
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=2)
+    q = start_streaming_retention(stream, state_path=state, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    expected = {r.period: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+                for r in growth_accounting(spark.read.parquet(events_stream_dir)).collect()}
+    got = {r.period: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+           for r in current_growth_accounting(spark, state).collect()}
+    assert got == expected and len(got) > 0
