@@ -27,6 +27,7 @@ N_SCALARS = 8
 N_EVENTS = 8
 N_DOCS = 8
 N_SUBQ = 8
+N_ROLLUP = 6
 
 # columns of `orders` usable identically in both dialects
 NUM_COLS = ["o_orderkey", "o_custkey"]
@@ -275,6 +276,36 @@ def _subq_sql(rng: random.Random) -> str:
     """
 
 
+def _rollup_sql(rng: random.Random) -> str:
+    """Multi-level aggregation and RANGE-frame fuzz: ROLLUP/CUBE nulls
+    semantics and numeric range windows must agree across engines.
+
+    KNOWN DIVERGENCE (sidestepped, not hidden): on EMPTY input DuckDB
+    emits the ()-grouping-set grand-total row (n=0, SQL-standard
+    global-aggregate behavior) while Spark's Expand produces no rows at
+    all. The fuzz predicate is OR-guarded to keep some rows so the
+    cases exercise the nulls semantics, not that edge."""
+    if rng.random() < 0.5:
+        op = rng.choice(["ROLLUP", "CUBE"])
+        pred = _predicate(rng)
+        return f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders WHERE ({pred}) OR o_orderkey % 97 = 0
+        GROUP BY {op} (o_orderstatus, o_orderpriority)
+        """
+    span = rng.choice([10, 500, 5000])
+    pred = _predicate(rng)
+    return f"""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               RANGE BETWEEN {span} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running
+    FROM orders WHERE {pred}
+    """
+
+
 _RNG = random.Random(SEED)
 FILTER_CASES = [(f"filter_{i}", _filter_sql(_RNG)) for i in range(N_FILTERS)]
 AGG_CASES = [(f"agg_{i}", _agg_sql(_RNG)) for i in range(N_AGGS)]
@@ -285,6 +316,7 @@ SCALAR_CASES = [(f"scalar_{i}", _scalar_sql(_RNG)) for i in range(N_SCALARS)]
 EVENT_CASES = [(f"event_{i}", _event_sql(_RNG)) for i in range(N_EVENTS)]
 DOC_CASES = [(f"doc_{i}", _doc_sql(_RNG)) for i in range(N_DOCS)]
 SUBQ_CASES = [(f"subq_{i}", _subq_sql(_RNG)) for i in range(N_SUBQ)]
+ROLLUP_CASES = [(f"rollup_{i}", _rollup_sql(_RNG)) for i in range(N_ROLLUP)]
 
 
 @pytest.fixture(scope="module")
@@ -306,7 +338,7 @@ def orders_view(spark, sf_dir):
 @pytest.mark.parametrize(
     "name,sql",
     FILTER_CASES + AGG_CASES + JOIN_CASES + WINDOW_CASES + SETOP_CASES + SCALAR_CASES
-    + EVENT_CASES + DOC_CASES + SUBQ_CASES,
+    + EVENT_CASES + DOC_CASES + SUBQ_CASES + ROLLUP_CASES,
     ids=lambda c: c if isinstance(c, str) and not c.startswith("\n") else "",
 )
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
