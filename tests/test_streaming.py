@@ -635,3 +635,42 @@ def test_streaming_growth_accounting_from_same_state(
     got = {r.period: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
            for r in current_growth_accounting(spark, state).collect()}
     assert got == expected and len(got) > 0
+
+
+def test_streaming_actives_sketches_match_batch_estimates(
+    spark, events_stream_dir, events_schema, tmp_path_factory
+):
+    """Sketch state folded over micro-batches must estimate the same
+    DAU/WAU as the one-shot batch sketch operator (HLL union is order-
+    insensitive and idempotent, so batch boundaries can't move it)."""
+    from pyspark_unload_to_gcs_spark.operators.product import rolling_active_users_approx
+    from pyspark_unload_to_gcs_spark.streaming.actives import (
+        current_rolling_actives,
+        fold_actives_batch,
+        start_streaming_actives,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.rollup import _versions
+
+    state = str(tmp_path_factory.mktemp("act_state"))
+    ckpt = str(tmp_path_factory.mktemp("act_ckpt"))
+    stream = stream_parquet_dir(spark, events_stream_dir, events_schema, max_files_per_trigger=1)
+    q = start_streaming_actives(stream, state_path=state, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {r.day_num: (r.dau_approx, r.wau_approx)
+                for r in rolling_active_users_approx(batch).collect()}
+    got = {r.day_num: (r.dau_approx, r.wau_approx)
+           for r in current_rolling_actives(spark, state).collect()}
+    assert got == expected and len(got) > 0
+
+    # idempotent refold: folding the last batch again changes nothing
+    import glob as _glob
+    import os as _os
+
+    last_file = sorted(_glob.glob(f"{events_stream_dir}/part-*.parquet"),
+                       key=_os.path.getmtime)[-1]
+    fold_actives_batch(spark.read.parquet(last_file), _versions(state)[-1], state_path=state)
+    refolded = {r.day_num: (r.dau_approx, r.wau_approx)
+                for r in current_rolling_actives(spark, state).collect()}
+    assert refolded == expected
