@@ -49,6 +49,7 @@ def funnel(
     user_column: str = "user_id",
     time_column: str = "ts",
     type_column: str = "event_type",
+    extra_group_columns: tuple[str, ...] = (),
 ) -> DataFrame:
     """Strict ordered funnel: per user, ``step_i`` completes at the
     FIRST occurrence of ``steps[i]`` strictly after the completion of
@@ -71,11 +72,12 @@ def funnel(
         raise ValueError("funnel needs at least two steps")
     ev = events.select(
         F.col(user_column).alias("user_id"),
+        *extra_group_columns,
         epoch_ms(events, time_column).alias("__ts_ms"),
         F.col(type_column).alias("__etype"),
     ).filter(F.col("__etype").isin(list(steps)))
 
-    per_user = ev.groupBy("user_id").agg(
+    per_user = ev.groupBy("user_id", *extra_group_columns).agg(
         F.sort_array(F.collect_list(F.struct("__ts_ms", "__etype"))).alias("__seq")
     )
 
@@ -101,10 +103,11 @@ def funnel(
         return F.struct(*fields)
 
     folded = per_user.select(
-        "user_id", F.aggregate("__seq", zero, fold).alias("__f")
+        "user_id", *extra_group_columns, F.aggregate("__seq", zero, fold).alias("__f")
     )
     out = folded.select(
         "user_id",
+        *extra_group_columns,
         *[F.col(f"__f.s{i}").alias(f"step{i + 1}_ms") for i in range(n)],
     )
     return out.filter(F.col("step1_ms").isNotNull())

@@ -205,3 +205,52 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS prev
+        FROM events
+    ), sess AS (
+        SELECT user_id, event_type, ts_ms,
+               SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM lagged
+    ), e AS (
+        SELECT * FROM sess WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+        SELECT user_id, session_seq, MIN(ts_ms) AS step1_ms
+        FROM e WHERE event_type = 'view' GROUP BY user_id, session_seq
+    ), s2 AS (
+        SELECT e.user_id, e.session_seq, MIN(e.ts_ms) AS step2_ms
+        FROM e JOIN s1 ON s1.user_id = e.user_id AND s1.session_seq = e.session_seq
+        WHERE e.event_type = 'click' AND e.ts_ms > s1.step1_ms
+        GROUP BY e.user_id, e.session_seq
+    ), s3 AS (
+        SELECT e.user_id, e.session_seq, MIN(e.ts_ms) AS step3_ms
+        FROM e JOIN s2 ON s2.user_id = e.user_id AND s2.session_seq = e.session_seq
+        WHERE e.event_type = 'purchase' AND e.ts_ms > s2.step2_ms
+        GROUP BY e.user_id, e.session_seq
+    )
+    SELECT s1.user_id, s1.session_seq, s1.step1_ms, s2.step2_ms, s3.step3_ms
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id AND s2.session_seq = s1.session_seq
+    LEFT JOIN s3 ON s3.user_id = s1.user_id AND s3.session_seq = s1.session_seq
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel: steps must complete within ONE session
+    (30-min gap sessionization runs over ALL event types first, then
+    the funnel folds per (user, session)). Session numbering is robust
+    to timestamp ties — equal-time events always share a session, so
+    the composition stays deterministic. Oracle replays sessionize +
+    min-join cascade independently."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_ms=30 * 60 * 1000).drop("__ts_ms")
+    return funnel(s, FUNNEL_STEPS, extra_group_columns=("session_seq",))
