@@ -79,6 +79,15 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) columns would otherwise be
+    # inferred as TIMESTAMP_NTZ (Spark 3.4+ default). The engine's
+    # timestamp currency is epoch-based TimestampType (unix_millis,
+    # F.window, watermark arithmetic all expect it), and the DuckDB
+    # oracle reads the same stored micros as naive-UTC, so reading the
+    # raw micros as TimestampType keeps both engines value-identical
+    # under the UTC session timezone. Runtime conf: applies to scans
+    # planned after this point, including under a driver-owned session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
