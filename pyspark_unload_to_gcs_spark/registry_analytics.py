@@ -686,8 +686,8 @@ def rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
     ), sessions AS (
         SELECT user_id, ts_ms,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM marked
     )
     SELECT user_id, session_seq,

@@ -59,7 +59,7 @@ _NORM_SQL = (
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
@@ -426,8 +426,8 @@ def vector_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) - n_tokens AS p
         FROM tok
     )
-    SELECT shard, p // 256 AS bin_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+    SELECT shard, CAST(p // 256 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM pre GROUP BY shard, bin_id
     """,
 )
@@ -623,8 +623,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
     FROM kept
     GROUP BY lang, source
     """,
@@ -731,7 +731,7 @@ def embedding_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'image' AS media_type,
            COUNT(*) AS n,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents
     """,

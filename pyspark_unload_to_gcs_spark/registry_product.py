@@ -142,10 +142,10 @@ def rolling_active_users_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM marked WHERE next_p IS NULL OR next_p > period + 1
     )
     SELECT c.period,
-           SUM(is_new) AS n_new,
-           SUM(is_retained) AS n_retained,
-           SUM(is_resurrected) AS n_resurrected,
-           SUM(is_churned) AS n_churned
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected,
+           CAST(SUM(is_churned) AS BIGINT) AS n_churned
     FROM contrib c
     WHERE c.period IN (SELECT period FROM per)
     GROUP BY c.period
@@ -216,9 +216,9 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sess AS (
         SELECT user_id, event_type, ts_ms,
-               SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts_ms
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM lagged
     ), e AS (
         SELECT * FROM sess WHERE event_type IN ('view', 'click', 'purchase')

@@ -107,10 +107,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_linestatus",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY l.l_linestatus
     """,
@@ -716,7 +716,8 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) - n_tokens AS p
         FROM toks
     )
-    SELECT doc_id, shard, p // 512 AS bin_id, n_tokens, p % 512 AS bin_offset
+    SELECT doc_id, shard, CAST(p // 512 AS BIGINT) AS bin_id, n_tokens,
+           CAST(p % 512 AS BIGINT) AS bin_offset
     FROM pre
     """,
 )
@@ -996,8 +997,8 @@ def q20_heavy_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
            MIN(greatest(least(e.value, b.hi), b.lo)) AS min_clipped,
            MAX(greatest(least(e.value, b.hi), b.lo)) AS max_clipped
     FROM events e JOIN b ON b.event_type = e.event_type
