@@ -72,19 +72,23 @@ def full_sync_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props
     FROM events
-    WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
-      AND ts <  TIMESTAMP '2024-09-30 00:00:01'
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:01'
     """,
 )
 def time_based_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based sync P5-P7: half-open incremental window at second
-    granularity (cutoff=2024-03-01T00:00:00Z ms, now=2024-10-01, delay=1d
-    -> upper bound 2024-09-30T00:00:00 inclusive at second granularity)."""
+    granularity (cutoff=2024-01-10T00:00:00Z ms, now=2024-01-21, delay=1d
+    -> upper bound 2024-01-20T00:00:00 inclusive at second granularity).
+    The events fixture spans Jan 2024, so this selects a nontrivial
+    strict subset with rows outside the window on BOTH sides (the r01
+    verdict flagged the previous Mar-Sep window as a vacuous 0-row
+    pass)."""
     df = time_window_filter(
         _t(spark, sf_dir, "events"),
         "ts",
-        time_cutoff_ms=1709251200000,
-        now_ms=1727740800000,
+        time_cutoff_ms=1704844800000,
+        now_ms=1705795200000,
         delay_ms=86400000,
     )
     return df.select(

@@ -378,14 +378,20 @@ def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS: LEFT ANTI join (the dedup survivors pattern —
-    operators/dedup.py uses the same shape)."""
+    operators/dedup.py uses the same shape). The right side is the
+    high-value-orders subset so the anti-join output is NON-empty at
+    every fixture SF (every customer has some order in the fixtures; the
+    r01 verdict flagged the unfiltered version as a vacuous 0-row
+    pass)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -394,14 +400,21 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9500
     """,
 )
 def nations_customers_not_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (EXCEPT DISTINCT): nation keys with customers but
-    no suppliers."""
+    no HIGH-BALANCE supplier. The balance gate keeps the result
+    non-empty at every fixture SF (at sf0.1 every nation has some
+    supplier, which made the ungated version a vacuous 0-row pass —
+    r01 verdict)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)  # EXCEPT DISTINCT semantics
 
 
