@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a noop-format write (full execution, no
 driver collect overhead, no disk write skew). A tiny warmup action runs
 first so JVM/codegen startup isn't billed to the first query.
+
+Driver-parse contract (the round driver JSON-parses bench stdout):
+- The JSON line is the LAST, LONE line on stdout; all Spark logging and
+  progress output goes to stderr (console progress is disabled).
+- A query that raises is recorded in "errors" and skipped — one bad
+  query must not zero out the whole round's bench signal (round 2's
+  bench exited non-zero on the first failing query and the driver
+  recorded no number at all).
+- The same JSON is mirrored to BENCH_LOCAL.json so the measurement
+  survives any stdout-parsing failure.
 """
 
 from __future__ import annotations
@@ -14,6 +24,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,7 +39,10 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="pyspark-unload-to-gcs-bench")
+    spark = get_spark(
+        app_name="pyspark-unload-to-gcs-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM, parquet reader, codegen, shuffle, broadcast and noop-
@@ -48,23 +62,34 @@ def main() -> None:
     materialize(warm)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in registry.queries().items():
         start = time.perf_counter()
-        materialize(q(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            materialize(q(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            traceback.print_exc(file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_registered_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_wall_sec_all_registered_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    line = json.dumps(result)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -297,5 +297,21 @@ def test_nanos_detection_ignores_spark_written_timestamps(spark, sf_dir, tmp_pat
     assert _nanos_timestamp_columns(out) == []
     back = load_parquet(spark, out)  # must not apply ns conversion
     assert back.count() == ev.count()
-    # the true-nanos fixture is still detected and converted
-    assert _nanos_timestamp_columns(os.path.join(sf_dir, "events.parquet")) == ["ts"]
+    # the driver fixture is native TIMESTAMP(MICROS) — not flagged either
+    assert _nanos_timestamp_columns(os.path.join(sf_dir, "events.parquet")) == []
+    # a true INT64 TIMESTAMP(NANOS) file IS detected and converted
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_path = str(tmp_path / "nanos.parquet")
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1704067200_000_000_001, 1704067200_123_456_789], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(table, ns_path, store_schema=False)
+    assert _nanos_timestamp_columns(ns_path) == ["ts"]
+    got = load_parquet(spark, ns_path).orderBy("id").collect()
+    # ns -> us truncation, read back as epoch-based TimestampType
+    assert [r.ts.microsecond for r in got] == [0, 123456]
