@@ -36,10 +36,11 @@ MS_PER_DAY = 86_400_000
 
 
 def day_number(ts_ms: Column) -> Column:
-    """Integral day index since the epoch (ms // 86_400_000). Integer
-    division keeps bucket boundaries bit-identical across engines
-    (float division would not)."""
-    return (ts_ms / F.lit(MS_PER_DAY)).cast("bigint")
+    """Integral day index since the epoch (ms // 86_400_000). Floor
+    division keeps bucket boundaries bit-identical across engines and
+    correct for pre-epoch timestamps (double division then cast would
+    truncate toward zero)."""
+    return F.floor(ts_ms / F.lit(MS_PER_DAY)).cast("bigint")
 
 
 def funnel(
