@@ -194,6 +194,37 @@ def content_hash_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "content_hash_json",
+    oracle="""
+    SELECT o_orderkey,
+           md5(to_json(struct_pack(
+               o_custkey      := o_custkey,
+               o_orderkey     := o_orderkey,
+               o_orderpriority := o_orderpriority,
+               o_orderstatus  := o_orderstatus))) AS row_hash
+    FROM orders
+    """,
+)
+def content_hash_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity ``json`` content hash under a cross-engine oracle
+    (export.py:204-214: md5(to_json(struct(sorted cols)))).
+
+    Spark's Jackson and DuckDB's yyjson emit byte-identical canonical
+    JSON for flat structs of BIGINT/VARCHAR fields (no spaces, same
+    escaping), so the hash matches bit-for-bit; DOUBLE/TIMESTAMP fields
+    would NOT round-trip identically (engine-specific number/date
+    formatting), which is why the json-method oracle restricts to the
+    key/string columns and the full-width hash stays on the ``concat``
+    method (content_hash_lineitem). Struct keys are name-sorted on both
+    sides, matching the reference's sorted(df.columns) at export.py:209."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    df = content_hash(df, "row_hash", method="json")
+    return df.select("o_orderkey", "row_hash")
+
+
+@register(
     "row_count_guard",
     oracle="SELECT count(*) AS row_count FROM region",
 )
@@ -305,7 +336,7 @@ def _load_extensions() -> None:
 #   3. the LLM-pipeline headliners that had no driver row in r01/r02
 #      (ANN/vector search, multimodal, funnel/retention/growth, corpus
 #      pipeline, packing/chunking, PII/contamination) plus a TPC-H shape
-#      rotation (q2/q7/q12/q16/q21 this round — rotate the remaining
+#      rotation (q2/q7/q12/q16 this round — rotate the remaining
 #      shapes in next round).
 # Queries not listed keep registration order after these; all 99 remain
 # registered and locally oracle-verified (tests/test_oracle_parity.py).
@@ -315,6 +346,7 @@ _PRIORITY: tuple[str, ...] = (
     "time_based_window",
     "scd_latest_order",
     "content_hash_lineitem",
+    "content_hash_json",
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
@@ -367,7 +399,6 @@ _PRIORITY: tuple[str, ...] = (
     "q7_nation_pair_revenue",
     "q12_priority_by_linestatus",
     "q16_part_supplier_counts",
-    "q21_sole_returning_supplier",
 )
 
 
