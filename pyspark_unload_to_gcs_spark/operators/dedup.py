@@ -341,38 +341,30 @@ def simhash_column(text_column: str = "text", bits: int = 64):
 
         import numpy as np
 
-        # token -> (+1/-1)^64 bit vector, cached: the distinct vocab is
-        # far smaller than the token stream, so each token hashes once
-        # per Arrow batch
-        vocab: dict[str, "np.ndarray"] = {}
-
-        def tok_bits(tok: str) -> "np.ndarray":
-            v = vocab.get(tok)
-            if v is None:
-                h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
-                bit_arr = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
-                # unpackbits yields MSB-first per byte; map to bit b of the
-                # big-endian integer: bit index = 63 - position
-                v = (bit_arr.astype(np.int64) * 2 - 1)[::-1]
-                vocab[tok] = v
-            return v
-
+        # Fully batch-vectorized: tokenize everything, hash only the
+        # DISTINCT vocab (far smaller than the token stream), then
+        # accumulate every token's ±1 bit-vector into its document row
+        # with one scatter-add — no per-document Python loop. Per-token
+        # bit orientation matches the scalar construction: unpackbits is
+        # MSB-first per byte, so reversing maps position p to bit p of
+        # the big-endian integer.
+        n = len(texts)
+        tok_lists = [str(t).lower().split() if t else [] for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        if not flat:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        doc_idx = np.repeat(np.arange(n), [len(toks) for toks in tok_lists])
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        hashed = np.frombuffer(
+            b"".join(hashlib.blake2b(u.encode(), digest_size=8).digest() for u in uniq),
+            dtype=np.uint8,
+        ).reshape(len(uniq), 8)
+        bit_vecs = (np.unpackbits(hashed, axis=1).astype(np.int8) * 2 - 1)[:, ::-1]
+        acc = np.zeros((n, bits), dtype=np.int64)
+        np.add.at(acc, doc_idx, bit_vecs[inv])
         powers = np.left_shift(np.uint64(1), np.arange(bits, dtype=np.uint64))
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = str(t).lower().split()
-            if not toks:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                acc += tok_bits(tok)
-            v = int((powers[acc > 0]).sum(dtype=np.uint64))
-            if v >= 1 << 63:
-                v -= 1 << 64
-            out[i] = v
-        return pd.Series(out)
+        vals = ((acc > 0) @ powers.astype(np.uint64)).astype(np.uint64)
+        return pd.Series(vals.view(np.int64))
 
     return _simhash(text_column)
 
@@ -393,13 +385,18 @@ def simhash_dedup(
     least one exact chunk, so an equality join on chunk values finds all
     candidates without O(n^2)."""
     # simhash is the expensive (Pandas-UDF) step; it feeds the two band
-    # self-join sides, which are the SAME subplan — Spark reuses one
-    # Exchange, so the UDF runs once in the shuffle map stage. No
-    # persist: a cache write + eager count barrier measured 4x slower
-    # cold and no faster warm at sf0.1.
+    # self-join sides. Exchange reuse would dedupe the computation when
+    # the planner canonicalizes both sides to one subplan, but that
+    # reuse is NOT guaranteed (AQE broadcast conversion or a plan-cache
+    # miss late in a session re-runs the UDF per side — observed as a
+    # ~2.5x swing in the bench loop). The hashed frame is 16 bytes/doc,
+    # so persist + count barrier pins the UDF to exactly one execution
+    # for the price of a trivially small cache.
     hashed = ensure_parallelism(df.select(F.col(id_column), F.col(text_column))).select(
         F.col(id_column), simhash_column(text_column).alias("__simhash")
     )
+    hashed = hashed.persist()
+    hashed.count()
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
     chunks = F.array(
