@@ -228,8 +228,14 @@ def minhash_candidate_pairs(
         .select("__id", token_hashes(F.col(text_column)).alias("__th"))
         .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
         .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+        # band keys are the signature's ONLY consumer, so fold them in
+        # BEFORE the persist: the interpreted band-hash HOF runs once at
+        # cache-write instead of once per cache read (two join sides),
+        # and the cached row carries `bands` longs instead of
+        # `num_hashes` (8 vs 32 by default).
+        .select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
     )
-    # The (id, shingle-hash, signature) projection feeds four plan
+    # The (id, shingle-hash, band-keys) projection feeds four plan
     # branches (two band-join sides, two verify join-backs) plus any
     # downstream closure (graph.dedup_clusters). Persist + eager count:
     # without the count barrier, concurrent downstream stages race on
@@ -245,10 +251,7 @@ def minhash_candidate_pairs(
     # Narrow candidate generation: the band self-join carries ONLY
     # (id, band_key) — 16 bytes/row — never the shingle arrays. Both
     # join inputs are the same subplan, so Spark reuses the exchange.
-    banded = docs.select(
-        "__id",
-        F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
-    )
+    banded = docs.select("__id", F.explode(F.col("__bands")).alias("__band"))
     cand = (
         banded.select(F.col("__band"), F.col("__id").alias("id_a"))
         .join(banded.select(F.col("__band"), F.col("__id").alias("id_b")), "__band")
