@@ -99,3 +99,61 @@ def weighted_mix(
             F.col(stratum_column) == value, F.lit(split_threshold_hex(rate))
         ).otherwise(thresh)
     return df.filter(prefix < thresh)
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_column: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source sampling weights with temperature smoothing:
+    ``weight_s = n_s^alpha / sum_t n_t^alpha`` — the standard
+    multi-source/multilingual corpus reweighting (alpha=1 keeps natural
+    proportions, alpha=0 is uniform, 0<alpha<1 upweights small sources).
+
+    Returns one row per stratum: (stratum, n_docs, weight).
+
+    Cross-engine float discipline (NOTES lore): ``pow`` can differ by an
+    ulp between engines, so the powered count is rounded to 6 places and
+    accumulated as exact DECIMAL; the single normalizing division is
+    rounded to 9 before the one cast to DOUBLE. The unpartitioned window
+    SUM runs over the per-stratum aggregate — strata counts are small by
+    construction (sources, not rows), so the single-partition window is
+    a few-row driver-sized frame, not a data-scale sort."""
+    powed = F.round(F.pow(F.count(F.lit(1)).cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(28,12)"
+    )
+    per = df.groupBy(F.col(stratum_column)).agg(
+        F.count(F.lit(1)).alias("n_docs"), powed.alias("__p")
+    )
+    total = Window.partitionBy()
+    return per.select(
+        F.col(stratum_column),
+        "n_docs",
+        F.round(F.col("__p") / F.sum("__p").over(total), 9).cast("double").alias("weight"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_column: str,
+    id_column: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+) -> DataFrame:
+    """Apply temperature-smoothed mixing: compute per-source weights
+    (``temperature_weights``), convert to per-source keep-rates for a
+    ``target_rows`` budget (``rate_s = min(1, weight_s * target /
+    n_s)``), and select rows with the deterministic hash-prefix filter
+    (``weighted_mix``) — reproducible across runs/engines/retries.
+
+    The weights collect is one row per SOURCE (an index-build-sized
+    parameter, like IVF centroids), not a data collect."""
+    stats = temperature_weights(df, stratum_column, alpha=alpha).collect()
+    rates = {
+        row[stratum_column]: min(1.0, row["weight"] * target_rows / row["n_docs"])
+        for row in stats
+    }
+    return weighted_mix(df, stratum_column, rates, id_column)

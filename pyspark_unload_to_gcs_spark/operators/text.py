@@ -320,6 +320,44 @@ def pack_documents(
     )
 
 
+def length_bucketed_batches(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    bucket_edges: tuple[int, ...] = (16, 64, 256),
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch assignment for padded inference/training:
+    group documents of similar token length so each batch pads to its
+    bucket's max instead of the corpus max (the standard bucketed-
+    batching trick — padding waste drops from O(max_len) to
+    O(bucket_width) per batch).
+
+    Returns (id, n_tokens, bucket, batch_id): ``bucket`` = number of
+    edges <= n_tokens (0..len(edges)); ``batch_id`` = deterministic
+    id-ordered batch index within the bucket.
+
+    Scale shape: one shuffle on ``bucket`` for the row_number window —
+    same top-k-per-group shape as ``take_per_stratum``; buckets are few
+    but AQE skew-split keeps a dominant bucket from serializing. For
+    strictly-bounded partitions at 100 TB, sub-shard the window key the
+    way ``pack_documents`` shards its running sum."""
+    n_tok = token_count(F.col(text_column)).cast("bigint")
+    staged = df.select(F.col(id_column), n_tok.alias("n_tokens"))
+    bucket = F.lit(0).cast("bigint")
+    for edge in bucket_edges:
+        bucket = bucket + F.when(F.col("n_tokens") >= edge, 1).otherwise(0)
+    staged = staged.select(id_column, "n_tokens", bucket.cast("bigint").alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(F.col(id_column).asc())
+    return staged.select(
+        id_column,
+        "n_tokens",
+        "bucket",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint").alias("batch_id"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -314,6 +314,61 @@ def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mix_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(ROUND(POW(CAST(COUNT(*) AS DOUBLE), 0.5), 6)
+                    AS DECIMAL(28,12)) AS p
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(ROUND(p / SUM(p) OVER (), 9) AS DOUBLE) AS weight
+    FROM s
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source weights (operators/sampling.py
+    ``temperature_weights``, alpha=0.5): n^alpha renormalization — the
+    standard multilingual/multi-source corpus mixing curve. Powered
+    counts round to 6 then accumulate as exact DECIMAL so the one
+    DOUBLE cast is ulp-identical cross-engine."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
+@register(
+    "length_bucketed_batches",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END
+                  + CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END
+                  + CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM t
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+                AS BIGINT) AS batch_id
+    FROM b
+    """,
+)
+def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (operators/text.py
+    ``length_bucketed_batches``): similar-length docs batch together so
+    padding cost is bucket-width, not corpus-max — the inference/training
+    throughput trick. One shuffle (bucket window)."""
+    return T.length_bucketed_batches(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "hot_users",
     oracle="""
     SELECT user_id, COUNT(*) AS n_rows,

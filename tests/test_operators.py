@@ -315,3 +315,42 @@ def test_nanos_detection_ignores_spark_written_timestamps(spark, sf_dir, tmp_pat
     got = load_parquet(spark, ns_path).orderBy("id").collect()
     # ns -> us truncation, read back as epoch-based TimestampType
     assert [r.ts.microsecond for r in got] == [0, 123456]
+
+
+def test_temperature_mix_budget_and_determinism(spark, sf_dir):
+    """temperature_mix selects ~target_rows with alpha-smoothed source
+    proportions, deterministically (same rows on re-run), and never
+    invents rows."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        temperature_mix,
+        temperature_weights,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    total = docs.count()
+    target = total // 2
+    out = temperature_mix(docs, "source", "doc_id", alpha=0.5, target_rows=target)
+    n = out.count()
+    # hash-prefix quantization (1/16^4) keeps selection within a few % of target
+    assert abs(n - target) < max(20, target * 0.1)
+    # deterministic: identical id set on re-run
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    out2 = temperature_mix(docs, "source", "doc_id", alpha=0.5, target_rows=target)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == ids1
+    # subset of input
+    assert n <= total
+    # weights normalize to ~1 (fixture sources are uniform -> weight ==
+    # natural share; the upweighting property needs skew, below)
+    w = {r.source: (r.n_docs, r.weight) for r in temperature_weights(docs, "source").collect()}
+    assert abs(sum(v[1] for v in w.values()) - 1.0) < 1e-6
+    # skewed frame: alpha<1 upweights the small source above its natural share
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)], "doc_id long, source string"
+    )
+    ws = {r.source: r.weight for r in temperature_weights(skew, "source").collect()}
+    assert abs(sum(ws.values()) - 1.0) < 1e-6
+    assert ws["small"] > 100 / 1000
+    assert ws["big"] < 900 / 1000
