@@ -129,3 +129,58 @@ def test_snapshot_diff_schema_mismatch_raises(spark, snap):
     old, _ = snap
     with pytest.raises(ValueError, match="schemas differ"):
         snapshot_diff(old, old.withColumnRenamed("v", "w"), ["k"])
+
+
+# --- temperature weights (pure-math core driven through Spark) ---------------
+
+
+@st.composite
+def source_counts(draw):
+    n_sources = draw(st.integers(min_value=1, max_value=6))
+    return draw(
+        st.lists(
+            st.integers(min_value=1, max_value=500),
+            min_size=n_sources,
+            max_size=n_sources,
+        )
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None)
+@given(counts=source_counts())
+def test_temperature_weights_invariants(spark, counts):
+    """For any source-size profile: weights sum to ~1, each weight is
+    positive, and ordering by weight matches ordering by count (n^alpha
+    is monotone)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import temperature_weights
+
+    rows = [(f"s{si}", i) for si, c in enumerate(counts) for i in range(c)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    w = {r.source: r.weight for r in temperature_weights(df, "source").collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    assert all(v > 0 for v in w.values())
+    by_count = sorted(range(len(counts)), key=lambda i: counts[i])
+    by_weight = sorted(range(len(counts)), key=lambda i: w[f"s{i}"])
+    # monotone up to exact ties in counts
+    for a, b in zip(by_count, by_weight):
+        assert counts[a] == counts[b] or a == b
+
+
+def test_length_bucketed_batches_invariants(spark):
+    """Buckets are monotone in n_tokens; every batch holds at most
+    batch_size rows; ids partition exactly (no dup/loss)."""
+    from pyspark_unload_to_gcs_spark.operators.text import length_bucketed_batches
+
+    rows = [(i, "tok " * (i % 300)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucketed_batches(df, batch_size=16).collect()
+    assert sorted(r.doc_id for r in out) == list(range(1, 401))
+    from collections import Counter
+
+    per_batch = Counter((r.bucket, r.batch_id) for r in out)
+    assert max(per_batch.values()) <= 16
+    # bucket is a nondecreasing step function of n_tokens
+    by_tok = sorted(out, key=lambda r: r.n_tokens)
+    for a, b in zip(by_tok, by_tok[1:]):
+        assert a.bucket <= b.bucket
