@@ -196,6 +196,50 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def signature_frame(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The LSH signature projection: (__id, __sh shingle-hash array,
+    __bands band-key array) per document — one narrow map, no shuffle.
+
+    This IS the persistable "signature index" for incremental dedup:
+    write it once for the base corpus, and each new increment only
+    computes its own signatures and joins band keys against the stored
+    index (``match_against_index``) — the base corpus text is never
+    re-shingled. Staged projections (NOT one nested expression): each
+    heavy array becomes a real column attribute before any lambda
+    references it, so it is computed once per row (collapsing these
+    into one select re-evaluates the token pipeline per gram position —
+    see shingle_hashes_from_token_hashes docstring; 25x at sf0.1).
+    Band keys fold in before any persist because the raw signature has
+    no other consumer (rows carry `bands` longs, not `num_hashes`).
+
+    MATERIALIZATION CONTRACT: consume this frame only through a barrier
+    — write it to parquet, or persist()+count() — before branching
+    joins reference it. The staged projections above survive only until
+    the optimizer runs: without a barrier, CollapseProject refolds them
+    into nested HOF lambdas and the per-element re-evaluation blowup
+    returns (observed as a hang, not just 25x, when the index side of
+    ``match_against_index`` was left unmaterialized).
+    ``minhash_candidate_pairs`` and ``match_against_index`` apply the
+    barrier internally for the frames they create; raw callers must do
+    it themselves."""
+    rows_per_band = num_hashes // bands
+    return (
+        ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
+        .select("__id", token_hashes(F.col(text_column)).alias("__th"))
+        .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
+        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+        .select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_column: str,
@@ -217,23 +261,8 @@ def minhash_candidate_pairs(
          for candidates; for very large corpora carry a shingle *hash*
          array instead of strings — done here via xxhash64)
     """
-    rows_per_band = num_hashes // bands
-    # Staged projections (NOT one nested expression): each heavy array
-    # becomes a real column attribute before any lambda references it,
-    # so it is computed once per row. Collapsing these into one select
-    # re-evaluates the token pipeline per gram position (see
-    # shingle_hashes_from_token_hashes docstring; 25x at sf0.1).
-    docs = (
-        ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
-        .select("__id", token_hashes(F.col(text_column)).alias("__th"))
-        .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
-        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-        # band keys are the signature's ONLY consumer, so fold them in
-        # BEFORE the persist: the interpreted band-hash HOF runs once at
-        # cache-write instead of once per cache read (two join sides),
-        # and the cached row carries `bands` longs instead of
-        # `num_hashes` (8 vs 32 by default).
-        .select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
+    docs = signature_frame(
+        df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
     # The (id, shingle-hash, band-keys) projection feeds four plan
     # branches (two band-join sides, two verify join-backs) plus any
@@ -271,6 +300,59 @@ def minhash_candidate_pairs(
         pairs.withColumn("jaccard", _jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dedup: match a NEW batch against a previously
+    built corpus signature ``index`` (the output of ``signature_frame``,
+    typically persisted to parquet). Returns (new_id, index_id, jaccard)
+    for every cross pair at or above the threshold.
+
+    This is the production shape at 100 TB: the base corpus is shingled
+    ONCE when the index is written; each daily/hourly increment costs
+    only its own narrow signature map plus a band-key join whose index
+    side prunes to colliding buckets — never a re-scan of corpus text.
+    (Self-duplicates inside the new batch: run minhash_candidate_pairs
+    on the batch alone, it's small.) The new batch's signature frame is
+    tiny relative to the index, so its band explode broadcasts or
+    shuffles cheaply; the verify join carries shingle arrays only for
+    candidate ids on both sides.
+    """
+    newsig = signature_frame(
+        new_df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+    ).persist()
+    newsig.count()
+
+    new_banded = newsig.select("__id", F.explode("__bands").alias("__band"))
+    idx_banded = index.select(
+        F.col("__id").alias("__idx_id"), F.explode("__bands").alias("__band")
+    )
+    cand = (
+        new_banded.join(idx_banded, "__band")
+        .select(F.col("__id").alias("new_id"), F.col("__idx_id").alias("index_id"))
+        .filter(F.col("new_id") != F.col("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    pairs = cand.join(
+        newsig.select(F.col("__id").alias("new_id"), F.col("__sh").alias("__sh_a")), "new_id"
+    ).join(
+        index.select(F.col("__id").alias("index_id"), F.col("__sh").alias("__sh_b")), "index_id"
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard")
     )
 
 

@@ -231,6 +231,25 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@register("incremental_near_dedup")  # rows-only: approximate LSH matching
+def incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup (operators/dedup.py match_against_index):
+    the older 80% of the corpus plays the persisted signature index, the
+    newest 20% is the incoming batch — the batch's signatures join the
+    index's band keys without re-shingling index text. The 100 TB shape:
+    index built once, increments cost only themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    # persist+count = the materialization barrier signature_frame
+    # requires (in production the index arrives from parquet, which is
+    # the same barrier) — see signature_frame's docstring.
+    index = D.signature_frame(docs.filter(F.col("doc_id") < cut), "doc_id", "text").persist()
+    index.count()
+    new_batch = docs.filter(F.col("doc_id") >= cut)
+    out = D.match_against_index(new_batch, index, "doc_id", "text", jaccard_threshold=0.7)
+    return out.select("new_id", "index_id", F.round("jaccard", 4).alias("jaccard_r"))
+
+
 @register("near_dedup_ngram")  # rows-only
 def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard dedup (exact Jaccard over LSH candidates,

@@ -173,3 +173,37 @@ def test_fuzzy_text_join_cross_table_matches(spark):
     out2 = fuzzy_text_join(left2, right, jaccard_threshold=0.5).collect()
     assert all(r.left_id in (1, 2) and r.right_id == 10 for r in out2)
     assert len(out2) == 2
+
+
+def test_incremental_match_against_persisted_index(spark, tmp_path):
+    """Incremental near-dedup: the corpus signature index is built once,
+    persisted to parquet, and a new batch matches against it without
+    re-shingling corpus text — planted near-dups are found, novel docs
+    are not."""
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, DOCS)
+    idx_path = f"file:{tmp_path}/sig_index"
+    D.signature_frame(docs, "doc_id", "text").write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # new batch: 5 near-copies of corpus docs (append one token) + 3 novels
+    base = {r.doc_id: r.text for r in docs.limit(5).collect()}
+    rows = [(100000 + i, t + " extra") for i, t in enumerate(base.values())]
+    rows += [
+        (200000 + i, f"utterly novel UNSEEN-{i} zz{i}qq completely different payload xj{i}")
+        for i in range(3)
+    ]
+    new_batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    matches = D.match_against_index(new_batch, index, "doc_id", "text", jaccard_threshold=0.5)
+    got = matches.collect()
+    matched_new = {r.new_id for r in got}
+    # every planted copy matches its source doc in the index
+    for i, src_id in enumerate(base):
+        assert 100000 + i in matched_new
+        assert any(r.new_id == 100000 + i and r.index_id == src_id for r in got)
+    # novel docs match nothing
+    assert not any(r.new_id >= 200000 for r in got)
+    # matches report real Jaccard in threshold range
+    assert all(0.5 <= r.jaccard <= 1.0 for r in got)
