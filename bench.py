@@ -63,7 +63,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in registry.queries().items():
+    for i, (name, q) in enumerate(registry.queries().items()):
+        # Spark's ContextCleaner frees shuffle files / broadcast blocks
+        # only when JVM GC collects the dereferenced dependency objects.
+        # A 100+-query loop on one local JVM accumulates all of them
+        # (observed: late queries degrade 3-10x — q21 1.8 s warm vs
+        # 26 s at position ~100). A periodic explicit GC keeps the
+        # cleaner draining; the pause itself is untimed (between
+        # queries).
+        if i % 20 == 0 and i > 0:
+            spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         try:
             materialize(q(spark, sf_dir))
