@@ -196,6 +196,35 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """The band-free signature core: (__id, __sh shingle-hash array,
+    __sig minhash signature) per document — one narrow map, no shuffle.
+
+    Banding is derived later (``lsh_band_keys``) and is cheap relative
+    to shingling+signing, so ONE materialized signature frame serves
+    every band configuration: 8-band standard dedup and 16-band
+    high-recall n-gram dedup re-band the same cached signatures instead
+    of re-shingling the corpus (at 100 TB: store signatures once,
+    choose the precision/recall operating point per query).
+
+    Same staging and MATERIALIZATION CONTRACT as ``signature_frame``
+    (see below): persist()+count() or write to parquet before branching
+    consumers, or CollapseProject refolds the staged HOFs."""
+    return (
+        ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
+        .select("__id", token_hashes(F.col(text_column)).alias("__th"))
+        .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
+        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    )
+
+
 def signature_frame(
     df: DataFrame,
     id_column: str,
@@ -231,13 +260,9 @@ def signature_frame(
     barrier internally for the frames they create; raw callers must do
     it themselves."""
     rows_per_band = num_hashes // bands
-    return (
-        ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
-        .select("__id", token_hashes(F.col(text_column)).alias("__th"))
-        .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
-        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-        .select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
-    )
+    return minhash_signatures(
+        df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes
+    ).select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
 
 
 def minhash_candidate_pairs(
@@ -249,6 +274,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) whose exact shingle
     Jaccard >= threshold, found via banded MinHash LSH.
@@ -260,27 +286,36 @@ def minhash_candidate_pairs(
       4. exact Jaccard verify on the pair (shingle arrays carried only
          for candidates; for very large corpora carry a shingle *hash*
          array instead of strings — done here via xxhash64)
+
+    ``signatures``: an already-MATERIALIZED ``minhash_signatures`` frame
+    (persisted or parquet-read) to re-band instead of re-shingling —
+    pass it when several band/threshold configurations run over the
+    same corpus in one session.
     """
-    docs = signature_frame(
-        df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
-    )
-    # The (id, shingle-hash, band-keys) projection feeds four plan
-    # branches (two band-join sides, two verify join-backs) plus any
-    # downstream closure (graph.dedup_clusters). Persist + eager count:
-    # without the count barrier, concurrent downstream stages race on
-    # the unpopulated cache and each recompute the pipeline. Measured
-    # trade-off at sf0.1: persist is ~4x slower for ONE cold standalone
-    # call (cache write + barrier) but ~1.5x faster across a session
-    # running the dedup query family (signature subplan shared); the
-    # multi-branch/multi-query shape is the common one. ~1 KB/doc,
-    # MEMORY_AND_DISK spills gracefully.
-    docs = docs.persist()
-    docs.count()
+    rows_per_band = num_hashes // bands
+    if signatures is None:
+        # The (id, shingle-hash, signature) projection feeds four plan
+        # branches (two band-join sides, two verify join-backs) plus any
+        # downstream closure (graph.dedup_clusters). Persist + eager
+        # count: without the count barrier, concurrent downstream stages
+        # race on the unpopulated cache and each recompute the pipeline
+        # (and CollapseProject would refold the staged HOFs — see the
+        # materialization contract). ~1 KB/doc, MEMORY_AND_DISK spills
+        # gracefully.
+        signatures = minhash_signatures(
+            df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes
+        ).persist()
+        signatures.count()
+    docs = signatures
 
     # Narrow candidate generation: the band self-join carries ONLY
     # (id, band_key) — 16 bytes/row — never the shingle arrays. Both
     # join inputs are the same subplan, so Spark reuses the exchange.
-    banded = docs.select("__id", F.explode(F.col("__bands")).alias("__band"))
+    # Band keys derive from the cached signature at read time (a few
+    # xxhash64 per row — cheap relative to the shingling they replace).
+    banded = docs.select(
+        "__id", F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band")
+    )
     cand = (
         banded.select(F.col("__band"), F.col("__id").alias("id_a"))
         .join(banded.select(F.col("__band"), F.col("__id").alias("id_b")), "__band")
@@ -394,10 +429,13 @@ def ngram_jaccard_dedup(
     jaccard_threshold: float = 0.8,
     bands: int = 16,
     num_hashes: int = 32,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Like ``minhash_dedup`` but with more bands (higher recall) —
     candidates still come from LSH so there is no O(n^2) pair blow-up,
-    and the final decision is the *exact* n-gram Jaccard."""
+    and the final decision is the *exact* n-gram Jaccard. Pass the
+    session's materialized ``minhash_signatures`` frame as
+    ``signatures`` to re-band it instead of re-shingling."""
     return minhash_dedup(
         df,
         id_column,
@@ -406,6 +444,7 @@ def ngram_jaccard_dedup(
         jaccard_threshold=jaccard_threshold,
         bands=bands,
         num_hashes=num_hashes,
+        signatures=signatures,
     )
 
 

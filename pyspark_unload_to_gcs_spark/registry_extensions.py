@@ -26,6 +26,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_MEMO: dict[tuple, DataFrame] = {}
+_SIG_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE materialized ``minhash_signatures`` frame per (session,
+    sf_dir). Every band configuration in the dedup family re-bands this
+    cache instead of re-shingling the corpus (8-band standard pairs AND
+    16-band high-recall ngram dedup) — the shingling is ~all the cost.
+    Persist+count here IS the materialization barrier the signature
+    frame's contract requires."""
+    key = (id(spark), sf_dir)
+    if key not in _SIG_MEMO:
+        sig = D.minhash_signatures(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        ).persist()
+        sig.count()
+        _SIG_MEMO[key] = sig
+    return _SIG_MEMO[key]
 
 
 def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +56,10 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PAIRS_MEMO:
         _PAIRS_MEMO[key] = D.minhash_candidate_pairs(
-            _t(spark, sf_dir, "documents"), "doc_id", "text"
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            signatures=_shared_signatures(spark, sf_dir),
         )
     return _PAIRS_MEMO[key]
 
@@ -253,9 +274,14 @@ def incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("near_dedup_ngram")  # rows-only
 def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard dedup (exact Jaccard over LSH candidates,
-    higher-recall banding)."""
+    higher-recall 16-band re-banding of the session's shared signature
+    cache — no second shingling pass)."""
     return D.ngram_jaccard_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", jaccard_threshold=0.7
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        jaccard_threshold=0.7,
+        signatures=_shared_signatures(spark, sf_dir),
     ).select("doc_id", "lang", "source")
 
 
