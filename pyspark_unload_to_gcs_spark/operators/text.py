@@ -401,6 +401,43 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> DataFrame:
+    """Perplexity-style quality score: each document's mean unigram
+    log-probability under the corpus's own unigram distribution —
+    the classic cheap LM quality filter (gibberish and boilerplate
+    score far from the corpus mean; no external model needed).
+    Returns (id, n_tokens, avg_logprob) for non-empty documents.
+
+    Shape at scale: explode to (doc, token), ONE aggregation for the
+    unigram table (|vocab| rows — broadcasts), join back, ONE per-doc
+    aggregation. Cross-engine float discipline (same as bm25): ln is
+    the only transcendental — each token's logprob rounds to 6 places
+    and accumulates as exact DECIMAL, so per-doc sums are order-free;
+    the sum casts to DOUBLE once and the final mean is a single IEEE
+    double division (correctly rounded, so bit-identical everywhere —
+    a ROUND of the DECIMAL division here would re-introduce engine
+    drift via intermediate-scale differences)."""
+    toks = df.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
+    pairs = toks.select(id_column, F.explode("__toks").alias("__term"))
+    vocab = pairs.groupBy("__term").agg(F.count(F.lit(1)).alias("__freq"))
+    total = pairs.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    lp = F.round(F.log(F.col("__freq") / F.col("__total")), 6).cast("decimal(28,12)")
+    scored = (
+        pairs.join(F.broadcast(vocab), "__term")
+        .join(F.broadcast(total))
+        .select(id_column, lp.alias("__lp"))
+    )
+    return scored.groupBy(id_column).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

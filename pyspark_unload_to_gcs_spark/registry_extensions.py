@@ -359,6 +359,35 @@ def weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE trim(text) != ''
+    ), vocab AS (
+        SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ROUND(ln(v.freq / tot.total), 6)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM toks t JOIN vocab v USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality score (operators/text.py
+    ``unigram_logprob``): mean unigram log-probability per document
+    under the corpus's own unigram distribution — the cheap quality
+    filter for corpus curation. ln rounds to 6 then sums as exact
+    DECIMAL so both engines agree bit-for-bit."""
+    return T.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "temperature_mix_weights",
     oracle="""
     WITH s AS (
