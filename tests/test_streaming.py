@@ -674,3 +674,56 @@ def test_streaming_actives_sketches_match_batch_estimates(
     refolded = {r.day_num: (r.dau_approx, r.wau_approx)
                 for r in current_rolling_actives(spark, state).collect()}
     assert refolded == expected
+
+
+def test_streaming_incremental_near_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Production incremental-dedup loop as a stream: each arriving
+    micro-batch of documents matches against the PERSISTED corpus
+    signature index via foreachBatch, and the union over epochs equals
+    the one-shot batch match."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.dedup import (
+        match_against_index,
+        signature_frame,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    base, new = docs.filter(F.col("doc_id") < cut), docs.filter(F.col("doc_id") >= cut)
+
+    idx_path = f"file:{tmp_path}/sig_index"
+    signature_frame(base, "doc_id", "text").write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    stream_src = str(tmp_path / "doc_stream")
+    new.repartition(3).write.mode("overwrite").parquet(stream_src)
+    parts = sorted(glob.glob(f"{stream_src}/part-*.parquet"))
+    mtime = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (mtime + i, mtime + i))
+
+    got = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(
+            (r.new_id, r.index_id)
+            for r in match_against_index(
+                batch_df, index, "doc_id", "text", jaccard_threshold=0.7
+            ).collect()
+        )
+
+    q = (
+        stream_parquet_dir(spark, stream_src, new.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expected = {
+        (r.new_id, r.index_id)
+        for r in match_against_index(new, index, "doc_id", "text", jaccard_threshold=0.7).collect()
+    }
+    assert set(got) == expected
+    assert len(got) == len(set(got))  # one epoch per file -> no double-processing
