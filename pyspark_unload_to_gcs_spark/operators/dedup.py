@@ -369,6 +369,16 @@ def match_against_index(
     ).persist()
     newsig.count()
 
+    # Accept either index layout: banded (signature_frame, the parquet
+    # index format) or band-free (minhash_signatures, e.g. the session's
+    # shared signature cache filtered to the base corpus) — band keys
+    # derive from the stored signature at read time.
+    if "__bands" not in index.columns:
+        rows_per_band = num_hashes // bands
+        index = index.select(
+            "__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands")
+        )
+
     new_banded = newsig.select("__id", F.explode("__bands").alias("__band"))
     idx_banded = index.select(
         F.col("__id").alias("__idx_id"), F.explode("__bands").alias("__band")

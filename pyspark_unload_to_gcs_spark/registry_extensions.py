@@ -261,11 +261,11 @@ def incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index built once, increments cost only themselves."""
     docs = _t(spark, sf_dir, "documents")
     cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
-    # persist+count = the materialization barrier signature_frame
-    # requires (in production the index arrives from parquet, which is
-    # the same barrier) — see signature_frame's docstring.
-    index = D.signature_frame(docs.filter(F.col("doc_id") < cut), "doc_id", "text").persist()
-    index.count()
+    # The index is the session's shared signature cache filtered to the
+    # base corpus — already materialized (the barrier signature frames
+    # require; in production it would arrive from parquet, the same
+    # barrier), and shared with the rest of the dedup family.
+    index = _shared_signatures(spark, sf_dir).filter(F.col("__id") < cut)
     new_batch = docs.filter(F.col("doc_id") >= cut)
     out = D.match_against_index(new_batch, index, "doc_id", "text", jaccard_threshold=0.7)
     return out.select("new_id", "index_id", F.round("jaccard", 4).alias("jaccard_r"))
