@@ -221,7 +221,18 @@ def minhash_signatures(
         ensure_parallelism(df.select(F.col(id_column).alias("__id"), F.col(text_column)))
         .select("__id", token_hashes(F.col(text_column)).alias("__th"))
         .select("__id", shingle_hashes_from_token_hashes(F.col("__th"), shingle_n).alias("__sh"))
-        .select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+        .select(
+            "__id",
+            "__sh",
+            minhash_signature(F.col("__sh"), num_hashes).alias(
+                # build parameters ride along as column metadata (survives
+                # persist AND a parquet round-trip via Spark's footer
+                # schema), so a consumer re-banding a stored index can
+                # verify it was built with the parameters it assumes
+                "__sig",
+                metadata={"num_hashes": num_hashes, "shingle_n": shingle_n},
+            ),
+        )
     )
 
 
@@ -262,7 +273,14 @@ def signature_frame(
     rows_per_band = num_hashes // bands
     return minhash_signatures(
         df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes
-    ).select("__id", "__sh", lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias("__bands"))
+    ).select(
+        "__id",
+        "__sh",
+        lsh_band_keys(F.col("__sig"), bands, rows_per_band).alias(
+            "__bands",
+            metadata={"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n},
+        ),
+    )
 
 
 def minhash_candidate_pairs(
@@ -363,7 +381,34 @@ def match_against_index(
     tiny relative to the index, so its band explode broadcasts or
     shuffles cheaply; the verify join carries shingle arrays only for
     candidate ids on both sides.
+
+    The result is materialized (localCheckpoint) before return and the
+    batch's temporary signature cache is unpersisted — per-micro-batch
+    callers (streaming foreachBatch) would otherwise leak one cached
+    frame per epoch. On a multi-node cluster where executor loss must be
+    survivable, write the result to storage instead of relying on the
+    local checkpoint.
     """
+    # Refuse silently-wrong re-banding: if the index carries build
+    # metadata (signature_frame / minhash_signatures attach it, and it
+    # survives a parquet round-trip), the caller's parameters must match
+    # how the index was actually built — a 32-hash index re-banded as if
+    # it had 64 hashes produces garbage band keys and misses duplicates.
+    for field_name, params in (
+        ("__sig", ("num_hashes", "shingle_n")),
+        ("__bands", ("num_hashes", "bands", "shingle_n")),
+    ):
+        if field_name in index.columns:
+            meta = index.schema[field_name].metadata or {}
+            ours = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+            for p in params:
+                if p in meta and int(meta[p]) != ours[p]:
+                    raise ValueError(
+                        f"match_against_index: index was built with {p}={int(meta[p])} "
+                        f"but the call assumes {p}={ours[p]} — matching would silently "
+                        "miss duplicates. Rebuild the index or pass matching parameters."
+                    )
+
     newsig = signature_frame(
         new_df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     ).persist()
@@ -394,11 +439,19 @@ def match_against_index(
     ).join(
         index.select(F.col("__id").alias("index_id"), F.col("__sh").alias("__sh_b")), "index_id"
     )
-    return (
+    out = (
         pairs.withColumn("jaccard", _jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("new_id", "index_id", "jaccard")
     )
+    # Materialize the (small) match result so the batch's signature
+    # cache can be released NOW — without this, every foreachBatch epoch
+    # leaves one persisted frame behind. localCheckpoint blocks are
+    # cleaned up when the result is garbage collected (ContextCleaner),
+    # unlike persist() entries which live until explicitly unpersisted.
+    out = out.localCheckpoint(eager=True)
+    newsig.unpersist()
+    return out
 
 
 def minhash_dedup(
@@ -589,7 +642,26 @@ def fuzzy_text_join(
     and only cross-side pairs survive. Same scale shape as
     ``minhash_candidate_pairs``: narrow signatures, one short-key
     shuffle, verify on candidates only — never |left| x |right|.
+
+    PRECONDITION: ``id_column`` must be an integral column with values
+    in (-2^62, 2^62) on both sides — the side tag packs ids as id*2 /
+    id*2+1. Non-integral id types are rejected at plan time below;
+    out-of-range values fail loudly at execution (Spark 4 runs with
+    ANSI overflow checking, so the *2 raises ArithmeticException rather
+    than silently wrapping). For non-numeric ids, map them through a
+    dense integral surrogate first (e.g. ``F.xxhash64`` with a
+    collision check, or ``zipWithIndex``-style assignment).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for side, df_side in (("left", left), ("right", right)):
+        dtype = df_side.schema[id_column].dataType
+        if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"fuzzy_text_join: {side}.{id_column} has type {dtype.simpleString()}; "
+                "the even/odd side-tag packing requires an integral id in (-2^62, 2^62). "
+                "Map ids through an integral surrogate first."
+            )
     lt = left.select(
         (F.col(id_column).cast("long") * 2).alias("__uid"), F.col(text_column)
     )

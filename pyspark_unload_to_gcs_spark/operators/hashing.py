@@ -5,10 +5,16 @@ Used downstream for change detection. Two methods:
 
 - ``json`` (default, reference parity): md5 over the JSON serialization
   of a name-sorted struct of the hashed columns. Handles nested
-  struct/array/map columns transparently.
+  struct/array/map columns transparently. CROSS-ENGINE CAVEAT: Spark's
+  to_json OMITS null struct fields while DuckDB's to_json emits them as
+  ``"field":null`` — the json hash is only cross-engine comparable when
+  every hashed column is non-null (and only for BIGINT/VARCHAR-shaped
+  fields; doubles/timestamps format engine-specifically). Within Spark
+  itself the hash is always self-consistent, nulls included.
 - ``concat``: md5 over a '|'-delimited concatenation of the columns cast
-  to string. Engine-portable (identical output in DuckDB/Trino for
-  scalar columns), used by the oracle-checked correctness queries.
+  to string with an explicit NULL sentinel. Engine-portable (identical
+  output in DuckDB/Trino for scalar columns, nullable or not), used by
+  the oracle-checked correctness queries.
 
 Known reference bug we deliberately FIX (SURVEY.md §2i): the reference's
 ignore-list check degrades to a *substring* test against the raw CLI

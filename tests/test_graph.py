@@ -207,3 +207,69 @@ def test_incremental_match_against_persisted_index(spark, tmp_path):
     assert not any(r.new_id >= 200000 for r in got)
     # matches report real Jaccard in threshold range
     assert all(0.5 <= r.jaccard <= 1.0 for r in got)
+
+
+def test_match_against_index_rejects_mismatched_build_params(spark):
+    """An index built with one num_hashes must not be silently re-banded
+    under another — the band keys would be garbage and duplicates would
+    be missed without any error (ADVICE r03)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    index = D.signature_frame(docs, "doc_id", "text", num_hashes=32, bands=8)
+    new = spark.createDataFrame([(10, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_hashes=32"):
+        D.match_against_index(new, index, "doc_id", "text", num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="bands=8"):
+        D.match_against_index(new, index, "doc_id", "text", num_hashes=32, bands=4)
+    # band-free index layout (minhash_signatures) carries metadata too
+    sig = D.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    with pytest.raises(ValueError, match="num_hashes=32"):
+        D.match_against_index(new, sig, "doc_id", "text", num_hashes=64)
+
+
+def test_match_against_index_releases_batch_cache(spark):
+    """Per-micro-batch usage must not leak one persisted frame per epoch
+    (ADVICE r03): after the call returns, the batch signature frame is
+    no longer registered in the JVM's persistent-RDD map."""
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    index = D.signature_frame(docs, "doc_id", "text")
+    index = index.persist()
+    index.count()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    new = spark.createDataFrame([(100, "token1 alpha beta gamma delta")], "doc_id long, text string")
+    out = D.match_against_index(new, index, "doc_id", "text", jaccard_threshold=0.5)
+    assert out.count() >= 1
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    # the only new persistent entry allowed is the localCheckpoint of the
+    # (small) result itself — the batch signature cache must be gone
+    leaked = after - before
+    assert len(leaked) <= 1, f"leaked persisted RDDs: {leaked}"
+    index.unpersist()
+
+
+def test_fuzzy_text_join_rejects_non_integral_ids(spark):
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    left = spark.createDataFrame([("a", "some text here")], "doc_id string, text string")
+    right = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="integral"):
+        fuzzy_text_join(left, right)
+    with pytest.raises(ValueError, match="integral"):
+        fuzzy_text_join(right, left)
+
+
+def test_fuzzy_text_join_id_overflow_fails_loudly(spark):
+    """Ids at/above 2^62 overflow the even/odd packing; ANSI mode must
+    turn that into an error, never a silent wraparound (ADVICE r03)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    big = 1 << 62
+    left = spark.createDataFrame([(big, "alpha beta gamma")], "doc_id long, text string")
+    right = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        fuzzy_text_join(left, right, jaccard_threshold=0.5).collect()
