@@ -160,6 +160,21 @@ def _to_signed64(x: int) -> int:
     return x - (1 << 64) if x >= 1 << 63 else x
 
 
+def _xor_mask_fn(mask: int):
+    """One-argument transform lambda XORing elements with ``mask``.
+
+    Deliberately built via closure, NOT ``lambda h, m=mask: ...``:
+    PySpark dispatches higher-order-function lambdas on PARAMETER COUNT,
+    and a two-parameter lambda (defaults included) is called as
+    ``(element, index)`` — the default is silently overridden with the
+    array position. That exact bug shipped in rounds 1-3: every
+    signature slot XORed with the element index instead of its per-slot
+    mask, collapsing the 32-hash min-wise family into one
+    position-sensitive hash repeated 32 times (caught in round 4 when an
+    r=1-banding oracle query showed an impossible LSH miss)."""
+    return lambda h: h.bitwiseXOR(F.lit(mask))
+
+
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     """k-minhash signature over pre-hashed shingles: permutation s is
     ``h XOR mask_s`` (a bijection on 64-bit values — the standard cheap
@@ -168,10 +183,7 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     cannot overflow, so this is safe under ANSI mode."""
     masks = [_to_signed64(_splitmix64(s)) for s in range(num_hashes)]
     return F.array(
-        *[
-            F.array_min(F.transform(shingle_hashes, lambda h, m=m: h.bitwiseXOR(F.lit(m))))
-            for m in masks
-        ]
+        *[F.array_min(F.transform(shingle_hashes, _xor_mask_fn(m))) for m in masks]
     )
 
 
