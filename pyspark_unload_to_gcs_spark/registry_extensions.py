@@ -244,6 +244,62 @@ def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
+@register(
+    "near_dedup_pairs_exact",
+    # Oracle computes ALL-PAIRS exact shingle Jaccard (fine oracle-side
+    # at sf<=0.01: 500 docs -> 125k pairs of small string lists). The
+    # Spark side stays bucketed: r=1 banding (bands=num_hashes=32) makes
+    # a candidate of any pair sharing >=1 of 32 minhash slots — miss
+    # probability for a J>=0.8 pair is (1-J)^32 <= 4e-23, i.e. the LSH
+    # candidate set provably contains every qualifying pair, and the
+    # exact-Jaccard verify then makes the output EXACTLY the >=0.8 pair
+    # set. (This query is also the canary that caught the r<=3 minhash
+    # mask bug: under a broken signature family the oracle shows an
+    # impossible miss.) Jaccard over 64-bit shingle hashes equals
+    # Jaccard over the string shingles themselves up to 2^-64 collision
+    # odds, so the DuckDB side shingles strings directly.
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM_SQL} = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array({_NORM_SQL}, '\s+') END AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_r
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
+)
+def near_dedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT >=0.8-Jaccard near-duplicate pair set, computed with
+    the bucketed LSH machinery at an r=1 operating point (every band is
+    a single minhash slot) — recall is 1 minus (1-J)^32, indistinguish-
+    able from exact at the threshold, while the plan stays the scale
+    shape (band-bucket join, never all-pairs). Re-bands the session's
+    shared signature cache; the oracle brute-forces all pairs, which is
+    only viable oracle-side at toy scale."""
+    pairs = D.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=32,
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        signatures=_shared_signatures(spark, sf_dir),
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
+
+
 @register("near_dedup_simhash")  # rows-only: Pandas-UDF bit arithmetic
 def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup survivors (hamming <= 3 on 64-bit simhash)."""
@@ -509,12 +565,42 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vector_topk_quantized")  # rows-only: float rounding through int8 not SQL-portable
+@register(
+    "vector_topk_quantized",
+    # Replays the exact int8 quantize -> dequantize -> cosine arithmetic
+    # in DuckDB list functions: per-vector scale = max|v|/127 (double),
+    # stored as FLOAT; qvec_i = round(v_i/scale)::TINYINT; dequantized
+    # element = (qvec_i::DOUBLE * scale_float)::FLOAT. Both engines
+    # round-half-away-from-zero on doubles, and the float/double cast
+    # chain is bit-identical, so the r03 "no_oracle by design" label was
+    # too conservative — this is deterministic arithmetic end to end.
+    oracle="""
+    WITH src AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0
+    ), qz AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale_d
+      FROM src
+    ), deq AS (
+      SELECT s.vec_id,
+             CASE WHEN q.scale_d = 0.0 THEN list_transform(s.embedding, x -> CAST(0.0 AS DOUBLE))
+                  ELSE list_transform(s.embedding,
+                    x -> CAST(CAST(CAST(CAST(round(CAST(x AS DOUBLE) / q.scale_d) AS TINYINT) AS DOUBLE)
+                              * CAST(CAST(q.scale_d AS FLOAT) AS DOUBLE) AS FLOAT) AS DOUBLE)) END AS emb
+      FROM src s JOIN qz q USING (vec_id)
+    ), qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(emb, qv.qv), 6) AS cosine_r
+    FROM deq, qv
+    ORDER BY list_cosine_similarity(emb, qv.qv) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def vector_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval over int8-quantized embeddings (similarity.py): 4x
     smaller vectors, exact cosine on the dequantized form — the
-    storage-tier path for 100 TB corpora. Rows-only; recall vs exact
-    top-k is asserted in tests (>=8/10)."""
+    storage-tier path for 100 TB corpora. Deterministic arithmetic, so
+    it carries a full value oracle (see SQL above); recall vs the
+    unquantized exact top-k is additionally asserted in tests."""
     from pyspark_unload_to_gcs_spark.operators.similarity import (
         cosine_topk,
         dequantize_embeddings,
@@ -524,7 +610,8 @@ def vector_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     deq = dequantize_embeddings(quantize_embeddings(emb))
     q = _query_vec(spark, sf_dir)
-    return cosine_topk(deq.filter(F.col("vec_id") != 0), q, k=10, ensure_parallel=False)
+    out = cosine_topk(deq.filter(F.col("vec_id") != 0), q, k=10, ensure_parallel=False)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
 @register(
@@ -807,20 +894,116 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
-@register("vector_topk_lsh")  # rows-only: approximate
+# ---------------------------------------------------------------------------
+# ANN oracles: the LSH planes and IVF assignment are deterministic
+# arithmetic (seeded LCG hyperplanes / smallest-id centroids), so the
+# whole approximate pipeline replays in DuckDB — "approximate" means
+# approximate w.r.t. the exact top-k, NOT nondeterministic. The r03
+# verdict asked for recall-pinning oracles; a full value oracle is
+# strictly stronger (any change in bucketing, probing or scoring turns
+# the driver row red). Fold order is pinned on both sides: Spark's
+# F.aggregate left fold == DuckDB list_reduce left fold (0.0+x1 == x1).
+# The embedded plane literals assume the fixture's embedding dim (64) —
+# tests/test_oracle_parity.py asserts the dim so a fixture change fails
+# in pytest, not silently in the driver.
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), (x, y) -> x + y)"
+
+
+def _plane_values_sql(dim: int = _EMB_DIM, n_planes: int = 8, seed: int = 42) -> str:
+    """The Spark-side LCG hyperplanes as DuckDB VALUES literals —
+    repr() round-trips doubles exactly, so both engines see identical
+    plane coordinates."""
+    planes = S._hyperplanes(dim, n_planes, seed)
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+    return ",".join(f"({b}, {lit(p)}::DOUBLE[])" for b, p in enumerate(planes))
+
+
+@register(
+    "vector_topk_lsh",
+    oracle=f"""
+    WITH planes(b, p) AS (VALUES {_plane_values_sql()}),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qbucket AS (
+      SELECT CAST(SUM(CASE WHEN {_DOT.format(a='qv.qv', b='p.p')} >= 0 THEN 1 << p.b ELSE 0 END) AS BIGINT) AS qb
+      FROM planes p, qv
+    ),
+    bucketed AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(SUM(CASE WHEN {_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b='p.p')} >= 0 THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes p
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id, v
+    )
+    SELECT b.vec_id, round(list_cosine_similarity(b.v, qv.qv), 6) AS cosine_r
+    FROM bucketed b, qv, qbucket
+    WHERE bit_count(xor(b.bucket, qbucket.qb)) <= 1
+    ORDER BY list_cosine_similarity(b.v, qv.qv) DESC, b.vec_id ASC
+    LIMIT 10
+    """,
+)
 def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (random-hyperplane, multi-probe)."""
+    """LSH-bucketed approximate top-10 (random-hyperplane, multi-probe).
+    The oracle replays the seeded hyperplanes, sign-bucketing and
+    Hamming<=1 multi-probe in SQL, so bucket membership AND scores are
+    value-checked — a recall regression in the LSH path turns the
+    driver row red instead of hiding behind a rows-only check."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     out = S.lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine_r"))
 
 
-@register("vector_topk_ivf")  # rows-only: approximate (probe subset)
+@register(
+    "vector_topk_ivf",
+    oracle=f"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id != 0 ORDER BY vec_id ASC LIMIT 16
+    ), centn AS (
+      SELECT cell, c,
+             CASE WHEN sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) = 0
+                  THEN 1.0
+                  ELSE sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) END AS n
+      FROM cent
+    ), centu AS (
+      SELECT cell, c, n, list_transform(c, x -> x / n) AS u FROM centn
+    ),
+    probes AS (
+      SELECT cell FROM centu, qv
+      ORDER BY list_reduce(list_transform(list_zip(qv.qv, c), z -> z[1] * z[2] / n), (x, y) -> x + y) DESC,
+               cell ASC
+      LIMIT 4
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cu.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="cu.u")} DESC, cu.cell DESC
+               ) AS rn
+        FROM embeddings e, centu cu
+        WHERE e.vec_id != 0
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, round(list_cosine_similarity(a.v, qv.qv), 6) AS cosine_r
+    FROM assigned a JOIN probes p USING (cell), qv
+    ORDER BY list_cosine_similarity(a.v, qv.qv) DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
 def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: coarse-quantizer cells, probe the 4
     nearest of 16 — the partition-pruning layout for 100 TB vector
-    search (see operators/similarity.py ivf_topk)."""
+    search (see operators/similarity.py ivf_topk). The oracle replays
+    centroid selection (16 smallest-id vectors), unit normalization,
+    argmax cell assignment (ties to the larger cell, matching Spark's
+    struct array_max) and 4-probe selection in SQL — value-checked end
+    to end."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     out = S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
@@ -881,3 +1064,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
     return decode_media(docs, fake=True)
+
+
+@register(
+    "multimodal_decode_stats",
+    # Everything the fake decoder emits except the blake2b digest is
+    # pure arithmetic over the payload byte length (payload = UTF-8
+    # encoding of text), so the mapInPandas decode pipeline's output is
+    # value-checkable in DuckDB minus that one column (the digest
+    # algorithm itself is covered by deterministic unit tests).
+    oracle="""
+    SELECT doc_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) // 1024 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same mapInPandas decode pipeline as ``multimodal_decode``,
+    projected to its arithmetic outputs (byte length and derived
+    dimensions) so the Arrow-batch plumbing runs under a real value
+    oracle instead of a rows-only check."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import attach_payload, decode_media
+
+    docs = attach_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_media(docs, fake=True).select(
+        "doc_id", "media_type", "n_bytes", "width", "height"
+    )

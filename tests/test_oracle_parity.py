@@ -32,3 +32,22 @@ def test_every_query_runs_and_all_have_oracle_or_reason(spark, sf_dir):
         df = q(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_embedding_dim_matches_ann_oracle_literals(spark, sf_dir):
+    """The vector_topk_lsh/ivf oracles embed hyperplane literals for the
+    fixture's embedding dimensionality; if the fixture regenerates with
+    a different dim this must fail HERE, not as a silent driver-row
+    mismatch."""
+    from pyspark_unload_to_gcs_spark.registry import _t
+    from pyspark_unload_to_gcs_spark.registry_extensions import _EMB_DIM
+
+    import pyspark.sql.functions as F
+
+    dims = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r.d for r in dims] == [_EMB_DIM]
