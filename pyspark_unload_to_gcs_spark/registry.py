@@ -326,20 +326,24 @@ def _load_extensions() -> None:
 
 
 # The round driver's correctness pass covers the FIRST 50 registered
-# queries (CORRECTNESS_r01/r02 each contain exactly the first 50 names
-# in registration order), so registration order decides which operators
-# get hard driver evidence each round. This list front-loads:
-#   1. reference-parity core (SURVEY §2 sync planners, hash, guard, CDC);
-#   2. queries fixed this round that need fresh driver rows (NTZ
-#      timestamp casualties, HUGEINT oracle casts, de-vacuated windows
-#      and anti-joins);
-#   3. the LLM-pipeline headliners that had no driver row in r01/r02
-#      (ANN/vector search, multimodal, funnel/retention/growth, corpus
-#      pipeline, packing/chunking, PII/contamination) plus a TPC-H shape
-#      rotation (q2/q7/q12/q16 this round — rotate the remaining
-#      shapes in next round).
-# Queries not listed keep registration order after these; all 99 remain
-# registered and locally oracle-verified (tests/test_oracle_parity.py).
+# queries, so registration order decides which operators get hard
+# driver evidence each round. The rotation is LEDGER-DRIVEN (ADVICE
+# r03): tools/coverage_ledger.py derives per-round driver evidence from
+# the checked-in CORRECTNESS_r*.json artifacts, and
+# tests/test_coverage_rotation.py asserts that every registered query
+# is either already ledger-green or inside the current first-50 window
+# — so no query can permanently escape external verification.
+#
+# Round-4 window composition:
+#   1. reference-parity core (always kept in-window — VERDICT r03 §6);
+#   2. ALL 19 queries with no driver row in any prior round (q8-q22
+#      TPC-H shapes, pivot, approx-sketch twins, round-3 additions);
+#   3. queries added or oracle-upgraded THIS round (exact near-dup pair
+#      set, decode stats, quantized/LSH/IVF full value oracles);
+#   4. refresh of names whose only driver evidence is r01/r02 (their
+#      oracles or upstream operators may have drifted since).
+# Everything else keeps registration order after these; all remain
+# locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
@@ -350,55 +354,51 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. fixed this round
-    "customers_without_orders",
-    "nations_customers_not_suppliers",
-    "asof_latest_click",
-    "range_join_attribution",
-    "tumbling_daily_events",
-    "sliding_window_events",
-    "sessionization",
-    "text_stats",
-    # 3a. vector similarity / ANN / embeddings
-    "vector_topk",
+    # 2. never driver-checked through r03
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_widget_suppliers",
+    "q21_sole_returning_supplier",
+    "q22_idle_rich_customers",
+    "pivot_returnflag_status",
+    "nations_with_customers_and_suppliers",
+    "value_percentiles_approx",
+    "rolling_active_users_approx",
+    "incremental_near_dedup",
+    "unigram_logprob_quality",
+    "temperature_mix_weights",
+    "length_bucketed_batches",
+    # 3. new or oracle-upgraded in round 4
+    "near_dedup_pairs_exact",
+    "multimodal_decode_stats",
+    "vector_topk_quantized",
     "vector_topk_lsh",
     "vector_topk_ivf",
-    "vector_topk_quantized",
-    "embedding_near_dedup",
-    # 3b. multimodal
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_embed_topk",
-    # 3c. product analytics
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "rolling_active_users",
-    "growth_accounting",
-    "top_event_paths",
-    "session_funnel",
-    "user_event_gaps",
-    # 3d. LLM corpus pipeline
-    "document_chunks",
-    "sequence_packing",
-    "training_corpus_pipeline",
-    "clean_corpus_stats",
-    "tfidf_top_terms",
-    "bm25_search",
-    "bpe_ish_token_count",
-    "pii_redaction",
-    "repetition_stats",
-    "benchmark_contamination",
-    "near_dup_clusters",
-    "fuzzy_entity_join",
-    # 3e. incremental/merge + misc analytics without driver rows
-    "incremental_rollup_merge",
-    "incremental_topk_merge",
-    "winsorized_value_stats",
-    # 3f. TPC-H shape rotation (this round)
-    "q2_min_price_supplier",
-    "q7_nation_pair_revenue",
-    "q12_priority_by_linestatus",
-    "q16_part_supplier_counts",
+    # 4. refresh (last driver evidence r01/r02)
+    "scd_latest_order_maxby",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q6_revenue_delta",
+    "big_orders",
+    "orders_with_returns",
+    "grouping_sets_revenue",
+    "rollup_pricing",
+    "cube_order_stats",
+    "top_orders_per_customer",
+    "top_parts_by_revenue",
+    "regional_revenue",
+    "value_percentiles",
+    "value_histogram",
+    "json_props_extract",
+    "exact_dedup",
+    "normalized_dedup",
+    "doc_fingerprint",
 )
 
 

@@ -1,0 +1,75 @@
+"""Ledger-driven rotation invariants (ADVICE r03): the external driver
+only correctness-checks the first 50 registered queries per round, so
+these tests pin that (a) the priority list is well-formed, (b) the
+reference-parity core never leaves the window, and (c) every registered
+query either already has green driver evidence in a checked-in
+CORRECTNESS artifact or sits inside the current window — i.e. no query
+can permanently escape external verification."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark_unload_to_gcs_spark import registry
+from tools.coverage_ledger import green_names, load_evidence
+
+CORE = (
+    "full_sync_non_null",
+    "time_based_window",
+    "scd_latest_order",
+    "content_hash_lineitem",
+    "content_hash_json",
+    "row_count_guard",
+    "cdc_change_mapping",
+    "cdc_snapshot_diff",
+)
+
+
+def test_priority_names_all_registered():
+    names = set(registry.queries().keys())
+    missing = [n for n in registry._PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY references unregistered queries: {missing}"
+
+
+def test_priority_exactly_fills_the_driver_window():
+    assert len(registry._PRIORITY) == 50
+    assert len(set(registry._PRIORITY)) == 50
+    window = list(registry.queries().keys())[:50]
+    assert window == list(registry._PRIORITY)
+    # queries() and oracle_sql() must agree on ordering for the window
+    owindow = [n for n in registry.oracle_sql() if n in set(window)]
+    assert owindow == [n for n in window if n in registry.oracle_sql()]
+
+
+def test_core_parity_names_stay_in_window():
+    window = set(list(registry.queries().keys())[:50])
+    assert set(CORE) <= window
+
+
+def test_no_query_escapes_driver_verification():
+    """Every registered query is ledger-green (some round's CORRECTNESS
+    artifact shows a fully-green row — or a rows-only row for queries
+    that are rows-only by contract) OR is inside the current first-50
+    window awaiting this round's check."""
+    evidence = load_evidence()
+    green = green_names(evidence)
+    names = list(registry.queries().keys())
+    window = set(names[:50])
+    escaped = [n for n in names if n not in green and n not in window]
+    assert not escaped, (
+        "queries with no driver evidence AND outside the checked window "
+        f"(rotate them into registry._PRIORITY): {escaped}"
+    )
+
+
+def test_never_checked_queries_are_front_of_window():
+    """Anything never driver-checked must be in the window NOW — waiting
+    another round is exactly the failure mode the ledger exists to
+    prevent."""
+    evidence = load_evidence()
+    names = list(registry.queries().keys())
+    window = set(names[:50])
+    never = [n for n in names if n not in evidence]
+    outside = [n for n in never if n not in window]
+    assert not outside, f"never-driver-checked queries outside window: {outside}"
