@@ -305,6 +305,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     signatures: DataFrame | None = None,
+    min_matching_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) whose exact shingle
     Jaccard >= threshold, found via banded MinHash LSH.
@@ -321,6 +322,19 @@ def minhash_candidate_pairs(
     (persisted or parquet-read) to re-band instead of re-shingling —
     pass it when several band/threshold configurations run over the
     same corpus in one session.
+
+    ``min_matching_bands``: keep only pairs colliding in at least this
+    many bands before the (expensive, array-carrying) exact verify.
+    The band-collision count is a free by-product of the bucket join,
+    and for a pair at Jaccard J each band collides with probability
+    J^rows_per_band — so at the r=1 operating point (bands ==
+    num_hashes, used for exactness-oracle queries) a J>=0.8 pair
+    matches Binomial(32, >=0.8) slots: P(< 12) < 1e-9, while the flood
+    of moderate-similarity pairs (J~0.2: mean 6.4 matching slots) is
+    eliminated before it ever touches shingle arrays. Measured at
+    sf0.1: 269k candidates -> 256 with min_matching_bands=12, same
+    final pair set. Leave at 1 for standard multi-row bands, where a
+    single collision is already the designed signal.
     """
     rows_per_band = num_hashes // bands
     if signatures is None:
@@ -351,8 +365,18 @@ def minhash_candidate_pairs(
         .join(banded.select(F.col("__band"), F.col("__id").alias("id_b")), "__band")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if min_matching_bands > 1:
+        # collision multiplicity is free information from the join; the
+        # groupBy replaces the dropDuplicates shuffle 1:1
+        cand = (
+            cand.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .filter(F.col("__nb") >= min_matching_bands)
+            .select("id_a", "id_b")
+        )
+    else:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
 
     # Shingle arrays are joined back for candidates only (pairs are a
     # tiny fraction of the corpus), then verified with exact Jaccard.

@@ -296,6 +296,11 @@ def near_dedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         jaccard_threshold=0.8,
         signatures=_shared_signatures(spark, sf_dir),
+        # binomial pre-filter: a J>=0.8 pair matches >=12 of 32 slots
+        # with P ~ 1-1e-9; moderate-J pairs (the r=1 candidate flood —
+        # 269k pairs at sf0.1) are dropped before the array-carrying
+        # verify join (-> 256 pairs, measured; same final output)
+        min_matching_bands=12,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
