@@ -402,6 +402,7 @@ def match_against_index(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
+    min_matching_bands: int = 1,
 ) -> DataFrame:
     """Incremental near-dedup: match a NEW batch against a previously
     built corpus signature ``index`` (the output of ``signature_frame``,
@@ -468,8 +469,20 @@ def match_against_index(
         new_banded.join(idx_banded, "__band")
         .select(F.col("__id").alias("new_id"), F.col("__idx_id").alias("index_id"))
         .filter(F.col("new_id") != F.col("index_id"))
-        .dropDuplicates(["new_id", "index_id"])
     )
+    if min_matching_bands > 1:
+        # same binomial pre-filter as minhash_candidate_pairs: at the
+        # r=1 operating point the collision count estimates J*num_hashes,
+        # so requiring several matching slots removes the moderate-J
+        # candidate flood before the array-carrying verify join
+        cand = (
+            cand.groupBy("new_id", "index_id")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .filter(F.col("__nb") >= min_matching_bands)
+            .select("new_id", "index_id")
+        )
+    else:
+        cand = cand.dropDuplicates(["new_id", "index_id"])
     pairs = cand.join(
         newsig.select(F.col("__id").alias("new_id"), F.col("__sh").alias("__sh_a")), "new_id"
     ).join(

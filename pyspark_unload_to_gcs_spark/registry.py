@@ -376,6 +376,7 @@ _PRIORITY: tuple[str, ...] = (
     "length_bucketed_batches",
     # 3. new or oracle-upgraded in round 4
     "near_dedup_pairs_exact",
+    "near_dup_clusters_exact",
     "multimodal_decode_stats",
     "vector_topk_quantized",
     "vector_topk_lsh",
@@ -398,7 +399,6 @@ _PRIORITY: tuple[str, ...] = (
     "json_props_extract",
     "exact_dedup",
     "normalized_dedup",
-    "doc_fingerprint",
 )
 
 

@@ -168,6 +168,28 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality_score exactly — bit-identical float arithmetic, proven by the
 # quality_score hash match). Shared by quality_score and the composed
 # training_corpus_pipeline oracle.
+# Word-3-shingle sets per document in DuckDB — the SQL mirror of
+# operators/dedup.py shingling (normalize -> tokenize -> distinct
+# 3-grams; <3 tokens contribute the whole token string). Jaccard over
+# these string sets equals the engine's Jaccard over 64-bit shingle
+# hashes up to 2^-64 collision odds. Shared by the exact near-dedup
+# oracles (near_dedup_pairs_exact, incremental_near_dedup,
+# near_dup_clusters_exact).
+_SHINGLE_CTE = rf"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN {_NORM_SQL} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_NORM_SQL}, '\s+') END AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
+  FROM toks
+)"""
+
+
 _QUALITY_SQL = """(least(CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
      + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
@@ -258,19 +280,8 @@ def near_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # impossible miss.) Jaccard over 64-bit shingle hashes equals
     # Jaccard over the string shingles themselves up to 2^-64 collision
     # odds, so the DuckDB side shingles strings directly.
-    oracle=rf"""
-    WITH toks AS (
-      SELECT doc_id,
-             CASE WHEN {_NORM_SQL} = '' THEN CAST([] AS VARCHAR[])
-                  ELSE regexp_split_to_array({_NORM_SQL}, '\s+') END AS t
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                  ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS s
-      FROM toks
-    )
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_r
@@ -313,22 +324,45 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@register("incremental_near_dedup")  # rows-only: approximate LSH matching
+@register(
+    "incremental_near_dedup",
+    # Brute-force cross-join oracle over exact shingle Jaccard: viable
+    # oracle-side at sf0.01 (100 x 400 pairs); the Spark side stays the
+    # scale shape (band join against the persisted index).
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    newb AS (SELECT * FROM sh WHERE doc_id % 5 = 4),
+    idx AS (SELECT * FROM sh WHERE doc_id % 5 != 4)
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+           round(CAST(len(list_intersect(n.s, i.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(n.s, i.s))), 4) AS jaccard_r
+    FROM newb n JOIN idx i
+      ON len(list_distinct(list_concat(n.s, i.s))) > 0
+     AND CAST(len(list_intersect(n.s, i.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(n.s, i.s))) >= 0.7
+    """,
+)
 def incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup (operators/dedup.py match_against_index):
-    the older 80% of the corpus plays the persisted signature index, the
-    newest 20% is the incoming batch — the batch's signatures join the
-    index's band keys without re-shingling index text. The 100 TB shape:
-    index built once, increments cost only themselves."""
+    a deterministic 20% slice (doc_id % 5 == 4) plays the incoming
+    batch, the other 80% the persisted signature index — the batch's
+    signatures join the index's band keys without re-shingling index
+    text. The 100 TB shape: index built once, increments cost only
+    themselves. Runs at the r=1 operating point with the binomial
+    band-count pre-filter (>=10 of 32 slots; a J>=0.7 pair misses with
+    P ~ 1e-6), so the output is the exact >=0.7 cross-pair set and
+    carries a full value oracle."""
     docs = _t(spark, sf_dir, "documents")
-    cut = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
     # The index is the session's shared signature cache filtered to the
     # base corpus — already materialized (the barrier signature frames
     # require; in production it would arrive from parquet, the same
     # barrier), and shared with the rest of the dedup family.
-    index = _shared_signatures(spark, sf_dir).filter(F.col("__id") < cut)
-    new_batch = docs.filter(F.col("doc_id") >= cut)
-    out = D.match_against_index(new_batch, index, "doc_id", "text", jaccard_threshold=0.7)
+    index = _shared_signatures(spark, sf_dir).filter(F.col("__id") % 5 != 4)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 4)
+    out = D.match_against_index(
+        new_batch, index, "doc_id", "text",
+        bands=32, num_hashes=32, jaccard_threshold=0.7, min_matching_bands=10,
+    )
     return out.select("new_id", "index_id", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -818,6 +852,55 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _shared_minhash_pairs(spark, sf_dir)
+    return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
+
+
+@register(
+    "near_dup_clusters_exact",
+    # Single-link closure replayed in DuckDB: the exact >=0.8 pair set
+    # (all-pairs, viable oracle-side at toy scale) made symmetric, then
+    # a recursive-CTE transitive closure; cluster_id = min reachable id,
+    # own id when unpaired — mirroring operators/graph.py exactly. The
+    # iterative-algorithm path (previously rows-only "by design" per
+    # the r01-r03 verdicts) is deterministic given an exact pair set,
+    # so it CAN carry a value oracle.
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-link duplicate clusters over the EXACT >=0.8 pair set
+    (r=1 banding + binomial pre-filter, see near_dedup_pairs_exact),
+    closed under transitivity by the same alternating-star /
+    union-find connected components as near_dup_clusters — the
+    iterative path under a full value oracle."""
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bands=32,
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        signatures=_shared_signatures(spark, sf_dir),
+        min_matching_bands=12,
+    )
     return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
 
 
