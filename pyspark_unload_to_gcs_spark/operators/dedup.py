@@ -679,6 +679,7 @@ def fuzzy_text_join(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
+    min_matching_bands: int = 1,
 ) -> DataFrame:
     """Cross-table fuzzy match (entity resolution): pairs of (left id,
     right id) whose texts have shingle-Jaccard >= threshold. Returns
@@ -725,6 +726,7 @@ def fuzzy_text_join(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        min_matching_bands=min_matching_bands,
     )
     # candidate pairs are (id_a < id_b); cross-side = opposite parity.
     # Normalize so left id comes first regardless of pair order.

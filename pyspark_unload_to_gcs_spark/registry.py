@@ -377,6 +377,8 @@ _PRIORITY: tuple[str, ...] = (
     # 3. new or oracle-upgraded in round 4
     "near_dedup_pairs_exact",
     "near_dup_clusters_exact",
+    "fuzzy_entity_join_exact",
+    "embedding_near_dedup",
     "multimodal_decode_stats",
     "vector_topk_quantized",
     "vector_topk_lsh",
@@ -394,11 +396,9 @@ _PRIORITY: tuple[str, ...] = (
     "top_orders_per_customer",
     "top_parts_by_revenue",
     "regional_revenue",
-    "value_percentiles",
     "value_histogram",
     "json_props_extract",
     "exact_dedup",
-    "normalized_dedup",
 )
 
 

@@ -729,6 +729,44 @@ def fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_entity_join_exact",
+    # Brute-force cross-side oracle (viable oracle-side at toy scale);
+    # the Spark side is the same side-tagged LSH machinery at the r=1 +
+    # binomial-pre-filter operating point, so its output is exactly the
+    # >=0.8 cross-side pair set.
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(l.s, r.s))), 4) AS jaccard_r
+    FROM sh l JOIN sh r
+      ON l.doc_id % 3 = 0 AND r.doc_id % 3 != 0
+     AND len(list_distinct(list_concat(l.s, r.s))) > 0
+     AND CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(l.s, r.s))) >= 0.8
+    """,
+)
+def fuzzy_entity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table entity resolution under a full value oracle: the
+    exact >=0.8 cross-side pair set via r=1 banding with the binomial
+    band-count pre-filter (see near_dedup_pairs_exact). Same plan shape
+    as fuzzy_entity_join — blocking + verify, never |L| x |R| engine-
+    side; the all-pairs join lives only in the DuckDB oracle."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fuzzy_text_join(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        jaccard_threshold=0.8,
+        bands=32,
+        num_hashes=32,
+        min_matching_bands=12,
+    )
+    return out.select("left_id", "right_id", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH pairs AS (
@@ -998,6 +1036,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DIM = 64
 _DOT = "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), (x, y) -> x + y)"
+_SS = "list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)"
 
 
 def _plane_values_sql(dim: int = _EMB_DIM, n_planes: int = 8, seed: int = 42) -> str:
@@ -1113,12 +1152,52 @@ def bpe_ish_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_pieces"))
 
 
-@register("embedding_near_dedup")  # rows-only: LSH-seeded
+@register(
+    "embedding_near_dedup",
+    # Full replay: planted duplicates unioned in SQL, the seeded sign-
+    # LSH bucketing from plane literals, and Spark's exact cosine
+    # formula (dot / (sqrt(ss_a) * sqrt(ss_b)), fold-order-pinned).
+    # A recall collapse in the bucketed path returns 550 rows and turns
+    # this red; the r01-r03 vacuous version could not fail.
+    oracle=f"""
+    WITH planes(b, p) AS (VALUES {_plane_values_sql()}),
+    uni AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, label, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM uni),
+    bucketed AS (
+      SELECT v.vec_id, v.v,
+             CAST(SUM(CASE WHEN {_DOT.format(a='v.v', b='p.p')} >= 0 THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM v, planes p GROUP BY v.vec_id, v.v
+    ),
+    losers AS (
+      SELECT DISTINCT b2.vec_id
+      FROM bucketed b1 JOIN bucketed b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+      WHERE {_SS.format(a='b1.v')} > 0 AND {_SS.format(a='b2.v')} > 0
+        AND {_DOT.format(a='b1.v', b='b2.v')}
+            / (sqrt({_SS.format(a='b1.v')}) * sqrt({_SS.format(a='b2.v')})) >= 0.95
+    )
+    SELECT vec_id, label FROM uni WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
 def embedding_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dedup (cosine >= 0.95 to an earlier vector)."""
+    """Embedding-cosine near-dedup (cosine >= 0.95 to an earlier
+    vector). The raw fixture contains NO cosine>=0.8 pair (max 0.51 —
+    the r01-r03 registration was a vacuous no-op), so every 10th vector
+    is planted back as an exact duplicate under vec_id+10000: the
+    operator must drop exactly the 10% planted copies (identical
+    vectors share every LSH bucket deterministically), and the oracle
+    replays buckets + cosine in SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(_query_vec(spark, sf_dir))
-    return S.embedding_near_dedup(emb, dim=dim).select("vec_id", "label")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+    )
+    uni = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    return S.embedding_near_dedup(uni, dim=dim).select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
