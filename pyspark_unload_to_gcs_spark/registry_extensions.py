@@ -27,6 +27,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_MEMO: dict[tuple, DataFrame] = {}
 _SIG_MEMO: dict[tuple, DataFrame] = {}
+_PAIRS_EXACT_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,6 +45,26 @@ def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.count()
         _SIG_MEMO[key] = sig
     return _SIG_MEMO[key]
+
+
+def _shared_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact >=0.8 pair frame per (session, sf_dir) — the r=1-banded
+    + binomial-pre-filtered pair set shared by near_dedup_pairs_exact
+    and near_dup_clusters_exact (same sharing rationale as
+    _shared_minhash_pairs: share the OBJECT, not an equal plan)."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_EXACT_MEMO:
+        _PAIRS_EXACT_MEMO[key] = D.minhash_candidate_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            bands=32,
+            num_hashes=32,
+            jaccard_threshold=0.8,
+            signatures=_shared_signatures(spark, sf_dir),
+            min_matching_bands=12,
+        ).localCheckpoint(eager=True)
+    return _PAIRS_EXACT_MEMO[key]
 
 
 def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,20 +320,12 @@ def near_dedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (band-bucket join, never all-pairs). Re-bands the session's
     shared signature cache; the oracle brute-forces all pairs, which is
     only viable oracle-side at toy scale."""
-    pairs = D.minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        bands=32,
-        num_hashes=32,
-        jaccard_threshold=0.8,
-        signatures=_shared_signatures(spark, sf_dir),
-        # binomial pre-filter: a J>=0.8 pair matches >=12 of 32 slots
-        # with P ~ 1-1e-9; moderate-J pairs (the r=1 candidate flood —
-        # 269k pairs at sf0.1) are dropped before the array-carrying
-        # verify join (-> 256 pairs, measured; same final output)
-        min_matching_bands=12,
-    )
+    # binomial pre-filter inside: a J>=0.8 pair matches >=12 of 32
+    # slots with P ~ 1-1e-9; moderate-J pairs (the r=1 candidate flood
+    # — 269k pairs at sf0.1) are dropped before the array-carrying
+    # verify join (-> 256 pairs, measured; same final output). The
+    # materialized pair frame is shared with near_dup_clusters_exact.
+    pairs = _shared_exact_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 
@@ -929,16 +942,7 @@ def near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_unload_to_gcs_spark.operators.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        bands=32,
-        num_hashes=32,
-        jaccard_threshold=0.8,
-        signatures=_shared_signatures(spark, sf_dir),
-        min_matching_bands=12,
-    )
+    pairs = _shared_exact_pairs(spark, sf_dir)
     return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
 
 
