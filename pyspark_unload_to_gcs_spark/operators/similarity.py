@@ -319,9 +319,22 @@ def ann_join(
 ) -> DataFrame:
     """All (left, right) pairs with cosine >= threshold, candidates from
     shared LSH buckets (equality join on bucket — shuffle on a small int
-    key; never a cross join)."""
+    key; never a cross join).
+
+    Self-join (``left is right``, the near-dedup case): the bucketed
+    frame is materialized once (localCheckpoint) and reused for both
+    join sides — the per-plane dot folds are interpreted HOF lambdas
+    outside codegen, and without a barrier each plan branch would
+    recompute them (2x the dominant cost; no exchange exists upstream
+    to be reused). At very large scale prefer writing the bucketed
+    frame to storage once and reading it for both sides — same barrier,
+    executor-loss-safe."""
     lb = with_lsh_bucket(left, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
-    rb = with_lsh_bucket(right, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    if right is left:
+        lb = lb.localCheckpoint(eager=True)
+        rb = lb
+    else:
+        rb = with_lsh_bucket(right, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
     l = lb.select(
         F.col("lsh_bucket"), F.col(id_left).alias("id_a"), F.col(vec_column).alias("__va")
     )
