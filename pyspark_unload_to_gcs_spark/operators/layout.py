@@ -1,0 +1,111 @@
+"""Multi-dimensional data-layout operators: Z-order (Morton) clustering
+for min/max data skipping — SURVEY.md §7 milestone 5 (100 TB posture).
+
+A single-column sort gives perfect file-level min/max pruning on that
+column and none on any other. Interleaving the bits of two (or more)
+dimension keys into one Morton key and sorting/range-partitioning by it
+gives every file a small bounding BOX over all interleaved dimensions:
+a predicate on ANY of them prunes most files. This is the layout trick
+behind Delta/Iceberg `OPTIMIZE ZORDER BY` — implemented here as plain
+column expressions (shift/mask/multiply — all inside whole-stage
+codegen, no UDF), so it composes with any writer.
+
+At 100 TB the flow is: ``zorder_key`` -> ``repartitionByRange`` on the
+key -> ``sortWithinPartitions`` -> partitioned parquet write; each
+output file then covers a tight rectangle of the key space and the
+parquet footer min/max of the dimension columns do the pruning. The
+``zorder_file_stats`` helper quantifies that tightness (per-file
+bounding boxes), and the ``zorder_layout`` registry query value-checks
+the whole bit arithmetic against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(a: Column, b: Column, *, bits: int = 16) -> Column:
+    """Morton/Z-order key of two non-negative integer columns: bit i of
+    ``a`` lands at position 2i+1, bit i of ``b`` at position 2i. With
+    ``bits`` <= 31 per dimension the result fits a BIGINT exactly.
+
+    Built as a linear sum of shift/mask terms — each bit contributes one
+    ``(x >> i) & 1) * 2^p`` expression, all JVM-side builtins inside
+    codegen. (A lookup-table / byte-LUT approach is the classic native
+    speedup; at expression level Catalyst constant-folds the masks and
+    the scan stays I/O-bound.)
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    al = a.cast("long")
+    bl = b.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftright(al, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        terms.append(F.shiftright(bl, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key(df: DataFrame, columns: list[str], *, bits: int = 16) -> Column:
+    """Z-order key over exactly two integer dimension columns (the
+    common case; higher arity generalizes the same way but needs
+    bits*len(columns) <= 63). Callers must pre-map dimensions to
+    non-negative ints (bucketize floats, dictionary-encode strings)."""
+    if len(columns) != 2:
+        raise ValueError("zorder_key interleaves exactly two columns")
+    return interleave_bits(F.col(columns[0]), F.col(columns[1]), bits=bits)
+
+
+def zorder_layout(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    bits: int = 16,
+    key_column: str = "z_key",
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional skipping: add the Morton key,
+    range-partition by it and sort within partitions — each output
+    partition (== parquet file on write) then covers a tight rectangle
+    of the dimension space. This is the physical-layout op; feed its
+    output straight to a writer."""
+    keyed = df.withColumn(key_column, zorder_key(df, columns, bits=bits))
+    n = target_partitions or keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return keyed.repartitionByRange(int(n), F.col(key_column)).sortWithinPartitions(key_column)
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    bits: int = 16,
+    files: int = 16,
+) -> DataFrame:
+    """Deterministic model of the post-layout file population: rows are
+    assigned to ``files`` equal Z-RANGE slices (file_id = z >> k, the
+    arithmetic stand-in for repartitionByRange whose sampled boundaries
+    are not replayable cross-engine) and each file reports its bounding
+    box over both dimensions. Tight boxes == effective min/max pruning;
+    compare against a naive single-column sort to see the win. Fully
+    deterministic -> carries a cross-engine value oracle."""
+    if files < 1 or (files & (files - 1)) != 0:
+        raise ValueError("files must be a power of two (z-range slicing)")
+    shift = 2 * bits - (files.bit_length() - 1)
+    z = zorder_key(df, columns, bits=bits)
+    a, b = columns
+    return (
+        df.withColumn("__z", z)
+        .withColumn("file_id", F.shiftright(F.col("__z"), shift))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(a).alias(f"min_{a}"),
+            F.max(a).alias(f"max_{a}"),
+            F.min(b).alias(f"min_{b}"),
+            F.max(b).alias(f"max_{b}"),
+        )
+    )

@@ -123,8 +123,14 @@ def with_lsh_bucket(
 
     # n_planes interpreted dot-folds per row: make sure a small single-
     # file scan doesn't serialize this onto one task (no-op at scale).
-    return ensure_parallelism(df).withColumn(
-        bucket_column, sign_bucket(F.col(vec_column), _hyperplanes(dim, n_planes, seed))
+    # Build parameters ride along as column metadata (survives persist
+    # and a parquet round-trip) so an index consumer can verify it was
+    # bucketed with the plane family it assumes (ann_match_against_index).
+    return ensure_parallelism(df).select(
+        "*",
+        sign_bucket(F.col(vec_column), _hyperplanes(dim, n_planes, seed)).alias(
+            bucket_column, metadata={"dim": dim, "n_planes": n_planes, "seed": seed}
+        ),
     )
 
 
@@ -382,6 +388,76 @@ def embedding_near_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_column)).distinct()
     return df.join(losers, on=id_column, how="left_anti")
+
+
+def ann_match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    *,
+    id_new: str = "vec_id",
+    id_index: str = "vec_id",
+    vec_column: str = "embedding",
+    dim: int,
+    n_planes: int = 8,
+    cosine_threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental ANN: match a NEW batch of vectors against a
+    previously bucketed vector ``index`` (the output of
+    ``with_lsh_bucket``, typically written to parquet partitioned by
+    ``lsh_bucket``). Returns (new_id, index_id, cosine) for every cross
+    pair at or above the threshold whose vectors share an LSH bucket.
+
+    The embeddings twin of ``dedup.match_against_index``, and the
+    production shape for continuous embedding ingestion at 100 TB: the
+    corpus is bucketed ONCE when the index is written; each increment
+    computes only its own bucket keys (a narrow map, ``n_planes`` dot
+    folds per row) and equality-joins the index on the bucket key —
+    with a bucket-partitioned index layout that join prunes to matching
+    partitions and never rescans corpus vectors. Identical vectors
+    share every bucket deterministically (seeded planes), so exact
+    duplicates are always candidates; near-duplicates probe within one
+    bucket (raise ``n_planes`` fidelity / add multi-probe for higher
+    recall at threshold).
+
+    If the index carries bucketing metadata (``with_lsh_bucket``
+    attaches it), the caller's (dim, n_planes, seed) must match how the
+    index was actually built — mismatched planes silently produce
+    disjoint bucket spaces and zero recall.
+    """
+    if "lsh_bucket" not in index.columns:
+        raise ValueError("index must carry an lsh_bucket column (see with_lsh_bucket)")
+    meta = index.schema["lsh_bucket"].metadata or {}
+    ours = {"dim": dim, "n_planes": n_planes, "seed": seed}
+    for p, v in ours.items():
+        if p in meta and int(meta[p]) != v:
+            raise ValueError(
+                f"ann_match_against_index: index was bucketed with {p}={int(meta[p])} "
+                f"but the call assumes {p}={v} — the bucket spaces would be disjoint "
+                "and every match silently missed. Rebuild the index or pass matching "
+                "parameters."
+            )
+    newb = with_lsh_bucket(new_df, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    l = newb.select(
+        F.col("lsh_bucket"), F.col(id_new).alias("new_id"), F.col(vec_column).alias("__va")
+    )
+    r = index.select(
+        F.col("lsh_bucket"), F.col(id_index).alias("index_id"), F.col(vec_column).alias("__vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    return (
+        l.join(r, "lsh_bucket")
+        .filter(F.col("new_id") != F.col("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("new_id", "index_id", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------

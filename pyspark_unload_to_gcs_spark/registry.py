@@ -322,6 +322,7 @@ def _load_extensions() -> None:
     from pyspark_unload_to_gcs_spark import registry_analytics  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_extensions  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_product  # noqa: F401
+    from pyspark_unload_to_gcs_spark import registry_scale  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_shapes  # noqa: F401
 
 
@@ -339,9 +340,14 @@ def _load_extensions() -> None:
 #   2. ALL 19 queries with no driver row in any prior round (q8-q22
 #      TPC-H shapes, pivot, approx-sketch twins, round-3 additions);
 #   3. queries added or oracle-upgraded THIS round (exact near-dup pair
-#      set, decode stats, quantized/LSH/IVF full value oracles);
+#      set, decode stats, quantized/LSH/IVF full value oracles, and the
+#      scale-layout trio: bucketed co-located join, z-order layout,
+#      incremental ANN index match);
 #   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since).
+#      oracles or upstream operators may have drifted since) — three of
+#      these (value_histogram, json_props_extract, exact_dedup, all
+#      r01+r02-green) rotated back out to make room for the new
+#      scale-layout queries.
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
@@ -383,6 +389,9 @@ _PRIORITY: tuple[str, ...] = (
     "vector_topk_quantized",
     "vector_topk_lsh",
     "vector_topk_ivf",
+    "bucketed_colocated_join",
+    "zorder_layout",
+    "incremental_ann_match",
     # 4. refresh (last driver evidence r01/r02)
     "scd_latest_order_maxby",
     "q1_pricing_summary",
@@ -396,9 +405,6 @@ _PRIORITY: tuple[str, ...] = (
     "top_orders_per_customer",
     "top_parts_by_revenue",
     "regional_revenue",
-    "value_histogram",
-    "json_props_extract",
-    "exact_dedup",
 )
 
 

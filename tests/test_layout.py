@@ -1,0 +1,114 @@
+"""Z-order layout: bit-interleave correctness against a pure-Python
+reference, and the physical claim — after zorder_layout, each output
+partition covers a tight bounding BOX over both dimensions, so min/max
+file skipping works for predicates on either one (a single-column sort
+only bounds one dimension)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.layout import (
+    interleave_bits,
+    zorder_file_stats,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _py_interleave(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_interleave_bits_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 2, 3, 5, 255, 256, 1023) for b in (0, 1, 7, 512, 1023)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", interleave_bits(F.col("a"), F.col("b"), bits=10)).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _py_interleave(a, b, 10), (a, b)
+
+
+def test_interleave_is_monotone_in_block_order(spark):
+    """Within one z-range slice, both dims are bounded: consecutive z
+    values stay inside a power-of-two aligned square."""
+    n = 64
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = (
+        df.withColumn("z", interleave_bits(F.col("a"), F.col("b"), bits=6))
+        # dropping the 8 low z-bits (4 per dim) leaves 16 slices, each a
+        # 16x16 aligned square of the 64x64 grid
+        .withColumn("slice", F.shiftright("z", 8))
+        .groupBy("slice")
+        .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"))
+        .collect()
+    )
+    assert len(out) == 16
+    for r in out:
+        assert r["max(a)"] - r["min(a)"] <= 15
+        assert r["max(b)"] - r["min(b)"] <= 15
+
+
+def test_zorder_key_validates_arity_and_bits(spark, sf_dir):
+    df = spark.range(4).select(F.col("id").alias("a"), F.col("id").alias("b"),
+                               F.col("id").alias("c"))
+    with pytest.raises(ValueError, match="two columns"):
+        zorder_key(df, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="bits"):
+        interleave_bits(F.col("a"), F.col("b"), bits=32)
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_file_stats(df.select("a", "b"), ["a", "b"], files=3)
+
+
+def test_zorder_layout_partitions_bound_both_dims(spark):
+    """The physical path (repartitionByRange + sortWithinPartitions):
+    every partition's bounding box over EACH dimension is far smaller
+    than the full domain — the precondition for parquet min/max footers
+    to prune on either column. A naive layout (sorted by a alone) bounds
+    only a."""
+    n = 128
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    laid = zorder_layout(df, ["a", "b"], bits=7, target_partitions=16)
+    boxes = (
+        laid.select("a", "b", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert len(boxes) > 4
+    avg_a = sum(r["span_a"] for r in boxes) / len(boxes)
+    avg_b = sum(r["span_b"] for r in boxes) / len(boxes)
+    # naive single-column sort gives span_b ~ n-1 = 127 in every file;
+    # z-order must bound both dimensions well below the full domain
+    assert avg_a < n / 2
+    assert avg_b < n / 2
+
+    # values survive the relayout untouched
+    assert laid.count() == n * n
+    assert laid.select(F.sum("a"), F.sum("b")).first() == df.select(
+        F.sum("a"), F.sum("b")
+    ).first()
+
+
+def test_zorder_file_stats_matches_slicing_arithmetic(spark):
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = zorder_file_stats(df, ["x", "y"], bits=5, files=4).collect()
+    assert sum(r["n_rows"] for r in out) == 1024
+    got_ids = sorted(r["file_id"] for r in out)
+    assert got_ids == [0, 1, 2, 3]
+    for r in out:
+        # each z-range quarter of the 32x32 grid (file_id bits = x4,y4)
+        # is a 16x16 aligned quadrant: BOTH dims bounded
+        assert r["max_x"] - r["min_x"] <= 15
+        assert r["max_y"] - r["min_y"] <= 15

@@ -124,3 +124,50 @@ def test_embedding_ann_join_subset_and_planted_recall(spark):
     assert planted in found, "identical planted vector not found — bucketing broken"
     found_real = {p for p in found if 999001 not in p}
     assert found_real <= true_pairs, f"false positives: {found_real - true_pairs}"
+
+
+def test_ann_index_match_planted_recall_and_param_guard(spark):
+    """ann_match_against_index: an exact duplicate of an index vector
+    must always match (identical vectors share every bucket under the
+    seeded planes), matches must be subset-correct vs brute force, and
+    a plane-family mismatch between index build and call must raise
+    instead of silently returning zero recall."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ann_match_against_index,
+        with_lsh_bucket,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    emb = load_parquet(spark, EMB).select("vec_id", "embedding")
+    rows = emb.collect()
+    dim = len(rows[0].embedding)
+    index = with_lsh_bucket(emb, dim=dim)
+
+    # new batch: exact duplicates of every 3rd vector, re-keyed
+    new_batch = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    out = ann_match_against_index(
+        new_batch, index, dim=dim, cosine_threshold=0.95
+    ).collect()
+    found = {(int(r.new_id), int(r.index_id)) for r in out}
+    planted = {
+        (int(r.vec_id) + 500000, int(r.vec_id)) for r in rows if r.vec_id % 3 == 0
+    }
+    assert planted <= found, "planted exact duplicates missed — bucketing broken"
+
+    # subset-correctness: every reported pair really is >= threshold
+    mat = {int(r.vec_id): np.array(list(r.embedding), dtype=np.float64) for r in rows}
+    for new_id, index_id in found:
+        a, b = mat[new_id - 500000], mat[index_id]
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert c >= 0.95 - 1e-9, (new_id, index_id, c)
+
+    # param guard: index bucketed with different planes must be refused
+    with _pytest.raises(ValueError, match="bucket spaces would be disjoint"):
+        ann_match_against_index(new_batch, index, dim=dim, seed=43)
+    with _pytest.raises(ValueError, match="lsh_bucket"):
+        ann_match_against_index(new_batch, emb, dim=dim)
