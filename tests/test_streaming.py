@@ -727,3 +727,71 @@ def test_streaming_incremental_near_dedup_matches_batch(spark, sf_dir, tmp_path)
     }
     assert set(got) == expected
     assert len(got) == len(set(got))  # one epoch per file -> no double-processing
+
+
+def test_streaming_incremental_ann_match_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous embedding ingestion as a stream: the corpus is
+    LSH-bucketed ONCE and written partitioned by lsh_bucket (the
+    partition-pruned index layout for 100 TB); each arriving micro-batch
+    of vectors computes only its own bucket keys and matches against the
+    persisted index via foreachBatch. Union over epochs == one-shot
+    batch match."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ann_match_against_index,
+        with_lsh_bucket,
+    )
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+
+    idx_path = f"file:{tmp_path}/vec_index"
+    with_lsh_bucket(emb, dim=dim).write.mode("overwrite").partitionBy(
+        "lsh_bucket"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # new batch: exact duplicates of every 4th vector, re-keyed
+    new = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    stream_src = str(tmp_path / "vec_stream")
+    new.repartition(3).write.mode("overwrite").parquet(stream_src)
+    parts = sorted(glob.glob(f"{stream_src}/part-*.parquet"))
+    mtime = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (mtime + i, mtime + i))
+
+    got = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(
+            (r.new_id, r.index_id)
+            for r in ann_match_against_index(
+                batch_df, index, dim=dim, cosine_threshold=0.95
+            ).collect()
+        )
+
+    q = (
+        stream_parquet_dir(spark, stream_src, new.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expected = {
+        (r.new_id, r.index_id)
+        for r in ann_match_against_index(
+            new, index, dim=dim, cosine_threshold=0.95
+        ).collect()
+    }
+    assert set(got) == expected
+    assert len(got) == len(set(got))
+    # every planted duplicate found (identical vectors share all buckets)
+    planted = {
+        (int(r.vec_id) + 700000, int(r.vec_id))
+        for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
+    }
+    assert planted <= set(got)
