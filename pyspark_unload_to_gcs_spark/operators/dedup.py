@@ -739,3 +739,75 @@ def fuzzy_text_join(
         ((right_uid - 1) / 2).cast("long").alias("right_id"),
         F.col("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact segment (chunk) dedup — C4/RefinedWeb-style repeated-span removal
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    chunk_tokens: int = 10,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Remove exactly-repeated text segments ACROSS the corpus while
+    keeping the rest of each document — the C4/RefinedWeb cleaning pass
+    (boilerplate lines, license headers, navigation chrome repeat
+    verbatim across millions of pages; whole-doc dedup never sees them).
+
+    Documents are split into non-overlapping ``chunk_tokens``-token
+    segments (the fixture's documents carry no newlines, so fixed token
+    windows play the role of lines); any segment whose exact text occurs
+    more than ``max_occurrences`` times corpus-wide is dropped from
+    EVERY document, and the survivors are reassembled in order.
+
+    Returns (id, kept_chunks, clean_text) — one row per non-empty-text
+    input document, `kept_chunks == 0` with empty ``clean_text`` when
+    everything was boilerplate.
+
+    Plan shape at 100 TB: one narrow map (tokenize + chunk + explode),
+    one shuffle on the 8-byte xxhash64 of the chunk text for the global
+    occurrence count (window over the hash — never the strings), one
+    shuffle back on doc id to reassemble. Nothing quadratic, no UDF.
+    The count-by-hash equals count-by-text up to a 2^-64 collision,
+    the same trade every shingle operator here makes.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.trim(F.col(text_column)) != "").select(
+        F.col(id_column).alias("__id"),
+        F.split(F.trim(F.col(text_column)), r"\s+").alias("__t"),
+    )
+    n_chunks = F.ceil(F.size("__t") / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("__t"), i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    exploded = base.select("__id", F.posexplode(chunks).alias("__idx", "__chunk"))
+    counted = exploded.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("__chunk")))
+    )
+    kept = counted.filter(F.col("__n") <= max_occurrences)
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__idx", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("__id")
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_column),
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

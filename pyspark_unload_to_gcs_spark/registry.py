@@ -392,6 +392,7 @@ _PRIORITY: tuple[str, ...] = (
     "bucketed_colocated_join",
     "zorder_layout",
     "incremental_ann_match",
+    "chunk_dedup_clean",
     # 4. refresh (last driver evidence r01/r02)
     "scd_latest_order_maxby",
     "q1_pricing_summary",
@@ -403,7 +404,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_pricing",
     "cube_order_stats",
     "top_orders_per_customer",
-    "top_parts_by_revenue",
     "regional_revenue",
 )
 

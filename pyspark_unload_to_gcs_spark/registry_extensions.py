@@ -394,6 +394,45 @@ def near_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_dedup_clean",
+    # Exact replay: same non-overlapping 10-token chunking, global
+    # occurrence count, drop-if-repeated, in-order reassembly. DuckDB
+    # counts chunk TEXT; Spark counts xxhash64(chunk) — equal up to a
+    # 2^-64 collision (the standard shingle trade).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE trim(text) != ''
+    ), chunks AS (
+      SELECT doc_id, i AS idx, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+      FROM toks, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+    ), counted AS (
+      SELECT *, count(*) OVER (PARTITION BY chunk) AS c FROM chunks
+    ), reb AS (
+      SELECT doc_id, count(*) AS kept_chunks,
+             string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+      FROM counted WHERE c <= 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           md5(COALESCE(r.clean_text, '')) AS clean_hash
+    FROM toks t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def chunk_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style repeated-span removal (operators/dedup.py
+    chunk_dedup): any exact 10-token segment occurring more than once
+    corpus-wide is cut from every document, survivors reassembled in
+    order. The cleaning pass whole-doc and near-dup dedup both miss —
+    boilerplate repeats across otherwise-distinct documents (127
+    repeated segment texts / 278 occurrences in the sf0.01 fixture).
+    Emitted as (doc_id, kept_chunks, md5(clean_text)) so the oracle
+    value-checks the exact reassembled text of every document."""
+    out = D.chunk_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", "kept_chunks", F.md5("clean_text").alias("clean_hash"))
+
+
+@register(
     "train_test_split",
     oracle="""
     SELECT lang,

@@ -354,3 +354,46 @@ def test_temperature_mix_budget_and_determinism(spark, sf_dir):
     assert abs(sum(ws.values()) - 1.0) < 1e-6
     assert ws["small"] > 100 / 1000
     assert ws["big"] < 900 / 1000
+
+
+def test_chunk_dedup_removes_repeated_spans_keeps_order(spark):
+    """Planted semantics: a 10-token span shared by two docs is cut from
+    BOTH; unique spans survive and reassemble in original order; a doc
+    that is pure boilerplate comes back empty (kept_chunks=0)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import chunk_dedup
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    u1 = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    u2 = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    tail = "t0 t1 t2"  # short final chunk, unique
+    rows = [
+        (1, f"{u1} {boiler} {tail}"),
+        (2, f"{boiler} {u2}"),
+        (3, boiler),
+        (4, "   "),  # blank text: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.kept_chunks, r.clean_text)
+           for r in chunk_dedup(df, "doc_id", "text").collect()}
+    assert out[1] == (2, f"{u1} {tail}")   # boiler cut, order kept
+    assert out[2] == (1, u2)
+    assert out[3] == (0, "")               # pure boilerplate
+    assert 4 not in out
+    assert len(out) == 3
+
+    # max_occurrences=3: the 3x span is now allowed everywhere
+    out3 = {r.doc_id: r.kept_chunks
+            for r in chunk_dedup(df, "doc_id", "text", max_occurrences=3).collect()}
+    assert out3 == {1: 3, 2: 2, 3: 1}
+
+
+def test_chunk_dedup_within_doc_repeat_counts_globally(spark):
+    """Two copies of a span inside ONE doc count as 2 occurrences —
+    both removed at max_occurrences=1 (C4 counts occurrences, not
+    documents)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import chunk_dedup
+
+    span = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    df = spark.createDataFrame([(1, f"{span} {span}")], "doc_id long, text string")
+    out = chunk_dedup(df, "doc_id", "text").collect()[0]
+    assert out.kept_chunks == 0 and out.clean_text == ""
