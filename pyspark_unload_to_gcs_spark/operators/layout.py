@@ -21,29 +21,39 @@ the whole bit arithmetic against DuckDB.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def interleave_bits(a: Column, b: Column, *, bits: int = 16) -> Column:
-    """Morton/Z-order key of two non-negative integer columns: bit i of
-    ``a`` lands at position 2i+1, bit i of ``b`` at position 2i. With
-    ``bits`` <= 31 per dimension the result fits a BIGINT exactly.
+def interleave_bits(columns: Sequence[Column], *, bits: int = 16) -> Column:
+    """Morton/Z-order key of N non-negative integer columns: bit i of
+    column j lands at position ``i*N + j`` (column 0 owns the lowest
+    offset of each group). Requires ``bits * N <= 63`` so the result
+    fits a BIGINT exactly.
 
-    Built as a linear sum of shift/mask terms — each bit contributes one
-    ``(x >> i) & 1) * 2^p`` expression, all JVM-side builtins inside
+    This is the ONE bit-interleave in the engine: the quantizing writer
+    (``sinks/writers.py::zorder_key``) and the raw-integer layout ops
+    here both call it, so their key spaces agree. Built as a linear sum
+    of shift/mask terms — each bit contributes one
+    ``((x >> i) & 1) * 2^p`` expression, all JVM-side builtins inside
     codegen. (A lookup-table / byte-LUT approach is the classic native
     speedup; at expression level Catalyst constant-folds the masks and
     the scan stays I/O-bound.)
     """
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
-    al = a.cast("long")
-    bl = b.cast("long")
+    cols = list(columns)
+    n = len(cols)
+    if n < 2:
+        raise ValueError("interleave_bits needs at least two columns")
+    if not 1 <= bits or bits * n > 63:
+        raise ValueError(f"bits must satisfy 1 <= bits and bits*{n} <= 63, got {bits}")
     terms = []
     for i in range(bits):
-        terms.append(F.shiftright(al, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
-        terms.append(F.shiftright(bl, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j))
+            )
     out = terms[0]
     for t in terms[1:]:
         out = out + t
@@ -51,13 +61,14 @@ def interleave_bits(a: Column, b: Column, *, bits: int = 16) -> Column:
 
 
 def zorder_key(df: DataFrame, columns: list[str], *, bits: int = 16) -> Column:
-    """Z-order key over exactly two integer dimension columns (the
-    common case; higher arity generalizes the same way but needs
-    bits*len(columns) <= 63). Callers must pre-map dimensions to
-    non-negative ints (bucketize floats, dictionary-encode strings)."""
+    """Z-order key over two integer dimension columns (the common case;
+    ``interleave_bits`` takes N). Callers must pre-map dimensions to
+    non-negative ints (bucketize floats, dictionary-encode strings);
+    ``sinks/writers.py::zorder_key`` is the variant that quantizes
+    arbitrary numeric columns first."""
     if len(columns) != 2:
         raise ValueError("zorder_key interleaves exactly two columns")
-    return interleave_bits(F.col(columns[0]), F.col(columns[1]), bits=bits)
+    return interleave_bits([F.col(columns[0]), F.col(columns[1])], bits=bits)
 
 
 def zorder_layout(

@@ -100,12 +100,12 @@ _Z_FILES = 16
 
 
 def _zorder_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
-    """DuckDB replay of operators/layout.py interleave_bits: bit i of x
-    -> position 2i+1, bit i of y -> position 2i."""
+    """DuckDB replay of operators/layout.py interleave_bits (N=2): bit i
+    of column j -> position i*2 + j (x is column 0, y column 1)."""
     terms = []
     for i in range(bits):
-        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i + 1)}")
-        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "(" + " + ".join(terms) + ")"
 
 

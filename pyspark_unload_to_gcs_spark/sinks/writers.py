@@ -111,10 +111,17 @@ def write_bucketed_table(
     no sort, when sorted) — asserted in tests/test_plans.py. The write
     itself shuffles once; every subsequent join amortizes it.
     """
-    writer = df.write.format(format).mode("overwrite").bucketBy(n_buckets, *bucket_columns)
-    if sort_columns:
-        writer = writer.sortBy(*sort_columns)
-    writer.saveAsTable(table_name)
+    from pyspark_unload_to_gcs_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        df,
+        table_name,
+        bucket_columns=bucket_columns,
+        num_buckets=n_buckets,
+        sort_columns=sort_columns,
+        path=None,
+        format=format,
+    )
 
 
 def write_export(df: DataFrame, config: SyncConfig) -> str:
@@ -238,13 +245,14 @@ def zorder_key(
         )
         rank_cols[f"__rank_{c}"] = F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1))
     out = out.withColumns(rank_cols)
-    z = F.lit(0).cast("long")
-    for bit in range(bits_per_column):
-        for j, c in enumerate(columns):
-            rank = F.col(f"__rank_{c}")
-            z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(rank, bit).bitwiseAND(F.lit(1)), bit * len(columns) + j)
-            )
+    # the engine's single canonical Morton interleave (operators/layout):
+    # bit i of column j -> position i*N + j, same key space as the
+    # raw-integer layout ops and the zorder_layout oracle query
+    from pyspark_unload_to_gcs_spark.operators.layout import interleave_bits
+
+    z = interleave_bits(
+        [F.col(f"__rank_{c}") for c in columns], bits=bits_per_column
+    )
     return out.withColumn("__zkey", z).drop(
         *[f"__lo_{c}" for c in columns],
         *[f"__hi_{c}" for c in columns],

@@ -48,11 +48,14 @@ def write_bucketed(
     bucket_columns: list[str],
     num_buckets: int,
     sort_columns: list[str] | None = None,
-    path: str,
+    path: str | None = None,
     format: str = "parquet",
 ) -> None:
-    """Write ``df`` as an external bucketed table registered in the
-    session catalog. Overwrites any existing table of the same name.
+    """Write ``df`` as a bucketed table registered in the session
+    catalog — EXTERNAL (path-backed) when ``path`` is given, managed
+    otherwise. Overwrites any existing table of the same name. This is
+    the engine's one bucketed-write implementation;
+    ``sinks/writers.py::write_bucketed_table`` delegates here.
 
     ``sort_columns`` defaults to ``bucket_columns`` — sorted buckets let
     a sort-merge join skip its per-task sort, and cost nothing extra at
@@ -68,10 +71,11 @@ def write_bucketed(
     writer = (
         df.write.format(format)
         .mode("overwrite")
-        .option("path", path)
         .bucketBy(num_buckets, *bucket_columns)
         .sortBy(*(sort_columns or bucket_columns))
     )
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -18,8 +18,8 @@ from pyspark_unload_to_gcs_spark.operators.layout import (
 def _py_interleave(a: int, b: int, bits: int) -> int:
     z = 0
     for i in range(bits):
-        z |= ((a >> i) & 1) << (2 * i + 1)
-        z |= ((b >> i) & 1) << (2 * i)
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
     return z
 
 
@@ -28,10 +28,25 @@ def test_interleave_bits_matches_python_reference(spark):
     df = spark.createDataFrame(rows, "a long, b long")
     got = {
         (r["a"], r["b"]): r["z"]
-        for r in df.withColumn("z", interleave_bits(F.col("a"), F.col("b"), bits=10)).collect()
+        for r in df.withColumn(
+            "z", interleave_bits([F.col("a"), F.col("b")], bits=10)
+        ).collect()
     }
     for (a, b), z in got.items():
         assert z == _py_interleave(a, b, 10), (a, b)
+
+
+def test_interleave_bits_three_columns(spark):
+    df = spark.createDataFrame([(5, 3, 6)], "a long, b long, c long")
+    z = df.select(
+        interleave_bits([F.col("a"), F.col("b"), F.col("c")], bits=3).alias("z")
+    ).first()["z"]
+    want = 0
+    for i in range(3):
+        want |= ((5 >> i) & 1) << (3 * i)
+        want |= ((3 >> i) & 1) << (3 * i + 1)
+        want |= ((6 >> i) & 1) << (3 * i + 2)
+    assert z == want
 
 
 def test_interleave_is_monotone_in_block_order(spark):
@@ -41,7 +56,7 @@ def test_interleave_is_monotone_in_block_order(spark):
     rows = [(a, b) for a in range(n) for b in range(n)]
     df = spark.createDataFrame(rows, "a long, b long")
     out = (
-        df.withColumn("z", interleave_bits(F.col("a"), F.col("b"), bits=6))
+        df.withColumn("z", interleave_bits([F.col("a"), F.col("b")], bits=6))
         # dropping the 8 low z-bits (4 per dim) leaves 16 slices, each a
         # 16x16 aligned square of the 64x64 grid
         .withColumn("slice", F.shiftright("z", 8))
@@ -61,7 +76,7 @@ def test_zorder_key_validates_arity_and_bits(spark, sf_dir):
     with pytest.raises(ValueError, match="two columns"):
         zorder_key(df, ["a", "b", "c"])
     with pytest.raises(ValueError, match="bits"):
-        interleave_bits(F.col("a"), F.col("b"), bits=32)
+        interleave_bits([F.col("a"), F.col("b")], bits=32)
     with pytest.raises(ValueError, match="power of two"):
         zorder_file_stats(df.select("a", "b"), ["a", "b"], files=3)
 
