@@ -157,3 +157,68 @@ def temperature_mix(
         for row in stats
     }
     return weighted_mix(df, stratum_column, rates, id_column)
+
+
+def token_budget_select(
+    df: DataFrame,
+    *,
+    budget: int,
+    quality_column: str = "quality",
+    token_column: str = "n_tokens",
+    id_column: str = "doc_id",
+    bucket_decimals: int = 6,
+) -> DataFrame:
+    """Fill a token budget with the best documents: order by quality
+    (descending, ties by id), keep documents while the running token
+    total stays within ``budget``. The standard "select the top-quality
+    slice worth N tokens" curation step in a training-data pipeline.
+
+    Semantically this is ``SUM(tokens) OVER (ORDER BY quality DESC,
+    id) <= budget`` — but a global ORDER BY window in Spark collapses
+    to a SINGLE partition (Window.orderBy without partitionBy), which
+    is exactly the plan that dies at 100 TB. Instead, two phases:
+
+    1. Round quality to ``bucket_decimals`` and aggregate per-bucket
+       token totals — a tiny frame (bounded by distinct rounded
+       scores, <= 10^bucket_decimals+1, independent of corpus size).
+       The running total over THAT frame finds each bucket's
+       token-count offset; buckets whose offset already exceeds the
+       budget are dropped before any row-level work.
+    2. Broadcast the surviving bucket offsets back and compute the
+       row-level running total with a window PARTITIONED BY bucket
+       (parallel, state bounded by one bucket's rows) ordered by id.
+       ``cum_tokens = bucket_offset + within-bucket running total``
+       equals the global running total exactly (integer arithmetic).
+
+    Zero-token rows must be filtered upstream (asserted nowhere — the
+    caller owns tokenization): they would sit exactly ON a budget
+    boundary and make "bucket fully excluded" diverge from the
+    row-level rule. Worst case is every document sharing one rounded
+    score (phase 2 degenerates to the single-partition window); with a
+    real-valued quality signal buckets stay small — raise
+    ``bucket_decimals`` if a discrete score concentrates mass.
+
+    Output: the input rows plus ``cum_tokens`` (BIGINT running total in
+    selection order)."""
+    q = F.round(F.col(quality_column), bucket_decimals)
+    scored = df.withColumn("__q", q)
+    buckets = (
+        scored.groupBy("__q")
+        .agg(F.sum(token_column).cast("long").alias("__btoks"))
+        .withColumn(
+            "__offset",
+            F.sum("__btoks").over(Window.orderBy(F.col("__q").desc())).cast("long")
+            - F.col("__btoks"),
+        )
+    )
+    keep = buckets.filter(F.col("__offset") < budget).select("__q", "__offset")
+    wb = Window.partitionBy("__q").orderBy(F.col(id_column).asc())
+    return (
+        scored.join(F.broadcast(keep), "__q")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__offset") + F.sum(token_column).over(wb)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= F.lit(budget))
+        .drop("__q", "__offset")
+    )

@@ -390,6 +390,62 @@ def embedding_near_dedup(
     return df.join(losers, on=id_column, how="left_anti")
 
 
+def semantic_cluster_dedup(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_centroids: int = 16,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540 — public): coarse k-means cells are the candidate
+    blocks, exact cosine is computed only WITHIN a cell, and of every
+    near-duplicate pair the larger id is dropped.
+
+    This is the clustered alternative to the sign-LSH blocking in
+    ``embedding_near_dedup``: LSH blocks by random hyperplane sign
+    pattern (no training, fixed recall curve), SemDeDup blocks by
+    learned density (cells follow the data, so near-identical points
+    co-locate even when they straddle a hyperplane). The candidate join
+    is an equality join on a small int cell key — shuffle on k values,
+    never O(n^2).
+
+    100 TB notes: cell assignment is one narrow map over the corpus
+    (linear, no shuffle); the within-cell self-join shuffles on the
+    cell id, so a skewed (dense) cell bounds the worst task — raise
+    ``n_centroids`` (keeps cells ~n/k) or recursively re-cluster the
+    oversized cell. The assigned frame is materialized once
+    (localCheckpoint) because the per-centroid dot folds are
+    interpreted HOF lambdas: without a barrier both join branches would
+    recompute the dominant assignment cost (see ann_join)."""
+    cents = ivf_centroids_from_sample(
+        df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
+    )
+    assigned = ivf_assign(df, cents, vec_column=vec_column).localCheckpoint(eager=True)
+    l = assigned.select(
+        F.col("ivf_cell"), F.col(id_column).alias("id_a"), F.col(vec_column).alias("__va")
+    )
+    r = assigned.select(
+        F.col("ivf_cell"), F.col(id_column).alias("id_b"), F.col(vec_column).alias("__vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    losers = (
+        l.join(r, "ivf_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(F.col("id_b").alias(id_column))
+        .distinct()
+    )
+    return df.join(losers, on=id_column, how="left_anti")
+
+
 def ann_match_against_index(
     new_df: DataFrame,
     index: DataFrame,

@@ -344,10 +344,11 @@ def _load_extensions() -> None:
 #      scale-layout trio: bucketed co-located join, z-order layout,
 #      incremental ANN index match);
 #   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since) — three of
-#      these (value_histogram, json_props_extract, exact_dedup, all
-#      r01+r02-green) rotated back out to make room for the new
-#      scale-layout queries.
+#      oracles or upstream operators may have drifted since) — five of
+#      these (value_histogram, json_props_extract, exact_dedup,
+#      top_orders_per_customer, regional_revenue, all r01-green)
+#      rotated back out to make room for the new scale-layout,
+#      semantic-dedup and token-budget queries.
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
@@ -393,6 +394,8 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_layout",
     "incremental_ann_match",
     "chunk_dedup_clean",
+    "semantic_dedup",
+    "token_budget_select",
     # 4. refresh (last driver evidence r01/r02)
     "scd_latest_order_maxby",
     "q1_pricing_summary",
@@ -403,8 +406,6 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "rollup_pricing",
     "cube_order_stats",
-    "top_orders_per_customer",
-    "regional_revenue",
 )
 
 

@@ -589,6 +589,57 @@ def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.length_bucketed_batches(_t(spark, sf_dir, "documents"))
 
 
+_TOKEN_BUDGET = 12000  # ~44% of sf0.01 corpus tokens, ~4.4% at sf0.1
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                    AS BIGINT) AS n_tokens,
+               round({_QUALITY_SQL}, 6) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id ASC)
+                    AS BIGINT) AS cum_tokens
+        FROM scored WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a fixed token budget with the best-quality documents
+    (operators/sampling.py ``token_budget_select``): semantically a
+    global quality-ordered running token total cut at the budget, but
+    executed as per-quality-bucket offsets + a bucket-PARTITIONED
+    window — the oracle's naive global ORDER BY window is exactly the
+    single-partition plan the operator exists to avoid at 100 TB. The
+    running total is integer (BIGINT) so the cumsum is fold-order-free;
+    quality only ORDERS (round-to-6 both sides, ties by doc_id)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import token_budget_select
+
+    df = _docs(spark, sf_dir)
+    scored = df.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("__quality"),
+    ).filter(F.col("n_tokens") > 0)
+    out = token_budget_select(
+        scored,
+        budget=_TOKEN_BUDGET,
+        quality_column="__quality",
+        token_column="n_tokens",
+        id_column="doc_id",
+    )
+    return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
 @register(
     "hot_users",
     oracle="""
@@ -1241,6 +1292,86 @@ def embedding_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = emb.select("vec_id", "label", "embedding").unionByName(planted)
     return S.embedding_near_dedup(uni, dim=dim).select("vec_id", "label")
+
+
+@register(
+    "semantic_dedup",
+    # Full replay of the SemDeDup pipeline: planted exact (+10000) and
+    # elementwise-perturbed (+20000, x + 0.001) duplicates unioned in
+    # SQL, the 16-smallest-id coarse quantizer, unit-normalized argmax
+    # cell assignment (ties -> larger cell, matching Spark's struct
+    # array_max), and exact fold-order-pinned cosine within a cell.
+    # Any change in clustering, assignment or scoring turns this red.
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    uni AS (
+        SELECT vec_id, label, v FROM base
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, label, v FROM base WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 20000 AS vec_id, label,
+               list_transform(v, x -> x + CAST(0.001 AS DOUBLE)) AS v
+        FROM base WHERE vec_id % 7 = 0
+    ),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+        FROM uni ORDER BY vec_id ASC LIMIT 16
+    ), centn AS (
+        SELECT cell, c,
+               CASE WHEN sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) = 0
+                    THEN 1.0
+                    ELSE sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) END AS n
+        FROM cent
+    ), centu AS (
+        SELECT cell, list_transform(c, x -> x / n) AS u FROM centn
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT un.vec_id, un.v, cu.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY un.vec_id
+                       ORDER BY {_DOT.format(a="un.v", b="cu.u")} DESC, cu.cell DESC
+                   ) AS rn
+            FROM uni un, centu cu
+        ) WHERE rn = 1
+    ),
+    losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_SS.format(a='a.v')} > 0 AND {_SS.format(a='b.v')} > 0
+          AND {_DOT.format(a='a.v', b='b.v')}
+              / (sqrt({_SS.format(a='a.v')}) * sqrt({_SS.format(a='b.v')})) >= 0.95
+    )
+    SELECT vec_id, label FROM uni WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    ``semantic_cluster_dedup``): coarse k-means cells as candidate
+    blocks instead of sign-LSH buckets — the learned-density
+    counterpart to ``embedding_near_dedup``. Every 10th vector is
+    planted back as an exact duplicate (vec_id+10000, cosine 1.0 —
+    identical vectors deterministically share a cell, so recall on
+    them is structural) and every 7th as an elementwise +0.001
+    perturbation (vec_id+20000, cosine ~0.9999 — may straddle a cell
+    boundary, in which case BOTH engines keep it, deterministically)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    uni = base.unionByName(exact).unionByName(pert)
+    out = S.semantic_cluster_dedup(uni, n_centroids=16, cosine_threshold=0.95)
+    return out.select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------

@@ -397,3 +397,53 @@ def test_chunk_dedup_within_doc_repeat_counts_globally(spark):
     df = spark.createDataFrame([(1, f"{span} {span}")], "doc_id long, text string")
     out = chunk_dedup(df, "doc_id", "text").collect()[0]
     assert out.kept_chunks == 0 and out.clean_text == ""
+
+
+def _naive_budget(rows, budget):
+    """Reference: global (quality desc, id asc) running total cut."""
+    out, cum = {}, 0
+    for did, q, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += nt
+        if cum > budget:
+            break
+        out[did] = cum
+    return out
+
+
+def test_token_budget_select_matches_naive_global_order(spark):
+    from pyspark_unload_to_gcs_spark.operators.sampling import token_budget_select
+
+    rows = [
+        # (doc_id, quality, n_tokens) — several quality ties to force
+        # mid-bucket cuts, distinct bucket offsets, an excluded bucket
+        (1, 0.9, 10), (2, 0.9, 25), (3, 0.9, 5),
+        (4, 0.7, 40), (5, 0.7, 40),
+        (6, 0.5, 100), (7, 0.3, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, quality double, n_tokens bigint")
+    for budget in (5, 30, 40, 41, 79, 80, 81, 120, 1000):
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in token_budget_select(df, budget=budget).collect()
+        }
+        assert got == _naive_budget(rows, budget), f"budget={budget}"
+
+
+def test_token_budget_select_exact_boundary_inclusive(spark):
+    from pyspark_unload_to_gcs_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 7), (2, 0.5, 3)], "doc_id bigint, quality double, n_tokens bigint"
+    )
+    got = token_budget_select(df, budget=10).collect()
+    assert {(r.doc_id, r.cum_tokens) for r in got} == {(1, 7), (2, 10)}
+
+
+def test_token_budget_select_keeps_input_columns(spark):
+    from pyspark_unload_to_gcs_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 7, "en")], "doc_id bigint, quality double, n_tokens bigint, lang string"
+    )
+    out = token_budget_select(df, budget=100)
+    assert set(out.columns) == {"doc_id", "quality", "n_tokens", "lang", "cum_tokens"}

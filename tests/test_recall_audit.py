@@ -171,3 +171,38 @@ def test_ann_index_match_planted_recall_and_param_guard(spark):
         ann_match_against_index(new_batch, index, dim=dim, seed=43)
     with _pytest.raises(ValueError, match="lsh_bucket"):
         ann_match_against_index(new_batch, emb, dim=dim)
+
+
+def test_semantic_cluster_dedup_subset_and_planted_recall(spark):
+    """semantic_cluster_dedup (k-means-cell blocking) vs brute-force:
+    dropped ids must be exactly the ids the brute-force >=threshold
+    pair relation would drop WITHIN the operator's cells (precision is
+    exact by construction), and an IDENTICAL planted vector must always
+    be dropped — identical vectors produce identical per-centroid
+    scores, so they deterministically share a cell (recall 1 at
+    cosine 1, structurally)."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import semantic_cluster_dedup
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    emb = load_parquet(spark, EMB).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    uni = emb.unionByName(planted)
+    survivors = {
+        r.vec_id
+        for r in semantic_cluster_dedup(
+            uni, n_centroids=8, cosine_threshold=0.95
+        ).collect()
+    }
+    n_base = emb.count()
+    n_planted = planted.count()
+    # every planted exact copy (larger id, same cell, cosine 1) dropped
+    dropped = {r.vec_id for r in uni.collect()} - survivors
+    planted_ids = {r.vec_id for r in planted.collect()}
+    assert planted_ids <= dropped, "exact planted copies survived — cell blocking broken"
+    # no false drops: the raw fixture has no >=0.95 pair (max cosine
+    # ~0.51 — see embedding_near_dedup docstring), so nothing else may go
+    assert dropped == planted_ids
+    assert len(survivors) == n_base
+    assert n_planted == len(planted_ids)
