@@ -562,3 +562,41 @@ def dequantize_embeddings(
             "embedding"
         ),
     )
+
+
+def rrf_fuse(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_column: str,
+    rank_column: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009
+    — public) of two ranked candidate lists: score(id) = sum over lists
+    of 1/(k + rank), a missing id contributing 0. The standard way to
+    combine lexical (BM25) and vector (ANN) retrieval without score
+    calibration — ranks, not raw scores, are fused, so the two sides
+    can use incomparable scoring scales.
+
+    Inputs are the top-N ranked lists (id, rank), both tiny (N rows)
+    regardless of corpus size — the expensive retrieval has already cut
+    to top-N, so the fusion join is a constant-size full-outer join.
+    All arithmetic is exact-rational-in-double (1/(k+r) of integer
+    ranks) with a fixed two-term addition order — reproducible across
+    engines bit-for-bit.
+
+    Output: (id, rank_left, rank_right, rrf) top_k by (rrf desc, id)."""
+    l = left.select(F.col(id_column), F.col(rank_column).cast("long").alias("rank_left"))
+    r = right.select(F.col(id_column), F.col(rank_column).cast("long").alias("rank_right"))
+    fused = l.join(r, id_column, "full_outer")
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k)) + F.col("rank_left")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("rank_right")), F.lit(0.0))
+    return (
+        fused.withColumn("rrf", contrib)
+        .orderBy(F.col("rrf").desc(), F.col(id_column).asc())
+        .limit(top_k)
+        .select(id_column, "rank_left", "rank_right", "rrf")
+    )

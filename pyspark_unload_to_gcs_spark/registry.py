@@ -344,11 +344,12 @@ def _load_extensions() -> None:
 #      scale-layout trio: bucketed co-located join, z-order layout,
 #      incremental ANN index match);
 #   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since) — five of
+#      oracles or upstream operators may have drifted since) — six of
 #      these (value_histogram, json_props_extract, exact_dedup,
-#      top_orders_per_customer, regional_revenue, all r01-green)
-#      rotated back out to make room for the new scale-layout,
-#      semantic-dedup and token-budget queries.
+#      top_orders_per_customer, regional_revenue, cube_order_stats, all
+#      r01-green) rotated back out to make room for the new
+#      scale-layout, semantic-dedup, token-budget and hybrid-retrieval
+#      queries.
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
@@ -396,6 +397,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_dedup_clean",
     "semantic_dedup",
     "token_budget_select",
+    "hybrid_search_rrf",
     # 4. refresh (last driver evidence r01/r02)
     "scd_latest_order_maxby",
     "q1_pricing_summary",
@@ -405,7 +407,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_with_returns",
     "grouping_sets_revenue",
     "rollup_pricing",
-    "cube_order_stats",
 )
 
 

@@ -906,10 +906,9 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("scan", "window", "agg")
 
 
-@register(
-    "bm25_search",
-    oracle="""
-    WITH toks AS (
+# BM25 CTE chain (to the per-doc fixed-order score) — shared by the
+# bm25_search oracle and the hybrid_search_rrf oracle.
+_BM25_CTES = """toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents WHERE trim(text) != ''
     ), lens AS (
@@ -938,7 +937,13 @@ _BM25_TERMS = ("scan", "window", "agg")
                + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0.0)
                + COALESCE(SUM(CASE WHEN term = 'agg' THEN c END), 0.0) AS score
         FROM contrib GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, round(score, 9) AS score_r FROM scored
     ORDER BY score_r DESC, doc_id ASC LIMIT 20
     """,
@@ -949,6 +954,12 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over at most one row each, then s1+s2+s3) so float addition
     order — the one nondeterminism in the formula — is pinned on both
     engines; everything else is bit-identical double arithmetic."""
+    return _bm25_top20(spark, sf_dir)
+
+
+def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_r) top-20 by fixed-order BM25 — shared by
+    bm25_search and the RRF hybrid-retrieval query."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.tokens_col(F.col("text")).alias("__toks"))
     lens = toks.select("doc_id", F.size("__toks").cast("double").alias("dl"))
@@ -982,6 +993,77 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ln can disagree in the last ulp, which must not flip the top-k cut
     scored = contrib.groupBy("doc_id").agg(F.round(score, 9).alias("score_r"))
     return scored.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@register(
+    "hybrid_search_rrf",
+    # Replays BOTH retrieval arms and the fusion: the shared BM25 CTE
+    # chain, brute-force cosine top-20, rank assignment, and the
+    # two-term fixed-order RRF sum. Rank arithmetic is integer; the two
+    # 1/(60+r) terms are exact-rational doubles, so values hash-match.
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id ASC) AS BIGINT)
+                   AS rank_left
+        FROM (SELECT doc_id, round(score, 9) AS score_r FROM scored
+              ORDER BY score_r DESC, doc_id ASC LIMIT 20)
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    vtop AS (
+        SELECT vec_id AS doc_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.qv) AS c
+        FROM embeddings, qv WHERE vec_id != 0
+        ORDER BY c DESC, doc_id ASC LIMIT 20
+    ),
+    vec AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id ASC) AS BIGINT)
+                   AS rank_right
+        FROM vtop
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_left, v.rank_right,
+               COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rank_left AS DOUBLE),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.rank_right AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_left, rank_right, round(rrf, 9) AS rrf_r
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 + brute-force cosine
+    top-20 to the vec_id=0 query embedding, fused by Reciprocal Rank
+    Fusion (operators/similarity.py ``rrf_fuse``) — the standard
+    lexical+vector combination that needs no score calibration. Both
+    rank windows run over constant-size (top-N) frames, so the
+    single-partition window is bounded by N, not the corpus."""
+    from pyspark.sql import Window
+
+    lex = _bm25_top20(spark, sf_dir).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    vec = (
+        S.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=20)
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+            ),
+        )
+    )
+    out = S.rrf_fuse(lex, vec, id_column="doc_id", k=60, top_k=10)
+    return out.select(
+        "doc_id", "rank_left", "rank_right", F.round("rrf", 9).alias("rrf_r")
+    )
 
 
 @register("near_dup_clusters")  # rows-only: iterative CC (non-SQL-expressible)

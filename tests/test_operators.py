@@ -447,3 +447,23 @@ def test_token_budget_select_keeps_input_columns(spark):
     )
     out = token_budget_select(df, budget=100)
     assert set(out.columns) == {"doc_id", "quality", "n_tokens", "lang", "cum_tokens"}
+
+
+def test_rrf_fuse_missing_side_and_ties(spark):
+    from pyspark_unload_to_gcs_spark.operators.similarity import rrf_fuse
+
+    left = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id bigint, rank int")
+    right = spark.createDataFrame([(2, 1), (4, 2), (5, 3)], "id bigint, rank int")
+    got = {r.id: (r.rank_left, r.rank_right, r.rrf) for r in
+           rrf_fuse(left, right, id_column="id", k=60, top_k=10).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # both-lists id wins
+    assert got[2] == (2, 1, 1 / 62 + 1 / 61)
+    # one-sided ids contribute only their own term
+    assert got[1] == (1, None, 1 / 61)
+    assert got[4] == (None, 2, 1 / 62)
+    # equal-rrf tie (1@left-rank-1 vs absent, 2@... ) ordering is by id:
+    # rank_left=3 and rank_right=3 give identical scores
+    assert got[3] == (3, None, 1 / 63) and got[5] == (None, 3, 1 / 63)
+    top2 = [r.id for r in rrf_fuse(left, right, id_column="id", top_k=2).collect()]
+    assert top2 == [2, 1]
