@@ -344,11 +344,12 @@ def _load_extensions() -> None:
 #      scale-layout trio: bucketed co-located join, z-order layout,
 #      incremental ANN index match);
 #   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since) — six of
+#      oracles or upstream operators may have drifted since) — nine of
 #      these (value_histogram, json_props_extract, exact_dedup,
-#      top_orders_per_customer, regional_revenue, cube_order_stats, all
-#      r01-green) rotated back out to make room for the new
-#      scale-layout, semantic-dedup, token-budget and hybrid-retrieval
+#      top_orders_per_customer, regional_revenue, cube_order_stats,
+#      big_orders, orders_with_returns, rollup_pricing, all r01-green)
+#      rotated back out to make room for the new scale-layout,
+#      semantic-dedup, token-budget, hybrid-retrieval and privacy
 #      queries.
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
@@ -398,15 +399,15 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "token_budget_select",
     "hybrid_search_rrf",
+    "k_anonymity_profile",
+    "k_anonymity_suppression",
+    "l_diversity_profile",
     # 4. refresh (last driver evidence r01/r02)
     "scd_latest_order_maxby",
     "q1_pricing_summary",
     "q3_order_revenue",
     "q6_revenue_delta",
-    "big_orders",
-    "orders_with_returns",
     "grouping_sets_revenue",
-    "rollup_pricing",
 )
 
 

@@ -641,6 +641,93 @@ def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_profile",
+    # quasi = (lang, source, length-bucket): the length bucket keeps
+    # combo cardinality growing with the corpus, so group sizes — and
+    # therefore the k=3 flag — stay non-vacuous at BOTH the sf0.01
+    # correctness scale and the sf0.1 bench scale (a coarse quasi set's
+    # group sizes scale linearly with SF and trivialize one of them).
+    oracle="""
+    SELECT lang, source, CAST(n_chars // 50 AS BIGINT) AS nc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < 3 AS at_risk
+    FROM documents GROUP BY lang, source, nc_bucket
+    """,
+)
+def k_anonymity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification-risk audit (operators/privacy.py): group sizes
+    of every (lang, source, length-bucket) quasi-identifier combination
+    with the k=3 release-gate flag. One hash agg; |combos| output rows."""
+    from pyspark_unload_to_gcs_spark.operators.privacy import k_anonymity_profile
+
+    df = _docs(spark, sf_dir).withColumn("nc_bucket", F.expr("n_chars div 50"))
+    return k_anonymity_profile(
+        df.select("lang", "source", "nc_bucket"), ["lang", "source", "nc_bucket"], k=3
+    )
+
+
+@register(
+    "k_anonymity_suppression",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, source, CAST(n_chars // 50 AS BIGINT) AS nc_bucket
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.source, d.nc_bucket
+    FROM d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (
+            SELECT lang, source, nc_bucket FROM d
+            GROUP BY lang, source, nc_bucket HAVING COUNT(*) < 3
+        ) bad
+        WHERE d.lang = bad.lang AND d.source = bad.source
+          AND d.nc_bucket = bad.nc_bucket
+    )
+    """,
+)
+def k_anonymity_suppression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression-based k-anonymization (operators/privacy.py): drop
+    every document whose (lang, source, length-bucket) combination
+    covers fewer than 3 rows. The violating-combo list is broadcast to
+    an anti-join — the corpus is scanned once, never re-shuffled on the
+    quasi key."""
+    from pyspark_unload_to_gcs_spark.operators.privacy import k_anonymity_suppress
+
+    df = _docs(spark, sf_dir).withColumn("nc_bucket", F.expr("n_chars div 50"))
+    out = k_anonymity_suppress(df, ["lang", "source", "nc_bucket"], k=3)
+    return out.select("doc_id", "lang", "source", "nc_bucket")
+
+
+@register(
+    "l_diversity_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_sensitive,
+           COUNT(DISTINCT user_id) < 5 AS at_risk
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def l_diversity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py): per (event_type, hour)
+    cell, how many distinct users carry it — a k-anonymous cell is
+    still leaky when one user dominates it. Hour emitted as epoch-ms
+    BIGINT (UTC session tz; lore #6)."""
+    from pyspark_unload_to_gcs_spark.operators.privacy import l_diversity_profile
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour_ms", F.unix_millis(F.date_trunc("hour", F.col("ts")))
+    )
+    return l_diversity_profile(
+        ev.select("event_type", "hour_ms", "user_id"),
+        ["event_type", "hour_ms"],
+        "user_id",
+        l=5,
+    )
+
+
+@register(
     "hot_users",
     oracle="""
     SELECT user_id, COUNT(*) AS n_rows,
