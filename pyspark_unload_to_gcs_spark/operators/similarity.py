@@ -199,7 +199,16 @@ def ivf_assign(
                 F.lit(cell_id).alias("cell"),
             )
         )
-    return df.withColumn(cell_column, F.array_max(F.array(*cands))["cell"])
+    # quantizer shape rides along as column metadata (survives persist
+    # and a parquet round-trip) so an index consumer can verify the
+    # index was assigned with the centroid family it assumes
+    # (semantic_match_against_index) — same pattern as with_lsh_bucket.
+    return df.select(
+        "*",
+        F.array_max(F.array(*cands))["cell"].alias(
+            cell_column, metadata={"n_centroids": len(centroids)}
+        ),
+    )
 
 
 def ivf_centroids_from_sample(
@@ -599,4 +608,71 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_column).asc())
         .limit(top_k)
         .select(id_column, "rank_left", "rank_right", "rrf")
+    )
+
+
+def semantic_match_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_new: str = "vec_id",
+    id_index: str = "vec_id",
+    vec_column: str = "embedding",
+    cell_column: str = "ivf_cell",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental SemDeDup: match a NEW batch of vectors against a
+    previously cell-assigned semantic ``index`` (the output of
+    ``ivf_assign``, typically written to parquet partitioned by
+    ``ivf_cell``). Returns (new_id, index_id, cosine) for every cross
+    pair at or above the threshold whose vectors share a quantizer
+    cell.
+
+    The clustered counterpart of ``ann_match_against_index``: the
+    corpus is assigned ONCE when the index is written; each increment
+    runs the (k dot folds per row) assignment over the batch only and
+    equality-joins the index on the cell id — with a cell-partitioned
+    index layout the join prunes to touched partitions and never
+    rescans corpus vectors. Identical vectors produce identical
+    per-centroid scores, so exact duplicates deterministically land in
+    the index vector's cell; near-duplicates can straddle a cell
+    boundary (probe neighboring cells / raise k for recall, as in any
+    IVF index).
+
+    The index's ``ivf_cell`` metadata (``ivf_assign`` attaches the
+    centroid count) must match ``len(centroids)`` — an index assigned
+    under a different quantizer is a disjoint cell space and every
+    match would be silently missed."""
+    if cell_column not in index.columns:
+        raise ValueError(f"index must carry {cell_column!r} (see ivf_assign)")
+    meta = index.schema[cell_column].metadata or {}
+    if "n_centroids" in meta and int(meta["n_centroids"]) != len(centroids):
+        raise ValueError(
+            f"semantic_match_against_index: index was assigned under "
+            f"n_centroids={int(meta['n_centroids'])} but the call passes "
+            f"{len(centroids)} centroids — the cell spaces would be disjoint and "
+            "every match silently missed. Rebuild the index or pass the quantizer "
+            "it was built with."
+        )
+    nb = ivf_assign(new_df, centroids, vec_column=vec_column, cell_column=cell_column)
+    l = nb.select(
+        F.col(cell_column), F.col(id_new).alias("new_id"), F.col(vec_column).alias("__va")
+    )
+    r = index.select(
+        F.col(cell_column), F.col(id_index).alias("index_id"), F.col(vec_column).alias("__vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    return (
+        l.join(r, cell_column)
+        .filter(F.col("new_id") != F.col("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("new_id", "index_id", "cosine")
     )

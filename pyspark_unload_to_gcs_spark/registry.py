@@ -344,10 +344,11 @@ def _load_extensions() -> None:
 #      scale-layout trio: bucketed co-located join, z-order layout,
 #      incremental ANN index match);
 #   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since) — nine of
+#      oracles or upstream operators may have drifted since) — ten of
 #      these (value_histogram, json_props_extract, exact_dedup,
 #      top_orders_per_customer, regional_revenue, cube_order_stats,
-#      big_orders, orders_with_returns, rollup_pricing, all r01-green)
+#      big_orders, orders_with_returns, rollup_pricing,
+#      scd_latest_order_maxby — all r01-green)
 #      rotated back out to make room for the new scale-layout,
 #      semantic-dedup, token-budget, hybrid-retrieval and privacy
 #      queries.
@@ -402,8 +403,8 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity_profile",
     "k_anonymity_suppression",
     "l_diversity_profile",
+    "incremental_semantic_match",
     # 4. refresh (last driver evidence r01/r02)
-    "scd_latest_order_maxby",
     "q1_pricing_summary",
     "q3_order_revenue",
     "q6_revenue_delta",

@@ -1543,6 +1543,86 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+@register(
+    "incremental_semantic_match",
+    # The incremental (index) shape of the SemDeDup path, fully
+    # replayed: centroids from the corpus, assignment of BOTH the index
+    # and the re-keyed batch, cell equality join, exact cosine. The
+    # batch is every 4th vector re-keyed +50000, so each row has an
+    # identical twin in the index (same per-centroid scores -> same
+    # cell, structurally) and the raw fixture contributes no other
+    # >=0.95 pair.
+    oracle=f"""
+    WITH idx AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    newb AS (
+        SELECT vec_id + 50000 AS vec_id, v FROM idx WHERE vec_id % 4 = 0
+    ),
+    cent AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+        FROM idx ORDER BY vec_id ASC LIMIT 16
+    ), centn AS (
+        SELECT cell, c,
+               CASE WHEN sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) = 0
+                    THEN 1.0
+                    ELSE sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) END AS n
+        FROM cent
+    ), centu AS (
+        SELECT cell, list_transform(c, x -> x / n) AS u FROM centn
+    ),
+    idx_assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT i.vec_id, i.v, cu.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY i.vec_id
+                       ORDER BY {_DOT.format(a="i.v", b="cu.u")} DESC, cu.cell DESC
+                   ) AS rn
+            FROM idx i, centu cu
+        ) WHERE rn = 1
+    ),
+    new_assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT nb.vec_id, nb.v, cu.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nb.vec_id
+                       ORDER BY {_DOT.format(a="nb.v", b="cu.u")} DESC, cu.cell DESC
+                   ) AS rn
+            FROM newb nb, centu cu
+        ) WHERE rn = 1
+    )
+    SELECT n.vec_id AS new_id, i.vec_id AS index_id,
+           round({_DOT.format(a='n.v', b='i.v')}
+                 / (sqrt({_SS.format(a='n.v')}) * sqrt({_SS.format(a='i.v')})), 6)
+               AS cosine_r
+    FROM new_assigned n JOIN idx_assigned i ON n.cell = i.cell
+    WHERE n.vec_id != i.vec_id
+      AND {_SS.format(a='n.v')} > 0 AND {_SS.format(a='i.v')} > 0
+      AND {_DOT.format(a='n.v', b='i.v')}
+          / (sqrt({_SS.format(a='n.v')}) * sqrt({_SS.format(a='i.v')})) >= 0.95
+    """,
+)
+def incremental_semantic_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a cell-assigned index
+    (operators/similarity.py ``semantic_match_against_index``): the
+    corpus is assigned to quantizer cells once (the persisted,
+    cell-partitioned index); the batch — every 4th vector re-keyed
+    +50000 — runs the k-dot-fold assignment over itself only and
+    equality-joins the index on the cell id. Streaming twin:
+    tests/test_streaming.py (foreachBatch over micro-batches equals
+    this one-shot match)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = S.ivf_centroids_from_sample(emb, n_centroids=16)
+    index = S.ivf_assign(emb, cents).localCheckpoint(eager=True)
+    new = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    out = S.semantic_match_against_index(new, index, cents, cosine_threshold=0.95)
+    return out.select("new_id", "index_id", F.round("cosine", 6).alias("cosine_r"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -795,3 +795,80 @@ def test_streaming_incremental_ann_match_matches_batch(spark, sf_dir, tmp_path):
         for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
     }
     assert planted <= set(got)
+
+
+def test_streaming_incremental_semantic_match_matches_batch(spark, sf_dir, tmp_path):
+    """Clustered (SemDeDup) incremental ingestion as a stream: the
+    corpus is cell-assigned ONCE and written partitioned by ivf_cell;
+    each arriving micro-batch runs the k-dot-fold assignment over the
+    batch only and matches against the persisted index via foreachBatch.
+    Union over epochs == one-shot batch match; every planted exact
+    duplicate is found (identical vectors share a cell
+    deterministically)."""
+    import os
+
+    import pytest
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_from_sample,
+        semantic_match_against_index,
+    )
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = ivf_centroids_from_sample(emb, n_centroids=8)
+
+    assigned = ivf_assign(emb, cents)
+    # quantizer-mismatch guard: a different centroid count must be
+    # refused (metadata rides on the cell column; note partitionBy
+    # rebuilds the column from directory names WITHOUT metadata, so the
+    # guard is best-effort after a partitioned write — exactly like the
+    # lsh_bucket guard)
+    with pytest.raises(ValueError, match="n_centroids"):
+        semantic_match_against_index(emb.limit(1), assigned, cents[:4])
+
+    idx_path = f"file:{tmp_path}/cell_index"
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+    )
+    stream_src = str(tmp_path / "cell_stream")
+    new.repartition(3).write.mode("overwrite").parquet(stream_src)
+    parts = sorted(glob.glob(f"{stream_src}/part-*.parquet"))
+    mtime = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (mtime + i, mtime + i))
+
+    got = []
+
+    def sink(batch_df, epoch_id):
+        got.extend(
+            (r.new_id, r.index_id)
+            for r in semantic_match_against_index(
+                batch_df, index, cents, cosine_threshold=0.95
+            ).collect()
+        )
+
+    q = (
+        stream_parquet_dir(spark, stream_src, new.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    expected = {
+        (r.new_id, r.index_id)
+        for r in semantic_match_against_index(
+            new, index, cents, cosine_threshold=0.95
+        ).collect()
+    }
+    assert set(got) == expected
+    assert len(got) == len(set(got))
+    planted = {
+        (int(r.vec_id) + 800000, int(r.vec_id))
+        for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
+    }
+    assert planted <= set(got)
