@@ -58,6 +58,40 @@ def snapshot_as_inserts(df: DataFrame, output_column: str = EXPORT_CHANGE_TYPE_C
     return df.select(F.lit(INSERT).alias(output_column), "*")
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_columns: list[str],
+    *,
+    change_type_column: str = EXPORT_CHANGE_TYPE_COLUMN,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """MERGE: apply a change batch in the reference's export model
+    (``_mp_change_type`` INSERT/DELETE rows, export.py:114-126) onto a
+    snapshot, producing the next snapshot. An update arrives as a
+    DELETE(preimage) + INSERT(postimage) pair for the same key, exactly
+    what ``snapshot_diff`` (and Delta CDF) emits — so the round-trip
+    identity ``apply_changes(old, snapshot_diff(old, new)) == new``
+    holds and is oracle-checked (registry ``cdc_apply_changes``).
+
+    Plan (100 TB posture): the change batch of one incremental window is
+    tiny relative to the snapshot, so the touched-key set broadcasts
+    into a LEFT ANTI join — the snapshot (the big side) is scanned once
+    and never shuffled; INSERT rows are unioned in column-aligned. Set
+    ``broadcast_changes=False`` for backfill-sized batches, which fall
+    back to a shuffled anti-join on the key.
+    """
+    missing = [c for c in snapshot.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"change batch lacks snapshot columns: {missing}")
+    touched = changes.select(*key_columns).distinct()
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    kept = snapshot.join(touched, on=key_columns, how="left_anti")
+    inserts = changes.filter(F.col(change_type_column) == INSERT).select(*snapshot.columns)
+    return kept.unionByName(inserts)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -128,6 +128,78 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Bounded-iteration PageRank in exact BIGINT arithmetic — the
+    iterative-DataFrame-algorithm pattern, cross-engine bit-exact so it
+    can carry a full value oracle (floating-point PageRank cannot: the
+    per-node in-flow sum has engine-dependent fold order).
+
+    Semantics (the simple "leaky" formulation — dangling mass is not
+    redistributed, standard in bounded-iteration implementations):
+      rank_0(v)   = scale
+      rank_t+1(v) = ((100-d)*scale) div 100
+                    + (d * Σ_{u→v} (rank_t(u) div outdeg(u))) div 100
+    All operations are integral (div truncates; every operand positive),
+    so Spark and the SQL oracle agree bit-for-bit. Overflow headroom:
+    total mass ≤ |V|·scale, so d·Σ fits in int64 for |V|·scale < 9e16
+    (|V| up to ~9e7 at the default scale).
+
+    Plan (100 TB posture): edges carry their out-degree (computed once,
+    one shuffle) and are repartitioned by src and persisted — every
+    iteration's rank join then reuses that partitioning, so the per-
+    iteration cost is one shuffle for the groupBy(dst) in-flow sum plus
+    the (small) rank-frame join. Ranks are |V| rows, localCheckpointed
+    each round to truncate the compounding iterative lineage (same
+    rationale as connected_components above).
+    """
+    src, dst = F.col(src_column), F.col(dst_column)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edged = (
+        e.join(outdeg, on="src")
+        .repartition(F.col("src"))
+        .persist()
+    )
+    edged.count()  # materialize once; iterations reuse the cache
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = edged.join(
+            ranks.withColumnRenamed("node", "src"), on="src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank div outdeg").alias("contrib"),
+        )
+        inflow = contribs.groupBy("node").agg(F.sum("contrib").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edged.unpersist()
+    return ranks
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -44,6 +44,38 @@ def latest_per_group(
     return out if keep_rank_column else out.drop(RANK_COLUMN)
 
 
+def scd2_intervals(
+    df: DataFrame,
+    group_id_column: str,
+    scd_time_column: str,
+    tiebreak_columns: Sequence[str] = (),
+    *,
+    valid_from_column: str = "valid_from",
+    valid_to_column: str = "valid_to",
+    current_flag_column: str = "is_current",
+) -> DataFrame:
+    """SCD Type-2 companion to the reference's scd-latest (export.py:
+    174-188): instead of keeping only the latest version per key, every
+    version gets a half-open validity interval ``[valid_from, valid_to)``
+    — its own timestamp to the next version's timestamp, NULL while
+    current — plus an ``is_current`` flag. ``filter(is_current)`` of
+    this output equals ``latest_per_group`` (property-tested).
+
+    One window (single hash shuffle on the group key, same exchange the
+    reference's ROW_NUMBER plan needs); ``lead`` over the ascending
+    (time, tiebreaks...) order, so ties are resolved identically to
+    ``latest_per_group``'s descending sort.
+    """
+    order = [F.col(scd_time_column).asc()] + [F.col(c).asc() for c in tiebreak_columns]
+    w = Window.partitionBy(group_id_column).orderBy(*order)
+    nxt = F.lead(F.col(scd_time_column)).over(w)
+    return (
+        df.withColumn(valid_from_column, F.col(scd_time_column))
+        .withColumn(valid_to_column, nxt)
+        .withColumn(current_flag_column, nxt.isNull())
+    )
+
+
 def latest_per_group_maxby(
     df: DataFrame,
     group_id_column: str,

@@ -45,6 +45,21 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces)
 
 
+def adjacent_pairs(tokens: Column) -> Column:
+    """Adjacent symbol pairs of a token array — the statistic the first
+    BPE merge iteration ranks (count pairs, merge the most frequent).
+    Returns ``array<struct<a,b>>``; arrays with fewer than two tokens
+    yield an empty array. Pure builtin slice/zip_with (JVM-side): pair
+    k is (tokens[k], tokens[k+1]) via two length-aligned slices.
+    """
+    n = F.size(tokens)
+    left = F.slice(tokens, 1, n - 1)
+    right = F.slice(tokens, 2, n - 1)
+    zipped = F.zip_with(left, right, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    return F.when(n >= 2, zipped).otherwise(empty)
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

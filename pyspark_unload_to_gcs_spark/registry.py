@@ -311,6 +311,78 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 != 0
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / apply-changes (operators/cdc.py ``apply_changes``): the
+    write-side half of the CDC story. Replays ``snapshot_diff(old,
+    new)`` onto ``old`` — deletes drop keys, updates arrive as DELETE+
+    INSERT pairs, inserts add keys — and must reproduce ``new`` exactly,
+    so the oracle is simply the ``new`` snapshot definition (the same
+    old/new construction as cdc_snapshot_diff). The change-key set
+    broadcasts into a left-anti join; the snapshot side never shuffles.
+    """
+    from pyspark_unload_to_gcs_spark.operators.cdc import apply_changes, snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = base.filter(F.col("o_orderkey") % 10 != 0)
+    new = base.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changes = snapshot_diff(old, new, ["o_orderkey"])
+    return apply_changes(old, changes, ["o_orderkey"])
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           epoch_ms(o_orderdate) AS valid_from_ms,
+           epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals (operators/scd.py
+    ``scd2_intervals``): every order version per customer carries
+    [valid_from, valid_to) — next version's timestamp, NULL while
+    current. ``filter(is_current)`` of this output equals
+    scd_latest_order (property-tested in tests/test_scd.py). Same
+    single hash shuffle on the group key as the reference's ROW_NUMBER
+    plan (export.py:180-185)."""
+    from pyspark_unload_to_gcs_spark.operators.scd import scd2_intervals
+
+    df = scd2_intervals(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        ),
+        "o_custkey",
+        "o_orderdate",
+        tiebreak_columns=["o_orderkey"],
+    )
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        epoch_ms(df, "valid_from").alias("valid_from_ms"),
+        epoch_ms(df, "valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors
 # ---------------------------------------------------------------------------
@@ -404,11 +476,13 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity_suppression",
     "l_diversity_profile",
     "incremental_semantic_match",
-    # 4. refresh (last driver evidence r01/r02)
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q6_revenue_delta",
-    "grouping_sets_revenue",
+    # (third sitting) the four refresh slots — q1/q3/q6/grouping_sets,
+    # all ledger-green from r01/r02 — rotated back out for the four new
+    # value-oracled queries, which must be in-window (never checked):
+    "cdc_apply_changes",
+    "scd2_history",
+    "bpe_pair_stats",
+    "pagerank_ship_graph",
 )
 
 

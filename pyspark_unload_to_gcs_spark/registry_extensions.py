@@ -1682,3 +1682,131 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs, fake=True).select(
         "doc_id", "media_type", "n_bytes", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics + iterative graph rank (round-4 third sitting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x != ''
+               ) AS l
+        FROM documents
+    ), pairs AS (
+        SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+        FROM toks WHERE len(l) >= 2
+    )
+    SELECT z[1] AS a, z[2] AS b, COUNT(*) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, a, b
+    LIMIT 30
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration statistic: adjacent token-pair counts,
+    top 30 by (count DESC, a, b) — the exact ranking a byte-pair-
+    encoding trainer consumes each merge round. Tokenization is the
+    lowercase alphanumeric split (identical regex semantics in Java and
+    DuckDB's RE2 for this class); pair extraction is builtin slice +
+    zip_with (operators/text.py ``adjacent_pairs``), so the hot path is
+    whole-stage-codegen'd with one hash aggregate and a
+    TakeOrderedAndProject top-k — no global sort, no UDF. At 100 TB the
+    explode output is the corpus token count, but partial aggregation
+    collapses it map-side to the distinct-pair vocabulary."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    pairs = (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.adjacent_pairs(toks)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(30)
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, damping_pct: int = 85, scale: int = 10**9) -> str:
+    """Unrolled-CTE replay of the integer PageRank recurrence — one CTE
+    per iteration, exact BIGINT arithmetic (// floor division on
+    positive operands == Spark ``div``), so the oracle is bit-exact.
+    HUGEINT intermediates (SUM / the damped product) are cast back to
+    BIGINT per lore #8."""
+    teleport = (100 - damping_pct) * scale // 100
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'c:' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+        SELECT n.node,
+               CAST({teleport} + ({damping_pct} * COALESCE(i.inflow, 0)) // 100 AS BIGINT)
+                   AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.pr // o.outdeg) AS inflow
+            FROM edges e
+            JOIN outdeg o ON e.src = o.src
+            JOIN r{i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+        ) i ON n.node = i.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, pr FROM r{iterations}
+    ORDER BY pr DESC, node
+    LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("pagerank_ship_graph", oracle=_pagerank_oracle())
+def pagerank_ship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank over the supplier->customer shipping
+    graph (distinct (l_suppkey, o_custkey) edges via the orders join) —
+    the iterative-DataFrame-algorithm pattern under a full value oracle:
+    operators/graph.py ``pagerank`` runs 5 rounds of exact BIGINT
+    arithmetic (rank div outdeg in-flows, damped + teleport), which the
+    oracle replays as 5 unrolled CTEs bit-for-bit. Top 20 nodes by
+    (rank DESC, node). Customers are dangling sinks — the leaky
+    formulation is intentional and documented on the operator."""
+    from pyspark_unload_to_gcs_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges)
+    return (
+        ranks.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )

@@ -273,3 +273,37 @@ def test_fuzzy_text_join_id_overflow_fails_loudly(spark):
     right = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
     with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
         fuzzy_text_join(left, right, jaccard_threshold=0.5).collect()
+
+
+# --- pagerank (integer-exact, bounded iterations) ---------------------------
+
+
+def test_pagerank_matches_hand_computation(spark):
+    """a->b, a->c, b->c at scale=1000, damping 85%, 2 iterations.
+    teleport = 150; r1 = {a:150, b:575, c:1425};
+    r2: a=150; b=150+(85*75)//100=213; c=150+(85*(75+575))//100=702."""
+    from pyspark_unload_to_gcs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=2, scale=1000).collect()}
+    assert out == {"a": 150, "b": 213, "c": 702}
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    from pyspark_unload_to_gcs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r.node: r.rank for r in pagerank(edges, iterations=0, scale=7).collect()}
+    assert out == {"a": 7, "b": 7}
+
+
+def test_pagerank_sink_receives_no_outflow_mass_back(spark):
+    """Pure sink keeps only teleport + damped inflow; source decays to
+    teleport. One iteration: b = 150 + 85*1000//100 = 1000, a = 150."""
+    from pyspark_unload_to_gcs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = {r.node: r.rank for r in pagerank(edges, iterations=1, scale=1000).collect()}
+    assert out == {"a": 150, "b": 1000}

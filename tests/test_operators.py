@@ -467,3 +467,122 @@ def test_rrf_fuse_missing_side_and_ties(spark):
     assert got[3] == (3, None, 1 / 63) and got[5] == (None, 3, 1 / 63)
     top2 = [r.id for r in rrf_fuse(left, right, id_column="id", top_k=2).collect()]
     assert top2 == [2, 1]
+
+
+# --- apply_changes (MERGE, write-side CDC) ----------------------------------
+
+
+@pytest.fixture()
+def snap_pair(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (4, "d", 40.0)], "id long, s string, v double"
+    )
+    return old, new
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark, snap_pair):
+    from pyspark_unload_to_gcs_spark.operators.cdc import apply_changes, snapshot_diff
+
+    old, new = snap_pair
+    applied = apply_changes(old, snapshot_diff(old, new, ["id"]), ["id"])
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changes_insert_only_and_delete_only(spark):
+    from pyspark_unload_to_gcs_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, "a")], "id long, s string")
+    ins = spark.createDataFrame([("INSERT", 2, "b")], "_mp_change_type string, id long, s string")
+    dele = spark.createDataFrame([("DELETE", 1, "a")], "_mp_change_type string, id long, s string")
+    assert sorted(r.id for r in apply_changes(snap, ins, ["id"]).collect()) == [1, 2]
+    assert apply_changes(snap, dele, ["id"]).count() == 0
+
+
+def test_apply_changes_upsert_replaces_existing_key(spark):
+    from pyspark_unload_to_gcs_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, "old")], "id long, s string")
+    batch = spark.createDataFrame(
+        [("DELETE", 1, "old"), ("INSERT", 1, "new")],
+        "_mp_change_type string, id long, s string",
+    )
+    assert [tuple(r) for r in apply_changes(snap, batch, ["id"]).collect()] == [(1, "new")]
+
+
+def test_apply_changes_rejects_missing_columns(spark):
+    from pyspark_unload_to_gcs_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, "a")], "id long, s string")
+    bad = spark.createDataFrame([("INSERT", 1)], "_mp_change_type string, id long")
+    with pytest.raises(ValueError, match="lacks snapshot columns"):
+        apply_changes(snap, bad, ["id"])
+
+
+# --- scd2_intervals ---------------------------------------------------------
+
+
+@pytest.fixture()
+def scd2_df(spark):
+    rows = [
+        (1, 10, datetime(2024, 1, 1)),
+        (2, 10, datetime(2024, 1, 5)),
+        (3, 10, datetime(2024, 1, 3)),
+        (4, 20, datetime(2024, 2, 1)),
+    ]
+    return spark.createDataFrame(rows, "id long, gid long, t timestamp")
+
+
+def test_scd2_intervals_tile_per_key(spark, scd2_df):
+    from pyspark_unload_to_gcs_spark.operators.scd import scd2_intervals
+
+    out = scd2_intervals(scd2_df, "gid", "t", ["id"]).collect()
+    by_id = {r.id: r for r in out}
+    # key 10 ordered by t: id 1 -> id 3 -> id 2
+    assert by_id[1].valid_to == by_id[3].valid_from
+    assert by_id[3].valid_to == by_id[2].valid_from
+    assert by_id[2].valid_to is None and by_id[2].is_current
+    assert by_id[4].valid_to is None and by_id[4].is_current
+    assert not by_id[1].is_current and not by_id[3].is_current
+    for r in out:
+        assert r.valid_from is not None
+        assert r.valid_to is None or r.valid_to >= r.valid_from
+
+
+def test_scd2_current_rows_equal_latest_per_group(spark, scd2_df):
+    from pyspark_unload_to_gcs_spark.operators.scd import scd2_intervals
+
+    cur = (
+        scd2_intervals(scd2_df, "gid", "t", ["id"])
+        .filter("is_current")
+        .select("id", "gid", "t")
+    )
+    latest = latest_per_group(scd2_df, "gid", "t", ["id"])
+    assert sorted(map(tuple, cur.collect())) == sorted(map(tuple, latest.collect()))
+
+
+def test_scd2_equal_timestamps_use_tiebreak(spark):
+    from pyspark_unload_to_gcs_spark.operators.scd import scd2_intervals
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, 10, t), (2, 10, t)], "id long, gid long, t timestamp")
+    by_id = {r.id: r for r in scd2_intervals(df, "gid", "t", ["id"]).collect()}
+    assert not by_id[1].is_current and by_id[2].is_current
+    assert by_id[1].valid_to == t
+
+
+# --- adjacent_pairs (BPE pair statistic) ------------------------------------
+
+
+def test_adjacent_pairs_basic_and_short_arrays(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import adjacent_pairs
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x"]), (3, []), (4, ["p", "q"])],
+        "id long, toks array<string>",
+    )
+    out = {r.id: [(p.a, p.b) for p in r.pairs] for r in
+           df.select("id", adjacent_pairs(F.col("toks")).alias("pairs")).collect()}
+    assert out == {1: [("a", "b"), ("b", "c")], 2: [], 3: [], 4: [("p", "q")]}
