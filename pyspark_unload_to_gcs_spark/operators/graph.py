@@ -136,6 +136,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000_000,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Bounded-iteration PageRank in exact BIGINT arithmetic — the
     iterative-DataFrame-algorithm pattern, cross-engine bit-exact so it
@@ -156,28 +157,30 @@ def pagerank(
     one shuffle) and are repartitioned by src and persisted — every
     iteration's rank join then reuses that partitioning, so the per-
     iteration cost is one shuffle for the groupBy(dst) in-flow sum plus
-    the (small) rank-frame join. Ranks are |V| rows, localCheckpointed
-    each round to truncate the compounding iterative lineage (same
-    rationale as connected_components above).
+    the (small) rank-frame join. Ranks are |V| rows and checkpoint only
+    every ``checkpoint_interval`` rounds: an eager barrier per round
+    costs a blocking job each (~3x wall clock at 5 iterations measured),
+    while the lineage of a handful of rounds is shallow enough to run
+    as one composite plan — truncation is only needed to stop UNBOUNDED
+    growth on long runs (same rationale as connected_components above).
     """
     src, dst = F.col(src_column), F.col(dst_column)
     e = edges.select(src.alias("src"), dst.alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Materialize (src, dst, outdeg) once — every iteration consumes it.
+    # localCheckpoint rather than persist: same one-job barrier, but the
+    # blocks are reference-managed (no unpersist bookkeeping for a frame
+    # the lazily-returned result still depends on).
+    edged = e.join(outdeg, on="src").repartition(F.col("src")).localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        edged.select(F.col("src").alias("node"))
+        .unionByName(edged.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edged = (
-        e.join(outdeg, on="src")
-        .repartition(F.col("src"))
-        .persist()
-    )
-    edged.count()  # materialize once; iterations reuse the cache
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = edged.join(
             ranks.withColumnRenamed("node", "src"), on="src"
         ).select(
@@ -185,18 +188,15 @@ def pagerank(
             F.expr("rank div outdeg").alias("contrib"),
         )
         inflow = contribs.groupBy("node").agg(F.sum("contrib").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, on="node", how="left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(inflow, on="node", how="left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+            ).cast("long").alias("rank"),
         )
-    edged.unpersist()
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

@@ -393,7 +393,15 @@ def tfidf_top_terms(
     driver collect)."""
     toks = df.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
     pairs = toks.select(id_column, F.explode("__toks").alias("term"))
-    tf = pairs.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH docfreq and the scored join below; materialize it
+    # (localCheckpoint) so the corpus explode + (doc,term) shuffle run
+    # once instead of twice — exchange reuse across the two consumers
+    # is not guaranteed (lore #7)
+    tf = (
+        pairs.groupBy(id_column, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_column).alias("__n"))
     scored = (
@@ -439,14 +447,22 @@ def unigram_logprob(
     drift via intermediate-scale differences)."""
     toks = df.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
     pairs = toks.select(id_column, F.explode("__toks").alias("__term"))
-    vocab = pairs.groupBy("__term").agg(F.count(F.lit(1)).alias("__freq"))
-    total = pairs.agg(F.count(F.lit(1)).cast("double").alias("__total"))
-    lp = F.round(F.log(F.col("__freq") / F.col("__total")), 6).cast("decimal(28,12)")
-    scored = (
-        pairs.join(F.broadcast(vocab), "__term")
-        .join(F.broadcast(total))
-        .select(id_column, lp.alias("__lp"))
+    # ONE corpus explode builds the unigram table; it is materialized
+    # (localCheckpoint — |vocab| rows, the broadcastable side) so that
+    # the corpus total (= Σ vocab freqs) and the logprob lookup both
+    # read the checkpoint instead of re-exploding the corpus — without
+    # the barrier the vocab subtree appears twice in the plan and
+    # exchange reuse is not guaranteed (lore #7). The remaining corpus
+    # explode is the scored path itself: 2 passes total, down from 3.
+    vocab = (
+        pairs.groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .localCheckpoint(eager=True)
     )
+    total = vocab.agg(F.sum("__freq").cast("double").alias("__total"))
+    lp = F.round(F.log(F.col("__freq") / F.col("__total")), 6).cast("decimal(28,12)")
+    vocab_lp = vocab.join(F.broadcast(total)).select("__term", lp.alias("__lp"))
+    scored = pairs.join(F.broadcast(vocab_lp), "__term").select(id_column, "__lp")
     return scored.groupBy(id_column).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
