@@ -872,3 +872,105 @@ def test_streaming_incremental_semantic_match_matches_batch(spark, sf_dir, tmp_p
         for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
     }
     assert planted <= set(got)
+
+
+def test_streaming_merge_maintains_snapshot_and_is_retry_safe(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE over 3 micro-batches of change rows must equal
+    the global last-change-wins snapshot, and re-merging the final batch
+    (Spark retry semantics) must not change the snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.streaming.merge import (
+        collapse_changes,
+        merge_batch,
+        read_snapshot,
+        start_streaming_merge,
+    )
+
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # Deterministic change log: every key INSERTs at seq=key*10; every
+    # third key is later DELETEd; every fifth key is updated (DELETE +
+    # INSERT pair sharing seq=key*10+7, price bumped).
+    ins = orders.select(
+        F.lit("INSERT").alias("_mp_change_type"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") * 10).alias("seq"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.lit("DELETE").alias("_mp_change_type"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") * 10 + 5).alias("seq"),
+    )
+    upd_pre = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.lit("DELETE").alias("_mp_change_type"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") * 10 + 7).alias("seq"),
+    )
+    upd_post = upd_pre.select(
+        F.lit("INSERT").alias("_mp_change_type"),
+        "o_orderkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        "seq",
+    )
+    log = ins.unionByName(dels).unionByName(upd_pre).unionByName(upd_post)
+
+    # 3 mtime-ordered files range-partitioned by seq, so later batches
+    # carry later sequence numbers (an append log)
+    log_dir = str(tmp_path / "change_log")
+    log.repartitionByRange(3, "seq").write.mode("overwrite").parquet(log_dir)
+    parts = sorted(glob.glob(f"{log_dir}/part-*.parquet"))
+    assert len(parts) == 3
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    state = str(tmp_path / "snap")
+    stream = stream_parquet_dir(
+        spark, log_dir, spark.read.parquet(log_dir).schema, max_files_per_trigger=1
+    )
+    q = start_streaming_merge(
+        stream,
+        key_columns=["o_orderkey"],
+        sequence_column="seq",
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        tuple(r)
+        for r in collapse_changes(log, ["o_orderkey"], "seq")
+        .filter(F.col("_mp_change_type") == "INSERT")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    got = {tuple(r) for r in read_snapshot(spark, state).collect()}
+    assert got == expected
+    assert len(got) > 0
+    # updated keys carry the post-image price; deleted keys are absent
+    prices = dict(got)
+    sample = [k for k in prices if k % 5 == 0 and k % 3 != 0][:3]
+    base_prices = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.filter(F.col("o_orderkey").isin(sample)).collect()
+    }
+    for k in sample:
+        assert prices[k] == base_prices[k] + 1.0
+    # deleted keys are absent — unless a later update pair (seq+7 > the
+    # delete's seq+5) re-inserted them (k % 15 == 0)
+    assert not any(k % 3 == 0 and k % 5 != 0 for k in prices)
+    assert any(k % 15 == 0 for k in prices)
+
+    # retry of the last micro-batch: identical snapshot rewritten
+    last_rows = spark.read.parquet(parts[-1])
+    merge_batch(
+        last_rows, 2, key_columns=["o_orderkey"], sequence_column="seq", state_path=state
+    )
+    assert {tuple(r) for r in read_snapshot(spark, state).collect()} == expected
