@@ -66,6 +66,15 @@ def main() -> None:
     )
     materialize(warm)
 
+    # Pre-warm the Python/Arrow worker pool: the first pandas-UDF query
+    # otherwise pays daemon + Arrow-serializer startup (~5 s observed on
+    # multimodal_decode_stats cold vs 0.6 s warm) — infra cost, not
+    # query cost.
+    def _noop_batches(it):
+        yield from it
+
+    materialize(nation.select("n_nationkey").mapInPandas(_noop_batches, "n_nationkey int"))
+
     # Named warmup for the dedup family's shared signature cache: its
     # cold build (shingle + minhash over the documents table, persisted
     # once per session) was previously billed to whichever dedup-family

@@ -137,6 +137,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000_000,
     checkpoint_interval: int = 8,
+    broadcast_node_limit: int = 8_000_000,
 ) -> DataFrame:
     """Bounded-iteration PageRank in exact BIGINT arithmetic — the
     iterative-DataFrame-algorithm pattern, cross-engine bit-exact so it
@@ -155,14 +156,20 @@ def pagerank(
 
     Plan (100 TB posture): edges carry their out-degree (computed once,
     one shuffle) and are repartitioned by src and persisted — every
-    iteration's rank join then reuses that partitioning, so the per-
-    iteration cost is one shuffle for the groupBy(dst) in-flow sum plus
-    the (small) rank-frame join. Ranks are |V| rows and checkpoint only
-    every ``checkpoint_interval`` rounds: an eager barrier per round
-    costs a blocking job each (~3x wall clock at 5 iterations measured),
-    while the lineage of a handful of rounds is shallow enough to run
-    as one composite plan — truncation is only needed to stop UNBOUNDED
-    growth on long runs (same rationale as connected_components above).
+    iteration's rank join then reuses that partitioning. The rank and
+    in-flow frames are |V| rows — orders of magnitude smaller than the
+    edge list on real graphs — so when |V| fits a broadcast
+    (``broadcast_node_limit``, known exactly after the one nodes
+    count), each iteration joins edges against BROADCAST ranks and
+    nodes against BROADCAST in-flows: one shuffle per iteration (the
+    groupBy(dst) in-flow sum), the big edge frame never moves. Above
+    the limit it degrades to sort-merge joins that reuse edged's src
+    partitioning. Ranks checkpoint only every ``checkpoint_interval``
+    rounds: an eager barrier per round costs a blocking job each (~3x
+    wall clock at 5 iterations measured), while the lineage of a
+    handful of rounds is shallow enough to run as one composite plan —
+    truncation is only needed to stop UNBOUNDED growth on long runs
+    (same rationale as connected_components above).
     """
     src, dst = F.col(src_column), F.col(dst_column)
     e = edges.select(src.alias("src"), dst.alias("dst"))
@@ -178,17 +185,21 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # (node, rank) is 16 bytes/row; 8M rows ~ 128 MB broadcast — the
+    # count is one cheap job over the checkpointed nodes frame.
+    small = nodes.count() <= broadcast_node_limit
+    hint = F.broadcast if small else (lambda df: df)
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
         contribs = edged.join(
-            ranks.withColumnRenamed("node", "src"), on="src"
+            hint(ranks.withColumnRenamed("node", "src")), on="src"
         ).select(
             F.col("dst").alias("node"),
             F.expr("rank div outdeg").alias("contrib"),
         )
         inflow = contribs.groupBy("node").agg(F.sum("contrib").alias("inflow"))
-        ranks = nodes.join(inflow, on="node", how="left").select(
+        ranks = nodes.join(hint(inflow), on="node", how="left").select(
             "node",
             (
                 F.lit(teleport)
