@@ -34,13 +34,52 @@ from pyspark.sql import functions as F
 from pyspark_unload_to_gcs_spark.operators.text import normalize_text, tokens_col
 
 
+# Analyzed-plan node names that keep the df.rdd partition probe cheap: a
+# scan plus narrow row-level ops. Anything else (Join/Aggregate/Window/
+# Generate/...) means the probe would plan — and under cached-branch
+# races potentially execute — the whole subtree (lore #4/#10).
+_NARROW_PLAN_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRDD",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "GlobalLimit",
+        "LocalLimit",
+        "Repartition",
+        "RepartitionByExpression",
+        # union of scans: the cross-side parity trick (fuzzy_text_join)
+        # feeds a two-scan union into the expensive signature stage
+        "Union",
+    }
+)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the scan has fewer partitions than the
-    cluster has cores (e.g. one small local parquet file). At real scale
-    the source already has >= cores partitions and this is a no-op — no
-    shuffle is added. Used ahead of per-row-expensive map stages so a
-    single-file input doesn't serialize onto one task."""
+    cluster has cores (e.g. one small local parquet file — typically a
+    single row group, which no scan-split setting can parallelize). At
+    real scale the source already has >= cores partitions and this is a
+    no-op — no shuffle is added. Used ahead of per-row-expensive map
+    stages so a single-file input doesn't serialize onto one task.
+
+    Safety: the partition-count probe (``df.rdd``) forces physical
+    planning of the frame, which is only acceptable on a simple scan.
+    If the analyzed plan contains anything wider than scan/project/
+    filter, the probe is skipped and ``df`` is returned unchanged —
+    a complex plan has shuffles of its own, so its parallelism is set
+    by ``spark.sql.shuffle.partitions``, not the input layout."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    nodes = {
+        ln.strip().lstrip("+-: ").split(" ")[0].split("[")[0]
+        for ln in analyzed.splitlines()
+        if ln.strip()
+    }
+    if not nodes <= _NARROW_PLAN_NODES:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

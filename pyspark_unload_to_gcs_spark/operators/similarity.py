@@ -49,6 +49,17 @@ def norm(vec_col: Column) -> Column:
     )
 
 
+def _pair_dot(a: str = "__va", b: str = "__vb") -> Column:
+    """Per-candidate-pair dot product for the bucketed verify joins —
+    the one HOF fold that must run per pair (norms are staged per row
+    upstream; see call sites)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_to_query(vec_col: Column, query: Sequence[float]) -> Column:
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     denom = norm(vec_col) * F.lit(qn)
@@ -350,22 +361,29 @@ def ann_join(
         rb = lb
     else:
         rb = with_lsh_bucket(right, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    # Norms are staged per ROW on each join input (the projection stays
+    # on its side of the join), not recomputed per candidate PAIR — the
+    # per-pair verify work drops from 3 interpreted HOF folds (dot + 2
+    # norms) to 1. Same doubles, bit-identical cosines.
     l = lb.select(
-        F.col("lsh_bucket"), F.col(id_left).alias("id_a"), F.col(vec_column).alias("__va")
+        F.col("lsh_bucket"),
+        F.col(id_left).alias("id_a"),
+        F.col(vec_column).alias("__va"),
+        norm(F.col(vec_column)).alias("__na"),
     )
     r = rb.select(
-        F.col("lsh_bucket"), F.col(id_right).alias("id_b"), F.col(vec_column).alias("__vb")
+        F.col("lsh_bucket"),
+        F.col(id_right).alias("id_b"),
+        F.col(vec_column).alias("__vb"),
+        norm(F.col(vec_column)).alias("__nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    cos = _pair_dot() / (F.col("__na") * F.col("__nb"))
+    # No dropDuplicates: each row carries exactly one bucket key, so an
+    # equality join on it cannot emit the same (id_a, id_b) twice — the
+    # old defensive dedup was a full shuffle of array-carrying pair rows.
     return (
         l.join(r, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
@@ -432,18 +450,20 @@ def semantic_cluster_dedup(
         df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
     )
     assigned = ivf_assign(df, cents, vec_column=vec_column).localCheckpoint(eager=True)
+    # per-row norm staging: see ann_join
     l = assigned.select(
-        F.col("ivf_cell"), F.col(id_column).alias("id_a"), F.col(vec_column).alias("__va")
+        F.col("ivf_cell"),
+        F.col(id_column).alias("id_a"),
+        F.col(vec_column).alias("__va"),
+        norm(F.col(vec_column)).alias("__na"),
     )
     r = assigned.select(
-        F.col("ivf_cell"), F.col(id_column).alias("id_b"), F.col(vec_column).alias("__vb")
+        F.col("ivf_cell"),
+        F.col(id_column).alias("id_b"),
+        F.col(vec_column).alias("__vb"),
+        norm(F.col(vec_column)).alias("__nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    cos = _pair_dot() / (F.col("__na") * F.col("__nb"))
     losers = (
         l.join(r, "ivf_cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -503,22 +523,23 @@ def ann_match_against_index(
                 "parameters."
             )
     newb = with_lsh_bucket(new_df, vec_column=vec_column, dim=dim, n_planes=n_planes, seed=seed)
+    # per-row norm staging + no defensive pair-dedup: see ann_join
     l = newb.select(
-        F.col("lsh_bucket"), F.col(id_new).alias("new_id"), F.col(vec_column).alias("__va")
+        F.col("lsh_bucket"),
+        F.col(id_new).alias("new_id"),
+        F.col(vec_column).alias("__va"),
+        norm(F.col(vec_column)).alias("__na"),
     )
     r = index.select(
-        F.col("lsh_bucket"), F.col(id_index).alias("index_id"), F.col(vec_column).alias("__vb")
+        F.col("lsh_bucket"),
+        F.col(id_index).alias("index_id"),
+        F.col(vec_column).alias("__vb"),
+        norm(F.col(vec_column)).alias("__nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    cos = _pair_dot() / (F.col("__na") * F.col("__nb"))
     return (
         l.join(r, "lsh_bucket")
         .filter(F.col("new_id") != F.col("index_id"))
-        .dropDuplicates(["new_id", "index_id"])
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= cosine_threshold)
         .select("new_id", "index_id", "cosine")
@@ -656,22 +677,23 @@ def semantic_match_against_index(
             "it was built with."
         )
     nb = ivf_assign(new_df, centroids, vec_column=vec_column, cell_column=cell_column)
+    # per-row norm staging + no defensive pair-dedup: see ann_join
     l = nb.select(
-        F.col(cell_column), F.col(id_new).alias("new_id"), F.col(vec_column).alias("__va")
+        F.col(cell_column),
+        F.col(id_new).alias("new_id"),
+        F.col(vec_column).alias("__va"),
+        norm(F.col(vec_column)).alias("__na"),
     )
     r = index.select(
-        F.col(cell_column), F.col(id_index).alias("index_id"), F.col(vec_column).alias("__vb")
+        F.col(cell_column),
+        F.col(id_index).alias("index_id"),
+        F.col(vec_column).alias("__vb"),
+        norm(F.col(vec_column)).alias("__nb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (norm(F.col("__va")) * norm(F.col("__vb")))
+    cos = _pair_dot() / (F.col("__na") * F.col("__nb"))
     return (
         l.join(r, cell_column)
         .filter(F.col("new_id") != F.col("index_id"))
-        .dropDuplicates(["new_id", "index_id"])
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= cosine_threshold)
         .select("new_id", "index_id", "cosine")
