@@ -319,7 +319,17 @@ def near_dedup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     able from exact at the threshold, while the plan stays the scale
     shape (band-bucket join, never all-pairs). Re-bands the session's
     shared signature cache; the oracle brute-forces all pairs, which is
-    only viable oracle-side at toy scale."""
+    only viable oracle-side at toy scale.
+
+    SCALE CONTRACT (tools/scale_audit.py finding): r=1 banding is a
+    VERIFICATION operating point, not a production one — a single-slot
+    band key collides for unrelated pairs with P = J, so candidate
+    enumeration grows ~quadratically as same-vocabulary corpus grows
+    (measured x64 wall at 10x data). Production near-dedup is
+    ``near_dedup_pairs``/``near_dedup_minhash`` (r=4: P = J^4) with
+    banding scaled alongside the corpus; this query exists to pin the
+    engine's output against a cross-engine exact oracle at fixture
+    scale."""
     # binomial pre-filter inside: a J>=0.8 pair matches >=12 of 32
     # slots with P ~ 1-1e-9; moderate-J pairs (the r=1 candidate flood
     # — 269k pairs at sf0.1) are dropped before the array-carrying
@@ -941,7 +951,11 @@ def fuzzy_entity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact >=0.8 cross-side pair set via r=1 banding with the binomial
     band-count pre-filter (see near_dedup_pairs_exact). Same plan shape
     as fuzzy_entity_join — blocking + verify, never |L| x |R| engine-
-    side; the all-pairs join lives only in the DuckDB oracle."""
+    side; the all-pairs join lives only in the DuckDB oracle. Same
+    SCALE CONTRACT as near_dedup_pairs_exact: r=1 is the verification
+    operating point (quadratic candidate growth on same-vocabulary
+    corpora — x24 wall at 10x data); production fuzzy joins run the
+    r=4 default of ``fuzzy_text_join``."""
     from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
 
     docs = _t(spark, sf_dir, "documents")
