@@ -345,6 +345,7 @@ def minhash_candidate_pairs(
     jaccard_threshold: float = 0.8,
     signatures: DataFrame | None = None,
     min_matching_bands: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) whose exact shingle
     Jaccard >= threshold, found via banded MinHash LSH.
@@ -374,6 +375,20 @@ def minhash_candidate_pairs(
     sf0.1: 269k candidates -> 256 with min_matching_bands=12, same
     final pair set. Leave at 1 for standard multi-row bands, where a
     single collision is already the designed signal.
+
+    ``bucket_cap``: drop band buckets holding more than this many docs
+    before the self-join — the production lever for SHARED-VOCABULARY
+    corpus growth, where a popular low-hash shingle becomes the band
+    minimum for a corpus-proportional set of docs and that one bucket's
+    B*(B-1)/2 pair enumeration goes quadratic (measured: max r=1
+    bucket 23 at 5k docs -> 13,366 at 50k same-vocabulary docs; see
+    SCALE_AUDIT.md). Recall cost is explicit and bounded: a J-pair is
+    missed only if EVERY band it collides in is capped —
+    P(miss) <= (1 - J^rows_per_band * (1 - cap_fraction))^bands in the
+    worst case, and true high-J pairs collide in many independent
+    bands while capped buckets concentrate moderate-J mass. None
+    (default) disables capping — correctness-checked fixtures are in
+    the linear regime and need none.
     """
     rows_per_band = num_hashes // bands
     if signatures is None:
@@ -399,6 +414,18 @@ def minhash_candidate_pairs(
     banded = docs.select(
         "__id", F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band")
     )
+    if bucket_cap is not None:
+        # the oversized keys are few by construction (heavy-hitter
+        # buckets); broadcast them into an anti-join so the banded
+        # frame itself never shuffles for the cap, and both self-join
+        # sides stay the same subplan (exchange reuse preserved)
+        heavy = (
+            banded.groupBy("__band")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") > bucket_cap)
+            .select("__band")
+        )
+        banded = banded.join(F.broadcast(heavy), "__band", "left_anti")
     cand = (
         banded.select(F.col("__band"), F.col("__id").alias("id_a"))
         .join(banded.select(F.col("__band"), F.col("__id").alias("id_b")), "__band")
@@ -719,6 +746,7 @@ def fuzzy_text_join(
     bands: int = 8,
     jaccard_threshold: float = 0.8,
     min_matching_bands: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Cross-table fuzzy match (entity resolution): pairs of (left id,
     right id) whose texts have shingle-Jaccard >= threshold. Returns
@@ -766,6 +794,7 @@ def fuzzy_text_join(
         bands=bands,
         jaccard_threshold=jaccard_threshold,
         min_matching_bands=min_matching_bands,
+        bucket_cap=bucket_cap,
     )
     # candidate pairs are (id_a < id_b); cross-side = opposite parity.
     # Normalize so left id comes first regardless of pair order.

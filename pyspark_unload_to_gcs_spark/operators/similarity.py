@@ -422,7 +422,7 @@ def semantic_cluster_dedup(
     *,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     cosine_threshold: float = 0.95,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
@@ -440,12 +440,18 @@ def semantic_cluster_dedup(
 
     100 TB notes: cell assignment is one narrow map over the corpus
     (linear, no shuffle); the within-cell self-join shuffles on the
-    cell id, so a skewed (dense) cell bounds the worst task — raise
-    ``n_centroids`` (keeps cells ~n/k) or recursively re-cluster the
-    oversized cell. The assigned frame is materialized once
-    (localCheckpoint) because the per-centroid dot folds are
+    cell id, so a skewed (dense) cell bounds the worst task — at fixed
+    k the within-cell work is O(n^2/k) (measured x4.5 wall at x10 data
+    with k=16, SCALE_AUDIT.md). Pass ``n_centroids="auto"`` to scale
+    k = max(16, ceil(sqrt(n))): cells then grow as sqrt(n) and the
+    within-cell pair mass as n^1.5 rather than n^2 (the classic IVF
+    sizing), at the cost of one corpus count. Recursively re-cluster
+    any remaining oversized cell. The assigned frame is materialized
+    once (localCheckpoint) because the per-centroid dot folds are
     interpreted HOF lambdas: without a barrier both join branches would
     recompute the dominant assignment cost (see ann_join)."""
+    if n_centroids == "auto":
+        n_centroids = max(16, math.isqrt(max(df.count() - 1, 0)) + 1)
     cents = ivf_centroids_from_sample(
         df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
     )

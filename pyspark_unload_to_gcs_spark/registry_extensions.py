@@ -1810,17 +1810,25 @@ def pagerank_ship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Node ids stay LONG through the whole iteration (suppliers >= 0,
+    # customers bijectively negative): the distinct / out-degree /
+    # per-iteration joins then shuffle 8-byte keys instead of strings
+    # (the edge build dominated the query at ~3 s of 4 warm). Only the
+    # final top-20 rows are rendered to the oracle's string ids.
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"),
+            F.col("l_suppkey").alias("src"),
+            (-F.col("o_custkey") - 1).alias("dst"),
         )
         .distinct()
     )
     ranks = pagerank(edges)
+    node_str = F.when(
+        F.col("node") < 0, F.concat(F.lit("c:"), (-F.col("node") - 1).cast("string"))
+    ).otherwise(F.concat(F.lit("s:"), F.col("node").cast("string")))
     return (
-        ranks.select("node", F.col("rank").alias("pr"))
+        ranks.select(node_str.alias("node"), F.col("rank").alias("pr"))
         .orderBy(F.desc("pr"), "node")
         .limit(20)
     )

@@ -206,3 +206,57 @@ def test_semantic_cluster_dedup_subset_and_planted_recall(spark):
     assert dropped == planted_ids
     assert len(survivors) == n_base
     assert n_planted == len(planted_ids)
+
+
+def test_bucket_cap_drops_heavy_buckets_and_keeps_small_ones(spark):
+    """bucket_cap is the shared-vocabulary scale lever (SCALE_AUDIT.md):
+    a planted crowd of docs sharing one popular shingle floods one band
+    bucket; with a cap below the crowd size those quadratic candidates
+    vanish, while an unrelated small-bucket near-dup pair is still
+    found. Uncapped, the crowd pairs ARE found (they are true
+    near-dups here) — the cap trades exactly that bucket's recall."""
+    crowd = [(i, "alpha beta gamma delta epsilon zeta") for i in range(100, 140)]
+    pair = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(crowd + pair, "doc_id long, text string")
+    uncapped = D.minhash_candidate_pairs(df, "doc_id", "text", jaccard_threshold=0.8)
+    got_unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    crowd_pairs = {(a, b) for a in range(100, 140) for b in range(a + 1, 140)}
+    assert (1, 2) in got_unc
+    assert crowd_pairs <= got_unc  # identical texts: all true pairs found
+
+    capped = D.minhash_candidate_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.8, bucket_cap=10
+    )
+    got_cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in got_cap, "small-bucket pair lost under an unrelated cap"
+    assert not (crowd_pairs & got_cap), "capped bucket still produced pairs"
+
+
+def test_semantic_dedup_auto_k_scales_centroids(spark):
+    """n_centroids="auto" sizes the quantizer ~sqrt(n) (>= 16 floor) so
+    within-cell pair mass grows n^1.5, not n^2; results on the planted
+    fixture match the fixed-k run (exact duplicates land in their
+    twin's cell under ANY quantizer — assignment is deterministic on
+    identical vectors)."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import semantic_cluster_dedup
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    emb = load_parquet(spark, EMB).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    uni = emb.unionByName(planted)
+    survivors = {
+        r.vec_id
+        for r in semantic_cluster_dedup(
+            uni, n_centroids="auto", cosine_threshold=0.95
+        ).collect()
+    }
+    planted_ids = {r.vec_id for r in planted.collect()}
+    dropped = {r.vec_id for r in uni.collect()} - survivors
+    assert dropped == planted_ids
