@@ -1,0 +1,177 @@
+"""Publication-backed corpus quality filters, as builtin expressions.
+
+Two standard pretraining-data gates, re-expressed as pure
+`pyspark.sql.functions` column logic (JVM-side, codegen-able,
+SQL-portable for a DuckDB oracle — every rule is arithmetic over
+split/regexp counts):
+
+- Gopher rules (Rae et al. 2021, "Scaling Language Models: ...Gopher",
+  arXiv 2112.11446, Table A1): document-level word-count / word-shape /
+  bullet / ellipsis / stopword gates.
+- C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+  Learning...", arXiv 1910.10683 §2.2): line-level keep rules plus
+  page-level discard rules.
+
+Both are designed for 100 TB corpora: one narrow map per document, no
+shuffle, no Python. Registry queries for these are staged for the next
+driver-window rotation (the current first-50 window is fully occupied
+by never-checked queries — see NOTES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Gopher document-level rules
+# --------------------------------------------------------------------------
+
+_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _words(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
+
+
+def gopher_quality_flags(
+    text: Column,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Struct of per-rule booleans + ``passes`` (AND of all), following
+    the Gopher quality heuristics (arXiv 2112.11446 Table A1; the
+    fractions are the paper's: <90% bullet lines means at most 90% of
+    lines START with a bullet, <=30% may END with an ellipsis, >=80%
+    of words must contain an alphabetic character, and at least 2 of
+    the 8 canonical English stopwords must occur)."""
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars_in_words = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word = F.when(
+        n_words > 0, n_chars_in_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    # hash/ellipsis symbols per word (the paper's symbol-to-word ratio):
+    # '#' and '…' count per character, an ASCII "..." counts once
+    n_symbols = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"[#…]", ""))
+        + F.size(_split_all(text, r"\.\.\."))
+    )
+    lines = _lines(text)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([•‣◦\-\*])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    # stopword presence as exact tokens of the punctuation-stripped,
+    # lowercased text (normalize_text semantics, inline to stay a pure
+    # column function)
+    ntoks = F.split(
+        F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " "), r"\s+", " ")),
+        " ",
+    )
+    # array_intersect, not a HOF filter: a lambda body referencing ntoks
+    # would re-evaluate the regexp pipeline per stopword (lore #1)
+    stop_hits = F.size(
+        F.array_intersect(ntoks, F.array(*[F.lit(w) for w in _REQUIRED_STOPWORDS]))
+    )
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_word_ok = (mean_word >= min_mean_word_len) & (mean_word <= max_mean_word_len)
+    symbol_ok = F.when(n_words > 0, n_symbols.cast("double") / n_words <= max_symbol_word_ratio).otherwise(F.lit(False))
+    bullet_ok = F.when(n_lines > 0, bullet_lines.cast("double") / n_lines <= max_bullet_line_frac).otherwise(F.lit(True))
+    ellipsis_ok = F.when(n_lines > 0, ellipsis_lines.cast("double") / n_lines <= max_ellipsis_line_frac).otherwise(F.lit(True))
+    alpha_ok = F.when(n_words > 0, alpha_words.cast("double") / n_words >= min_alpha_word_frac).otherwise(F.lit(False))
+    stopword_ok = stop_hits >= min_stopword_hits
+    passes = (
+        word_count_ok & mean_word_ok & symbol_ok & bullet_ok
+        & ellipsis_ok & alpha_ok & stopword_ok
+    )
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_ok.alias("mean_word_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        passes.alias("passes"),
+    )
+
+
+def _split_all(text: Column, pattern: str) -> Column:
+    """Occurrences of ``pattern`` as an array (split produces n+1 parts
+    for n matches; drop the first so size == match count)."""
+    return F.slice(F.split(text, pattern), 2, 2_147_483_646)
+
+
+def gopher_filter(df: DataFrame, text_column: str = "text", **thresholds) -> DataFrame:
+    """Rows passing every Gopher rule (one narrow map, no shuffle)."""
+    flags = gopher_quality_flags(F.col(text_column), **thresholds)
+    return df.filter(flags["passes"])
+
+
+# --------------------------------------------------------------------------
+# C4 line + page rules
+# --------------------------------------------------------------------------
+
+
+def c4_clean(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning (arXiv 1910.10683 §2.2) as one narrow map:
+
+    line level — keep lines that end in terminal punctuation, have at
+    least ``min_words_per_line`` words, and don't mention javascript;
+    page level — drop pages with fewer than ``min_kept_lines`` kept
+    lines, any "lorem ipsum", or a curly brace.
+
+    Returns the frame filtered to surviving pages, with ``text``
+    replaced by the kept lines re-joined and ``c4_lines_kept`` /
+    ``c4_lines_total`` stats columns."""
+    text = F.col(text_column)
+    lines = _lines(text)
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"[.!?\"']$")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    low = F.lower(text)
+    page_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~low.contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return (
+        df.withColumn("__kept", kept)
+        .withColumn("c4_lines_total", F.size(lines))
+        .filter(page_ok)
+        .withColumn("c4_lines_kept", F.size(F.col("__kept")))
+        .withColumn(text_column, F.concat_ws("\n", F.col("__kept")))
+        .drop("__kept")
+    )

@@ -1,0 +1,110 @@
+"""Gopher / C4 quality-filter rules, each pinned by a doc built to fail
+exactly one rule (operators/quality_filters.py)."""
+
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+    c4_clean,
+    gopher_filter,
+    gopher_quality_flags,
+)
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and then runs away to "
+    "the forest with great speed because it wants to be home before "
+    "dark. The weather that day have been fine and the road was clear "
+    "of traffic so the fox made good time on its journey home tonight."
+)
+
+
+def _flags(spark, text, **kw):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(gopher_quality_flags(F.col("text"), **kw).alias("g")).first().g
+
+
+def test_gopher_good_doc_passes(spark):
+    g = _flags(spark, GOOD)
+    assert g.passes, g
+
+
+def test_gopher_word_count_rule(spark):
+    assert not _flags(spark, "too short to pass the gate").word_count_ok
+    assert not _flags(spark, GOOD, max_words=10).word_count_ok
+
+
+def test_gopher_mean_word_length_rule(spark):
+    long_words = " ".join(["pneumonoultramicroscopic"] * 60)
+    g = _flags(spark, long_words)
+    assert not g.mean_word_ok
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    hashy = GOOD + " " + "# # # # # # # # # # # # # # # # # # # # # #"
+    assert not _flags(spark, hashy).symbol_ok
+    assert _flags(spark, GOOD).symbol_ok
+
+
+def test_gopher_bullet_and_ellipsis_rules(spark):
+    bullets = "\n".join(f"- bullet line {i}" for i in range(10))
+    assert not _flags(spark, bullets, max_bullet_line_frac=0.5).bullet_ok
+    dots = "\n".join(f"line number {i} trails off..." for i in range(10))
+    assert not _flags(spark, dots).ellipsis_ok
+    assert _flags(spark, GOOD).ellipsis_ok
+
+
+def test_gopher_alpha_word_rule(spark):
+    numbery = GOOD + " " + " ".join(str(i) for i in range(80))
+    assert not _flags(spark, numbery).alpha_ok
+
+
+def test_gopher_stopword_rule(spark):
+    no_stop = " ".join(["zorp glik snar blint"] * 20)
+    assert not _flags(spark, no_stop).stopword_ok
+    assert _flags(spark, GOOD).stopword_ok
+
+
+def test_gopher_filter_on_fixture_is_deterministic(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+    import os
+
+    docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    a = gopher_filter(docs, min_words=10).count()
+    b = gopher_filter(docs, min_words=10).count()
+    assert a == b
+    assert 0 <= a <= docs.count()
+
+
+def test_c4_line_and_page_rules(spark):
+    pages = [
+        # survives: 3 keepable lines (terminal punct, >=5 words)
+        (1, "This is the first good line here.\n"
+            "Here is another quite good line too!\n"
+            "Surely a third fine line appears here.\n"
+            "short line.\n"
+            "no terminal punctuation in this line at all"),
+        # killed: lorem ipsum
+        (2, "This is the first good line here.\n"
+            "Here is another quite good line too!\n"
+            "Surely a third fine line appears here.\n"
+            "lorem ipsum dolor sit amet consectetur."),
+        # killed: curly brace (code)
+        (3, "This is the first good line here.\n"
+            "Here is another quite good line too!\n"
+            "function f() { return 1; } appears in this line."),
+        # killed: only 2 keepable lines
+        (4, "This is the first good line here.\n"
+            "Here is another quite good line too!\n"
+            "tiny.\n"
+            "also without ending"),
+        # killed: javascript line filtered, drops below 3
+        (5, "This is the first good line here.\n"
+            "Here is another quite good line too!\n"
+            "Please enable JavaScript to view the comments properly."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = c4_clean(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1]
+    r = out[0]
+    assert r.c4_lines_total == 5 and r.c4_lines_kept == 3
+    assert r.text.count("\n") == 2
+    assert "no terminal punctuation" not in r.text
