@@ -175,3 +175,156 @@ def c4_clean(
         .withColumn(text_column, F.concat_ws("\n", F.col("__kept")))
         .drop("__kept")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition rules
+# --------------------------------------------------------------------------
+
+# (n-gram size -> max allowed fraction), Rae et al. 2021 Table A1
+TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_LIMITS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+
+
+def gopher_repetition_profile(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> DataFrame:
+    """Per-document Gopher repetition signals (arXiv 2112.11446 Table
+    A1) + ``repetition_ok`` under the paper's thresholds:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: lines (and their
+      characters) that repeat an earlier identical line — computed
+      array-side (lines per doc are few; O(lines^2) stays tiny).
+    - ``top_{2,3,4}gram_char_frac``: characters of the single most
+      frequent word n-gram (count x gram length) over the document's
+      trimmed length; ties broken by (count, length, gram) descending.
+    - ``dup_{5..10}gram_char_frac``: characters covered by n-grams
+      occurring more than once (count x length summed — the standard
+      overlap-ignoring approximation), clamped to 1.
+
+    Scale shape: ONE staged tokenization, one flatten-explode of all
+    nine gram sizes, one groupBy((id, n, gram)) count, one per-(id, n)
+    aggregate, join-back — two short-key shuffles total regardless of
+    how many n's are profiled, never a per-n pass over the corpus."""
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        tokens_col,
+        word_ngrams_from_tokens,
+    )
+
+    text = F.col(text_column)
+    ns = sorted(TOP_NGRAM_LIMITS) + sorted(DUP_NGRAM_LIMITS)
+    staged = df.select(
+        F.col(id_column),
+        text,
+        tokens_col(text).alias("__toks"),
+        _lines(text).alias("__lines"),
+        F.length(F.trim(text)).cast("double").alias("__chars"),
+    )
+    # lines: duplicate-beyond-first occurrences, array-side
+    dup_line_expr = F.transform(
+        F.sequence(F.lit(0), F.size("__lines") - 1),
+        lambda i: F.when(
+            F.array_position(F.slice(F.col("__lines"), 1, i), F.col("__lines")[i]) > 0,
+            F.length(F.col("__lines")[i]),
+        ).otherwise(F.lit(0)),
+    )
+    lines_part = staged.select(
+        id_column,
+        "__chars",
+        F.size("__lines").alias("__nl"),
+        F.when(F.size("__lines") > 0, dup_line_expr).otherwise(
+            F.array().cast("array<int>")
+        ).alias("__dup_chars_per_line"),
+        F.aggregate(
+            F.transform(F.col("__lines"), lambda ln: F.length(ln)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("double").alias("__line_chars"),
+    ).select(
+        id_column,
+        "__chars",
+        F.when(
+            F.col("__nl") > 0,
+            F.size(F.filter(F.col("__dup_chars_per_line"), lambda c: c > 0)).cast("double")
+            / F.col("__nl"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            F.col("__line_chars") > 0,
+            F.aggregate(
+                F.col("__dup_chars_per_line"), F.lit(0), lambda a, x: a + x
+            ).cast("double") / F.col("__line_chars"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+    # n-grams: one explode for every n at once
+    # closure factory, NOT `lambda g, n=n`: a 2-parameter lambda (defaults
+    # included) is dispatched as (element, index) and n would silently
+    # become the array position — lore #12, the minhash-mask bug class
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_structs = F.flatten(
+        F.array(
+            *[
+                F.transform(word_ngrams_from_tokens(F.col("__toks"), n), _tag(n))
+                for n in ns
+            ]
+        )
+    )
+    exploded = staged.select(id_column, F.explode(gram_structs).alias("g")).select(
+        id_column, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    gram_counts = exploded.groupBy(id_column, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = gram_counts.groupBy(id_column, "n").agg(
+        F.max(
+            F.struct(F.col("c"), F.length("gram").alias("l"), F.col("gram"))
+        ).alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(F.lit(0)))
+        .alias("dup_chars"),
+    )
+    wide = (
+        per_n.groupBy(id_column)
+        .pivot("n", ns)
+        .agg(
+            F.first(
+                F.struct(
+                    (F.col("top.c") * F.col("top.l")).alias("top_chars"),
+                    F.col("top.c").alias("top_count"),
+                    F.col("dup_chars"),
+                )
+            )
+        )
+    )
+    out = lines_part.join(wide, on=id_column, how="left")
+    cols = [F.col(id_column), F.col("dup_line_frac"), F.col("dup_line_char_frac")]
+    ok = (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC) & (
+        F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC
+    )
+    for n, limit in TOP_NGRAM_LIMITS.items():
+        # a top gram occurring ONCE is no repetition signal — without
+        # this, any short document trivially fails (its longest unique
+        # 4-gram alone can exceed 16% of the text)
+        top_chars = F.when(
+            F.col(f"{n}.top_count") > 1, F.col(f"{n}.top_chars")
+        ).otherwise(F.lit(0))
+        frac = F.least(
+            F.coalesce(top_chars.cast("double"), F.lit(0.0))
+            / F.greatest(F.col("__chars"), F.lit(1.0)),
+            F.lit(1.0),
+        )
+        cols.append(frac.alias(f"top_{n}gram_char_frac"))
+        ok = ok & (frac <= limit)
+    for n, limit in DUP_NGRAM_LIMITS.items():
+        frac = F.least(
+            F.coalesce(F.col(f"{n}.dup_chars").cast("double"), F.lit(0.0))
+            / F.greatest(F.col("__chars"), F.lit(1.0)),
+            F.lit(1.0),
+        )
+        cols.append(frac.alias(f"dup_{n}gram_char_frac"))
+        ok = ok & (frac <= limit)
+    return out.select(*cols, ok.alias("repetition_ok"))

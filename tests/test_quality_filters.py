@@ -108,3 +108,53 @@ def test_c4_line_and_page_rules(spark):
     assert r.c4_lines_total == 5 and r.c4_lines_kept == 3
     assert r.text.count("\n") == 2
     assert "no terminal punctuation" not in r.text
+
+
+def test_gopher_repetition_dup_lines_hand_computed(spark):
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+
+    # 4 lines, one exact repeat of "same line here" (14 chars);
+    # line chars: 14 + 12 + 14 + 16 = 56; dup-beyond-first = 14
+    text = "same line here\nanother line\nsame line here\nthird line other"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition_profile(df).first()
+    assert abs(r.dup_line_frac - 1 / 4) < 1e-9
+    assert abs(r.dup_line_char_frac - 14 / 56) < 1e-9
+
+
+def test_gopher_repetition_top_ngram_dominance(spark):
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+
+    spam = " ".join(["buy now"] * 40)          # "buy now" 2-gram dominates
+    clean = (
+        "every word in this sentence differs from the rest so that no "
+        "single short phrase can dominate the character mass of the text"
+    )
+    df = spark.createDataFrame(
+        [(1, spam), (2, clean)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_profile(df).collect()}
+    assert rows[1].top_2gram_char_frac > 0.5
+    assert not rows[1].repetition_ok
+    assert rows[2].top_2gram_char_frac < 0.2
+    assert rows[2].repetition_ok
+
+
+def test_gopher_repetition_on_fixture_runs(spark, sf_dir):
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    out = gopher_repetition_profile(docs)
+    n = out.count()
+    assert n == docs.count()
+    row = out.agg(F.sum(F.col("repetition_ok").cast("int"))).first()
+    assert row[0] is not None  # computed for every doc, no nulls
