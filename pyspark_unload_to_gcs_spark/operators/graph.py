@@ -229,3 +229,44 @@ def dedup_clusters(
     return joined.withColumn(
         "cluster_id", F.coalesce(F.col("component"), F.col(id_column))
     ).drop("component")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_column: str,
+    quality_column: str,
+    src_column: str = "id_a",
+    dst_column: str = "id_b",
+) -> DataFrame:
+    """Single-link dedup that keeps the HIGHEST-``quality_column`` row
+    of each near-duplicate cluster (ties broken by smaller id —
+    deterministic) instead of the arbitrary min-id survivor of
+    ``dedup_clusters``. This is the production corpus shape: when a
+    crawl contains a clean original and nine boilerplate-wrapped
+    copies, the quality-aware survivor keeps the original.
+
+    One ``max_by`` aggregation over the clustered frame (clusters are
+    tiny relative to the corpus; unpaired docs survive untouched): the
+    winner per cluster_id is computed on (cluster_id, id, quality) —
+    three narrow columns — and joined back by id, so document payloads
+    never ride through the aggregation."""
+    clustered = dedup_clusters(
+        df, pairs, id_column=id_column, src_column=src_column, dst_column=dst_column
+    )
+    winners = (
+        clustered.select("cluster_id", F.col(id_column), F.col(quality_column))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col(id_column),
+                F.struct(
+                    F.col(quality_column).alias("q"),
+                    (-F.col(id_column)).alias("tie"),
+                ),
+            ).alias(id_column)
+        )
+        .select(id_column)
+    )
+    return df.join(winners, on=id_column, how="left_semi")

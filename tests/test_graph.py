@@ -307,3 +307,50 @@ def test_pagerank_sink_receives_no_outflow_mass_back(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     out = {r.node: r.rank for r in pagerank(edges, iterations=1, scale=1000).collect()}
     assert out == {"a": 150, "b": 1000}
+
+
+def test_dedup_keep_best_prefers_quality_then_smaller_id(spark):
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.99), (4, 0.2), (5, 0.7), (6, 0.7)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = sorted(
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, pairs, id_column="doc_id", quality_column="q"
+        ).collect()
+    )
+    # cluster {1,2,3}: 3 wins on quality; 4 unpaired survives;
+    # cluster {5,6}: quality tie -> smaller id 5
+    assert out == [3, 4, 5]
+
+
+def test_dedup_keep_best_matches_min_id_when_quality_is_neg_id(spark):
+    """With quality = -id the best row IS the min id, so keep-best must
+    equal the survivors of plain single-link dedup_clusters."""
+    from pyspark_unload_to_gcs_spark.operators.graph import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(-i)) for i in range(1, 30)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 29, 3)], "id_a long, id_b long"
+    )
+    best = {
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, pairs, id_column="doc_id", quality_column="q"
+        ).collect()
+    }
+    clustered = dedup_clusters(docs, pairs, id_column="doc_id")
+    minid = {
+        r.doc_id
+        for r in clustered.filter(F.col("cluster_id") == F.col("doc_id")).collect()
+    }
+    assert best == minid
