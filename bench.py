@@ -73,7 +73,16 @@ def main() -> None:
     def _noop_batches(it):
         yield from it
 
-    materialize(nation.select("n_nationkey").mapInPandas(_noop_batches, "n_nationkey int"))
+    # Warmups must never abort the bench: a failed warmup just means
+    # the first query that needed it pays the cold cost (or records
+    # its own per-query error) — the one-bad-thing-must-not-zero-the-
+    # round contract applies here too.
+    try:
+        materialize(
+            nation.select("n_nationkey").mapInPandas(_noop_batches, "n_nationkey int")
+        )
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
 
     # Named warmup for the dedup family's shared signature cache: its
     # cold build (shingle + minhash over the documents table, persisted
@@ -83,7 +92,10 @@ def main() -> None:
     from pyspark_unload_to_gcs_spark import registry_extensions
 
     t0 = time.perf_counter()
-    registry_extensions._shared_signatures(spark, sf_dir)
+    try:
+        registry_extensions._shared_signatures(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — cold cost falls to the first consumer
+        traceback.print_exc(file=sys.stderr)
     warmup_shared_sig_sec = round(time.perf_counter() - t0, 3)
 
     # Same treatment for the bucketed-layout tables: writing orders +
@@ -94,7 +106,10 @@ def main() -> None:
     from pyspark_unload_to_gcs_spark import registry_scale
 
     t0 = time.perf_counter()
-    registry_scale._bucketed_tables(spark, sf_dir)
+    try:
+        registry_scale._bucketed_tables(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — cold cost falls to the first consumer
+        traceback.print_exc(file=sys.stderr)
     warmup_bucketed_layout_sec = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}

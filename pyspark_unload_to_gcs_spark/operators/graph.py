@@ -137,7 +137,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000_000,
     checkpoint_interval: int = 8,
-    broadcast_node_limit: int = 8_000_000,
+    broadcast_node_limit: int = 2_000_000,
 ) -> DataFrame:
     """Bounded-iteration PageRank in exact BIGINT arithmetic — the
     iterative-DataFrame-algorithm pattern, cross-engine bit-exact so it
@@ -185,8 +185,12 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    # (node, rank) is 16 bytes/row; 8M rows ~ 128 MB broadcast — the
-    # count is one cheap job over the checkpointed nodes frame.
+    # (node, rank) is 16 bytes/row raw, but a built HashedRelation runs
+    # ~4-8x that (InternalRow + hash table overhead), and the explicit
+    # hint bypasses autoBroadcastJoinThreshold's safety check — so the
+    # default limit is 2M rows (~tens-to-low-hundreds of MB built),
+    # comfortably inside a default driver heap. The count is one cheap
+    # job over the checkpointed nodes frame.
     small = nodes.count() <= broadcast_node_limit
     hint = F.broadcast if small else (lambda df: df)
     teleport = (100 - damping_pct) * scale // 100

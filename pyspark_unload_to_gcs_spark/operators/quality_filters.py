@@ -162,8 +162,11 @@ def c4_clean(
         & ~F.lower(ln).contains("javascript"),
     )
     low = F.lower(text)
+    # page_ok references the staged __kept COLUMN, not the `kept`
+    # expression — embedding the expression would re-run the per-line
+    # rlike/split pipeline a second time per row (lore #1 class)
     page_ok = (
-        (F.size(kept) >= min_kept_lines)
+        (F.size(F.col("__kept")) >= min_kept_lines)
         & ~low.contains("lorem ipsum")
         & ~text.contains("{")
     )

@@ -95,26 +95,46 @@ def _decorrelate_text(df: DataFrame, replica: int) -> DataFrame:
 
 
 def _decorrelate_embedding(df: DataFrame, replica: int) -> DataFrame:
-    """Rotate the vector by ``replica`` positions — norm-preserving and
-    ~orthogonal to the original for random vectors (replica 0 pristine)."""
+    """Rotate the vector — norm-preserving and ~orthogonal to the
+    original for random vectors (replica 0 pristine). The rotation is
+    ``(replica - 1) % (dim - 1) + 1`` positions, computed against the
+    actual array size: always in [1, dim-1], so no replica ever
+    degenerates to an identity rotation (replica == dim would
+    otherwise silently reproduce replica 0's vectors — the exact twin
+    artifact this function exists to kill) and multipliers beyond the
+    embedding dim remain valid."""
     if replica == 0:
         return df
-    r = replica
     emb = F.col("embedding")
-    rotated = F.concat(F.slice(emb, r + 1, F.size(emb) - r), F.slice(emb, 1, r))
+    rot = (F.lit(replica - 1) % (F.size(emb) - 1)) + 1
+    rotated = F.concat(F.slice(emb, rot + 1, F.size(emb) - rot), F.slice(emb, 1, rot))
     return df.withColumn("embedding", rotated.cast("array<float>"))
 
 
 def build_scaled(spark: SparkSession, base: str, out: str, multiplier: int) -> None:
     os.makedirs(out, exist_ok=True)
+    # Manifest gate: an existing output dir is only reusable if it was
+    # built from the SAME (base, multiplier) AND finished — otherwise a
+    # crashed or re-parameterized build would be silently audited as if
+    # it were complete, corrupting every downstream ratio.
+    manifest_path = os.path.join(out, "build_manifest.json")
+    wanted = {"base": os.path.abspath(base), "multiplier": multiplier}
+    if os.path.exists(manifest_path):
+        have = json.load(open(manifest_path))
+        if have != wanted:
+            raise SystemExit(
+                f"scale_audit: {out} was built with {have}, requested {wanted} — "
+                "pass a fresh --out (or delete the old one) instead of mixing scales."
+            )
     for t in COPY_TABLES:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(base, f"{t}.parquet"), dst)
     for t, keys in KEY_COLUMNS.items():
         dst = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(dst):
+        if os.path.exists(dst) and os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
+        shutil.rmtree(dst, ignore_errors=True)  # partial write from a crash
         src = load_parquet(spark, os.path.join(base, f"{t}.parquet"))
         parts = []
         for r in range(multiplier):
@@ -132,6 +152,8 @@ def build_scaled(spark: SparkSession, base: str, out: str, multiplier: int) -> N
         # realistic multi-file layout so scans parallelize like a real table
         scaled.repartition(32).write.mode("overwrite").parquet(dst)
         print(f"built {t}: {multiplier}x", file=sys.stderr)
+    with open(manifest_path, "w") as f:
+        json.dump(wanted, f)
 
 
 def main() -> None:
