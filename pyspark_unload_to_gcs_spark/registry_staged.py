@@ -1,0 +1,293 @@
+"""STAGED registry entries for the next driver-window rotation (r05).
+
+The current first-50 correctness window is fully occupied by
+never-driver-checked queries, and tests/test_coverage_rotation.py
+(correctly) refuses new registrations that cannot enter the window.
+These queries are therefore finished — Spark side, DuckDB oracle, and
+a local oracle-parity test (tests/test_staged_queries.py) — but NOT
+yet imported by registry._load_extensions. R05 rotation = move the
+@register_staged entries into registry_extensions (or import this
+module there), add the names to registry._PRIORITY, refresh
+COVERAGE.json.
+
+Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
+computed column aliased identically on both sides, integer aggregates
+CAST AS BIGINT, fractions produced by ONE division of integer-derived
+doubles then round(, 9) on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.registry import _t
+
+_STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_STAGED_ORACLES: dict[str, str] = {}
+
+
+def register_staged(name: str, oracle: str | None = None):
+    def deco(fn):
+        _STAGED[name] = fn
+        if oracle is not None:
+            _STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_STAGED)
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return dict(_STAGED_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Gopher document-quality profile
+# --------------------------------------------------------------------------
+
+# DuckDB replay of operators/quality_filters.py gopher_quality_flags on
+# the fixture's single-line documents. Words = whitespace split of the
+# trimmed text ('' -> []); lines = newline split with blank lines
+# dropped (fixture docs are one line, but the rules are replayed in
+# full, not assumed away).
+_GOPHER_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+         list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) != '') AS lines,
+         CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') END AS ntoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_reduce(list_prepend(0, list_transform(words, x -> length(x))), (a, b) -> a + b) AS word_chars,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+           + len(regexp_split_to_array(text, '\.\.\.')) - 1 AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^([•‣◦\-\*])'))) AS bullet_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+         len(list_filter(words, x -> regexp_matches(x, '\p{L}'))) AS alpha_words,
+         len(list_intersect(ntoks, ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM w
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       (CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END) >= 3.0
+         AND (CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END) <= 10.0 AS mean_word_ok,
+       CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words <= 0.1 ELSE FALSE END AS symbol_ok,
+       CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9 ELSE TRUE END AS bullet_ok,
+       CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3 ELSE TRUE END AS ellipsis_ok,
+       CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words >= 0.8 ELSE FALSE END AS alpha_ok,
+       stop_hits >= 2 AS stopword_ok
+FROM m
+"""
+
+
+@register_staged("gopher_quality_profile", oracle=_GOPHER_SQL)
+def gopher_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule booleans over the documents fixture
+    (operators/quality_filters.py::gopher_quality_flags) — one narrow
+    map, value-oracled rule by rule. `passes` is excluded from the
+    compared output (it is the AND of the compared columns)."""
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["word_count_ok"].alias("word_count_ok"),
+        g["mean_word_ok"].alias("mean_word_ok"),
+        g["symbol_ok"].alias("symbol_ok"),
+        g["bullet_ok"].alias("bullet_ok"),
+        g["ellipsis_ok"].alias("ellipsis_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stopword_ok"].alias("stopword_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C4 page cleaning over synthesized pages
+# --------------------------------------------------------------------------
+
+# The fixture's documents carry no newlines, so pages are synthesized
+# deterministically: 5 consecutive docs (doc_id // 5) become one page,
+# each doc one line with a terminal '.', joined in doc_id order.
+_C4_SQL = r"""
+WITH pages AS (
+  SELECT doc_id // 5 AS page_id,
+         string_agg(text || '.', chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id // 5
+), l AS (
+  SELECT page_id, text,
+         list_filter(regexp_split_to_array(text, '\n'), ln -> trim(ln) != '') AS lines
+  FROM pages
+), k AS (
+  SELECT page_id, text, len(lines) AS c4_lines_total,
+         list_filter(lines, ln ->
+             regexp_matches(trim(ln), '[.!?"'']$')
+             AND len(regexp_split_to_array(trim(ln), '\s+')) >= 5
+             AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM l
+)
+SELECT page_id,
+       CAST(c4_lines_total AS BIGINT) AS c4_lines_total,
+       CAST(len(kept) AS BIGINT) AS c4_lines_kept
+FROM k
+WHERE len(kept) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+"""
+
+
+@register_staged("c4_page_clean_stats", oracle=_C4_SQL)
+def c4_page_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (operators/quality_filters.py::c4_clean) over pages
+    synthesized from the fixture (5 docs -> one multi-line page, each
+    line terminated with '.'): surviving pages with kept/total line
+    counts. The construction and every keep/drop rule are replayed in
+    the oracle."""
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 5).cast("long").alias("page_id"), "doc_id", "text"
+    )
+    pages = docs.groupBy("page_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: F.concat(s["text"], F.lit(".")),
+            ),
+        ).alias("text")
+    )
+    out = c4_clean(pages)
+    return out.select(
+        "page_id",
+        F.col("c4_lines_total").cast("long").alias("c4_lines_total"),
+        F.col("c4_lines_kept").cast("long").alias("c4_lines_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition profile
+# --------------------------------------------------------------------------
+
+# Full gram-stats replay: same whitespace tokens, same n-gram windows,
+# same (count, gram-length, gram) top tie-break (struct comparison is
+# field-by-field lexicographic in BOTH engines), same count>1 top rule,
+# same overlap-ignoring dup-char sums. Fractions round(, 9) on both
+# sides (single divisions are bit-identical; rounding is belt and
+# braces for the driver hash).
+_REP_FRAC = "round(least(CAST({num} AS DOUBLE) / greatest(chars, 1.0), 1.0), 9)"
+
+
+def _rep_top(n: int) -> str:
+    return _REP_FRAC.format(
+        num=f"COALESCE(CASE WHEN top_{n}.c > 1 THEN top_{n}.c * top_{n}.l END, 0)"
+    )
+
+
+def _rep_dup(n: int) -> str:
+    return _REP_FRAC.format(num=f"COALESCE(dup_{n}, 0)")
+
+
+_REP_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, text, length(trim(text)) * 1.0 AS chars,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+         list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) != '') AS lines
+  FROM documents
+), lin AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         list_transform(range(1, len(lines) + 1),
+                        i -> CASE WHEN COALESCE(list_position(lines[1:i-1], lines[i]), 0) > 0
+                                  THEN length(lines[i]) ELSE 0 END) AS dupc,
+         list_reduce(list_prepend(0, list_transform(lines, l -> length(l))), (a, b) -> a + b) AS line_chars
+  FROM toks
+), linf AS (
+  SELECT doc_id,
+         CASE WHEN n_lines > 0
+              THEN round(CAST(len(list_filter(dupc, c -> c > 0)) AS DOUBLE) / n_lines, 9)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN line_chars > 0
+              THEN round(CAST(list_reduce(list_prepend(0, dupc), (a, b) -> a + b) AS DOUBLE) / line_chars, 9)
+              ELSE 0.0 END AS dup_line_char_frac
+  FROM lin
+), grams AS (
+  SELECT doc_id, nn.n AS n, array_to_string(t[ii.i : ii.i + nn.n - 1], ' ') AS gram
+  FROM toks,
+       (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n),
+       LATERAL unnest(range(1, greatest(len(t) - nn.n + 2, 1))) ii(i)
+), gc AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+), pern AS (
+  SELECT doc_id, n,
+         max({'c': c, 'l': length(gram), 'g': gram}) AS top,
+         SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_chars
+  FROM gc GROUP BY doc_id, n
+), wide AS (
+  SELECT t.doc_id, t.chars,
+"""
+    + ",\n".join(
+        f"         MAX(CASE WHEN p.n = {n} THEN p.top END) AS top_{n},\n"
+        f"         MAX(CASE WHEN p.n = {n} THEN p.dup_chars END) AS dup_{n}"
+        for n in range(2, 11)
+    )
+    + r"""
+  FROM toks t LEFT JOIN pern p ON t.doc_id = p.doc_id
+  GROUP BY t.doc_id, t.chars
+)
+SELECT w.doc_id,
+       linf.dup_line_frac,
+       linf.dup_line_char_frac,
+"""
+    + ",\n".join(f"       {_rep_top(n)} AS top_{n}gram_char_frac" for n in (2, 3, 4))
+    + ",\n"
+    + ",\n".join(f"       {_rep_dup(n)} AS dup_{n}gram_char_frac" for n in range(5, 11))
+    + r""",
+       linf.dup_line_frac <= 0.30 AND linf.dup_line_char_frac <= 0.20
+"""
+    + "".join(
+        f"       AND {_rep_top(n)} <= {lim}\n"
+        for n, lim in ((2, 0.20), (3, 0.18), (4, 0.16))
+    )
+    + "".join(
+        f"       AND {_rep_dup(n)} <= {lim}\n"
+        for n, lim in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
+    )
+    + r"""       AS repetition_ok
+FROM wide w JOIN linf ON w.doc_id = linf.doc_id
+"""
+)
+
+
+@register_staged("gopher_repetition", oracle=_REP_SQL)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition profile
+    (operators/quality_filters.py::gopher_repetition_profile) with all
+    fractions rounded to 9 places for the cross-engine hash."""
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+
+    out = gopher_repetition_profile(_t(spark, sf_dir, "documents"))
+    frac_cols = [c for c in out.columns if c.endswith("_frac")]
+    return out.select(
+        "doc_id",
+        *[F.round(F.col(c), 9).alias(c) for c in frac_cols],
+        "repetition_ok",
+    )
