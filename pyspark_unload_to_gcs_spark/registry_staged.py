@@ -291,3 +291,57 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(c), 9).alias(c) for c in frac_cols],
         "repetition_ok",
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware cluster dedup over the exact pair set
+# --------------------------------------------------------------------------
+
+from pyspark_unload_to_gcs_spark.registry_extensions import (  # noqa: E402
+    _SHINGLE_CTE,
+    _shared_exact_pairs,
+)
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+clustered AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT d.doc_id, d.n_chars, c.cluster_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN clustered c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
+@register_staged("dedup_keep_best_exact", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware single-link dedup under a full value oracle:
+    clusters from the EXACT >=0.8 pair set (r=1 banding + binomial
+    pre-filter, shared with near_dup_clusters_exact), survivor = the
+    LONGEST document per cluster (n_chars; ties to the smaller id) via
+    operators/graph.py::dedup_keep_best. The oracle replays the
+    brute-force closure + a window arg-max."""
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _shared_exact_pairs(spark, sf_dir)
+    out = dedup_keep_best(docs, pairs, id_column="doc_id", quality_column="n_chars")
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
