@@ -974,3 +974,86 @@ def test_streaming_merge_maintains_snapshot_and_is_retry_safe(spark, sf_dir, tmp
         last_rows, 2, key_columns=["o_orderkey"], sequence_column="seq", state_path=state
     )
     assert {tuple(r) for r in read_snapshot(spark, state).collect()} == expected
+
+
+def test_streaming_token_budget_admission_and_retry(spark, sf_dir, tmp_path):
+    """foreachBatch token-budget admission over 3 micro-batches: per-
+    batch greedy prefix admission in id order, total never exceeds the
+    budget, matches a python replay of the same batch sequence, and
+    re-folding the final batch (Spark retry semantics) is a no-op."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.text import token_count
+    from pyspark_unload_to_gcs_spark.streaming.budget import (
+        admit_batch,
+        read_admitted,
+    )
+
+    docs = (
+        load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", token_count(F.col("text")).alias("tokens"))
+        .filter(F.col("doc_id") < 120)
+    )
+    rows = sorted((r.doc_id, r.tokens) for r in docs.collect())
+    budget = sum(t for _, t in rows) // 2
+
+    stream_src = str(tmp_path / "budget_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(stream_src)
+    parts = sorted(glob.glob(f"{stream_src}/part-*.parquet"))
+    mtime = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (mtime + i, mtime + i))
+
+    state = str(tmp_path / "budget_state")
+    seen_batches = []
+
+    def sink(batch_df, epoch_id):
+        seen_batches.append(
+            (epoch_id, sorted((r.doc_id, r.tokens) for r in batch_df.collect()))
+        )
+        admit_batch(
+            batch_df,
+            epoch_id,
+            id_column="doc_id",
+            token_column="tokens",
+            budget=budget,
+            state_path=state,
+        )
+
+    q = (
+        stream_parquet_dir(spark, stream_src, docs.schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(seen_batches) >= 2  # 3 files / 1 per trigger
+
+    admitted = {
+        (r.doc_id, r.tokens) for r in read_admitted(spark, state).collect()
+    }
+    # python replay of the exact batch sequence
+    spent, expected = 0, set()
+    for _, batch_rows in sorted(seen_batches):
+        cum = 0
+        for doc_id, tokens in batch_rows:  # already id-sorted
+            cum += tokens
+            if cum <= budget - spent:
+                expected.add((doc_id, tokens))
+        spent += sum(t for d, t in batch_rows if (d, t) in expected)
+    assert admitted == expected
+    assert sum(t for _, t in admitted) <= budget
+
+    # retry of the last batch must rewrite the identical state
+    last_id, last_rows = sorted(seen_batches)[-1]
+    last_df = spark.createDataFrame(last_rows, "doc_id long, tokens int")
+    admit_batch(
+        last_df,
+        last_id,
+        id_column="doc_id",
+        token_column="tokens",
+        budget=budget,
+        state_path=state,
+    )
+    again = {(r.doc_id, r.tokens) for r in read_admitted(spark, state).collect()}
+    assert again == admitted
