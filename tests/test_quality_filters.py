@@ -158,3 +158,38 @@ def test_gopher_repetition_on_fixture_runs(spark, sf_dir):
     assert n == docs.count()
     row = out.agg(F.sum(F.col("repetition_ok").cast("int"))).first()
     assert row[0] is not None  # computed for every doc, no nulls
+
+
+def test_gopher_flags_whitespace_invariance(spark):
+    """Leading/trailing whitespace and repeated inner spaces must not
+    change any word-level rule (words come from a \\s+ split of the
+    trimmed text)."""
+    base = GOOD
+    variants = ["   " + base, base + "  \t ", base.replace(" ", "  ", 5)]
+    ref = _flags(spark, base)
+    for v in variants:
+        g = _flags(spark, v)
+        for f in ("word_count_ok", "mean_word_ok", "alpha_ok", "stopword_ok", "passes"):
+            assert getattr(g, f) == getattr(ref, f), (f, v[:30])
+
+
+def test_c4_clean_dropping_rules_are_monotone(spark):
+    """Appending a lorem-ipsum line or a brace to a surviving page must
+    drop it; appending another keepable line must not."""
+    page = (
+        "This is the first good line here.\n"
+        "Here is another quite good line too!\n"
+        "Surely a third fine line appears here."
+    )
+    df = spark.createDataFrame(
+        [
+            (1, page),
+            (2, page + "\nlorem ipsum dolor sit amet."),
+            (3, page + "\nbad brace { in a line."),
+            (4, page + "\nA fourth keepable line is added here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[4].c4_lines_kept == 4
