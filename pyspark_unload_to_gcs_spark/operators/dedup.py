@@ -40,7 +40,7 @@ from pyspark_unload_to_gcs_spark.operators.text import normalize_text, tokens_co
 # races potentially execute — the whole subtree (lore #4/#10).
 _NARROW_PLAN_NODES = frozenset(
     {
-        "Relation",
+        "LogicalRelation",
         "LogicalRDD",
         "Project",
         "Filter",
@@ -70,14 +70,21 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     If the analyzed plan contains anything wider than scan/project/
     filter, the probe is skipped and ``df`` is returned unchanged —
     a complex plan has shuffles of its own, so its parallelism is set
-    by ``spark.sql.shuffle.partitions``, not the input layout."""
+    by ``spark.sql.shuffle.partitions``, not the input layout.
+
+    The gate WALKS the JVM logical-plan tree by node class name
+    (ADVICE r04: the previous rendered-tree string parse produced
+    bogus tokens for string literals containing newlines, silently
+    disabling the repartition)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    nodes = {
-        ln.strip().lstrip("+-: ").split(" ")[0].split("[")[0]
-        for ln in analyzed.splitlines()
-        if ln.strip()
-    }
+    nodes: set[str] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        nodes.add(node.nodeName())
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
     if not nodes <= _NARROW_PLAN_NODES:
         return df
     if df.rdd.getNumPartitions() < target:

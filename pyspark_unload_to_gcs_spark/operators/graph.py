@@ -251,11 +251,17 @@ def dedup_keep_best(
     crawl contains a clean original and nine boilerplate-wrapped
     copies, the quality-aware survivor keeps the original.
 
-    One ``max_by`` aggregation over the clustered frame (clusters are
+    One ``min_by`` aggregation over the clustered frame (clusters are
     tiny relative to the corpus; unpaired docs survive untouched): the
     winner per cluster_id is computed on (cluster_id, id, quality) —
     three narrow columns — and joined back by id, so document payloads
-    never ride through the aggregation."""
+    never ride through the aggregation.
+
+    ``quality_column`` must be NUMERIC (it is negated to express
+    "max quality, ties to min id" as one map-side partial ``min_by``);
+    ``id_column`` may be any orderable type — it is compared, never
+    negated (ADVICE r04: the previous ``-id`` tie-break silently cast
+    non-numeric ids to NULL, making ties arbitrary)."""
     clustered = dedup_clusters(
         df, pairs, id_column=id_column, src_column=src_column, dst_column=dst_column
     )
@@ -263,11 +269,11 @@ def dedup_keep_best(
         clustered.select("cluster_id", F.col(id_column), F.col(quality_column))
         .groupBy("cluster_id")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_column),
                 F.struct(
-                    F.col(quality_column).alias("q"),
-                    (-F.col(id_column)).alias("tie"),
+                    (-F.col(quality_column)).alias("neg_q"),
+                    F.col(id_column).alias("tie"),
                 ),
             ).alias(id_column)
         )

@@ -347,6 +347,10 @@ def ann_join(
     shared LSH buckets (equality join on bucket — shuffle on a small int
     key; never a cross join).
 
+    Precondition: ids must be UNIQUE per input row on both sides —
+    pairs sharing several buckets are de-duplicated by (id, id) key, so
+    duplicate-id inputs emit duplicate pairs (ADVICE r04).
+
     Self-join (``left is right``, the near-dedup case): the bucketed
     frame is materialized once (localCheckpoint) and reused for both
     join sides — the per-plane dot folds are interpreted HOF lambdas
@@ -498,6 +502,8 @@ def ann_match_against_index(
     ``with_lsh_bucket``, typically written to parquet partitioned by
     ``lsh_bucket``). Returns (new_id, index_id, cosine) for every cross
     pair at or above the threshold whose vectors share an LSH bucket.
+    Precondition: ids must be UNIQUE per row in both the batch and the
+    index — duplicate-id inputs emit duplicate pairs (ADVICE r04).
 
     The embeddings twin of ``dedup.match_against_index``, and the
     production shape for continuous embedding ingestion at 100 TB: the
@@ -654,7 +660,9 @@ def semantic_match_against_index(
     ``ivf_assign``, typically written to parquet partitioned by
     ``ivf_cell``). Returns (new_id, index_id, cosine) for every cross
     pair at or above the threshold whose vectors share a quantizer
-    cell.
+    cell. Precondition: ids must be UNIQUE per row in both the batch
+    and the index — duplicate-id inputs emit duplicate pairs (ADVICE
+    r04).
 
     The clustered counterpart of ``ann_match_against_index``: the
     corpus is assigned ONCE when the index is written; each increment

@@ -1733,15 +1733,20 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen'd with one hash aggregate and a
     TakeOrderedAndProject top-k — no global sort, no UDF. At 100 TB the
     explode output is the corpus token count, but partial aggregation
-    collapses it map-side to the distinct-pair vocabulary."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-        lambda x: x != "",
+    collapses it map-side to the distinct-pair vocabulary. The token
+    array is MATERIALIZED in its own projection before adjacent_pairs
+    (ADVICE r04): the pair expression references its input several
+    times (size/slice/zip_with), so an inline tokenize would be
+    re-evaluated per reference — same staging contract as
+    word_ngrams_from_tokens."""
+    staged = _docs(spark, sf_dir).select(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("toks")
     )
-    pairs = (
-        _docs(spark, sf_dir)
-        .select(F.explode(T.adjacent_pairs(toks)).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pairs = staged.select(F.explode(T.adjacent_pairs(F.col("toks"))).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
     return (
         pairs.groupBy("a", "b")

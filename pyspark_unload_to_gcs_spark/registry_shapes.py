@@ -372,17 +372,38 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_state(merged, keys)
 
 
-@register("value_percentiles_approx")  # rows-only: sketch-based, not bit-exact vs SQL
+@register(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5)  AS p50,
+           quantile_disc(value, 0.9)  AS p90,
+           quantile_disc(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style sketch): the 100 TB replacement for
-    exact per-group percentiles — mergeable map-side sketches, no
-    per-group sort. Paired with the exact ``value_percentiles`` so both
-    cost profiles are on the menu."""
+    """approx_percentile (Greenwald-Khanna sketch): the 100 TB
+    replacement for exact per-group percentiles — mergeable map-side
+    sketches, no per-group sort. Paired with the exact
+    ``value_percentiles`` so both cost profiles are on the menu.
+
+    Emitted as three SCALAR columns (r4 verdict #1: the previous single
+    array<double> column crashed the driver's pandas canonicalizer).
+    With accuracy=10000 > rows-per-group at oracle scale the sketch
+    never compresses, so it returns the exact discrete quantile element
+    and DuckDB's ``quantile_disc`` is a true value oracle (verified
+    bit-equal at sf0.01: both engines pick the same raw parquet double,
+    so the hash is safe per the registry's passthrough rule). At larger
+    SFs the sketch is approximate by contract; the driver only oracles
+    at sf0.01."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p50_p90_p99"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
         )
     )
 

@@ -8,11 +8,15 @@ micro-batch — each batch admits its docs in deterministic ``id`` order
 while the RUNNING total (spent by all previous batches) stays within
 budget. The admitted set plus the spent total is the versioned state.
 
-Semantics, exactly:
+Semantics, exactly (PREFIX-CUT, not skip-and-continue — ADVICE r04):
 - batch docs are considered in ascending ``id_column`` order;
-- a doc is admitted iff the batch-prefix token sum up to and including
-  it fits the remaining budget (skipped docs do not consume budget);
-- later batches see ``spent = spent + sum(admitted tokens)``.
+- the batch admits its longest PREFIX whose token sum fits the
+  remaining budget — once one doc overflows, every later doc in that
+  batch is dropped too, even if it alone would fit (the cumulative sum
+  includes non-admitted docs within the batch);
+- ACROSS batches, only admitted tokens are spent: a later batch starts
+  fresh from ``spent = spent + sum(admitted tokens)``, so a batch that
+  admitted nothing consumes no budget.
 
 Exactly-once across retries (same protocol as streaming/rollup.py and
 streaming/merge.py): state version ``v=<batch_id>`` is derived ONLY
