@@ -393,9 +393,11 @@ def _load_extensions() -> None:
     Deferred to avoid circulars; idempotent (module cache)."""
     from pyspark_unload_to_gcs_spark import registry_analytics  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_extensions  # noqa: F401
+    from pyspark_unload_to_gcs_spark import registry_pins  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_product  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_scale  # noqa: F401
     from pyspark_unload_to_gcs_spark import registry_shapes  # noqa: F401
+    from pyspark_unload_to_gcs_spark import registry_staged  # noqa: F401
 
 
 # The round driver's correctness pass covers the FIRST 50 registered
@@ -407,23 +409,26 @@ def _load_extensions() -> None:
 # is either already ledger-green or inside the current first-50 window
 # — so no query can permanently escape external verification.
 #
-# Round-4 window composition:
-#   1. reference-parity core (always kept in-window — VERDICT r03 §6);
-#   2. ALL 19 queries with no driver row in any prior round (q8-q22
-#      TPC-H shapes, pivot, approx-sketch twins, round-3 additions);
-#   3. queries added or oracle-upgraded THIS round (exact near-dup pair
-#      set, decode stats, quantized/LSH/IVF full value oracles, and the
-#      scale-layout trio: bucketed co-located join, z-order layout,
-#      incremental ANN index match);
-#   4. refresh of names whose only driver evidence is r01/r02 (their
-#      oracles or upstream operators may have drifted since) — ten of
-#      these (value_histogram, json_props_extract, exact_dedup,
-#      top_orders_per_customer, regional_revenue, cube_order_stats,
-#      big_orders, orders_with_returns, rollup_pricing,
-#      scd_latest_order_maxby — all r01-green)
-#      rotated back out to make room for the new scale-layout,
-#      semantic-dedup, token-budget, hybrid-retrieval and privacy
-#      queries.
+# Round-5 window composition (executes the rotation VERDICT r04 staged):
+#   1. reference-parity core (always kept in-window — pinned since r03;
+#      rotation must never evict all of them at once);
+#   2. the promoted r04-staged four (gopher/C4 quality filters +
+#      keep-best dedup) and every query NEW this round (recall pins for
+#      the production minhash/ngram paths, the streaming token-budget
+#      batch replay, auto-k SemDeDup, TPC-H q4/q5) — none has a driver
+#      row yet — plus value_percentiles_approx, whose r4 row was the
+#      array-column harness crash and needs a clean re-check — plus
+#      5%-tolerance accuracy pins that make the HLL approximate family
+#      driver-red-able (booleans ARE SQL-replayable even though the
+#      estimates aren't);
+#   3. evidence refresh: every remaining slot goes to the OLDEST greens
+#      (names whose only driver rows are r01/r02 — q1_pricing_summary,
+#      exact_dedup, token_count, ... — VERDICT r04 "What's missing" #2:
+#      local parity re-proves them each session, but driver evidence
+#      was decaying), including one rows-only r01/r02 name
+#      (near_dedup_simhash — minhash/ngram/pairs now carry value
+#      evidence via the new recall pins; events_approx_users waits for
+#      the r06 window).
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 _PRIORITY: tuple[str, ...] = (
@@ -436,53 +441,51 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never driver-checked through r03
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_widget_suppliers",
-    "q21_sole_returning_supplier",
-    "q22_idle_rich_customers",
-    "pivot_returnflag_status",
-    "nations_with_customers_and_suppliers",
+    # 2a. promoted from the r04 staging area
+    "gopher_quality_profile",
+    "c4_page_clean_stats",
+    "gopher_repetition",
+    "dedup_keep_best_exact",
+    # 2b. new in round 5 + the r4 harness-crash re-check
     "value_percentiles_approx",
-    "rolling_active_users_approx",
-    "incremental_near_dedup",
-    "unigram_logprob_quality",
-    "temperature_mix_weights",
-    "length_bucketed_batches",
-    # 3. new or oracle-upgraded in round 4
-    "near_dedup_pairs_exact",
-    "near_dup_clusters_exact",
-    "fuzzy_entity_join_exact",
-    "embedding_near_dedup",
-    "multimodal_decode_stats",
-    "vector_topk_quantized",
-    "vector_topk_lsh",
-    "vector_topk_ivf",
-    "bucketed_colocated_join",
-    "zorder_layout",
-    "incremental_ann_match",
-    "chunk_dedup_clean",
-    "semantic_dedup",
-    "token_budget_select",
-    "hybrid_search_rrf",
-    "k_anonymity_profile",
-    "k_anonymity_suppression",
-    "l_diversity_profile",
-    "incremental_semantic_match",
-    # (third sitting) the four refresh slots — q1/q3/q6/grouping_sets,
-    # all ledger-green from r01/r02 — rotated back out for the four new
-    # value-oracled queries, which must be in-window (never checked):
-    "cdc_apply_changes",
-    "scd2_history",
-    "bpe_pair_stats",
-    "pagerank_ship_graph",
+    "near_dedup_minhash_recall",
+    "near_dedup_ngram_recall",
+    "token_budget_stream_replay",
+    "semantic_dedup_auto",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "events_approx_users_accuracy",
+    "rolling_actives_approx_accuracy",
+    # 3. oldest-green refresh (driver evidence only from r01/r02)
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q6_revenue_delta",
+    "exact_dedup",
+    "normalized_dedup",
+    "token_count",
+    "quality_score",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "grouping_sets_revenue",
+    "rollup_pricing",
+    "cube_order_stats",
+    "regional_revenue",
+    "big_orders",
+    "orders_with_returns",
+    "top_orders_per_customer",
+    "top_parts_by_revenue",
+    "customer_order_distribution",
+    "scd_latest_order_maxby",
+    "value_histogram",
+    "value_percentiles",
+    "json_props_extract",
+    "hot_users",
+    "user_activity",
+    "rolling_user_value",
+    "salted_user_activity",
+    "constraint_profile_orders",
+    "balanced_corpus_sample",
+    "near_dedup_simhash",
 )
 
 

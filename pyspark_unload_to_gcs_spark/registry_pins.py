@@ -1,0 +1,373 @@
+"""Driver-facing PINS for production-path behavior that was previously
+rows-only (VERDICT r04 #5/#6/#7): recall pins for the hash-seeded
+near-dedup paths, a batch replay of the streaming token-budget
+admission, and the auto-k (scale-safe) SemDeDup configuration.
+
+The recall-pin trick (same one that made the ANN family driver-red-able
+in r04): the production operator's output can't be replayed in SQL
+(xxhash64 seeds aren't portable), but its CARDINALITY against the
+brute-force-oracled exact pair set can — at fixture scale the
+production path provably finds every qualifying pair (miss probability
+bounds in the docstrings), so the oracle asserts production count ==
+overlap count == exact count. Any banding/mask/verify regression that
+costs recall (or breaks the precision-1 subset property) turns the
+driver row red instead of silently shrinking a rows-only count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators import dedup as D
+from pyspark_unload_to_gcs_spark.operators import similarity as S
+from pyspark_unload_to_gcs_spark.operators import text as T
+from pyspark_unload_to_gcs_spark.registry import _t, register
+from pyspark_unload_to_gcs_spark.registry_extensions import (
+    _docs,
+    _DOT,
+    _SHINGLE_CTE,
+    _SS,
+    _shared_exact_pairs,
+    _shared_minhash_pairs,
+    _shared_signatures,
+)
+
+# ---------------------------------------------------------------------------
+# near-dedup recall pins
+# ---------------------------------------------------------------------------
+
+_EXACT_08_COUNT = f"""
+WITH {_SHINGLE_CTE},
+exact AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM exact)
+SELECT c AS n_pairs, c AS n_overlap, c AS n_exact FROM n
+"""
+
+
+@register("near_dedup_minhash_recall", oracle=_EXACT_08_COUNT)
+def near_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall pin for the PRODUCTION minhash path (r=4: bands=8 x 4
+    rows, the scale-safe banding — near_dedup_pairs/minhash): pair
+    count, overlap with the exact >=0.8 pair set, and the exact count,
+    as one row. The production path's exact-Jaccard verify makes it a
+    SUBSET of the exact set (precision 1), and at fixture scale its
+    recall is exactly 1 (a J>=0.8 pair misses all 8 bands with
+    P=(1-J^4)^8 <= 1.5e-2 at the J=0.8 boundary, and the fixture's
+    near-dup pairs sit well above it — verified equal at sf0.001 and
+    sf0.01), so all three numbers equal the brute-forced exact count.
+    A banding, signature-mask, or verify regression breaks one of the
+    three equalities and turns this driver row red — previously the
+    production path had only rows-only driver evidence."""
+    prod = _shared_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    exact = _shared_exact_pairs(spark, sf_dir).select("id_a", "id_b")
+    overlap = prod.join(exact, ["id_a", "id_b"], "left_semi")
+    return (
+        prod.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    )
+
+
+_EXACT_07_COUNT = f"""
+WITH {_SHINGLE_CTE},
+exact AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM exact)
+SELECT c AS n_pairs, c AS n_overlap, c AS n_exact FROM n
+"""
+
+
+@register("near_dedup_ngram_recall", oracle=_EXACT_07_COUNT)
+def near_dedup_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall pin for the 16-band/0.7-threshold n-gram Jaccard path
+    (near_dedup_ngram's operating point, r=2 per band): production
+    pairs vs the exact >=0.7 pair set. Miss probability per J>=0.7
+    pair is (1-J^2)^16 <= 2.4e-5 at the boundary; the Spark exact side
+    re-bands the shared signature cache at r=1 with a binomial
+    >=10-of-32 slot pre-filter (P[Binom(32, 0.7) < 10] ~ 1e-6), the
+    same construction the r4 verdict validated for the 0.8 family.
+    The DuckDB side brute-forces all pairs at 0.7."""
+    docs = _docs(spark, sf_dir)
+    prod = D.minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bands=16,
+        jaccard_threshold=0.7,
+        signatures=_shared_signatures(spark, sf_dir),
+    ).select("id_a", "id_b")
+    exact = D.minhash_candidate_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bands=32,
+        num_hashes=32,
+        jaccard_threshold=0.7,
+        signatures=_shared_signatures(spark, sf_dir),
+        min_matching_bands=10,
+    ).select("id_a", "id_b")
+    overlap = prod.join(exact, ["id_a", "id_b"], "left_semi")
+    return (
+        prod.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch accuracy pins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_approx_users_accuracy",
+    oracle="""
+    SELECT event_type, TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def events_approx_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy pin for ``events_approx_users`` (HLL++
+    approx_count_distinct, rsd=0.01): per event type, is the estimate
+    within 5% of the exact distinct count? The estimate itself isn't
+    SQL-replayable (rows-only by contract), but this BOOLEAN is — the
+    oracle computes the groups and asserts TRUE, so an HLL-parameter or
+    relativeSD regression that blows the error budget turns the driver
+    row red (measured worst error at sf0.01: 0.67%; the 5% bound is
+    ~7x margin). Same pin pattern as the near-dedup recall queries."""
+    ev = _t(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.05)
+    )
+    return both.select("event_type", within.alias("within_5pct"))
+
+
+@register(
+    "rolling_actives_approx_accuracy",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_num
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day_num AS d FROM ud)
+    SELECT days.d AS day_num, TRUE AS dau_within_5pct, TRUE AS wau_within_5pct
+    FROM days JOIN ud ON ud.day_num <= days.d AND ud.day_num > days.d - 7
+    GROUP BY days.d
+    """,
+)
+def rolling_actives_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy pin for ``rolling_active_users_approx`` (per-day
+    mergeable HLL sketches, trailing-window unions): per observed day,
+    are DAU and WAU estimates within 5% of the exact rolling actives?
+    Joins the sketch path against the exact path (both Spark-side, on
+    the same scan) and emits only the tolerance booleans; the oracle
+    replays the exact operator's day dimension (same SQL as the green
+    ``rolling_active_users`` oracle) with constant TRUE. Also pins that
+    the sketch path emits EXACTLY the observed-day row set — an extra
+    or missing day is a row-count mismatch. At fixture cardinalities
+    the sketches are in sparse mode and exact; 5% covers dense-mode
+    drift at scale without flaking."""
+    from pyspark_unload_to_gcs_spark.operators.product import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    exact = rolling_active_users(ev, window_days=7)
+    approx = rolling_active_users_approx(ev, window_days=7)
+    j = exact.join(approx, "day_num")
+    ok = lambda a, e: F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)  # noqa: E731
+    return j.select(
+        "day_num",
+        ok("dau_approx", "dau").alias("dau_within_5pct"),
+        ok("wau_approx", "wau").alias("wau_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming token-budget admission, replayed as a batch query
+# ---------------------------------------------------------------------------
+
+_STREAM_BUDGET = 12000  # same operating point as token_budget_select
+_N_BATCHES = 4
+
+
+_STREAM_REPLAY_SQL = rf"""
+WITH RECURSIVE scored AS (
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS n_tokens,
+           CAST(doc_id % {_N_BATCHES} AS BIGINT) AS batch_id
+    FROM documents
+),
+pre AS (
+    SELECT doc_id, n_tokens, batch_id,
+           SUM(n_tokens) OVER (PARTITION BY batch_id ORDER BY doc_id ASC) AS cum
+    FROM scored
+),
+st(batch_id, spent_before) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT st.batch_id + 1,
+           st.spent_before + COALESCE((
+               SELECT MAX(p.cum) FROM pre p
+               WHERE p.batch_id = st.batch_id
+                 AND p.cum <= {_STREAM_BUDGET} - st.spent_before), 0)
+    FROM st WHERE st.batch_id < {_N_BATCHES - 1}
+)
+SELECT p.doc_id, p.n_tokens, p.batch_id
+FROM pre p JOIN st ON st.batch_id = p.batch_id
+WHERE p.cum <= {_STREAM_BUDGET} - st.spent_before
+"""
+
+
+@register("token_budget_stream_replay", oracle=_STREAM_REPLAY_SQL)
+def token_budget_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING token-budget admission (streaming/budget.py
+    ``admit_batch``), driver-faced as a deterministic batch replay
+    (VERDICT r04 #6 — its batch twin ``token_budget_select`` is green
+    but the greedy prefix-cut streaming semantics were pytest-only):
+    the documents table is split into 4 micro-batches (doc_id % 4),
+    each folded through the REAL foreachBatch admission function in
+    batch order against versioned parquet state in a temp dir, and the
+    final admitted corpus is returned. The oracle replays the exact
+    semantics — per-batch prefix cut over the id-ordered cumulative
+    token sum, budget spent only by admitted tokens — as one recursive
+    CTE over batch boundaries. At the 12000-token budget batch 0 is
+    fully admitted, batch 1 is cut mid-prefix, and batches 2-3 admit
+    nothing (remaining < any doc), so all three admission cases carry
+    driver evidence."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.streaming.budget import admit_batch, read_admitted
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id"),
+    )
+    state = tempfile.mkdtemp(prefix="budget_stream_replay_")
+    for b in range(_N_BATCHES):
+        admit_batch(
+            scored.filter(F.col("batch_id") == b),
+            b,
+            id_column="doc_id",
+            token_column="n_tokens",
+            budget=_STREAM_BUDGET,
+            state_path=state,
+        )
+    out = read_admitted(spark, state)
+    return out.select(
+        "doc_id", "n_tokens", (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# auto-k SemDeDup (the scale-safe configuration)
+# ---------------------------------------------------------------------------
+
+# Same full-pipeline replay as the fixed-k semantic_dedup oracle
+# (registry_extensions.py), with ONE change: k is computed from the
+# corpus size exactly as operators/similarity.py does —
+# max(16, isqrt(n-1)+1). floor(sqrt(m)) == math.isqrt(m) for every m
+# in play (doubles represent these integers exactly and sqrt is
+# correctly rounded, so the floor can't straddle a perfect square).
+_SEMANTIC_AUTO_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    uni AS (
+        SELECT vec_id, label, v FROM base
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, label, v FROM base WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 20000 AS vec_id, label,
+               list_transform(v, x -> x + CAST(0.001 AS DOUBLE)) AS v
+        FROM base WHERE vec_id % 7 = 0
+    ),
+    k AS (
+        SELECT GREATEST(16, CAST(floor(sqrt(count(*) - 1)) AS BIGINT) + 1) AS k
+        FROM uni
+    ),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell, v AS c
+        FROM uni
+    ),
+    cent AS (
+        SELECT cell, c FROM ranked, k WHERE cell < k.k
+    ), centn AS (
+        SELECT cell, c,
+               CASE WHEN sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) = 0
+                    THEN 1.0
+                    ELSE sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)) END AS n
+        FROM cent
+    ), centu AS (
+        SELECT cell, list_transform(c, x -> x / n) AS u FROM centn
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT un.vec_id, un.v, cu.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY un.vec_id
+                       ORDER BY {_DOT.format(a="un.v", b="cu.u")} DESC, cu.cell DESC
+                   ) AS rn
+            FROM uni un, centu cu
+        ) WHERE rn = 1
+    ),
+    losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_SS.format(a='a.v')} > 0 AND {_SS.format(a='b.v')} > 0
+          AND {_DOT.format(a='a.v', b='b.v')}
+              / (sqrt({_SS.format(a='a.v')}) * sqrt({_SS.format(a='b.v')})) >= 0.95
+    )
+    SELECT vec_id, label FROM uni WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
+@register("semantic_dedup_auto", oracle=_SEMANTIC_AUTO_SQL)
+def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ``n_centroids="auto"`` — the configuration that
+    actually ships at scale (k = max(16, isqrt(n-1)+1), so cells grow
+    as sqrt(n) and within-cell pair mass as n^1.5 instead of n^2) —
+    under the same full-pipeline value oracle as the fixed-k
+    ``semantic_dedup`` (VERDICT r04 #7: previously only the fixed-k
+    oracle point carried driver evidence). Same planted duplicates:
+    every 10th vector as an exact copy (+10000), every 7th as a +0.001
+    perturbation (+20000). The auto-k centroid set is deterministic
+    (the k smallest-id vectors), so the oracle computes k from the
+    corpus count and replays centroid pick, unit-normalized argmax
+    assignment (ties -> larger cell) and fold-order-pinned cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    uni = base.unionByName(exact).unionByName(pert)
+    out = S.semantic_cluster_dedup(uni, n_centroids="auto", cosine_threshold=0.95)
+    return out.select("vec_id", "label")

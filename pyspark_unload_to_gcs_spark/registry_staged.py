@@ -1,14 +1,14 @@
-"""STAGED registry entries for the next driver-window rotation (r05).
+"""Staging area for registry entries awaiting a driver-window slot.
 
-The current first-50 correctness window is fully occupied by
-never-driver-checked queries, and tests/test_coverage_rotation.py
-(correctly) refuses new registrations that cannot enter the window.
-These queries are therefore finished — Spark side, DuckDB oracle, and
-a local oracle-parity test (tests/test_staged_queries.py) — but NOT
-yet imported by registry._load_extensions. R05 rotation = move the
-@register_staged entries into registry_extensions (or import this
-module there), add the names to registry._PRIORITY, refresh
-COVERAGE.json.
+The driver's first-50 correctness window can't always fit new
+registrations in the round they're written; entries land here with
+finished Spark sides, DuckDB oracles, and local parity tests
+(tests/test_staged_queries.py), then rotate into the LIVE ``register``
+in a later round's window plan. The r04 cohort (gopher quality
+profile, C4 page cleaning, gopher repetition, quality-aware keep-best
+dedup) was PROMOTED in r05 — those four now use the live decorator and
+sit in the r05 window; ``register_staged`` stays for future cohorts
+(currently empty).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -23,7 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_unload_to_gcs_spark.registry import _t
+from pyspark_unload_to_gcs_spark.registry import _t, register
 
 _STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _STAGED_ORACLES: dict[str, str] = {}
@@ -92,7 +92,7 @@ FROM m
 """
 
 
-@register_staged("gopher_quality_profile", oracle=_GOPHER_SQL)
+@register("gopher_quality_profile", oracle=_GOPHER_SQL)
 def gopher_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher rule booleans over the documents fixture
     (operators/quality_filters.py::gopher_quality_flags) — one narrow
@@ -150,7 +150,7 @@ WHERE len(kept) >= 3
 """
 
 
-@register_staged("c4_page_clean_stats", oracle=_C4_SQL)
+@register("c4_page_clean_stats", oracle=_C4_SQL)
 def c4_page_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning (operators/quality_filters.py::c4_clean) over pages
     synthesized from the fixture (5 docs -> one multi-line page, each
@@ -275,7 +275,7 @@ FROM wide w JOIN linf ON w.doc_id = linf.doc_id
 )
 
 
-@register_staged("gopher_repetition", oracle=_REP_SQL)
+@register("gopher_repetition", oracle=_REP_SQL)
 def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher repetition profile
     (operators/quality_filters.py::gopher_repetition_profile) with all
@@ -331,7 +331,7 @@ FROM ranked WHERE rn = 1
 """
 
 
-@register_staged("dedup_keep_best_exact", oracle=_KEEP_BEST_SQL)
+@register("dedup_keep_best_exact", oracle=_KEEP_BEST_SQL)
 def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware single-link dedup under a full value oracle:
     clusters from the EXACT >=0.8 pair set (r=1 banding + binomial

@@ -38,6 +38,33 @@ def _require_delta() -> None:
         )
 
 
+# The exact OSS Delta conf the change feed reader sets (analogue of the
+# reference's timestampOutOfRange conf, export.py:196) — module-level so
+# tests can pin the spelling without delta-spark installed.
+CDF_OUT_OF_RANGE_CONF: tuple[str, str] = (
+    "spark.databricks.delta.changeDataFeed.timestampOutOfRange.enabled",
+    "true",
+)
+
+
+def snapshot_read_options(ts_ms: int) -> dict[str, str]:
+    """Reader options for a time-travel snapshot (S2). Pure — built and
+    spelling-pinned by tests even though executing the read needs
+    delta-spark (VERDICT r04 #9: a typo in an option key must not hide
+    behind the import guard)."""
+    return {"timestampAsOf": ms_to_datetime(ts_ms).isoformat()}
+
+
+def change_feed_read_options(start_ms: int, end_ms: int) -> dict[str, str]:
+    """Reader options for a CDF window read (S3). Pure; see
+    ``snapshot_read_options``."""
+    return {
+        "readChangeFeed": "true",
+        "startingTimestamp": ms_to_datetime(start_ms).isoformat(),
+        "endingTimestamp": ms_to_datetime(end_ms).isoformat(),
+    }
+
+
 def latest_commit_timestamp_ms(spark: SparkSession, table: str) -> int:
     """Most recent Delta commit as epoch ms (reference export.py:49-60)."""
     _require_delta()
@@ -50,8 +77,7 @@ def latest_commit_timestamp_ms(spark: SparkSession, table: str) -> int:
 def snapshot_at_ms(spark: SparkSession, table: str, ts_ms: int) -> DataFrame:
     """Time-travel snapshot pinned to a commit timestamp (reference S2)."""
     _require_delta()
-    ts = ms_to_datetime(ts_ms).isoformat()
-    return spark.read.format("delta").option("timestampAsOf", ts).table(table)
+    return spark.read.format("delta").options(**snapshot_read_options(ts_ms)).table(table)
 
 
 def change_feed(spark: SparkSession, table: str, start_ms: int, end_ms: int) -> DataFrame:
@@ -63,13 +89,9 @@ def change_feed(spark: SparkSession, table: str, start_ms: int, end_ms: int) -> 
     start past the last commit returns empty instead of erroring.
     """
     _require_delta()
-    spark.conf.set(
-        "spark.databricks.delta.changeDataFeed.timestampOutOfRange.enabled", "true"
-    )
+    spark.conf.set(*CDF_OUT_OF_RANGE_CONF)
     return (
         spark.read.format("delta")
-        .option("readChangeFeed", "true")
-        .option("startingTimestamp", ms_to_datetime(start_ms).isoformat())
-        .option("endingTimestamp", ms_to_datetime(end_ms).isoformat())
+        .options(**change_feed_read_options(start_ms, end_ms))
         .table(table)
     )
