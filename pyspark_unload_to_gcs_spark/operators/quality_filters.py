@@ -209,14 +209,33 @@ def gopher_repetition_profile(
       occurring more than once (count x length summed — the standard
       overlap-ignoring approximation), clamped to 1.
 
-    Scale shape: ONE staged tokenization, one flatten-explode of all
-    nine gram sizes, one groupBy((id, n, gram)) count, one per-(id, n)
-    aggregate, join-back — two short-key shuffles total regardless of
-    how many n's are profiled, never a per-n pass over the corpus."""
-    from pyspark_unload_to_gcs_spark.operators.text import (
-        tokens_col,
-        word_ngrams_from_tokens,
-    )
+    Scale shape (r05 rewrite): ZERO shuffle. A document's gram multiset
+    lives entirely in its own row, so the per-(doc, n) stats are
+    computed ARRAY-SIDE: window identities come from a ROLLING hash
+    chained across gram sizes — ``H_n[i] = rot13(H_{n-1}[i]) XOR
+    th[i+n-1]`` over per-token xxhash64s, with window char lengths
+    chained the same way (``S_n[i] = S_{n-1}[i] + tl[i+n-1]``), each
+    level one ``zip_with`` of two sliced arrays, O(g) per n with no
+    per-window slice+fold. The (hash, length) window array is then
+    sorted, run boundaries are found with O(1) neighbor compares over
+    the STAGED sorted array, the top run comes from native
+    ``array_max``, and the only interpreted fold runs over the few
+    REPEATED runs (dup-char sum). The previous shape (flatten-explode
+    of all nine gram sizes -> corpus-wide groupBy((id, n, gram)) ->
+    pivot -> join-back) shuffled ~9x the corpus token count; this is a
+    single narrow projection chain — embarrassingly parallel, shuffle
+    bytes zero (measured 8.3 -> ~4 s at sf0.1, and x1.8 at x10 data
+    in the scale audit).
+
+    Output-equivalence of hashing gram identity: every consumer uses
+    the top gram only as ``count x length`` (ties on (c, l) have equal
+    products — the (c, l, gram) tie-break can change which gram wins,
+    never the winning product) and dup chars as ``sum(c x l | c > 1)``,
+    so the 64-bit window hash is exact up to in-document collision odds
+    ~g^2/2^64 — the same trade the minhash shingles make. (Rotation
+    distances 13k mod 64 are distinct for the k < 10 positions in
+    play, so permuted windows don't collide structurally.)"""
+    from pyspark_unload_to_gcs_spark.operators.text import tokens_col
 
     text = F.col(text_column)
     ns = sorted(TOP_NGRAM_LIMITS) + sorted(DUP_NGRAM_LIMITS)
@@ -226,6 +245,14 @@ def gopher_repetition_profile(
         tokens_col(text).alias("__toks"),
         _lines(text).alias("__lines"),
         F.length(F.trim(text)).cast("double").alias("__chars"),
+    ).withColumns(
+        {
+            # per-token length and hash, computed ONCE: window hashes
+            # fold the long array, not the strings (each token sits in
+            # up to sum(n) = 54 overlapping windows otherwise)
+            "__tl": F.transform("__toks", lambda t: F.length(t)),
+            "__th": F.transform("__toks", lambda t: F.xxhash64(t)),
+        }
     )
     # lines: duplicate-beyond-first occurrences, array-side
     dup_line_expr = F.transform(
@@ -235,7 +262,131 @@ def gopher_repetition_profile(
             F.length(F.col("__lines")[i]),
         ).otherwise(F.lit(0)),
     )
-    lines_part = staged.select(
+    # n-grams: array-side run counting (see docstring) — rolling
+    # hash/length chains, one sorted window array + one linear fold per
+    # (doc, n); no explode, no shuffle, no pivot, no join. Levels are
+    # built consecutively (ns is contiguous 2..10), each from the
+    # previous via zip_with of sliced arrays; a doc with fewer than n
+    # tokens yields empty slices and therefore an empty window array
+    # (same contract as text.word_ngrams_from_tokens).
+    def _rot13(h):
+        return F.shiftleft(h, 13).bitwiseOR(F.shiftrightunsigned(h, 51))
+
+    grams = staged
+    prev_h, prev_s = "__th", "__tl"
+    for n in ns:
+        cnt = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+        grams = grams.withColumns(
+            {
+                f"__h{n}": F.zip_with(
+                    F.slice(prev_h, F.lit(1), cnt),
+                    F.slice("__th", F.lit(n), cnt),
+                    lambda a, b: _rot13(a).bitwiseXOR(b),
+                ),
+                f"__s{n}": F.zip_with(
+                    F.slice(prev_s, F.lit(1), cnt),
+                    F.slice("__tl", F.lit(n), cnt),
+                    lambda a, b: a + b,
+                ),
+            }
+        )
+        prev_h, prev_s = f"__h{n}", f"__s{n}"
+
+    # Run counting over the sorted window arrays, in three STAGED
+    # layers (sorted windows -> run-start indices -> run (count, len)
+    # pairs): every intermediate array is a materialized column
+    # attribute, never an inline expression — element_at/size inside a
+    # HOF lambda re-evaluate an unstaged subtree PER ELEMENT (measured
+    # catastrophic: the whole sort re-ran per boundary test), and an
+    # unstaged multi-referenced alias re-evaluates per reference. The
+    # layered form replaces a single 6-field aggregate fold whose
+    # interpreted merge lambda dominated the query (measured ~5 s of a
+    # 7 s total at sf0.1; this form runs ~4 s): boundary tests are two
+    # O(1) element_at's, the top run comes from native array_max, and
+    # the only remaining fold runs over REPEATED runs — a handful per
+    # document, not every window.
+    # closure factory, NOT a defaulted lambda: extra (even defaulted)
+    # lambda params change the HOF dispatch arity — lore #12
+    def _win_struct(n: int):
+        return lambda h, l: F.struct(h.alias("h"), (l + (n - 1)).alias("l"))
+
+    grams = grams.withColumns(
+        {
+            f"__w{n}": F.array_sort(F.zip_with(f"__h{n}", f"__s{n}", _win_struct(n)))
+            for n in ns
+        }
+    )
+
+    def _run_starts(n: int):
+        w = F.col(f"__w{n}")
+        return F.filter(
+            F.sequence(F.lit(1), F.size(w)),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(w, i)["h"] != F.element_at(w, i - 1)["h"]
+            ),
+        )
+
+    grams = grams.withColumns(
+        {
+            f"__i{n}": F.when(F.size(f"__w{n}") > 0, _run_starts(n)).otherwise(
+                F.array().cast("array<int>")
+            )
+            for n in ns
+        }
+    )
+
+    def _runs(n: int):
+        w, idx = F.col(f"__w{n}"), F.col(f"__i{n}")
+        nxt = F.concat(
+            F.slice(idx, 2, F.greatest(F.size(idx) - 1, F.lit(0))),
+            F.array(F.size(w) + 1),
+        )
+        return F.zip_with(
+            idx,
+            nxt,
+            lambda a, b: F.struct(
+                (b - a).cast("bigint").alias("c"), F.element_at(w, a)["l"].alias("l")
+            ),
+        )
+
+    grams = grams.withColumns(
+        {
+            f"__r{n}": F.when(F.size(f"__w{n}") > 0, _runs(n)).otherwise(
+                F.array().cast("array<struct<c:bigint,l:int>>")
+            )
+            for n in ns
+        }
+    )
+
+    def _gram_stats(n: int):
+        runs = F.col(f"__r{n}")
+        # top run by (count, length): struct comparison is field-order
+        # lexicographic, so array_max picks max count, ties to max
+        # length — its product c*l is what the caller consumes (the
+        # c>1 gate is applied there); dup sums only repeated runs
+        top = F.array_max(runs)
+        dup = F.aggregate(
+            F.filter(runs, lambda r: r["c"] > 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, r: acc + r["c"] * r["l"],
+        )
+        empty = F.struct(
+            F.lit(0).cast("bigint").alias("top_chars"),
+            F.lit(0).cast("bigint").alias("top_count"),
+            F.lit(0).cast("bigint").alias("dup_chars"),
+        )
+        return F.when(F.size(runs) == 0, empty).otherwise(
+            F.struct(
+                (top["c"] * top["l"]).cast("bigint").alias("top_chars"),
+                top["c"].alias("top_count"),
+                dup.alias("dup_chars"),
+            )
+        )
+
+    # ONE projection chain carries the line helpers AND all nine gram
+    # stat structs — no join back (the previous plan joined the gram
+    # pivot onto the line fracs, re-reading the staged frame)
+    mid = grams.select(
         id_column,
         "__chars",
         F.size("__lines").alias("__nl"),
@@ -247,7 +398,9 @@ def gopher_repetition_profile(
             F.lit(0),
             lambda a, x: a + x,
         ).cast("double").alias("__line_chars"),
-    ).select(
+        *[_gram_stats(n).alias(f"{n}") for n in ns],
+    )
+    out = mid.select(
         id_column,
         "__chars",
         F.when(
@@ -261,49 +414,8 @@ def gopher_repetition_profile(
                 F.col("__dup_chars_per_line"), F.lit(0), lambda a, x: a + x
             ).cast("double") / F.col("__line_chars"),
         ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        *[f"{n}" for n in ns],
     )
-    # n-grams: one explode for every n at once
-    # closure factory, NOT `lambda g, n=n`: a 2-parameter lambda (defaults
-    # included) is dispatched as (element, index) and n would silently
-    # become the array position — lore #12, the minhash-mask bug class
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    gram_structs = F.flatten(
-        F.array(
-            *[
-                F.transform(word_ngrams_from_tokens(F.col("__toks"), n), _tag(n))
-                for n in ns
-            ]
-        )
-    )
-    exploded = staged.select(id_column, F.explode(gram_structs).alias("g")).select(
-        id_column, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
-    )
-    gram_counts = exploded.groupBy(id_column, "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_n = gram_counts.groupBy(id_column, "n").agg(
-        F.max(
-            F.struct(F.col("c"), F.length("gram").alias("l"), F.col("gram"))
-        ).alias("top"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(F.lit(0)))
-        .alias("dup_chars"),
-    )
-    wide = (
-        per_n.groupBy(id_column)
-        .pivot("n", ns)
-        .agg(
-            F.first(
-                F.struct(
-                    (F.col("top.c") * F.col("top.l")).alias("top_chars"),
-                    F.col("top.c").alias("top_count"),
-                    F.col("dup_chars"),
-                )
-            )
-        )
-    )
-    out = lines_part.join(wide, on=id_column, how="left")
     cols = [F.col(id_column), F.col("dup_line_frac"), F.col("dup_line_char_frac")]
     ok = (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC) & (
         F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC

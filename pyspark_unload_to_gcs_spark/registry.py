@@ -456,6 +456,7 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "events_approx_users_accuracy",
     "rolling_actives_approx_accuracy",
+    "fuzzy_entity_join_recall",
     # 3. oldest-green refresh (driver evidence only from r01/r02)
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -484,7 +485,6 @@ _PRIORITY: tuple[str, ...] = (
     "rolling_user_value",
     "salted_user_activity",
     "constraint_profile_orders",
-    "balanced_corpus_sample",
     "near_dedup_simhash",
 )
 

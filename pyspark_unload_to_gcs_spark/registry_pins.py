@@ -126,6 +126,56 @@ def near_dedup_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_EXACT_08_COUNT = f"""
+WITH {_SHINGLE_CTE},
+exact AS (
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id
+    FROM sh l JOIN sh r
+      ON l.doc_id % 3 = 0 AND r.doc_id % 3 != 0
+     AND len(list_distinct(list_concat(l.s, r.s))) > 0
+     AND CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(l.s, r.s))) >= 0.8
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM exact)
+SELECT c AS n_pairs, c AS n_overlap, c AS n_exact FROM n
+"""
+
+
+@register("fuzzy_entity_join_recall", oracle=_FUZZY_EXACT_08_COUNT)
+def fuzzy_entity_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall pin for the PRODUCTION cross-table fuzzy join
+    (operators/dedup.py ``fuzzy_text_join`` at its b=8/r=4 default —
+    the path ``fuzzy_entity_join`` runs rows-only): cross-side pair
+    count, overlap with the exact >=0.8 cross-pair set (r=1 + binomial
+    pre-filter, the fuzzy_entity_join_exact machinery), and the exact
+    count. Same subset/recall argument as near_dedup_minhash_recall;
+    the oracle brute-forces the cross-side pairs. Completes the
+    recall-pin family: every production near-dup path (minhash, ngram,
+    fuzzy cross-table) now turns driver-red on a recall regression."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+
+    docs = _docs(spark, sf_dir)
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 != 0)
+    prod = fuzzy_text_join(left, right, jaccard_threshold=0.8).select(
+        "left_id", "right_id"
+    )
+    exact = fuzzy_text_join(
+        left,
+        right,
+        jaccard_threshold=0.8,
+        bands=32,
+        num_hashes=32,
+        min_matching_bands=12,
+    ).select("left_id", "right_id")
+    overlap = prod.join(exact, ["left_id", "right_id"], "left_semi")
+    return (
+        prod.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # HLL sketch accuracy pins
 # ---------------------------------------------------------------------------
@@ -146,11 +196,18 @@ def events_approx_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the groups and asserts TRUE, so an HLL-parameter or
     relativeSD regression that blows the error budget turns the driver
     row red (measured worst error at sf0.01: 0.67%; the 5% bound is
-    ~7x margin). Same pin pattern as the near-dedup recall queries."""
-    ev = _t(spark, sf_dir, "events")
-    both = ev.groupBy("event_type").agg(
+    ~7x margin). Same pin pattern as the near-dedup recall queries.
+
+    Plan note: collapses to DISTINCT (event_type, user_id) first, then
+    one agg where the exact count is a plain count(*) and the HLL runs
+    over the distinct pairs — identical estimate (HLL registers are
+    max-merged, so duplicates never change the sketch) without the
+    Expand duplication a mixed distinct/non-distinct agg plans
+    (measured 1.8 -> 0.7 s at sf0.1)."""
+    d = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    both = d.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     )
     within = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
