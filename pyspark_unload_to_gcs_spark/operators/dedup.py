@@ -75,16 +75,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     The gate WALKS the JVM logical-plan tree by node class name
     (ADVICE r04: the previous rendered-tree string parse produced
     bogus tokens for string literals containing newlines, silently
-    disabling the repartition)."""
+    disabling the repartition), INCLUDING expression-held subquery
+    plans (``subqueries()``): an IN/scalar subquery's Aggregate/Join
+    lives inside the expression, not in ``children()``, and the probe
+    would plan that whole subtree too (r05 review)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     nodes: set[str] = set()
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
         nodes.add(node.nodeName())
-        children = node.children()
-        for i in range(children.length()):
-            stack.append(children.apply(i))
+        for seq in (node.children(), node.subqueries()):
+            for i in range(seq.length()):
+                stack.append(seq.apply(i))
     if not nodes <= _NARROW_PLAN_NODES:
         return df
     if df.rdd.getNumPartitions() < target:
@@ -754,10 +757,18 @@ def fuzzy_text_join(
     jaccard_threshold: float = 0.8,
     min_matching_bands: int = 1,
     bucket_cap: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-table fuzzy match (entity resolution): pairs of (left id,
     right id) whose texts have shingle-Jaccard >= threshold. Returns
     (left_id, right_id, jaccard).
+
+    ``signatures``: an already-MATERIALIZED ``minhash_signatures``
+    frame over the side-tagged union (build it with
+    ``fuzzy_union_signatures`` below) — pass it when several band
+    configurations match the same two tables in one session (e.g. the
+    production b=8 run and its r=1 recall pin), so the union is
+    shingled once instead of per configuration.
 
     Composed from the single-table LSH machinery: the two sides union
     under a side tag with disjoint synthetic ids (left ids double to
@@ -802,6 +813,7 @@ def fuzzy_text_join(
         jaccard_threshold=jaccard_threshold,
         min_matching_bands=min_matching_bands,
         bucket_cap=bucket_cap,
+        signatures=signatures,
     )
     # candidate pairs are (id_a < id_b); cross-side = opposite parity.
     # Normalize so left id comes first regardless of pair order.
@@ -814,6 +826,38 @@ def fuzzy_text_join(
         ((right_uid - 1) / 2).cast("long").alias("right_id"),
         F.col("jaccard"),
     )
+
+
+def fuzzy_union_signatures(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MATERIALIZED ``minhash_signatures`` over ``fuzzy_text_join``'s
+    side-tagged union (same even/odd id packing), for passing as its
+    ``signatures`` argument when several band configurations match the
+    same two tables in one session — the shingling runs once. Persist +
+    eager count is the materialization barrier the signature contract
+    requires (see ``minhash_candidate_pairs``)."""
+    lt = left.select(
+        (F.col(id_column).cast("long") * 2).alias("__uid"), F.col(text_column)
+    )
+    rt = right.select(
+        (F.col(id_column).cast("long") * 2 + 1).alias("__uid"), F.col(text_column)
+    )
+    sig = minhash_signatures(
+        lt.unionByName(rt),
+        "__uid",
+        text_column,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    ).persist()
+    sig.count()
+    return sig
 
 
 # ---------------------------------------------------------------------------

@@ -261,18 +261,23 @@ def dedup_keep_best(
     "max quality, ties to min id" as one map-side partial ``min_by``);
     ``id_column`` may be any orderable type — it is compared, never
     negated (ADVICE r04: the previous ``-id`` tie-break silently cast
-    non-numeric ids to NULL, making ties arbitrary)."""
+    non-numeric ids to NULL, making ties arbitrary). A NULL quality
+    always LOSES to any scored row (the leading null-flag field —
+    without it, min_by's null-first struct ordering would crown the
+    unscored row); all-NULL clusters fall back to the min id."""
     clustered = dedup_clusters(
         df, pairs, id_column=id_column, src_column=src_column, dst_column=dst_column
     )
+    q = F.col(quality_column)
     winners = (
-        clustered.select("cluster_id", F.col(id_column), F.col(quality_column))
+        clustered.select("cluster_id", F.col(id_column), q)
         .groupBy("cluster_id")
         .agg(
             F.min_by(
                 F.col(id_column),
                 F.struct(
-                    (-F.col(quality_column)).alias("neg_q"),
+                    q.isNull().cast("int").alias("unscored"),
+                    (-q).alias("neg_q"),
                     F.col(id_column).alias("tie"),
                 ),
             ).alias(id_column)

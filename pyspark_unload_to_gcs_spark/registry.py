@@ -431,6 +431,19 @@ def _load_extensions() -> None:
 #      the r06 window).
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
+#
+# R06 ROTATION PLAN (execute next round): keep the core eight; put any
+# query added in r06 plus the r05 window's non-core names OUT and
+# backfill with (a) the three r01/r02 greens that missed the r05
+# refresh (balanced_corpus_sample, weighted_source_mix,
+# train_test_split), (b) the rows-only r01/r02 names still unrefreshed
+# (events_approx_users, near_dedup_minhash, near_dedup_ngram,
+# near_dedup_pairs), then (c) the OLDEST r03 greens (asof_latest_click,
+# range_join_attribution, sessionization, sliding_window_events,
+# tumbling_daily_events, text_stats, q2/q7/q12/q16, funnel/retention/
+# growth families...) — after which every name's latest driver row is
+# r03+ and the steady-state cadence is "every query re-checked at
+# least every third round".
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",

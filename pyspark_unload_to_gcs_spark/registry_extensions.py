@@ -28,6 +28,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_MEMO: dict[tuple, DataFrame] = {}
 _SIG_MEMO: dict[tuple, DataFrame] = {}
 _PAIRS_EXACT_MEMO: dict[tuple, DataFrame] = {}
+_FUZZY_SIG_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _shared_fuzzy_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE side-tagged union signature frame per (session, sf_dir) for
+    the fuzzy-join family (production b=8 query, r=1 exact query, and
+    the r05 recall pin all re-band this instead of re-shingling the
+    union per configuration — same sharing rationale as
+    _shared_signatures)."""
+    key = (id(spark), sf_dir)
+    if key not in _FUZZY_SIG_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        _FUZZY_SIG_MEMO[key] = D.fuzzy_union_signatures(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+        )
+    return _FUZZY_SIG_MEMO[key]
 
 
 def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +942,7 @@ def fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 == 0),
         docs.filter(F.col("doc_id") % 3 != 0),
         jaccard_threshold=0.8,
+        signatures=_shared_fuzzy_signatures(spark, sf_dir),
     )
 
 
@@ -966,6 +984,7 @@ def fuzzy_entity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=32,
         num_hashes=32,
         min_matching_bands=12,
+        signatures=_shared_fuzzy_signatures(spark, sf_dir),
     )
     return out.select("left_id", "right_id", F.round("jaccard", 4).alias("jaccard_r"))
 

@@ -151,15 +151,22 @@ def fuzzy_entity_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Same subset/recall argument as near_dedup_minhash_recall;
     the oracle brute-forces the cross-side pairs. Completes the
     recall-pin family: every production near-dup path (minhash, ngram,
-    fuzzy cross-table) now turns driver-red on a recall regression."""
+    fuzzy cross-table) now turns driver-red on a recall regression.
+    Both arms re-band the session's shared union-signature frame
+    (_shared_fuzzy_signatures) — the union is shingled once across the
+    whole fuzzy family."""
     from pyspark_unload_to_gcs_spark.operators.dedup import fuzzy_text_join
+    from pyspark_unload_to_gcs_spark.registry_extensions import (
+        _shared_fuzzy_signatures,
+    )
 
     docs = _docs(spark, sf_dir)
     left = docs.filter(F.col("doc_id") % 3 == 0)
     right = docs.filter(F.col("doc_id") % 3 != 0)
-    prod = fuzzy_text_join(left, right, jaccard_threshold=0.8).select(
-        "left_id", "right_id"
-    )
+    sig = _shared_fuzzy_signatures(spark, sf_dir)
+    prod = fuzzy_text_join(
+        left, right, jaccard_threshold=0.8, signatures=sig
+    ).select("left_id", "right_id")
     exact = fuzzy_text_join(
         left,
         right,
@@ -167,6 +174,7 @@ def fuzzy_entity_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=32,
         num_hashes=32,
         min_matching_bands=12,
+        signatures=sig,
     ).select("left_id", "right_id")
     overlap = prod.join(exact, ["left_id", "right_id"], "left_semi")
     return (
@@ -198,20 +206,31 @@ def events_approx_users_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     row red (measured worst error at sf0.01: 0.67%; the 5% bound is
     ~7x margin). Same pin pattern as the near-dedup recall queries.
 
-    Plan note: collapses to DISTINCT (event_type, user_id) first, then
-    one agg where the exact count is a plain count(*) and the HLL runs
-    over the distinct pairs — identical estimate (HLL registers are
-    max-merged, so duplicates never change the sketch) without the
-    Expand duplication a mixed distinct/non-distinct agg plans
-    (measured 1.8 -> 0.7 s at sf0.1)."""
-    d = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    both = d.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("exact_users"),
+    The approx arm calls THE PRODUCTION QUERY itself
+    (registry_analytics.events_approx_users) — a pin that recomputed
+    its own sketch would stay green while the production rsd or column
+    drifted (r05 review). The exact arm is a distinct-first plain
+    count (no Expand); the full-outer join turns a group present on
+    only one side into a NULL -> FALSE (or an extra row), either of
+    which breaks the driver hash."""
+    from pyspark_unload_to_gcs_spark.registry_analytics import events_approx_users
+
+    approx = events_approx_users(spark, sf_dir)
+    exact = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
     )
+    both = approx.join(exact, "event_type", "full")
     within = (
-        F.abs(F.col("approx_users") - F.col("exact_users"))
-        <= F.col("exact_users") * F.lit(0.05)
+        F.col("approx_users").isNotNull()
+        & F.col("exact_users").isNotNull()
+        & (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        )
     )
     return both.select("event_type", within.alias("within_5pct"))
 
@@ -233,14 +252,17 @@ def rolling_actives_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     """Accuracy pin for ``rolling_active_users_approx`` (per-day
     mergeable HLL sketches, trailing-window unions): per observed day,
     are DAU and WAU estimates within 5% of the exact rolling actives?
-    Joins the sketch path against the exact path (both Spark-side, on
-    the same scan) and emits only the tolerance booleans; the oracle
-    replays the exact operator's day dimension (same SQL as the green
-    ``rolling_active_users`` oracle) with constant TRUE. Also pins that
-    the sketch path emits EXACTLY the observed-day row set — an extra
-    or missing day is a row-count mismatch. At fixture cardinalities
-    the sketches are in sparse mode and exact; 5% covers dense-mode
-    drift at scale without flaking."""
+    FULL-OUTER-joins the sketch path against the exact path (both
+    Spark-side, on the same scan) and emits only the tolerance
+    booleans; the oracle replays the exact operator's day dimension
+    (same SQL as the green ``rolling_active_users`` oracle) with
+    constant TRUE. A day on only one side — the sketch path emitting a
+    spurious window-end day, or missing an observed one — survives the
+    join as an extra row or a NULL -> FALSE, either of which breaks
+    the driver hash (r05 review: the earlier inner join silently
+    dropped extra approx days). At fixture cardinalities the sketches
+    are in sparse mode and exact; 5% covers dense-mode drift at scale
+    without flaking."""
     from pyspark_unload_to_gcs_spark.operators.product import (
         rolling_active_users,
         rolling_active_users_approx,
@@ -249,8 +271,12 @@ def rolling_actives_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     ev = _t(spark, sf_dir, "events")
     exact = rolling_active_users(ev, window_days=7)
     approx = rolling_active_users_approx(ev, window_days=7)
-    j = exact.join(approx, "day_num")
-    ok = lambda a, e: F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05)  # noqa: E731
+    j = exact.join(approx, "day_num", "full")
+    ok = lambda a, e: (  # noqa: E731
+        F.col(a).isNotNull()
+        & F.col(e).isNotNull()
+        & (F.abs(F.col(a) - F.col(e)) <= F.col(e) * F.lit(0.05))
+    )
     return j.select(
         "day_num",
         ok("dau_approx", "dau").alias("dau_within_5pct"),
@@ -264,6 +290,13 @@ def rolling_actives_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
 
 _STREAM_BUDGET = 12000  # same operating point as token_budget_select
 _N_BATCHES = 4
+# The replay's 4 foreachBatch folds write real parquet state — eager
+# side effects, unlike every other (lazy) registry builder. Memoized
+# per (session, sf_dir) so plan-only probes (test_plan_lint, the plan
+# digest) and repeat invocations replay once and reread the same state
+# dir (r05 review: each probe previously paid the full replay I/O and
+# leaked a fresh temp dir).
+_STREAM_REPLAY_MEMO: dict[tuple, DataFrame] = {}
 
 
 _STREAM_REPLAY_SQL = rf"""
@@ -316,22 +349,25 @@ def token_budget_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_unload_to_gcs_spark.streaming.budget import admit_batch, read_admitted
 
-    scored = _docs(spark, sf_dir).select(
-        "doc_id",
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id"),
-    )
-    state = tempfile.mkdtemp(prefix="budget_stream_replay_")
-    for b in range(_N_BATCHES):
-        admit_batch(
-            scored.filter(F.col("batch_id") == b),
-            b,
-            id_column="doc_id",
-            token_column="n_tokens",
-            budget=_STREAM_BUDGET,
-            state_path=state,
+    key = (id(spark), sf_dir)
+    if key not in _STREAM_REPLAY_MEMO:
+        scored = _docs(spark, sf_dir).select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id"),
         )
-    out = read_admitted(spark, state)
+        state = tempfile.mkdtemp(prefix="budget_stream_replay_")
+        for b in range(_N_BATCHES):
+            admit_batch(
+                scored.filter(F.col("batch_id") == b),
+                b,
+                id_column="doc_id",
+                token_column="n_tokens",
+                budget=_STREAM_BUDGET,
+                state_path=state,
+            )
+        _STREAM_REPLAY_MEMO[key] = read_admitted(spark, state)
+    out = _STREAM_REPLAY_MEMO[key]
     return out.select(
         "doc_id", "n_tokens", (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id")
     )

@@ -328,6 +328,28 @@ def test_dedup_keep_best_prefers_quality_then_smaller_id(spark):
     assert out == [3, 4, 5]
 
 
+def test_dedup_keep_best_null_quality_always_loses(spark):
+    """A NULL quality (failed scoring) must never beat a scored row —
+    min_by's null-first struct ordering would otherwise crown the
+    unscored doc (caught by the r05 review of the min_by rewrite);
+    all-NULL clusters fall back to the smaller id."""
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, None)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = sorted(
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, pairs, id_column="doc_id", quality_column="q"
+        ).collect()
+    )
+    # cluster {1,2}: scored 1 beats NULL 2; cluster {3,4}: both NULL -> min id
+    assert out == [1, 3]
+
+
 def test_dedup_keep_best_matches_min_id_when_quality_is_neg_id(spark):
     """With quality = -id the best row IS the min id, so keep-best must
     equal the survivors of plain single-link dedup_clusters."""
