@@ -432,9 +432,12 @@ def _load_extensions() -> None:
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 #
-# R06 ROTATION PLAN (execute next round): keep the core eight; put any
-# query added in r06 plus the r05 window's non-core names OUT and
-# backfill with (a) the three r01/r02 greens that missed the r05
+# R06 ROTATION PLAN (execute next round): keep the core eight; promote
+# the r06 STAGED cohort (registry_staged: merge_stream_replay,
+# rollup_stream_replay — finished, oracle-parity-tested at sf0.001 AND
+# sf0.01) plus any query added in r06; rotate the r05 window's other
+# non-core names OUT and backfill with (a) the three r01/r02 greens
+# that missed the r05
 # refresh (balanced_corpus_sample, weighted_source_mix,
 # train_test_split), (b) the rows-only r01/r02 names still unrefreshed
 # (events_approx_users, near_dedup_minhash, near_dedup_ngram,

@@ -345,3 +345,160 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _shared_exact_pairs(spark, sf_dir)
     out = dedup_keep_best(docs, pairs, id_column="doc_id", quality_column="n_chars")
     return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# --------------------------------------------------------------------------
+# r06 cohort: streaming foreachBatch replays, driver-faced
+# --------------------------------------------------------------------------
+#
+# Same pattern that drove token_budget_stream_replay green in r05: the
+# streaming twins' fold functions are exercised through a DETERMINISTIC
+# batch-sequence replay against versioned parquet state, so the
+# exactly-once versioned-state machinery itself (not just its batch
+# algebra) carries a driver value oracle. Memoized per (session,
+# sf_dir): the folds are eager side effects, and plan-only probes must
+# not replay them.
+
+_MERGE_REPLAY_MEMO: dict = {}
+_ROLLUP_REPLAY_MEMO: dict = {}
+
+_MERGE_REPLAY_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END) + 0.5
+            ELSE (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END)
+       END AS o_totalprice
+FROM orders WHERE o_orderkey % 7 != 0
+"""
+
+
+@register_staged("merge_stream_replay", oracle=_MERGE_REPLAY_SQL)
+def merge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE twin (streaming/merge.py ``merge_batch``)
+    replayed over three deterministic change micro-batches:
+
+    - batch 0: INSERT every order with key % 10 != 0;
+    - batch 1: updates for key % 5 == 0 arriving as the export's
+      DELETE-preimage + INSERT-postimage pair (price + 1.0) at one
+      sequence number — the collapse must pick the INSERT via the
+      change-type tie-break — PLUS a stale lower-sequence INSERT with a
+      poisoned price that last-change-wins must discard; and fresh
+      INSERTs for the key % 10 == 0 rows held out of batch 0, arriving
+      with their already-updated (+1.0) price — every surviving
+      % 5 == 0 key therefore carries the bump regardless of which
+      batch introduced it;
+    - batch 2: DELETEs for key % 7 == 0 and a second update wave
+      (+0.5) for key % 3 == 0 survivors.
+
+    The final snapshot equals a closed-form SQL expression over orders
+    (keys % 7 != 0; price + 1.0 for % 5 == 0, then + 0.5 for % 3 == 0 —
+    additions associated exactly as the postimages computed them), so
+    the versioned-state fold, the per-batch collapse, and
+    apply_changes' anti-join/union all carry the driver hash. Batch
+    construction float arithmetic and the oracle use the same IEEE
+    association."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.operators.cdc import (
+        DELETE,
+        EXPORT_CHANGE_TYPE_COLUMN,
+        INSERT,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import merge_batch, read_snapshot
+
+    key = (id(spark), sf_dir)
+    if key not in _MERGE_REPLAY_MEMO:
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        ct = EXPORT_CHANGE_TYPE_COLUMN
+
+        def change(df, kind, seq):
+            return df.withColumn(ct, F.lit(kind)).withColumn("__seq", F.lit(seq))
+
+        price_b1 = F.when(k % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        )
+        b0 = change(base.filter(k % 10 != 0), INSERT, 0)
+        upd = base.filter((k % 5 == 0) & (k % 10 != 0))
+        b1 = (
+            change(upd, DELETE, 10)
+            .unionByName(change(upd.withColumn("o_totalprice", F.col("o_totalprice") + 1.0), INSERT, 10))
+            .unionByName(change(upd.withColumn("o_totalprice", F.lit(-99.0)), INSERT, 9))
+            .unionByName(
+                change(
+                    base.filter(k % 10 == 0).withColumn(
+                        "o_totalprice", F.col("o_totalprice") + 1.0
+                    ),
+                    INSERT,
+                    10,
+                )
+            )
+        )
+        upd2 = base.filter((k % 3 == 0) & (k % 7 != 0)).withColumn(
+            "o_totalprice", price_b1 + 0.5
+        )
+        b2 = (
+            change(base.filter(k % 7 == 0), DELETE, 20)
+            .unionByName(change(upd2, DELETE, 20))
+            .unionByName(change(upd2, INSERT, 20))
+        )
+        state = tempfile.mkdtemp(prefix="merge_stream_replay_")
+        for i, b in enumerate((b0, b1, b2)):
+            merge_batch(
+                b,
+                i,
+                key_columns=["o_orderkey"],
+                sequence_column="__seq",
+                state_path=state,
+            )
+        _MERGE_REPLAY_MEMO[key] = read_snapshot(spark, state)
+    return _MERGE_REPLAY_MEMO[key].select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_ROLLUP_REPLAY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register_staged("rollup_stream_replay", oracle=_ROLLUP_REPLAY_SQL)
+def rollup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental-rollup twin (streaming/rollup.py
+    ``fold_batch``) replayed over four deterministic micro-batches
+    (event_id % 4, folded in order against versioned parquet state):
+    the final state, finalized, must equal a direct full-scan
+    aggregation — proving the versioned read-fold-overwrite protocol
+    (not just the state algebra, which ``incremental_rollup_merge``
+    already pins) preserves exactness across batch boundaries. Exact
+    DECIMAL state sums make the comparison fold-order-free."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.operators.incremental import finalize_state
+    from pyspark_unload_to_gcs_spark.streaming.rollup import fold_batch, read_state
+
+    key = (id(spark), sf_dir)
+    if key not in _ROLLUP_REPLAY_MEMO:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", "value", (F.col("event_id") % 4).alias("__b")
+        )
+        state = tempfile.mkdtemp(prefix="rollup_stream_replay_")
+        for b in range(4):
+            fold_batch(
+                ev.filter(F.col("__b") == b).drop("__b"),
+                b,
+                keys=["event_type"],
+                value_column="value",
+                state_path=state,
+            )
+        _ROLLUP_REPLAY_MEMO[key] = read_state(spark, state)
+    return finalize_state(_ROLLUP_REPLAY_MEMO[key], ["event_type"])
