@@ -201,16 +201,24 @@ def ivf_assign(
       replayable — every oracle-pinned query uses this path.
     - ``"arrow"``: one Arrow-batched pandas UDF computing all k dots as
       a single numpy matmul — k x dim x batch flops at BLAS speed
-      instead of interpreted HOF evaluation (measured ~6x on the
-      auto-k SemDeDup assignment at sf0.1; the gap widens with k, so
-      this is the production path once k ~ sqrt(n) grows past a few
-      dozen). Same tie rule (larger cell). Scores can differ from the
-      fold path in the last ulp (different summation order), so argmax
-      could in principle flip on an EXACT centroid-score tie —
-      fixture-equivalence is pinned in tests; keep oracle-facing runs
-      on "fold"."""
+      instead of interpreted HOF evaluation (measured ~4x, 2.6 ->
+      0.69 s, on the auto-k SemDeDup assignment at sf0.1/k=50; the gap
+      widens with k, so this is the production path once k ~ sqrt(n)
+      grows past a few dozen). Same tie rule (larger cell). Scores can
+      differ from the fold path in the last ulp (different summation
+      order), so argmax could in principle flip on an EXACT
+      centroid-score tie — fixture-equivalence is pinned in tests;
+      keep oracle-facing runs on "fold". PRECONDITION: every vector
+      non-null with the centroids' dimension — the matmul can't
+      represent NULL scores, so violations FAIL FAST with a clear
+      error instead of silently diverging from the fold path's
+      NULL-score semantics."""
     from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
 
+    if method not in ("fold", "arrow"):
+        raise ValueError(
+            f"ivf_assign: unknown method {method!r} (expected 'fold' or 'arrow')"
+        )
     df = ensure_parallelism(df)
     units = []
     for _cell_id, vec in centroids:
@@ -224,21 +232,39 @@ def ivf_assign(
 
         cell_ids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
         cmat = np.array(units, dtype=np.float64)  # k x dim
+        dim = cmat.shape[1]
         # columns ordered by ASCENDING cell id so "last argmax" = the
         # larger cell on ties, matching the fold path's struct max
         order = np.argsort(cell_ids, kind="stable")
         cell_ids_sorted = cell_ids[order]
         cmat_sorted = cmat[order]
 
-        @pandas_udf("int")
+        @pandas_udf("long")
         def _assign(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
-                return pd.Series([], dtype="int32")
-            m = np.array(vecs.tolist(), dtype=np.float64)  # n x dim
+                return pd.Series([], dtype="int64")
+            if vecs.isna().any():
+                raise ValueError(
+                    "ivf_assign(method='arrow'): NULL embedding in batch — "
+                    "the matmul path requires non-null fixed-dim vectors "
+                    "(use method='fold' or filter/impute first)"
+                )
+            try:
+                m = np.array(vecs.tolist(), dtype=np.float64)  # n x dim
+            except ValueError as exc:
+                raise ValueError(
+                    "ivf_assign(method='arrow'): ragged embedding batch — "
+                    "all vectors must share the centroids' dimension"
+                ) from exc
+            if m.ndim != 2 or m.shape[1] != dim:
+                raise ValueError(
+                    f"ivf_assign(method='arrow'): vectors have dim "
+                    f"{m.shape[1] if m.ndim == 2 else 'mixed'}, centroids {dim}"
+                )
             scores = m @ cmat_sorted.T  # n x k
             rev = scores[:, ::-1]
             idx = scores.shape[1] - 1 - np.argmax(rev, axis=1)
-            return pd.Series(cell_ids_sorted[idx].astype("int32"))
+            return pd.Series(cell_ids_sorted[idx])
 
         return df.select(
             "*", _assign(F.col(vec_column)).alias(cell_column, metadata=meta)

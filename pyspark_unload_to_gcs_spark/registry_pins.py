@@ -290,12 +290,7 @@ def rolling_actives_approx_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
 
 _STREAM_BUDGET = 12000  # same operating point as token_budget_select
 _N_BATCHES = 4
-# The replay's 4 foreachBatch folds write real parquet state — eager
-# side effects, unlike every other (lazy) registry builder. Memoized
-# per (session, sf_dir) so plan-only probes (test_plan_lint, the plan
-# digest) and repeat invocations replay once and reread the same state
-# dir (r05 review: each probe previously paid the full replay I/O and
-# leaked a fresh temp dir).
+# Eager-side-effect replay memo — see streaming/replay.py for why.
 _STREAM_REPLAY_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -345,29 +340,29 @@ def token_budget_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully admitted, batch 1 is cut mid-prefix, and batches 2-3 admit
     nothing (remaining < any doc), so all three admission cases carry
     driver evidence."""
-    import tempfile
-
     from pyspark_unload_to_gcs_spark.streaming.budget import admit_batch, read_admitted
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
 
-    key = (id(spark), sf_dir)
-    if key not in _STREAM_REPLAY_MEMO:
-        scored = _docs(spark, sf_dir).select(
-            "doc_id",
-            T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-            (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id"),
-        )
-        state = tempfile.mkdtemp(prefix="budget_stream_replay_")
-        for b in range(_N_BATCHES):
-            admit_batch(
-                scored.filter(F.col("batch_id") == b),
-                b,
-                id_column="doc_id",
-                token_column="n_tokens",
-                budget=_STREAM_BUDGET,
-                state_path=state,
-            )
-        _STREAM_REPLAY_MEMO[key] = read_admitted(spark, state)
-    out = _STREAM_REPLAY_MEMO[key]
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id"),
+    )
+    out = replay_batches(
+        _STREAM_REPLAY_MEMO,
+        (id(spark), sf_dir),
+        [scored.filter(F.col("batch_id") == b) for b in range(_N_BATCHES)],
+        lambda frame, b, state: admit_batch(
+            frame,
+            b,
+            id_column="doc_id",
+            token_column="n_tokens",
+            budget=_STREAM_BUDGET,
+            state_path=state,
+        ),
+        lambda state: read_admitted(spark, state),
+        prefix="budget_stream_replay_",
+    )
     return out.select(
         "doc_id", "n_tokens", (F.col("doc_id") % _N_BATCHES).cast("long").alias("batch_id")
     )

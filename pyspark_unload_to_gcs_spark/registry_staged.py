@@ -7,8 +7,9 @@ finished Spark sides, DuckDB oracles, and local parity tests
 in a later round's window plan. The r04 cohort (gopher quality
 profile, C4 page cleaning, gopher repetition, quality-aware keep-best
 dedup) was PROMOTED in r05 — those four now use the live decorator and
-sit in the r05 window; ``register_staged`` stays for future cohorts
-(currently empty).
+sit in the r05 window. The CURRENT staged cohort (r06) is the two
+streaming foreachBatch replays at the bottom of this module
+(merge_stream_replay, rollup_stream_replay).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -355,9 +356,8 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming twins' fold functions are exercised through a DETERMINISTIC
 # batch-sequence replay against versioned parquet state, so the
 # exactly-once versioned-state machinery itself (not just its batch
-# algebra) carries a driver value oracle. Memoized per (session,
-# sf_dir): the folds are eager side effects, and plan-only probes must
-# not replay them.
+# algebra) carries a driver value oracle. Scaffold + memo rationale:
+# streaming/replay.py.
 
 _MERGE_REPLAY_MEMO: dict = {}
 _ROLLUP_REPLAY_MEMO: dict = {}
@@ -399,64 +399,65 @@ def merge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_changes' anti-join/union all carry the driver hash. Batch
     construction float arithmetic and the oracle use the same IEEE
     association."""
-    import tempfile
-
     from pyspark_unload_to_gcs_spark.operators.cdc import (
         DELETE,
         EXPORT_CHANGE_TYPE_COLUMN,
         INSERT,
     )
     from pyspark_unload_to_gcs_spark.streaming.merge import merge_batch, read_snapshot
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
 
-    key = (id(spark), sf_dir)
-    if key not in _MERGE_REPLAY_MEMO:
-        base = _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_totalprice"
-        )
-        k = F.col("o_orderkey")
-        ct = EXPORT_CHANGE_TYPE_COLUMN
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    ct = EXPORT_CHANGE_TYPE_COLUMN
 
-        def change(df, kind, seq):
-            return df.withColumn(ct, F.lit(kind)).withColumn("__seq", F.lit(seq))
+    def change(df, kind, seq):
+        return df.withColumn(ct, F.lit(kind)).withColumn("__seq", F.lit(seq))
 
-        price_b1 = F.when(k % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
-            F.col("o_totalprice")
-        )
-        b0 = change(base.filter(k % 10 != 0), INSERT, 0)
-        upd = base.filter((k % 5 == 0) & (k % 10 != 0))
-        b1 = (
-            change(upd, DELETE, 10)
-            .unionByName(change(upd.withColumn("o_totalprice", F.col("o_totalprice") + 1.0), INSERT, 10))
-            .unionByName(change(upd.withColumn("o_totalprice", F.lit(-99.0)), INSERT, 9))
-            .unionByName(
-                change(
-                    base.filter(k % 10 == 0).withColumn(
-                        "o_totalprice", F.col("o_totalprice") + 1.0
-                    ),
-                    INSERT,
-                    10,
-                )
+    price_b1 = F.when(k % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+        F.col("o_totalprice")
+    )
+    b0 = change(base.filter(k % 10 != 0), INSERT, 0)
+    upd = base.filter((k % 5 == 0) & (k % 10 != 0))
+    b1 = (
+        change(upd, DELETE, 10)
+        .unionByName(change(upd.withColumn("o_totalprice", F.col("o_totalprice") + 1.0), INSERT, 10))
+        .unionByName(change(upd.withColumn("o_totalprice", F.lit(-99.0)), INSERT, 9))
+        .unionByName(
+            change(
+                base.filter(k % 10 == 0).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 1.0
+                ),
+                INSERT,
+                10,
             )
         )
-        upd2 = base.filter((k % 3 == 0) & (k % 7 != 0)).withColumn(
-            "o_totalprice", price_b1 + 0.5
-        )
-        b2 = (
-            change(base.filter(k % 7 == 0), DELETE, 20)
-            .unionByName(change(upd2, DELETE, 20))
-            .unionByName(change(upd2, INSERT, 20))
-        )
-        state = tempfile.mkdtemp(prefix="merge_stream_replay_")
-        for i, b in enumerate((b0, b1, b2)):
-            merge_batch(
-                b,
-                i,
-                key_columns=["o_orderkey"],
-                sequence_column="__seq",
-                state_path=state,
-            )
-        _MERGE_REPLAY_MEMO[key] = read_snapshot(spark, state)
-    return _MERGE_REPLAY_MEMO[key].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    upd2 = base.filter((k % 3 == 0) & (k % 7 != 0)).withColumn(
+        "o_totalprice", price_b1 + 0.5
+    )
+    b2 = (
+        change(base.filter(k % 7 == 0), DELETE, 20)
+        .unionByName(change(upd2, DELETE, 20))
+        .unionByName(change(upd2, INSERT, 20))
+    )
+    snap = replay_batches(
+        _MERGE_REPLAY_MEMO,
+        (id(spark), sf_dir),
+        (b0, b1, b2),
+        lambda frame, i, state: merge_batch(
+            frame,
+            i,
+            key_columns=["o_orderkey"],
+            sequence_column="__seq",
+            state_path=state,
+        ),
+        lambda state: read_snapshot(spark, state),
+        prefix="merge_stream_replay_",
+    )
+    return snap.select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 _ROLLUP_REPLAY_SQL = """
@@ -481,24 +482,25 @@ def rollup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not just the state algebra, which ``incremental_rollup_merge``
     already pins) preserves exactness across batch boundaries. Exact
     DECIMAL state sums make the comparison fold-order-free."""
-    import tempfile
-
     from pyspark_unload_to_gcs_spark.operators.incremental import finalize_state
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
     from pyspark_unload_to_gcs_spark.streaming.rollup import fold_batch, read_state
 
-    key = (id(spark), sf_dir)
-    if key not in _ROLLUP_REPLAY_MEMO:
-        ev = _t(spark, sf_dir, "events").select(
-            "event_type", "value", (F.col("event_id") % 4).alias("__b")
-        )
-        state = tempfile.mkdtemp(prefix="rollup_stream_replay_")
-        for b in range(4):
-            fold_batch(
-                ev.filter(F.col("__b") == b).drop("__b"),
-                b,
-                keys=["event_type"],
-                value_column="value",
-                state_path=state,
-            )
-        _ROLLUP_REPLAY_MEMO[key] = read_state(spark, state)
-    return finalize_state(_ROLLUP_REPLAY_MEMO[key], ["event_type"])
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 4).alias("__b")
+    )
+    final = replay_batches(
+        _ROLLUP_REPLAY_MEMO,
+        (id(spark), sf_dir),
+        [ev.filter(F.col("__b") == b).drop("__b") for b in range(4)],
+        lambda frame, b, state: fold_batch(
+            frame,
+            b,
+            keys=["event_type"],
+            value_column="value",
+            state_path=state,
+        ),
+        lambda state: read_state(spark, state),
+        prefix="rollup_stream_replay_",
+    )
+    return finalize_state(final, ["event_type"])
