@@ -297,6 +297,36 @@ def minhash_signatures(
     )
 
 
+def _validate_signature_build(
+    frame: DataFrame,
+    *,
+    caller: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> None:
+    """Refuse a signature/index frame whose build metadata contradicts
+    the caller's parameters. ``minhash_signatures`` / ``signature_frame``
+    attach {num_hashes, shingle_n[, bands]} as column metadata (survives
+    persist and a parquet round-trip); re-banding a 32-hash frame as if
+    it had 64 hashes produces garbage band keys and silently misses
+    duplicates, so any mismatch raises here at plan time."""
+    for field_name, params in (
+        ("__sig", ("num_hashes", "shingle_n")),
+        ("__bands", ("num_hashes", "bands", "shingle_n")),
+    ):
+        if field_name in frame.columns:
+            meta = frame.schema[field_name].metadata or {}
+            ours = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+            for p in params:
+                if p in meta and int(meta[p]) != ours[p]:
+                    raise ValueError(
+                        f"{caller}: signature frame was built with {p}={int(meta[p])} "
+                        f"but the call assumes {p}={ours[p]} — matching would silently "
+                        "miss duplicates. Rebuild the frame or pass matching parameters."
+                    )
+
+
 def signature_frame(
     df: DataFrame,
     id_column: str,
@@ -401,6 +431,17 @@ def minhash_candidate_pairs(
     the linear regime and need none.
     """
     rows_per_band = num_hashes // bands
+    if signatures is not None:
+        # Same refusal as match_against_index (ADVICE r05): a caller-passed
+        # signature frame built with different num_hashes/shingle_n would
+        # silently produce garbage band keys and miss duplicates.
+        _validate_signature_build(
+            signatures,
+            caller="minhash_candidate_pairs",
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
     if signatures is None:
         # The (id, shingle-hash, signature) projection feeds four plan
         # branches (two band-join sides, two verify join-backs) plus any
@@ -507,20 +548,13 @@ def match_against_index(
     # survives a parquet round-trip), the caller's parameters must match
     # how the index was actually built — a 32-hash index re-banded as if
     # it had 64 hashes produces garbage band keys and misses duplicates.
-    for field_name, params in (
-        ("__sig", ("num_hashes", "shingle_n")),
-        ("__bands", ("num_hashes", "bands", "shingle_n")),
-    ):
-        if field_name in index.columns:
-            meta = index.schema[field_name].metadata or {}
-            ours = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
-            for p in params:
-                if p in meta and int(meta[p]) != ours[p]:
-                    raise ValueError(
-                        f"match_against_index: index was built with {p}={int(meta[p])} "
-                        f"but the call assumes {p}={ours[p]} — matching would silently "
-                        "miss duplicates. Rebuild the index or pass matching parameters."
-                    )
+    _validate_signature_build(
+        index,
+        caller="match_against_index",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
 
     newsig = signature_frame(
         new_df, id_column, text_column, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
@@ -745,6 +779,25 @@ def simhash_dedup(
     return df.join(losers, on=id_column, how="left_anti")
 
 
+def _require_integral_ids(
+    left: DataFrame, right: DataFrame, id_column: str, *, caller: str
+) -> None:
+    """Plan-time guard for the even/odd side-tag packing: ``id_column``
+    must be integral on both sides (values in (-2^62, 2^62) — overflow
+    fails loudly at execution under ANSI mode). A non-integral id would
+    silently cast __uid to NULL (ADVICE r05)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for side, df_side in (("left", left), ("right", right)):
+        dtype = df_side.schema[id_column].dataType
+        if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"{caller}: {side}.{id_column} has type {dtype.simpleString()}; "
+                "the even/odd side-tag packing requires an integral id in (-2^62, 2^62). "
+                "Map ids through an integral surrogate first."
+            )
+
+
 def fuzzy_text_join(
     left: DataFrame,
     right: DataFrame,
@@ -787,16 +840,7 @@ def fuzzy_text_join(
     dense integral surrogate first (e.g. ``F.xxhash64`` with a
     collision check, or ``zipWithIndex``-style assignment).
     """
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    for side, df_side in (("left", left), ("right", right)):
-        dtype = df_side.schema[id_column].dataType
-        if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
-            raise ValueError(
-                f"fuzzy_text_join: {side}.{id_column} has type {dtype.simpleString()}; "
-                "the even/odd side-tag packing requires an integral id in (-2^62, 2^62). "
-                "Map ids through an integral surrogate first."
-            )
+    _require_integral_ids(left, right, id_column, caller="fuzzy_text_join")
     lt = left.select(
         (F.col(id_column).cast("long") * 2).alias("__uid"), F.col(text_column)
     )
@@ -843,6 +887,7 @@ def fuzzy_union_signatures(
     same two tables in one session — the shingling runs once. Persist +
     eager count is the materialization barrier the signature contract
     requires (see ``minhash_candidate_pairs``)."""
+    _require_integral_ids(left, right, id_column, caller="fuzzy_union_signatures")
     lt = left.select(
         (F.col(id_column).cast("long") * 2).alias("__uid"), F.col(text_column)
     )

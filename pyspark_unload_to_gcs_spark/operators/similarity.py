@@ -261,6 +261,15 @@ def ivf_assign(
                     f"ivf_assign(method='arrow'): vectors have dim "
                     f"{m.shape[1] if m.ndim == 2 else 'mixed'}, centroids {dim}"
                 )
+            # isna() above only catches whole-NULL vectors; a NULL
+            # ELEMENT inside a correct-length vector becomes NaN here
+            # and would argmax into a silent arbitrary cell (ADVICE r05)
+            if np.isnan(m).any():
+                raise ValueError(
+                    "ivf_assign(method='arrow'): NULL/NaN element inside "
+                    "an embedding — the matmul path requires fully non-null "
+                    "vectors (use method='fold' or filter/impute first)"
+                )
             scores = m @ cmat_sorted.T  # n x k
             rev = scores[:, ::-1]
             idx = scores.shape[1] - 1 - np.argmax(rev, axis=1)

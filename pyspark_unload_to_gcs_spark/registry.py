@@ -432,21 +432,31 @@ def _load_extensions() -> None:
 # Everything else keeps registration order after these; all remain
 # locally oracle-verified every pytest run (tests/test_oracle_parity.py).
 #
-# R06 ROTATION PLAN (execute next round): keep the core eight; promote
-# the r06 STAGED cohort (registry_staged: merge_stream_replay,
-# rollup_stream_replay — finished, oracle-parity-tested at sf0.001 AND
-# sf0.01) plus any query added in r06; rotate the r05 window's other
-# non-core names OUT and backfill with (a) the three r01/r02 greens
-# that missed the r05
-# refresh (balanced_corpus_sample, weighted_source_mix,
-# train_test_split), (b) the rows-only r01/r02 names still unrefreshed
-# (events_approx_users, near_dedup_minhash, near_dedup_ngram,
-# near_dedup_pairs), then (c) the OLDEST r03 greens (asof_latest_click,
-# range_join_attribution, sessionization, sliding_window_events,
-# tumbling_daily_events, text_stats, q2/q7/q12/q16, funnel/retention/
-# growth families...) — after which every name's latest driver row is
-# r03+ and the steady-state cadence is "every query re-checked at
-# least every third round".
+# Round-6 window composition (executes the r05 rotation plan, amended
+# by VERDICT r05 #2: ZERO rows-only slots — every window row is
+# oracle-bearing; the rows-only approximate family is covered by its
+# green exact/recall twins, several of which are themselves in-window):
+#   1. reference-parity core (pinned since r03);
+#   2. never-checked: the two queries NEW this round
+#      (near_dedup_simhash_recall — the last recall pin, replacing the
+#      rows-only near_dedup_simhash slot; export_roundtrip_hash — K1/K3
+#      gzip-JSON bytes-on-disk under a driver oracle) plus the promoted
+#      r06 staged cohort (merge_stream_replay, rollup_stream_replay);
+#   3. evidence refresh, oldest first: ALL three r02-only greens
+#      (train_test_split, balanced_corpus_sample, weighted_source_mix)
+#      and ALL 34 r03-only oracle-bearing greens, so after this round
+#      every registered query's newest driver row is <= 2 rounds old
+#      (r04 names carry r04 evidence = exactly 2 rounds; r05 names 1);
+#   4. one spare slot to the oldest r04 green (cdc_apply_changes — the
+#      MERGE batch path, complementing the new merge_stream_replay).
+#
+# R07 ROTATION PLAN (execute next round): keep the core eight; put any
+# r07-new queries in first; then refresh the r04 greens (40 names:
+# cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H
+# q8-q22 shapes, privacy gates, pagerank, layout queries) — they fit in
+# one window with room to spare; backfill remaining slots with the
+# oldest r05 greens. Steady state: every query re-checked at least
+# every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
@@ -457,51 +467,52 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2a. promoted from the r04 staging area
-    "gopher_quality_profile",
-    "c4_page_clean_stats",
-    "gopher_repetition",
-    "dedup_keep_best_exact",
-    # 2b. new in round 5 + the r4 harness-crash re-check
-    "value_percentiles_approx",
-    "near_dedup_minhash_recall",
-    "near_dedup_ngram_recall",
-    "token_budget_stream_replay",
-    "semantic_dedup_auto",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "events_approx_users_accuracy",
-    "rolling_actives_approx_accuracy",
-    "fuzzy_entity_join_recall",
-    # 3. oldest-green refresh (driver evidence only from r01/r02)
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q6_revenue_delta",
-    "exact_dedup",
-    "normalized_dedup",
-    "token_count",
-    "quality_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "grouping_sets_revenue",
-    "rollup_pricing",
-    "cube_order_stats",
-    "regional_revenue",
-    "big_orders",
-    "orders_with_returns",
-    "top_orders_per_customer",
-    "top_parts_by_revenue",
-    "customer_order_distribution",
-    "scd_latest_order_maxby",
-    "value_histogram",
-    "value_percentiles",
-    "json_props_extract",
-    "hot_users",
-    "user_activity",
-    "rolling_user_value",
-    "salted_user_activity",
-    "constraint_profile_orders",
-    "near_dedup_simhash",
+    # 2. never-checked: new this round + promoted staged cohort
+    "near_dedup_simhash_recall",
+    "export_roundtrip_hash",
+    "merge_stream_replay",
+    "rollup_stream_replay",
+    # 3a. r02-only greens (oldest evidence in the ledger)
+    "train_test_split",
+    "balanced_corpus_sample",
+    "weighted_source_mix",
+    # 3b. r03-only greens — all 34
+    "customers_without_orders",
+    "nations_customers_not_suppliers",
+    "asof_latest_click",
+    "range_join_attribution",
+    "tumbling_daily_events",
+    "sliding_window_events",
+    "sessionization",
+    "text_stats",
+    "training_corpus_pipeline",
+    "tfidf_top_terms",
+    "bm25_search",
+    "clean_corpus_stats",
+    "vector_topk",
+    "bpe_ish_token_count",
+    "multimodal_meta",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "rolling_active_users",
+    "growth_accounting",
+    "top_event_paths",
+    "session_funnel",
+    "q12_priority_by_linestatus",
+    "user_event_gaps",
+    "document_chunks",
+    "incremental_rollup_merge",
+    "pii_redaction",
+    "repetition_stats",
+    "benchmark_contamination",
+    "q7_nation_pair_revenue",
+    "q16_part_supplier_counts",
+    "sequence_packing",
+    "q2_min_price_supplier",
+    "incremental_topk_merge",
+    "winsorized_value_stats",
+    # 4. spare slot: oldest r04 green
+    "cdc_apply_changes",
 )
 
 

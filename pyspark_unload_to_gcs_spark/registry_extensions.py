@@ -16,6 +16,7 @@ from pyspark_unload_to_gcs_spark.operators import dedup as D
 from pyspark_unload_to_gcs_spark.operators import similarity as S
 from pyspark_unload_to_gcs_spark.operators import text as T
 from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+from pyspark_unload_to_gcs_spark.session import session_token
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +38,7 @@ def _shared_fuzzy_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r05 recall pin all re-band this instead of re-shingling the
     union per configuration — same sharing rationale as
     _shared_signatures)."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _FUZZY_SIG_MEMO:
         docs = _t(spark, sf_dir, "documents")
         _FUZZY_SIG_MEMO[key] = D.fuzzy_union_signatures(
@@ -54,7 +55,7 @@ def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-band high-recall ngram dedup) — the shingling is ~all the cost.
     Persist+count here IS the materialization barrier the signature
     frame's contract requires."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _SIG_MEMO:
         sig = D.minhash_signatures(
             _t(spark, sf_dir, "documents"), "doc_id", "text"
@@ -69,7 +70,7 @@ def _shared_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + binomial-pre-filtered pair set shared by near_dedup_pairs_exact
     and near_dup_clusters_exact (same sharing rationale as
     _shared_minhash_pairs: share the OBJECT, not an equal plan)."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _PAIRS_EXACT_MEMO:
         _PAIRS_EXACT_MEMO[key] = D.minhash_candidate_pairs(
             _t(spark, sf_dir, "documents"),
@@ -91,7 +92,7 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted signature frame, so reuse cannot depend on Spark's plan-
     canonicalization cache lookup (observed to miss across a long
     session, recomputing the 4x-cost signature pipeline)."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _PAIRS_MEMO:
         _PAIRS_MEMO[key] = D.minhash_candidate_pairs(
             _t(spark, sf_dir, "documents"),

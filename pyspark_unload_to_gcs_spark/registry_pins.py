@@ -23,6 +23,7 @@ from pyspark_unload_to_gcs_spark.operators import dedup as D
 from pyspark_unload_to_gcs_spark.operators import similarity as S
 from pyspark_unload_to_gcs_spark.operators import text as T
 from pyspark_unload_to_gcs_spark.registry import _t, register
+from pyspark_unload_to_gcs_spark.session import session_token
 from pyspark_unload_to_gcs_spark.registry_extensions import (
     _docs,
     _DOT,
@@ -350,7 +351,7 @@ def token_budget_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = replay_batches(
         _STREAM_REPLAY_MEMO,
-        (id(spark), sf_dir),
+        (session_token(spark), sf_dir),
         [scored.filter(F.col("batch_id") == b) for b in range(_N_BATCHES)],
         lambda frame, b, state: admit_batch(
             frame,
@@ -459,3 +460,147 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = base.unionByName(exact).unionByName(pert)
     out = S.semantic_cluster_dedup(uni, n_centroids="auto", cosine_threshold=0.95)
     return out.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# simhash recall pin (VERDICT r05 #2 — completes the recall-pin family;
+# the r6 window carries no rows-only slot)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_DUP_OFFSET = 1_000_000
+_SIMHASH_DECOY_OFFSET = 2_000_000
+
+_SIMHASH_RECALL_SQL = """
+SELECT CAST(count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS BIGINT) AS n_planted,
+       CAST(count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS BIGINT) AS n_planted_dropped,
+       CAST(count(CASE WHEN doc_id % 10 = 7 THEN 1 END) AS BIGINT) AS n_decoys,
+       CAST(0 AS BIGINT) AS n_decoys_dropped
+FROM documents
+"""
+
+
+@register("near_dedup_simhash_recall", oracle=_SIMHASH_RECALL_SQL)
+def near_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision pin for the PRODUCTION simhash path
+    (``simhash_dedup``, hamming<=3 over 64-bit Charikar simhash with
+    4-band pigeonhole candidates) — the last rows-only family member
+    without one (VERDICT r05 #2). The simhash values are blake2b-seeded
+    and not SQL-replayable, so the pin plants structurally-guaranteed
+    pairs instead of brute-forcing distances:
+
+    - every 10th document is duplicated VERBATIM at doc_id+1_000_000:
+      identical text => identical simhash => hamming 0, and the
+      pigeonhole banding finds every hamming<=bands-1 pair exactly (all
+      4 chunks equal), so each planted copy MUST be dropped (its source
+      has the smaller id). n_planted_dropped == n_planted pins recall.
+    - every (10k+7)th document is replaced by a DECOY with two tokens
+      unique to it ("zq{id}x wk{id}v") at doc_id+2_000_000: its simhash
+      is an independent uniform 64-bit value, so P(hamming<=3 to ANY
+      other doc) ~ n * 4.3e4/2^64 < 1e-9 at bench scale — decoys MUST
+      survive. n_decoys_dropped == 0 pins against hash-collapse
+      regressions (a degenerate simhash_column mapping everything to
+      one value would drop the decoys and turn the row red; planted
+      recall alone would stay green under that failure).
+
+    Both sides reduce to counts over the documents table, so the oracle
+    is plain SQL while the Spark side runs the real Pandas-UDF hashing,
+    banding, pair join, and anti-join end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + _SIMHASH_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    decoys = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + _SIMHASH_DECOY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x wk"),
+            F.col("doc_id").cast("string"), F.lit("v"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted).unionByName(decoys)
+    survivors = D.simhash_dedup(corpus, "doc_id", "text")
+    surv_counts = survivors.agg(
+        F.count(
+            F.when(
+                (F.col("doc_id") >= _SIMHASH_DUP_OFFSET)
+                & (F.col("doc_id") < _SIMHASH_DECOY_OFFSET),
+                1,
+            )
+        ).cast("long").alias("__surv_planted"),
+        F.count(F.when(F.col("doc_id") >= _SIMHASH_DECOY_OFFSET, 1))
+        .cast("long")
+        .alias("__surv_decoy"),
+    )
+    base_counts = docs.agg(
+        F.count(F.when(F.col("doc_id") % 10 == 3, 1)).cast("long").alias("__n_planted"),
+        F.count(F.when(F.col("doc_id") % 10 == 7, 1)).cast("long").alias("__n_decoy"),
+    )
+    return base_counts.crossJoin(surv_counts).select(
+        F.col("__n_planted").alias("n_planted"),
+        (F.col("__n_planted") - F.col("__surv_planted")).alias("n_planted_dropped"),
+        F.col("__n_decoy").alias("n_decoys"),
+        (F.col("__n_decoy") - F.col("__surv_decoy")).alias("n_decoys_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer-path roundtrip oracle (VERDICT r05 #5 — K1/K3 bytes-on-disk
+# under a driver row instead of local-test-only)
+# ---------------------------------------------------------------------------
+
+_EXPORT_ROUNDTRIP_MEMO: dict = {}
+
+_EXPORT_ROUNDTRIP_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       md5(to_json(struct_pack(
+           c_custkey    := c_custkey,
+           c_mktsegment := c_mktsegment,
+           c_name       := c_name))) AS row_hash
+FROM customer
+WHERE c_name IS NOT NULL AND c_name != ''
+  AND c_mktsegment IS NOT NULL AND c_mktsegment != ''
+"""
+
+
+@register("export_roundtrip_hash", oracle=_EXPORT_ROUNDTRIP_SQL)
+def export_roundtrip_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual end-to-end job under a driver oracle
+    (VERDICT r05 #5; reference export.py:193-233): full sync with
+    non-null filter + json-method content hash, written through
+    ``write_export`` as gzip JSON-lines with maxRecordsPerFile (K1+K3),
+    then read BACK from the bytes on disk and compared against a DuckDB
+    oracle computing the same projection+hash directly from parquet —
+    so the compression codec, the JSON serialization, and the file
+    split all sit inside the hash-checked path. Hash restricted to the
+    BIGINT/VARCHAR columns where Spark/DuckDB JSON is byte-identical
+    (see content_hash_json). The write is memoized per (session,
+    sf_dir): eager side effect, one write per session, plan probes
+    reread the same files."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig
+    from pyspark_unload_to_gcs_spark.operators.filters import non_null_filter
+    from pyspark_unload_to_gcs_spark.operators.hashing import content_hash
+    from pyspark_unload_to_gcs_spark.sinks.writers import write_export
+
+    key = (session_token(spark), sf_dir)
+    if key not in _EXPORT_ROUNDTRIP_MEMO:
+        df = non_null_filter(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+            ["c_name", "c_mktsegment"],
+        )
+        df = content_hash(df, "row_hash", method="json")
+        out_dir = tempfile.mkdtemp(prefix="export_roundtrip_")
+        write_export(
+            df,
+            SyncConfig(
+                table="customer",
+                export_format=ExportFormat.JSON,
+                output_uri=f"file:{out_dir}",
+                compression="gzip",
+                max_records_per_file=500,
+            ),
+        )
+        _EXPORT_ROUNDTRIP_MEMO[key] = out_dir
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_mktsegment string, row_hash string"
+    ).json(f"file:{_EXPORT_ROUNDTRIP_MEMO[key]}")

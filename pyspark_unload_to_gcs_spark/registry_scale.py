@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_unload_to_gcs_spark.registry import _t, register
+from pyspark_unload_to_gcs_spark.session import session_token
 from pyspark_unload_to_gcs_spark.operators import similarity as S
 
 # ---------------------------------------------------------------------------
@@ -30,7 +31,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (session, sf_dir) — modeling the real flow where the bucketed write
     is a one-time layout cost amortized over every later join. Tables
     are external (path-backed) in a session temp dir."""
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _BUCKETED_MEMO:
         from pyspark_unload_to_gcs_spark.sources.bucketed import write_bucketed
 

@@ -6,10 +6,11 @@ finished Spark sides, DuckDB oracles, and local parity tests
 (tests/test_staged_queries.py), then rotate into the LIVE ``register``
 in a later round's window plan. The r04 cohort (gopher quality
 profile, C4 page cleaning, gopher repetition, quality-aware keep-best
-dedup) was PROMOTED in r05 — those four now use the live decorator and
-sit in the r05 window. The CURRENT staged cohort (r06) is the two
-streaming foreachBatch replays at the bottom of this module
-(merge_stream_replay, rollup_stream_replay).
+dedup) was PROMOTED in r05; the r06 cohort (merge_stream_replay,
+rollup_stream_replay — the streaming foreachBatch replays at the
+bottom of this module) was PROMOTED in r06. The staging area is
+currently EMPTY — new entries land here when the driver window has no
+free slot in the round they are written.
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -23,6 +24,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark_unload_to_gcs_spark.session import session_token
 
 from pyspark_unload_to_gcs_spark.registry import _t, register
 
@@ -374,7 +376,7 @@ FROM orders WHERE o_orderkey % 7 != 0
 """
 
 
-@register_staged("merge_stream_replay", oracle=_MERGE_REPLAY_SQL)
+@register("merge_stream_replay", oracle=_MERGE_REPLAY_SQL)
 def merge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming MERGE twin (streaming/merge.py ``merge_batch``)
     replayed over three deterministic change micro-batches:
@@ -445,7 +447,7 @@ def merge_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = replay_batches(
         _MERGE_REPLAY_MEMO,
-        (id(spark), sf_dir),
+        (session_token(spark), sf_dir),
         (b0, b1, b2),
         lambda frame, i, state: merge_batch(
             frame,
@@ -472,7 +474,7 @@ GROUP BY event_type
 """
 
 
-@register_staged("rollup_stream_replay", oracle=_ROLLUP_REPLAY_SQL)
+@register("rollup_stream_replay", oracle=_ROLLUP_REPLAY_SQL)
 def rollup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming incremental-rollup twin (streaming/rollup.py
     ``fold_batch``) replayed over four deterministic micro-batches
@@ -491,7 +493,7 @@ def rollup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = replay_batches(
         _ROLLUP_REPLAY_MEMO,
-        (id(spark), sf_dir),
+        (session_token(spark), sf_dir),
         [ev.filter(F.col("__b") == b).drop("__b") for b in range(4)],
         lambda frame, b, state: fold_batch(
             frame,

@@ -14,6 +14,16 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def session_token(spark: SparkSession) -> str:
+    """Stable identity for per-session memo keys. ``id(spark)`` is
+    unsafe: a stopped session's address can be reused by a new
+    SparkSession, handing the memo a DataFrame bound to the dead
+    session (ADVICE r05). ``applicationId`` is unique per started
+    application (timestamp+counter based) and survives for the
+    session's life."""
+    return spark.sparkContext.applicationId
+
+
 def get_spark(
     app_name: str = "pyspark-unload-to-gcs-spark",
     master: str | None = None,
