@@ -195,6 +195,8 @@ def gopher_repetition_profile(
     df: DataFrame,
     id_column: str = "doc_id",
     text_column: str = "text",
+    *,
+    method: str = "fold",
 ) -> DataFrame:
     """Per-document Gopher repetition signals (arXiv 2112.11446 Table
     A1) + ``repetition_ok`` under the paper's thresholds:
@@ -234,8 +236,46 @@ def gopher_repetition_profile(
     so the 64-bit window hash is exact up to in-document collision odds
     ~g^2/2^64 — the same trade the minhash shingles make. (Rotation
     distances 13k mod 64 are distinct for the k < 10 positions in
-    play, so permuted windows don't collide structurally.)"""
+    play, so permuted windows don't collide structurally.)
+
+    ``method``:
+    - ``"fold"`` (default): the builtin zip_with/array_sort/fold chain
+      described above — cross-engine replayable, every expression
+      JVM-side.
+    - ``"arrow"``: one ``mapInPandas`` pass running the numpy run-count
+      core (``repetition_profile_pandas``) — same output values
+      bit-for-bit (integer run counts, one final double division;
+      equivalence pinned at fixture scale AND by a hypothesis property
+      test), measured ~2x the whole query at sf0.1 because the fold
+      path is per-element interpreted-lambda bound. Same narrow
+      zero-shuffle plan shape (MapInPandas instead of Project).
+      The registered bench query runs this path; the oracle stays valid
+      because the outputs are identical."""
     from pyspark_unload_to_gcs_spark.operators.text import tokens_col
+
+    if method not in ("fold", "arrow"):
+        raise ValueError(
+            f"gopher_repetition_profile: unknown method {method!r} "
+            "(expected 'fold' or 'arrow')"
+        )
+    if method == "arrow":
+        from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
+        id_type = df.schema[id_column].dataType.simpleString()
+        schema = ", ".join(
+            [f"{id_column} {id_type}", "dup_line_frac double", "dup_line_char_frac double"]
+            + [f"top_{n}gram_char_frac double" for n in sorted(TOP_NGRAM_LIMITS)]
+            + [f"dup_{n}gram_char_frac double" for n in sorted(DUP_NGRAM_LIMITS)]
+            + ["repetition_ok boolean"]
+        )
+
+        def _gen(batches):
+            for pdf in batches:
+                yield repetition_profile_pandas(pdf, id_column, text_column)
+
+        return ensure_parallelism(df.select(id_column, text_column)).mapInPandas(
+            _gen, schema
+        )
 
     text = F.col(text_column)
     ns = sorted(TOP_NGRAM_LIMITS) + sorted(DUP_NGRAM_LIMITS)
@@ -443,3 +483,162 @@ def gopher_repetition_profile(
         cols.append(frac.alias(f"dup_{n}gram_char_frac"))
         ok = ok & (frac <= limit)
     return out.select(*cols, ok.alias("repetition_ok"))
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized repetition core (VERDICT r05 #1 — same fold/arrow twin
+# pattern as similarity.ivf_assign: the fold path above is the
+# cross-engine-replayable reference, this is the production path)
+# --------------------------------------------------------------------------
+
+_REP_NS = sorted(TOP_NGRAM_LIMITS) + sorted(DUP_NGRAM_LIMITS)
+
+
+def _splitmix64_np(x):
+    """splitmix64 finalizer over a uint64 numpy array (the window-hash
+    seed for the Arrow path; internal only — outputs never leave the
+    batch, so cross-engine hash portability is not required)."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def repetition_profile_pandas(pdf, id_column: str = "doc_id", text_column: str = "text"):
+    """One Arrow batch of ``gopher_repetition_profile``, computed with
+    numpy sort + run-length counting instead of interpreted HOF folds.
+
+    OUTPUT-EQUIVALENT to the fold path by construction: both reduce a
+    document's per-n window multiset to run (count, window_char_len)
+    pairs and consume only ``count x len`` products (top run by (c, l),
+    dup sum over c > 1 runs), and every scalar here replicates the
+    column semantics exactly — trim strips SPACES only (Spark F.trim),
+    tokens come from Java-compatible ``re.split(r"\\s+", ..., ASCII)``
+    over the trimmed text with leading/trailing empty tokens kept
+    (F.split limit=-1), lines filter on space-trimmed non-empty, and
+    window char length is token-length sum + (n-1) separators. Window
+    identity is hashed (splitmix64 chain over np.unique token codes)
+    exactly as the fold path hashes via xxhash64+rot13 — equal up to
+    the same ~g^2/2^64 in-document collision odds, with integer counts
+    and one final double division, so agreeing runs produce BIT-EQUAL
+    fractions. Equivalence is pinned on fixtures and by a hypothesis
+    property test in tests/test_quality_filters.py.
+
+    Batch shape: one pass of Python tokenization per doc (the only
+    per-doc loop), then flat numpy arrays for the rolling hash/length
+    chains across all nine gram sizes, one lexsort per n over the
+    batch's windows, and scatter (maximum.at/add.at) per-doc reductions
+    — BLAS-free but branch-free, measured ~2x the whole query vs the
+    interpreted fold at sf0.1 (the fold's per-element lambda evaluation
+    was ~all its cost)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf[id_column]
+    texts = pdf[text_column].tolist()
+    n_docs = len(texts)
+    ns = _REP_NS
+
+    dup_line_frac = np.zeros(n_docs)
+    dup_line_char_frac = np.zeros(n_docs)
+    chars = np.zeros(n_docs)
+    tok_lists = []
+    for d, t in enumerate(texts):
+        t = "" if t is None else str(t)
+        lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
+        if lines:
+            seen = set()
+            dup_n = 0
+            dup_c = 0
+            total_c = 0
+            for ln in lines:
+                total_c += len(ln)
+                if ln in seen:
+                    dup_n += 1
+                    dup_c += len(ln)
+                else:
+                    seen.add(ln)
+            dup_line_frac[d] = float(dup_n) / len(lines)
+            if total_c > 0:
+                dup_line_char_frac[d] = float(dup_c) / float(total_c)
+        trimmed = t.strip(" ")
+        chars[d] = float(len(trimmed))
+        tok_lists.append(
+            [] if trimmed == "" else re.split(r"\s+", trimmed, flags=re.ASCII)
+        )
+
+    counts_per_doc = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    total = int(counts_per_doc.sum())
+    top_chars = {n: np.zeros(n_docs, dtype=np.int64) for n in ns}
+    top_count = {n: np.zeros(n_docs, dtype=np.int64) for n in ns}
+    dup_chars = {n: np.zeros(n_docs, dtype=np.int64) for n in ns}
+    if total > 0:
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts_per_doc)
+        flat = [tok for toks in tok_lists for tok in toks]
+        _, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        tl = np.fromiter((len(tok) for tok in flat), dtype=np.int64, count=total)
+        h0 = _splitmix64_np(inv.astype(np.uint64))
+        clen = np.concatenate(([0], np.cumsum(tl)))
+        prev = h0  # level-1 chain over flat positions
+        for n in ns:
+            m = total - n + 1
+            if m <= 0:
+                break
+            # H_n[i] = rot13(H_{n-1}[i]) XOR h0[i+n-1] on the flat array;
+            # windows crossing a doc boundary get garbage but are masked
+            # (any cross-boundary window's sub-window is also cross-boundary)
+            prev = ((prev[:m] << np.uint64(13)) | (prev[:m] >> np.uint64(51))) ^ h0[
+                n - 1 :
+            ]
+            valid = doc_idx[:m] == doc_idx[n - 1 :]
+            if not valid.any():
+                continue
+            d = doc_idx[:m][valid]
+            h = prev[valid]
+            wl = (clen[n:] - clen[:-n])[valid[: total - n + 1]] + (n - 1)
+            order = np.lexsort((h, d))
+            ds, hs, ls = d[order], h[order], wl[order]
+            starts = np.concatenate(
+                ([True], (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1]))
+            )
+            sidx = np.flatnonzero(starts)
+            run_c = np.diff(np.concatenate((sidx, [len(ds)])))
+            run_d = ds[sidx]
+            run_l = ls[sidx]
+            # top run per doc by (count, len): pack into one sortable key
+            key = (run_c.astype(np.uint64) << np.uint64(32)) | run_l.astype(
+                np.uint64
+            )
+            best = np.zeros(n_docs, dtype=np.uint64)
+            np.maximum.at(best, run_d, key)
+            bc = (best >> np.uint64(32)).astype(np.int64)
+            bl = (best & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            top_chars[n] = bc * bl
+            top_count[n] = bc
+            rep = run_c > 1
+            np.add.at(dup_chars[n], run_d[rep], run_c[rep] * run_l[rep])
+
+    denom = np.maximum(chars, 1.0)
+    out = {
+        id_column: ids,
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    ok = (dup_line_frac <= MAX_DUP_LINE_FRAC) & (
+        dup_line_char_frac <= MAX_DUP_LINE_CHAR_FRAC
+    )
+    for n, limit in TOP_NGRAM_LIMITS.items():
+        gated = np.where(top_count[n] > 1, top_chars[n], 0)
+        frac = np.minimum(gated.astype(np.float64) / denom, 1.0)
+        out[f"top_{n}gram_char_frac"] = frac
+        ok = ok & (frac <= limit)
+    for n, limit in DUP_NGRAM_LIMITS.items():
+        frac = np.minimum(dup_chars[n].astype(np.float64) / denom, 1.0)
+        out[f"dup_{n}gram_char_frac"] = frac
+        ok = ok & (frac <= limit)
+    out["repetition_ok"] = ok
+    return pd.DataFrame(out)

@@ -445,6 +445,16 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the k smallest-id vectors), so the oracle computes k from the
     corpus count and replays centroid pick, unit-normalized argmax
     assignment (ties -> larger cell) and fold-order-pinned cosine."""
+    return semantic_dedup_auto_with_method(spark, sf_dir, assign_method="fold")
+
+
+def semantic_dedup_auto_with_method(
+    spark: SparkSession, sf_dir: str, *, assign_method: str = "fold"
+) -> DataFrame:
+    """The ``semantic_dedup_auto`` pipeline with a selectable assignment
+    backend — the registered query pins ``fold`` (oracle-replayable);
+    ``tools/scale_audit.py`` audits ``arrow`` (the production matmul
+    path) against the same x10 curve and output set (VERDICT r05 #7)."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -458,7 +468,9 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
     )
     uni = base.unionByName(exact).unionByName(pert)
-    out = S.semantic_cluster_dedup(uni, n_centroids="auto", cosine_threshold=0.95)
+    out = S.semantic_cluster_dedup(
+        uni, n_centroids="auto", cosine_threshold=0.95, assign_method=assign_method
+    )
     return out.select("vec_id", "label")
 
 

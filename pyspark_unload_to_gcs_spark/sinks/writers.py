@@ -62,17 +62,55 @@ def compact_files(
     counts, so it adapts to compression ratio. Returns the new file
     count. Rewrite is staged through a sibling temp dir then moved, so
     a crash mid-compact never leaves the directory half-overwritten.
+
+    Two sizing/swap backends (VERDICT r05 #9):
+    - plain local paths: os.walk + os.rename (fast path, atomic swap);
+    - any URI (``file:``, ``gs://``, ``s3a://``, ...): the Hadoop
+      FileSystem API — ``listFiles`` for sizes, ``delete`` + ``rename``
+      for the swap — so the same maintenance pass runs against object
+      stores through whatever connector the cluster ships. NOTE: on
+      object stores "rename" is a server-side copy, not atomic — run
+      compaction from a single maintenance job, not concurrently with
+      writers (same constraint every table-format-less compactor has).
     """
     import shutil
     import uuid
 
-    if "://" in path:
-        raise NotImplementedError(
-            "compact_files sizes inputs via local filesystem walk; for object "
-            "stores drive the same repartition-rewrite through the Hadoop "
-            "FileSystem API (listStatus for sizes, rename for the swap)"
+    def _rewrite(n_files: int, out_uri: str) -> None:
+        df = spark.read.format(format).load(path)
+        (
+            df.repartition(n_files)
+            .write.format(format)
+            .option("compression", compression)
+            .mode("overwrite")
+            .save(out_uri)
         )
-    src = path[len("file:"):] if path.startswith("file:") else path
+
+    if "://" in path or path.startswith("file:"):
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        src_p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = src_p.getFileSystem(hconf)
+        total_bytes = 0
+        it = fs.listFiles(src_p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not (name.startswith("_") or name.startswith(".")):
+                total_bytes += st.getLen()
+        n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        tmp_uri = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+        _rewrite(n_files, tmp_uri)
+        fs.delete(src_p, True)
+        if not fs.rename(tmp_p, src_p):
+            raise IOError(
+                f"compact_files: rename {tmp_uri} -> {path} failed; "
+                "compacted output left at the tmp path"
+            )
+        return n_files
+
+    src = path
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, files in os.walk(src)
@@ -80,15 +118,8 @@ def compact_files(
         if not f.startswith(("_", "."))
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.format(format).load(path)
     tmp = f"{src}__compact_{uuid.uuid4().hex[:8]}"
-    (
-        df.repartition(n_files)
-        .write.format(format)
-        .option("compression", compression)
-        .mode("overwrite")
-        .save(f"file:{tmp}" if path.startswith("file:") or "://" not in path else tmp)
-    )
+    _rewrite(n_files, f"file:{tmp}")
     shutil.rmtree(src)
     os.rename(tmp, src)
     return n_files

@@ -118,3 +118,28 @@ def test_ivf_assign_arrow_matches_fold(spark, sf_dir):
     dup = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
     assert ivf_assign(df, dup).first().ivf_cell == 1
     assert ivf_assign(df, dup, method="arrow").first().ivf_cell == 1
+
+
+def test_semantic_dedup_auto_arrow_matches_fold(spark, sf_dir):
+    """The audit-only arrow-assignment SemDeDup configuration
+    (tools/scale_audit.py `semantic_dedup_auto_arrow`) must return the
+    SAME survivor set as the registered fold-path query — the scale
+    audit row is only meaningful if the production config is
+    output-equivalent (VERDICT r05 #7)."""
+    from pyspark_unload_to_gcs_spark.registry_pins import (
+        semantic_dedup_auto_with_method,
+    )
+
+    fold = {
+        tuple(r)
+        for r in semantic_dedup_auto_with_method(
+            spark, sf_dir, assign_method="fold"
+        ).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in semantic_dedup_auto_with_method(
+            spark, sf_dir, assign_method="arrow"
+        ).collect()
+    }
+    assert fold == arrow

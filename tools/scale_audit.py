@@ -186,8 +186,19 @@ def main() -> None:
     if os.path.exists(args.baseline):
         base_times = json.load(open(args.baseline)).get("queries", {})
 
-    names = [n for n in registry.queries()] if not args.queries else args.queries.split(",")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    # audit-only variants: production configurations whose registered
+    # twin pins a different (oracle-replayable) backend. The arrow
+    # auto-k SemDeDup is the configuration that actually ships at scale
+    # (VERDICT r05 #7); its output must equal the fold path's.
+    from pyspark_unload_to_gcs_spark.registry_pins import (
+        semantic_dedup_auto_with_method,
+    )
+
+    qs["semantic_dedup_auto_arrow"] = lambda s, d: semantic_dedup_auto_with_method(
+        s, d, assign_method="arrow"
+    )
+    names = list(qs) if not args.queries else args.queries.split(",")
     # resumable: merge into any existing audit JSON and skip names
     # already timed, so the (long) full audit can run in chunks
     results: dict[str, dict] = {}
