@@ -126,14 +126,14 @@ def main() -> None:
     warmup_exact_pairs_sec = round(time.perf_counter() - t0, 3)
 
     # Per-query noop floor (VERDICT r05 #8): every query pays a fixed
-    # job-submission + noop-write cost (~0.3 s) regardless of its plan;
-    # at 140 queries that's ~40% of total wall at this toy SF, and it
-    # grows mechanically with the registry surface. Measure it once
-    # (median of empty-plan writes) and report a floor-adjusted
-    # s/query alongside the raw number, so a real per-query regression
-    # isn't masked (or faked) by surface growth. The RAW total remains
-    # the driver-parsed headline; the floor-adjusted numbers live in
-    # BENCH_LOCAL.json and BASELINE.md explains which gates.
+    # job-submission + noop-write cost regardless of its plan. Measured
+    # here once per run (median of empty-plan writes; first reading
+    # 0.02 s/query — far below the ~0.3 s the r05 analysis assumed) and
+    # reported as a floor-adjusted s/query alongside the raw number, so
+    # cross-round per-query comparisons aren't skewed by surface
+    # growth. The RAW total remains the driver-parsed headline; the
+    # floor-adjusted numbers live in BENCH_LOCAL.json and BASELINE.md
+    # explains which gates.
     floor_samples = []
     try:
         empty = spark.range(1).select(F.lit(1).alias("x")).filter(F.col("x") < 0)
