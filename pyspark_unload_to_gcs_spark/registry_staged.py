@@ -512,3 +512,71 @@ def rollup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="rollup_stream_replay_",
     )
     return finalize_state(final, ["event_type"])
+
+
+# --------------------------------------------------------------------------
+# Incremental sessionization replay (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_SESSION_REPLAY_MEMO: dict = {}
+
+_SESSION_REPLAY_SQL = """
+WITH ts AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), marked AS (
+    SELECT user_id, ts_ms,
+           CASE WHEN lag(ts_ms) OVER w IS NULL
+                     OR ts_ms - lag(ts_ms) OVER w > 1800000
+                THEN 1 ELSE 0 END AS is_start
+    FROM ts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), sessions AS (
+    SELECT user_id, ts_ms,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM marked
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts_ms) AS start_ms,
+       MAX(ts_ms) AS end_ms,
+       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register_staged("sessionize_stream_replay", oracle=_SESSION_REPLAY_SQL)
+def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-state incremental sessionizer
+    (streaming/sessionize_fold.py ``fold_batch``) replayed over four
+    event-time-ordered micro-batches (fixed Jan-2024 week boundaries,
+    satisfying the per-user cross-batch ordering precondition), then
+    finalized: the closed-session log + finalized opens must equal the
+    direct batch sessionization — the same oracle the batch
+    ``sessionization`` query carries. This gives the sessions family a
+    driver-faced state-protocol check (rollup and MERGE got theirs in
+    r06), covering cross-batch session continuation, gap-split across
+    batch boundaries, and users absent from intermediate batches."""
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
+        fold_batch,
+        read_sessions,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    bounds = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    batches = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        ev.filter(F.col("ts") >= bounds[2]),
+    ]
+    return replay_batches(
+        _SESSION_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        batches,
+        lambda frame, b, state: fold_batch(frame, b, state_path=state),
+        lambda state: read_sessions(spark, state),
+        prefix="sessionize_stream_replay_",
+    )

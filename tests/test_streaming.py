@@ -1057,3 +1057,46 @@ def test_streaming_token_budget_admission_and_retry(spark, sf_dir, tmp_path):
     )
     again = {(r.doc_id, r.tokens) for r in read_admitted(spark, state).collect()}
     assert again == admitted
+
+
+def test_incremental_sessionize_stream_matches_batch_and_is_retry_safe(
+    spark, events_stream_dir, events_schema, tmp_path
+):
+    """foreachBatch sessionization with versioned parquet state
+    (streaming/sessionize_fold.py) over time-ordered micro-batches must
+    equal one-shot batch session_stats after finalize — cross-batch
+    session continuation, gap splits at batch boundaries, and users
+    absent from middle batches all included — and re-folding a batch
+    must be a no-op (exactly-once protocol)."""
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
+        fold_batch,
+        read_sessions,
+        start_incremental_sessionize,
+    )
+
+    state = str(tmp_path / "sess_state")
+    stream = stream_parquet_dir(
+        spark, events_stream_dir, events_schema, max_files_per_trigger=1
+    )
+    q = start_incremental_sessionize(
+        stream.select("user_id", "ts"),
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "sess_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        tuple(r)
+        for r in session_stats(batch)
+        .select("user_id", "session_seq", "n_events", "start_ms", "end_ms", "duration_ms")
+        .collect()
+    }
+    got = {tuple(r) for r in read_sessions(spark, state).collect()}
+    assert got == expected
+
+    # retry: re-fold the last batch with the same rows -> unchanged
+    parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
+    fold_batch(spark.read.parquet(parts[-1]).select("user_id", "ts"), 2, state_path=state)
+    assert {tuple(r) for r in read_sessions(spark, state).collect()} == expected

@@ -179,7 +179,13 @@ def main() -> None:
     t0 = time.perf_counter()
     registry_extensions._shared_signatures(spark, args.out)
     registry_scale._bucketed_tables(spark, args.out)
-    print(f"warmup (shared sigs + bucketed layout): "
+    # the exact >=0.8 pair frame is ALSO a bench-named warmup — without
+    # it here, whichever exact-pairs consumer runs first absorbs its
+    # cold build and reads as a fake superlinear ratio vs the warmed
+    # sf0.1 base (observed: near_dedup_pairs_exact "x69" = 3.2 s cold
+    # build vs 0.05 s warmed read)
+    registry_extensions._shared_exact_pairs(spark, args.out)
+    print(f"warmup (shared sigs + bucketed layout + exact pairs): "
           f"{round(time.perf_counter() - t0, 1)}s", file=sys.stderr)
 
     base_times = {}
