@@ -450,8 +450,11 @@ def _load_extensions() -> None:
 #   4. one spare slot to the oldest r04 green (cdc_apply_changes — the
 #      MERGE batch path, complementing the new merge_stream_replay).
 #
-# R07 ROTATION PLAN (execute next round): keep the core eight; put any
-# r07-new queries in first; then refresh the r04 greens (40 names:
+# R07 ROTATION PLAN (execute next round): keep the core eight; promote
+# the r07 STAGED cohort (registry_staged: sessionize_stream_replay,
+# retention_stream_replay — finished, oracle-parity-tested at sf0.001
+# AND sf0.01) plus any query added in r07; then refresh the r04 greens
+# (40 names:
 # cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H
 # q8-q22 shapes, privacy gates, pagerank, layout queries) — they fit in
 # one window with room to spare; backfill remaining slots with the

@@ -8,9 +8,10 @@ in a later round's window plan. The r04 cohort (gopher quality
 profile, C4 page cleaning, gopher repetition, quality-aware keep-best
 dedup) was PROMOTED in r05; the r06 cohort (merge_stream_replay,
 rollup_stream_replay — the streaming foreachBatch replays at the
-bottom of this module) was PROMOTED in r06. The staging area is
-currently EMPTY — new entries land here when the driver window has no
-free slot in the round they are written.
+bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
+(r07) is sessionize_stream_replay + retention_stream_replay — the two
+remaining versioned-state streaming folds, parity-tested at sf0.001
+(tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -579,4 +580,51 @@ def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda frame, b, state: fold_batch(frame, b, state_path=state),
         lambda state: read_sessions(spark, state),
         prefix="sessionize_stream_replay_",
+    )
+
+
+_RETENTION_REPLAY_MEMO: dict = {}
+
+_RETENTION_REPLAY_SQL = """
+WITH per AS (
+    SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS period
+    FROM events
+),
+coh AS (
+    SELECT user_id, MIN(period) AS cohort_period FROM per GROUP BY user_id
+)
+SELECT coh.cohort_period,
+       per.period - coh.cohort_period AS period_offset,
+       COUNT(DISTINCT per.user_id) AS n_users
+FROM per JOIN coh ON coh.user_id = per.user_id
+GROUP BY coh.cohort_period, period_offset
+"""
+
+
+@register_staged("retention_stream_replay", oracle=_RETENTION_REPLAY_SQL)
+def retention_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming retention fold (streaming/retention.py
+    ``fold_periods_batch``) replayed over four micro-batches split by
+    ``event_id % 4`` — deliberately NOT time-ordered, because the
+    user-period state is a SET UNION (idempotent + commutative): late
+    events, redelivery, and arbitrary batch interleaving must produce
+    the same matrix, and this replay drives that claim through the real
+    versioned-state protocol. The final matrix must equal the batch
+    ``retention_cohorts`` answer (same oracle)."""
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+    from pyspark_unload_to_gcs_spark.streaming.retention import (
+        current_retention_matrix,
+        fold_periods_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", (F.col("event_id") % 4).alias("__b")
+    )
+    return replay_batches(
+        _RETENTION_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        [ev.filter(F.col("__b") == b).drop("__b") for b in range(4)],
+        lambda frame, b, state: fold_periods_batch(frame, b, state_path=state),
+        lambda state: current_retention_matrix(spark, state),
+        prefix="retention_stream_replay_",
     )
