@@ -304,17 +304,24 @@ def _validate_signature_build(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    check_bands: bool = True,
 ) -> None:
     """Refuse a signature/index frame whose build metadata contradicts
     the caller's parameters. ``minhash_signatures`` / ``signature_frame``
     attach {num_hashes, shingle_n[, bands]} as column metadata (survives
     persist and a parquet round-trip); re-banding a 32-hash frame as if
     it had 64 hashes produces garbage band keys and silently misses
-    duplicates, so any mismatch raises here at plan time."""
-    for field_name, params in (
-        ("__sig", ("num_hashes", "shingle_n")),
-        ("__bands", ("num_hashes", "bands", "shingle_n")),
-    ):
+    duplicates, so any mismatch raises here at plan time.
+
+    ``check_bands=False`` for callers that derive band keys fresh from
+    ``__sig`` (minhash_candidate_pairs): re-banding one signature cache
+    at several band configurations is the DESIGN (lore #11), so a
+    stored ``__bands`` built at a different bands count is not an error
+    there — only num_hashes/shingle_n must match."""
+    checks = [("__sig", ("num_hashes", "shingle_n"))]
+    if check_bands:
+        checks.append(("__bands", ("num_hashes", "bands", "shingle_n")))
+    for field_name, params in checks:
         if field_name in frame.columns:
             meta = frame.schema[field_name].metadata or {}
             ours = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
@@ -441,6 +448,7 @@ def minhash_candidate_pairs(
             num_hashes=num_hashes,
             bands=bands,
             shingle_n=shingle_n,
+            check_bands=False,  # band keys derive fresh from __sig here
         )
     if signatures is None:
         # The (id, shingle-hash, signature) projection feeds four plan

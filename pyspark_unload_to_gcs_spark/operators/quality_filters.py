@@ -538,7 +538,11 @@ def repetition_profile_pandas(pdf, id_column: str = "doc_id", text_column: str =
     import numpy as np
     import pandas as pd
 
-    ids = pdf[id_column]
+    # positional, not index-aligned: mapInPandas batches normally carry a
+    # RangeIndex, but assembling the output dict mixes this Series with
+    # fresh numpy arrays — a non-default index would silently misalign
+    # ids against their rows in the pd.DataFrame constructor
+    ids = pdf[id_column].to_numpy()
     texts = pdf[text_column].tolist()
     n_docs = len(texts)
     ns = _REP_NS

@@ -479,9 +479,6 @@ def semantic_dedup_auto_with_method(
 # the r6 window carries no rows-only slot)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_DUP_OFFSET = 1_000_000
-_SIMHASH_DECOY_OFFSET = 2_000_000
-
 _SIMHASH_RECALL_SQL = """
 SELECT CAST(count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS BIGINT) AS n_planted,
        CAST(count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS BIGINT) AS n_planted_dropped,
@@ -516,13 +513,20 @@ def near_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sides reduce to counts over the documents table, so the oracle
     is plain SQL while the Spark side runs the real Pandas-UDF hashing,
-    banding, pair join, and anti-join end to end."""
+    banding, pair join, and anti-join end to end.
+
+    Offsets are data-driven (max id + 1 stride, one 1-row agg) rather
+    than fixed constants, so planted/decoy ids stay collision-free at
+    ANY corpus id range — the x10 scale audit shifts doc_ids by
+    replica * 10M, which would overlap fixed offsets."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    dup_off, decoy_off = stride, 2 * stride
     planted = docs.filter(F.col("doc_id") % 10 == 3).select(
-        (F.col("doc_id") + _SIMHASH_DUP_OFFSET).alias("doc_id"), "text"
+        (F.col("doc_id") + dup_off).alias("doc_id"), "text"
     )
     decoys = docs.filter(F.col("doc_id") % 10 == 7).select(
-        (F.col("doc_id") + _SIMHASH_DECOY_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + decoy_off).alias("doc_id"),
         F.concat(
             F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x wk"),
             F.col("doc_id").cast("string"), F.lit("v"),
@@ -533,12 +537,12 @@ def near_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_counts = survivors.agg(
         F.count(
             F.when(
-                (F.col("doc_id") >= _SIMHASH_DUP_OFFSET)
-                & (F.col("doc_id") < _SIMHASH_DECOY_OFFSET),
+                (F.col("doc_id") >= dup_off)
+                & (F.col("doc_id") < decoy_off),
                 1,
             )
         ).cast("long").alias("__surv_planted"),
-        F.count(F.when(F.col("doc_id") >= _SIMHASH_DECOY_OFFSET, 1))
+        F.count(F.when(F.col("doc_id") >= decoy_off, 1))
         .cast("long")
         .alias("__surv_decoy"),
     )
