@@ -502,14 +502,19 @@ def near_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       pigeonhole banding finds every hamming<=bands-1 pair exactly (all
       4 chunks equal), so each planted copy MUST be dropped (its source
       has the smaller id). n_planted_dropped == n_planted pins recall.
-    - every (10k+7)th document is replaced by a DECOY with two tokens
-      unique to it ("zq{id}x wk{id}v") at doc_id+2_000_000: its simhash
-      is an independent uniform 64-bit value, so P(hamming<=3 to ANY
-      other doc) ~ n * 4.3e4/2^64 < 1e-9 at bench scale — decoys MUST
-      survive. n_decoys_dropped == 0 pins against hash-collapse
-      regressions (a degenerate simhash_column mapping everything to
-      one value would drop the decoys and turn the row red; planted
-      recall alone would stay green under that failure).
+    - every (10k+7)th document is replaced by a DECOY with FIVE tokens
+      unique to it: an ODD token count makes each simhash bit exactly
+      Bernoulli(1/2) (the +/-1 sum over 5 independent bit vectors can
+      never be 0, so sign ties don't skew the distribution — with an
+      even count each bit would be set w.p. < 1/2, drifting the hash
+      toward all-zeros and within ~1.8e-5/decoy of an empty doc's
+      hash-0). The decoy hash is therefore a genuinely uniform 64-bit
+      value: P(hamming<=3 to ANY other doc's hash) <= n * 43e3/2^64
+      < 1e-9 at bench scale — decoys MUST survive. n_decoys_dropped
+      == 0 pins against hash-collapse regressions (a degenerate
+      simhash_column mapping everything to one value would drop the
+      decoys and turn the row red; planted recall alone would stay
+      green under that failure).
 
     Both sides reduce to counts over the documents table, so the oracle
     is plain SQL while the Spark side runs the real Pandas-UDF hashing,
@@ -528,8 +533,13 @@ def near_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoys = docs.filter(F.col("doc_id") % 10 == 7).select(
         (F.col("doc_id") + decoy_off).alias("doc_id"),
         F.concat(
-            F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x wk"),
-            F.col("doc_id").cast("string"), F.lit("v"),
+            # five tokens, each unique to this doc (odd count -> every
+            # simhash bit exactly Bernoulli(1/2), see docstring)
+            *[
+                part
+                for suffix in ("qa ", "qb ", "qc ", "qd ", "qe")
+                for part in (F.lit("z"), F.col("doc_id").cast("string"), F.lit(suffix))
+            ],
         ).alias("text"),
     )
     corpus = docs.unionByName(planted).unionByName(decoys)

@@ -60,8 +60,12 @@ def compact_files(
 
     Sizing uses the actual on-disk byte size of the input, not row
     counts, so it adapts to compression ratio. Returns the new file
-    count. Rewrite is staged through a sibling temp dir then moved, so
-    a crash mid-compact never leaves the directory half-overwritten.
+    count. Rewrite is staged through a sibling temp dir, the source is
+    moved ASIDE to a ``__precompact_`` backup (never deleted before the
+    swap succeeds), the compacted output renamed into place, and only
+    then is the backup removed — a crash at any step leaves either the
+    original or the compacted data recoverable (worst case: the data
+    sits at the backup path, named discoverably next to the target).
 
     Two sizing/swap backends (VERDICT r05 #9):
     - plain local paths: os.walk + os.rename (fast path, atomic swap);
@@ -99,15 +103,26 @@ def compact_files(
             if not (name.startswith("_") or name.startswith(".")):
                 total_bytes += st.getLen()
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-        tmp_uri = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        tmp_uri = f"{path.rstrip('/')}__compact_{tag}"
         tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+        bak_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__precompact_{tag}")
         _rewrite(n_files, tmp_uri)
-        fs.delete(src_p, True)
+        # backup-then-swap: the source is never deleted before the
+        # compacted output is in place (a crash leaves the data at a
+        # discoverable __precompact_ sibling, not gone)
+        if not fs.rename(src_p, bak_p):
+            raise IOError(
+                f"compact_files: could not move {path} aside for the swap; "
+                f"compacted output left at {tmp_uri}, source untouched"
+            )
         if not fs.rename(tmp_p, src_p):
+            fs.rename(bak_p, src_p)  # restore; original data intact
             raise IOError(
                 f"compact_files: rename {tmp_uri} -> {path} failed; "
-                "compacted output left at the tmp path"
+                "source restored, compacted output left at the tmp path"
             )
+        fs.delete(bak_p, True)
         return n_files
 
     src = path
@@ -118,10 +133,15 @@ def compact_files(
         if not f.startswith(("_", "."))
     )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = f"{src}__compact_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{src}__compact_{tag}"
+    bak = f"{src}__precompact_{tag}"
     _rewrite(n_files, f"file:{tmp}")
-    shutil.rmtree(src)
+    # backup-then-swap (see docstring): both renames are atomic on a
+    # local filesystem; the backup is removed only after the swap
+    os.rename(src, bak)
     os.rename(tmp, src)
+    shutil.rmtree(bak)
     return n_files
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
-from pyspark_unload_to_gcs_spark.streaming.rollup import read_state
+from pyspark_unload_to_gcs_spark.streaming.rollup import _versions, read_state
 
 STATE_COLUMNS = ("user_id", "session_seq", "n_events", "start_ms", "last_ms")
 CLOSED_COLUMNS = (
@@ -182,18 +182,39 @@ def fold_batch(
 
 
 def read_sessions(
-    spark: SparkSession, state_path: str, *, finalize: bool = True
+    spark: SparkSession, state_path: str, *, finalize: bool = True, user_id_type: str = "long"
 ) -> DataFrame:
     """All CLOSED sessions so far; with ``finalize=True`` the open
     state is closed as-of its last event (the availableNow end-of-input
     flush), making the result equal to batch ``session_stats`` over
-    everything folded."""
+    everything folded.
+
+    Consistency under a mid-fold crash: the state write is the COMMIT
+    POINT of a batch (fold_batch writes closed/v=b first, state v=b
+    second), so closed logs are read only up to the latest committed
+    state version — a closed/v=b left behind by a crash between the
+    two writes is ignored until the retry commits v=b, preventing the
+    same session appearing both closed (from the orphaned log) and
+    finalized-open (from state v=b-1).
+
+    ``user_id_type``: only used for the empty frame returned before any
+    state exists — pass the actual id type when the user column is not
+    a long (fold_batch itself is type-generic)."""
+    import glob as _g
+    import re as _re
+
+    committed = _versions(state_path)
+    latest = committed[-1] if committed else None
     closed_root = os.path.join(state_path, "closed")
     parts = []
-    if os.path.isdir(closed_root):
-        import glob as _g
-
-        dirs = [d for d in _g.glob(os.path.join(closed_root, "v=*"))]
+    if latest is not None and os.path.isdir(closed_root):
+        dirs = [
+            d
+            for d in _g.glob(os.path.join(closed_root, "v=*"))
+            if (m := _re.search(r"v=(\d+)$", d))
+            and int(m.group(1)) <= latest
+            and _g.glob(os.path.join(d, "*.parquet"))
+        ]
         if dirs:
             parts.append(spark.read.parquet(*dirs).select(*CLOSED_COLUMNS))
     if finalize:
@@ -210,7 +231,13 @@ def read_sessions(
                 )
             )
     if not parts:
-        return spark.createDataFrame([], schema=", ".join(f"{c} long" for c in CLOSED_COLUMNS))
+        return spark.createDataFrame(
+            [],
+            schema=", ".join(
+                f"{c} {user_id_type if c == 'user_id' else 'long'}"
+                for c in CLOSED_COLUMNS
+            ),
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

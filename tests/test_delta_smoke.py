@@ -6,8 +6,10 @@ read through the exact option spellings pinned un-gated in
 tests/test_delta_options.py.
 
 In THIS container the module skips: delta-spark is not installed and
-the build environment forbids installing packages (NOTES.md round-1;
-the skip reason is asserted so the gate is visible, not silent).
+the build environment forbids installing packages (NOTES.md round-1).
+The gate is the ``delta_available()`` import probe — the skip shows up
+as 4 skipped tests with this module's reason string in every pytest
+run, so a probe flip (either direction) is visible in the counts.
 """
 
 import sys

@@ -1100,3 +1100,36 @@ def test_incremental_sessionize_stream_matches_batch_and_is_retry_safe(
     parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
     fold_batch(spark.read.parquet(parts[-1]).select("user_id", "ts"), 2, state_path=state)
     assert {tuple(r) for r in read_sessions(spark, state).collect()} == expected
+
+
+def test_incremental_sessionize_ignores_uncommitted_closed_log(
+    spark, events_stream_dir, tmp_path
+):
+    """Crash-window consistency: fold_batch writes closed/v=b BEFORE
+    state v=b (the commit point). If a crash lands between the two
+    writes, the orphaned closed log must be INVISIBLE to read_sessions
+    until the retry commits the state version — otherwise the same
+    session appears both closed (orphaned log) and finalized-open
+    (previous state)."""
+    import shutil
+
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
+        fold_batch,
+        read_sessions,
+    )
+
+    state = str(tmp_path / "crash_state")
+    batch = spark.read.parquet(events_stream_dir).select("user_id", "ts")
+    parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
+    fold_batch(spark.read.parquet(parts[0]).select("user_id", "ts"), 0, state_path=state)
+    baseline = {tuple(r) for r in read_sessions(spark, state).collect()}
+
+    # simulate the crash: batch 1's closed log lands, its state does not
+    fold_batch(spark.read.parquet(parts[1]).select("user_id", "ts"), 1, state_path=state)
+    shutil.rmtree(f"{state}/v=1")
+    assert {tuple(r) for r in read_sessions(spark, state).collect()} == baseline
+
+    # the retry commits both -> the batch becomes visible atomically
+    fold_batch(spark.read.parquet(parts[1]).select("user_id", "ts"), 1, state_path=state)
+    after = {tuple(r) for r in read_sessions(spark, state).collect()}
+    assert after != baseline
