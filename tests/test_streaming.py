@@ -1133,3 +1133,60 @@ def test_incremental_sessionize_ignores_uncommitted_closed_log(
     fold_batch(spark.read.parquet(parts[1]).select("user_id", "ts"), 1, state_path=state)
     after = {tuple(r) for r in read_sessions(spark, state).collect()}
     assert after != baseline
+
+
+def test_incremental_sessionize_randomized_splits_match_batch(spark):
+    """Seeded randomized stress for the fold semantics: random event
+    multisets (duplicate timestamps, ties exactly at the gap boundary,
+    users missing from middle batches) split into a random number of
+    time-ordered batches must always refold to the batch answer. Same
+    seeded-case style as the fuzz oracle harness — deterministic, no
+    flaky search."""
+    import tempfile
+
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.sessions import session_stats
+    from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
+        fold_batch,
+        read_sessions,
+    )
+
+    gap = 1000
+    for seed in range(6):
+        rng = np.random.RandomState(1000 + seed)
+        n = int(rng.randint(20, 120))
+        users = rng.randint(0, 8, size=n)
+        # step sizes concentrated around the gap boundary: 0 (ties),
+        # exactly gap (same session), gap+1 (split)
+        steps = rng.choice([0, 1, gap - 1, gap, gap + 1, 3 * gap], size=n)
+        ts = {}
+        rows = []
+        for u, st in zip(users, steps):
+            ts[u] = ts.get(u, 1_700_000_000_000) + int(st)
+            rows.append((int(u), ts[u]))
+        df = spark.createDataFrame(rows, "user_id long, ts_ms long").select(
+            "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+        )
+        n_batches = int(rng.randint(1, 5))
+        cuts = sorted(rng.choice([r[1] for r in rows], size=n_batches - 1).tolist()) if n_batches > 1 else []
+        state = tempfile.mkdtemp(prefix=f"sess_rand_{seed}_")
+        lo = None
+        ms = F.unix_millis(F.col("ts"))
+        for b in range(n_batches):
+            hi = cuts[b] if b < len(cuts) else None
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (ms > lo)
+            if hi is not None:
+                cond = cond & (ms <= hi)
+            fold_batch(df.filter(cond), b, state_path=state, gap_ms=gap)
+            lo = hi
+        got = {tuple(r) for r in read_sessions(spark, state).collect()}
+        exp = {
+            tuple(r)
+            for r in session_stats(df, gap_ms=gap)
+            .select("user_id", "session_seq", "n_events", "start_ms", "end_ms", "duration_ms")
+            .collect()
+        }
+        assert got == exp, f"seed {seed}: {len(got)} vs {len(exp)} sessions"
