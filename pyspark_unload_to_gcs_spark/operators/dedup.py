@@ -983,3 +983,172 @@ def chunk_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide repeated-span removal (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def _chain_window_hashes(df: DataFrame, th_col: str, k: int, out_col: str) -> DataFrame:
+    """Stage an array column ``out_col`` of rolling window hashes: one
+    64-bit identity per k-token window (1-based start positions), built
+    by BINARY DOUBLING over the per-token hash array — O(log k) staged
+    zip_with levels of O(g) each, instead of O(k) per window. Combine
+    rule: H_{a+b}[i] = rot(H_a[i], r) XOR H_b[i+a] with a distinct
+    rotation per combine step — equality of the combined hash is
+    equality of the token window up to the usual ~positions²/2^64
+    in-corpus collision odds (the same trade every hashed identity in
+    this module makes). ANSI-safe (rotate-XOR, no multiplication —
+    lore #21)."""
+    if k < 1:
+        raise ValueError(f"_chain_window_hashes: k must be >= 1, got {k}")
+
+    def _rot(h, r):
+        return F.shiftleft(h, r).bitwiseOR(F.shiftrightunsigned(h, 64 - r))
+
+    def _combine_fn(r):
+        # closure factory, NOT a defaulted lambda param: extra (even
+        # defaulted) params change the HOF dispatch arity — lore #12
+        return lambda a, b: _rot(a, r).bitwiseXOR(b)
+
+    g = F.size(F.col(th_col))
+    rotations = (13, 26, 39, 52, 7, 21, 35, 49, 11, 23)
+    # powers of two up to k
+    built = {1: th_col}
+    level = 1
+    step = 0
+    while level * 2 <= k:
+        src = built[level]
+        dst = f"{out_col}__p{level * 2}"
+        cnt = F.greatest(g - (level * 2) + 1, F.lit(0))
+        r = rotations[step % len(rotations)]
+        df = df.withColumn(
+            dst,
+            F.zip_with(
+                F.slice(src, F.lit(1), cnt),
+                F.slice(src, F.lit(level + 1), cnt),
+                _combine_fn(r),
+            ),
+        )
+        built[level * 2] = dst
+        level *= 2
+        step += 1
+    # combine the set bits of k, largest first
+    parts = [p for p in sorted(built, reverse=True)]
+    remaining = k
+    acc_col, acc_len = None, 0
+    for p in parts:
+        if p > remaining:
+            continue
+        if acc_col is None:
+            acc_col, acc_len = built[p], p
+        else:
+            dst = f"{out_col}__c{acc_len + p}"
+            cnt = F.greatest(g - (acc_len + p) + 1, F.lit(0))
+            r = rotations[step % len(rotations)]
+            df = df.withColumn(
+                dst,
+                F.zip_with(
+                    F.slice(acc_col, F.lit(1), cnt),
+                    F.slice(built[p], F.lit(acc_len + 1), cnt),
+                    _combine_fn(r),
+                ),
+            )
+            acc_col, acc_len = dst, acc_len + p
+            step += 1
+        remaining -= p
+    assert remaining == 0 and acc_len == k
+    return df.withColumn(out_col, F.col(acc_col))
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    span_tokens: int = 10,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Corpus-wide EXACT repeated-span removal — the substring-dedup
+    method of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv 2107.06499, public), re-expressed
+    for Spark: any ``span_tokens``-token window whose content occurs at
+    least ``min_repeats`` times ANYWHERE in the corpus (across or
+    within documents) is removed from every document; output is
+    (id, n_repeated_windows, n_tokens_removed, clean_text) with
+    clean_text = the kept tokens joined by single spaces.
+
+    This complements the document-level near-dedup family: MinHash
+    removes whole near-duplicate DOCUMENTS; this removes repeated
+    SPANS (boilerplate, licenses, navigation chrome) that infest
+    otherwise-unique documents — the pattern the suffix-array method
+    targets, here via fixed-length window hashing (the standard
+    scalable approximation: every repeated substring of length >=
+    span_tokens is covered by repeated windows, so removal is a
+    superset of the >=span_tokens suffix-array spans at window
+    granularity).
+
+    Scale shape (100 TB):
+      1. narrow map: tokenize + per-token xxhash64 + O(log k) rolling
+         window-hash levels (binary doubling, no per-window slices);
+      2. explode to (id, pos, window_hash) — 8 B hash rows, ~tokens
+         per doc; ONE shuffle on the hash for the corpus-wide count
+         (map-side partial agg collapses duplicates early);
+      3. heavy hashes (count >= min_repeats) semi-join back onto the
+         exploded frame — same shuffle key, exchange reuse; repeated
+         start positions regroup per doc (shuffle on id);
+      4. interval union + token cut happen ARRAY-SIDE per doc (no
+         further shuffle): kept positions via an exists() over the
+         (typically short) repeated-starts array.
+    The staged token frame feeds two consumers (window explode +
+    final cut) and is persisted with a count barrier per the
+    materialization contract (lore #10); at very large corpora write
+    it to storage instead.
+    """
+    toks = F.when(
+        F.trim(F.coalesce(F.col(text_column), F.lit(""))) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_column)), r"\s+"))
+    staged = df.select(
+        F.col(id_column).alias("__id"),
+        toks.alias("__toks"),
+    ).withColumn("__th", F.transform("__toks", lambda t: F.xxhash64(t)))
+    staged = _chain_window_hashes(staged, "__th", span_tokens, "__wh")
+    staged = staged.select("__id", "__toks", "__wh").persist()
+    staged.count()
+
+    win = staged.select(
+        "__id", F.posexplode("__wh").alias("__pos0", "__h")
+    ).select("__id", (F.col("__pos0") + 1).alias("__s"), "__h")
+    heavy = (
+        win.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_repeats)
+        .select("__h")
+    )
+    starts = (
+        win.join(heavy, "__h", "left_semi")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__starts"))
+    )
+    out = staged.join(starts, "__id", "left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda p: ~F.exists(
+            F.col("__starts"), lambda s: (s <= p) & (p < s + span_tokens)
+        ),
+    )
+    out = out.withColumn(
+        "__kept", F.when(F.size("__toks") > 0, kept).otherwise(F.array().cast("array<int>"))
+    )
+    return out.select(
+        F.col("__id").alias(id_column),
+        F.size("__starts").cast("long").alias("n_repeated_windows"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_tokens_removed"),
+        F.concat_ws(
+            " ", F.transform("__kept", lambda p: F.element_at(F.col("__toks"), p))
+        ).alias("clean_text"),
+    )

@@ -9,8 +9,9 @@ profile, C4 page cleaning, gopher repetition, quality-aware keep-best
 dedup) was PROMOTED in r05; the r06 cohort (merge_stream_replay,
 rollup_stream_replay — the streaming foreachBatch replays at the
 bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
-(r07) is sessionize_stream_replay + retention_stream_replay — the two
-remaining versioned-state streaming folds, parity-tested at sf0.001
+(r07) is sessionize_stream_replay + retention_stream_replay (the two
+remaining versioned-state streaming folds) and repeated_span_dedup
+(corpus-wide exact substring dedup), all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
@@ -627,4 +628,66 @@ def retention_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda frame, b, state: fold_periods_batch(frame, b, state_path=state),
         lambda state: current_retention_matrix(spark, state),
         prefix="retention_stream_replay_",
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide repeated-span removal (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_SPAN_K, _SPAN_M = 10, 2
+
+_SPAN_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS s, array_to_string(toks[i:i+{_SPAN_K - 1}], chr(1)) AS wc
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks)-{_SPAN_K - 1}, 0))) AS t(i)
+),
+rep AS (SELECT wc FROM w GROUP BY wc HAVING count(*) >= {_SPAN_M}),
+starts AS (
+  SELECT doc_id, list_sort(list(s)) AS ss
+  FROM w WHERE wc IN (SELECT wc FROM rep) GROUP BY doc_id
+),
+final AS (
+  SELECT t.doc_id, t.toks, COALESCE(ss, CAST([] AS BIGINT[])) AS ss
+  FROM tok t LEFT JOIN starts USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, toks, ss,
+         list_filter(generate_series(1, len(toks)),
+                     p -> len(list_filter(ss, s -> s <= p AND p < s + {_SPAN_K})) = 0) AS kp
+  FROM final
+)
+SELECT doc_id,
+       CAST(len(ss) AS BIGINT) AS n_repeated_windows,
+       CAST(len(toks) - len(kp) AS BIGINT) AS n_tokens_removed,
+       COALESCE(array_to_string(list_transform(kp, p -> toks[p]), ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register_staged("repeated_span_dedup", oracle=_SPAN_DEDUP_SQL)
+def repeated_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact repeated-span removal (operators/dedup.py
+    ``repeated_span_dedup``; Lee et al. 2022 substring dedup at window
+    granularity): every 10-token window occurring >= 2 times anywhere
+    in the corpus is cut from every document. Full value oracle — the
+    DuckDB side replays window extraction on token CONTENT (the Spark
+    side's rolling 64-bit identities are collision-exact), corpus-wide
+    counting, per-doc interval union, and the cleaned-text rebuild.
+    ~47 of 500 fixture docs carry repeated spans at sf0.01 (the planted
+    near-duplicates share long exact runs), so the cut path is
+    exercised non-vacuously, including fully-removed documents (DuckDB
+    empty-list array_to_string is NULL, hence the COALESCE)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import repeated_span_dedup
+
+    return repeated_span_dedup(
+        _t(spark, sf_dir, "documents"),
+        span_tokens=_SPAN_K,
+        min_repeats=_SPAN_M,
     )

@@ -586,3 +586,55 @@ def test_adjacent_pairs_basic_and_short_arrays(spark):
     out = {r.id: [(p.a, p.b) for p in r.pairs] for r in
            df.select("id", adjacent_pairs(F.col("toks")).alias("pairs")).collect()}
     assert out == {1: [("a", "b"), ("b", "c")], 2: [], 3: [], 4: [("p", "q")]}
+
+
+def test_repeated_span_dedup_hand_cases(spark):
+    """Corpus-wide repeated-span removal: within-doc repeats, cross-doc
+    repeats, overlapping window union, full removal, and untouched
+    unique docs — hand-computed."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import repeated_span_dedup
+
+    boiler = "a b c d"  # the repeated 4-token span
+    docs = [
+        (0, f"{boiler} x y z"),            # cross-doc repeat + unique tail
+        (1, f"p q {boiler} r"),            # same span mid-doc
+        (2, boiler),                        # fully removed
+        (3, "u v w x y z unique tokens"),  # untouched
+        (4, f"{boiler} e {boiler}"),       # within-doc repeat too
+    ]
+    out = {
+        r.doc_id: r
+        for r in repeated_span_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            span_tokens=4,
+            min_repeats=2,
+        ).collect()
+    }
+    # doc 0: one repeated window at pos 1 -> tokens 1-4 cut
+    assert out[0].n_repeated_windows == 1
+    assert out[0].clean_text == "x y z"
+    # doc 1: window at pos 3
+    assert out[1].clean_text == "p q r"
+    # doc 2: everything removed
+    assert out[2].n_tokens_removed == 4 and out[2].clean_text == ""
+    # doc 3: untouched
+    assert out[3].n_repeated_windows == 0 and out[3].clean_text == docs[3][1]
+    # doc 4: "a b c d e a b c d" - windows at 1 and 6; token 5 ('e') kept
+    assert out[4].n_repeated_windows == 2
+    assert out[4].clean_text == "e"
+
+
+def test_repeated_span_dedup_overlapping_windows_union(spark):
+    """Adjacent repeated windows must union their coverage, not
+    double-count: 'a a a a a a' with k=3 has every window repeated
+    (all identical), covering all tokens."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import repeated_span_dedup
+
+    out = repeated_span_dedup(
+        spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string"),
+        span_tokens=3,
+        min_repeats=2,
+    ).first()
+    assert out.n_repeated_windows == 4  # starts 1..4
+    assert out.n_tokens_removed == 6
+    assert out.clean_text == ""
