@@ -343,3 +343,74 @@ def orders_view(spark, sf_dir):
 )
 def test_fuzz_query_matches_duckdb(spark, duck, orders_view, name, sql):
     assert_matches(spark.sql(sql), duck, sql, name=name)
+
+
+# ---------------------------------------------------------------------------
+# HOF / array-expression family (r06): the array lambdas that power the
+# dedup/quality operators, fuzzed cross-engine. Spark and DuckDB spell
+# every list function differently (transform/list_transform,
+# size/len, sequence/generate_series, aggregate/list_reduce), so this
+# family renders each seeded case into BOTH dialects from one template.
+# Two dialect traps are baked into the generator on purpose:
+# - Spark `sequence(1, 0)` yields a DESCENDING [1, 0] (default step -1)
+#   while DuckDB generate_series(1, 0) is empty — every generated
+#   sequence upper bound is wrapped in greatest(..., 1);
+# - integer-only folds (fold order is immaterial for BIGINT sums;
+#   doubles would hash differently between fold orders).
+# ---------------------------------------------------------------------------
+
+N_HOF = 10
+
+
+def _hof_case(rng: random.Random) -> tuple[str, str]:
+    key = rng.choice(["o_orderkey", "o_custkey"])
+    k = rng.choice([7, 13, 20, 31])
+    seq_hi = f"greatest({key} % {k}, 1)"
+    body = rng.choice(["x * 2 + 1", "x % 3", "x * x", f"x + {key} % 5"])
+    pred = rng.choice(["x % 2 = 0", "x > 3", "x % 3 != 1"])
+    pick = rng.sample(["size", "sum", "max", "distinct_n"], k=2)
+
+    def render(dialect: str) -> str:
+        if dialect == "spark":
+            seq = f"sequence(1, {seq_hi})"
+            tr = f"transform({seq}, x -> {body})"
+            fil = f"filter({tr}, x -> {pred})"
+            outs = {
+                "size": f"size({fil})",
+                "sum": f"aggregate({fil}, 0L, (a, x) -> a + x)",
+                "max": f"array_max({fil})",
+                "distinct_n": f"size(array_distinct({fil}))",
+            }
+        else:
+            seq = f"generate_series(1, {seq_hi})"
+            tr = f"list_transform({seq}, x -> {body})"
+            fil = f"list_filter({tr}, x -> {pred})"
+            outs = {
+                "size": f"len({fil})",
+                "sum": f"list_reduce(list_prepend(0, {fil}), (a, b) -> a + b)",
+                "max": f"list_max({fil})",
+                "distinct_n": f"len(list_distinct({fil}))",
+            }
+        cols = ",\n               ".join(
+            f"CAST({outs[p]} AS BIGINT) AS out_{p}" for p in sorted(pick)
+        )
+        return f"""
+        SELECT {key} AS row_key,
+               {cols}
+        FROM orders
+        WHERE {key} % 11 = 3
+        """
+
+    return render("spark"), render("duck")
+
+
+HOF_CASES = [(f"hof_{i}",) + _hof_case(_RNG) for i in range(N_HOF)]
+
+
+@pytest.mark.parametrize(
+    "name,spark_sql,duck_sql",
+    HOF_CASES,
+    ids=[c[0] for c in HOF_CASES],
+)
+def test_fuzz_hof_matches_duckdb(spark, duck, orders_view, name, spark_sql, duck_sql):
+    assert_matches(spark.sql(spark_sql), duck, duck_sql, name=name)
