@@ -1103,8 +1103,11 @@ def repeated_span_dedup(
          (typically short) repeated-starts array.
     The staged token frame feeds two consumers (window explode +
     final cut) and is persisted with a count barrier per the
-    materialization contract (lore #10); at very large corpora write
-    it to storage instead.
+    materialization contract (lore #10). The cache lives until the
+    SparkSession ends (the returned frame executes lazily, so the
+    operator cannot unpersist it) — callers invoking this repeatedly in
+    one session should memoize the result per (session, input), and at
+    very large corpora write the staged frame to storage instead.
     """
     toks = F.when(
         F.trim(F.coalesce(F.col(text_column), F.lit(""))) == "",

@@ -671,6 +671,9 @@ FROM kept
 """
 
 
+_SPAN_DEDUP_MEMO: dict = {}
+
+
 @register_staged("repeated_span_dedup", oracle=_SPAN_DEDUP_SQL)
 def repeated_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact repeated-span removal (operators/dedup.py
@@ -686,8 +689,16 @@ def repeated_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-list array_to_string is NULL, hence the COALESCE)."""
     from pyspark_unload_to_gcs_spark.operators.dedup import repeated_span_dedup
 
-    return repeated_span_dedup(
-        _t(spark, sf_dir, "documents"),
-        span_tokens=_SPAN_K,
-        min_repeats=_SPAN_M,
-    )
+    # memoized per (session, sf_dir): the operator persists its staged
+    # token frame for the session (materialization contract), so plan
+    # probes / audits / repeated driver calls must share ONE cached
+    # frame instead of leaking one per invocation (r06 review; same
+    # precedent as _shared_signatures)
+    key = (session_token(spark), sf_dir)
+    if key not in _SPAN_DEDUP_MEMO:
+        _SPAN_DEDUP_MEMO[key] = repeated_span_dedup(
+            _t(spark, sf_dir, "documents"),
+            span_tokens=_SPAN_K,
+            min_repeats=_SPAN_M,
+        )
+    return _SPAN_DEDUP_MEMO[key]

@@ -117,15 +117,23 @@ def compact_files(
                 f"compacted output left at {tmp_uri}, source untouched"
             )
         if not fs.rename(tmp_p, src_p):
-            fs.rename(bak_p, src_p)  # restore; original data intact
+            restored = fs.rename(bak_p, src_p)
             raise IOError(
                 f"compact_files: rename {tmp_uri} -> {path} failed; "
-                "source restored, compacted output left at the tmp path"
+                + (
+                    "source restored, compacted output left at the tmp path"
+                    if restored
+                    else f"RESTORE ALSO FAILED — original data is at "
+                    f"{bak_p.toString()}, compacted output at {tmp_uri}"
+                )
             )
         fs.delete(bak_p, True)
         return n_files
 
-    src = path
+    # strip any trailing slash: tmp/bak are SIBLING paths, and a
+    # trailing slash would nest them inside the source (r06 review:
+    # os.rename of a dir into itself raises EINVAL)
+    src = path.rstrip("/") or path
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, files in os.walk(src)

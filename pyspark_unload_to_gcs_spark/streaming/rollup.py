@@ -36,10 +36,16 @@ _VERSION_RE = re.compile(r"v=(\d+)$")
 
 
 def _versions(state_path: str) -> list[int]:
+    """COMMITTED state versions. The commit marker is the _SUCCESS file
+    Spark's FileOutputCommitter writes LAST: gating on 'some *.parquet
+    exists' would count a torn multi-file write (crash mid-write: some
+    part files landed, no _SUCCESS) as committed and fold/finalize from
+    partial state (r06 review). A retried overwrite deletes the old dir
+    contents first, so a version is never half-new-half-old."""
     return sorted(
         int(m.group(1))
         for d in glob.glob(os.path.join(state_path, "v=*"))
-        if (m := _VERSION_RE.search(d)) and glob.glob(os.path.join(d, "*.parquet"))
+        if (m := _VERSION_RE.search(d)) and os.path.exists(os.path.join(d, "_SUCCESS"))
     )
 
 

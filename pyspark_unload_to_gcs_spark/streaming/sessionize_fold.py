@@ -213,7 +213,7 @@ def read_sessions(
             for d in _g.glob(os.path.join(closed_root, "v=*"))
             if (m := _re.search(r"v=(\d+)$", d))
             and int(m.group(1)) <= latest
-            and _g.glob(os.path.join(d, "*.parquet"))
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
         ]
         if dirs:
             parts.append(spark.read.parquet(*dirs).select(*CLOSED_COLUMNS))

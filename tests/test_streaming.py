@@ -1119,7 +1119,6 @@ def test_incremental_sessionize_ignores_uncommitted_closed_log(
     )
 
     state = str(tmp_path / "crash_state")
-    batch = spark.read.parquet(events_stream_dir).select("user_id", "ts")
     parts = sorted(glob.glob(f"{events_stream_dir}/part-*.parquet"))
     fold_batch(spark.read.parquet(parts[0]).select("user_id", "ts"), 0, state_path=state)
     baseline = {tuple(r) for r in read_sessions(spark, state).collect()}
@@ -1129,9 +1128,18 @@ def test_incremental_sessionize_ignores_uncommitted_closed_log(
     shutil.rmtree(f"{state}/v=1")
     assert {tuple(r) for r in read_sessions(spark, state).collect()} == baseline
 
-    # the retry commits both -> the batch becomes visible atomically
+    # the retry commits both -> the batch becomes visible atomically,
+    # and equals a CLEAN fold of batches 0+1 (not merely "changed" —
+    # a double-count would also change the result; r06 review)
     fold_batch(spark.read.parquet(parts[1]).select("user_id", "ts"), 1, state_path=state)
     after = {tuple(r) for r in read_sessions(spark, state).collect()}
+    clean = str(tmp_path / "clean_state")
+    for b in (0, 1):
+        fold_batch(
+            spark.read.parquet(parts[b]).select("user_id", "ts"), b, state_path=clean
+        )
+    expected = {tuple(r) for r in read_sessions(spark, clean).collect()}
+    assert after == expected
     assert after != baseline
 
 

@@ -173,6 +173,21 @@ def test_compact_files(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1500  # content preserved
 
 
+def test_compact_files_trailing_slash(spark, tmp_path):
+    """A trailing slash must not nest the swap paths inside the source
+    (r06 review: os.rename of a dir into itself raises EINVAL)."""
+    import glob as g
+
+    from pyspark_unload_to_gcs_spark.sinks.writers import compact_files
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    out = str(tmp_path / "many_slash")
+    load_parquet(spark, ORDERS).repartition(4).write.parquet(out)
+    n = compact_files(spark, out + "/", target_file_mb=128)
+    assert len(g.glob(f"{out}/part-*.parquet")) == n == 1
+    assert spark.read.parquet(out).count() == 1500
+
+
 def test_compact_files_hadoop_uri_route(spark, tmp_path):
     """A ``file:`` URI exercises the Hadoop FileSystem backend
     (listFiles sizing + delete/rename swap) — the same code path an
