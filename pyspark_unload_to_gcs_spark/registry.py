@@ -452,10 +452,11 @@ def _load_extensions() -> None:
 #
 # R07 ROTATION PLAN (execute next round): keep the core eight; promote
 # the r07 STAGED cohort (registry_staged: sessionize_stream_replay,
-# retention_stream_replay, repeated_span_dedup — finished,
+# retention_stream_replay, repeated_span_dedup, bpe_train_merges,
+# bpe_tokenize_counts — finished,
 # oracle-parity-tested at sf0.001 AND sf0.01) plus any query added in
-# r07; then refresh the r04 greens — 8 + 3 leaves 39 slots, so the one
-# r04 name that doesn't fit (pick the least load-bearing) slides to r08
+# r07; then refresh the r04 greens — 8 + 5 leaves 37 slots, so the
+# r04 names that don't fit (pick the least load-bearing) slide to r08
 # (40 names:
 # cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H
 # q8-q22 shapes, privacy gates, pagerank, layout queries) — they fit in

@@ -10,8 +10,10 @@ dedup) was PROMOTED in r05; the r06 cohort (merge_stream_replay,
 rollup_stream_replay — the streaming foreachBatch replays at the
 bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
 (r07) is sessionize_stream_replay + retention_stream_replay (the two
-remaining versioned-state streaming folds) and repeated_span_dedup
-(corpus-wide exact substring dedup), all parity-tested at sf0.001
+remaining versioned-state streaming folds), repeated_span_dedup
+(corpus-wide exact substring dedup), and the BPE tokenizer pair
+bpe_train_merges + bpe_tokenize_counts (full training replay +
+vocabulary-cached corpus tokenization), all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
@@ -702,3 +704,148 @@ def repeated_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_repeats=_SPAN_M,
         )
     return _SPAN_DEDUP_MEMO[key]
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer: training replay + corpus tokenization (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8  # unrolled-CTE depth in the oracle; keep train/oracle in sync
+
+
+def _bpe_state_ctes(k: int) -> str:
+    """Unrolled DuckDB replay of the BPE training recurrence — one
+    (pairs, top-1, replace) CTE triple per merge, the same pattern as
+    the PageRank oracle. The symbol state is the delimiter-wrapped
+    string of operators/bpe.py: chr(31)=OPEN, chr(30)=CLOSE, so one
+    merge is one literal ``replace`` with identical greedy
+    left-to-right semantics in DuckDB and Spark."""
+    parts = [
+        """
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS word
+    FROM documents) GROUP BY word
+), s0 AS (
+  SELECT word, weight,
+         array_to_string(list_transform(list_append(string_split(word, ''), '</w>'),
+                                        c -> chr(31) || c || chr(30)), '') AS state
+  FROM wc
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", p{i} AS (
+  SELECT z[1] AS a, z[2] AS b, CAST(SUM(weight) AS BIGINT) AS cnt
+  FROM (
+    SELECT weight, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+    FROM (SELECT weight,
+                 string_split(substring(state, 2, length(state) - 2),
+                              chr(30) || chr(31)) AS l
+          FROM s{i - 1})
+    WHERE len(l) >= 2
+  ) GROUP BY 1, 2
+), m{i} AS (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+), s{i} AS (
+  SELECT word, weight,
+         replace(state,
+                 chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+                 chr(31) || m.a || m.b || chr(30)) AS state
+  FROM s{i - 1} CROSS JOIN m{i} m
+)"""
+        )
+    return "".join(parts)
+
+
+_BPE_TRAIN_SQL = _bpe_state_ctes(_BPE_MERGES) + "\nSELECT * FROM (\n" + "\n  UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS rank, a, b, cnt AS pair_count FROM m{i}"
+    for i in range(1, _BPE_MERGES + 1)
+) + "\n) ORDER BY rank\n"
+
+
+_BPE_COUNTS_SQL = _bpe_state_ctes(_BPE_MERGES) + f"""
+, pieces AS (
+  SELECT word,
+         CAST(len(string_split(substring(state, 2, length(state) - 2),
+                               chr(30) || chr(31))) AS BIGINT) AS n_pieces_word
+  FROM s{_BPE_MERGES}
+), doc_words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x != '')) AS word
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_pieces_word) AS BIGINT) AS n_pieces
+  FROM doc_words JOIN pieces USING (word)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_pieces, 0) AS n_pieces
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+_BPE_MERGES_MEMO: dict = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train once per (session, sf_dir) and share between the two BPE
+    queries — the merge table is the whole point of the memo precedent
+    (_shared_signatures): both queries must see the SAME trained state,
+    and training is the expensive half."""
+    key = (session_token(spark), sf_dir)
+    if key not in _BPE_MERGES_MEMO:
+        from pyspark_unload_to_gcs_spark.operators.bpe import bpe_train
+
+        _BPE_MERGES_MEMO[key] = bpe_train(
+            _t(spark, sf_dir, "documents"),
+            text_column="text",
+            num_merges=_BPE_MERGES,
+            with_counts=True,
+        )
+    return _BPE_MERGES_MEMO[key]
+
+
+@register_staged("bpe_train_merges", oracle=_BPE_TRAIN_SQL)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training on the documents corpus (operators/
+    bpe.py; Sennrich arXiv 1508.07909), 8 merges, emitted as
+    (rank, a, b, pair_count) rows. FULL value oracle: because one merge
+    application is one literal delimiter-wrapped ``replace``, DuckDB
+    replays the entire training recurrence with an unrolled CTE per
+    merge — the trainer's pair ranking, tie rule (count DESC, a, b)
+    and greedy merge application are all driver-red-able, not just
+    spot-checked. The Spark side goes through the size-gated
+    ``bpe_train`` entry (driver-side indexed trainer under the 2M-word
+    gate, distributed replace loop above it; both pinned equal in
+    tests/test_bpe.py)."""
+    merges = _trained_merges(spark, sf_dir)
+    rows = [
+        (i + 1, a, b, int(cnt)) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank bigint, a string, b string, pair_count bigint"
+    )
+
+
+@register_staged("bpe_tokenize_counts", oracle=_BPE_COUNTS_SQL)
+def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the trained merge table: per-document
+    (n_words, n_pieces) through the vocabulary-cached encode path
+    (operators/bpe.py ``bpe_encode_counts`` — distinct words encoded
+    once by an Arrow mapInPandas, joined back to the exploded corpus,
+    one hash aggregate per doc). Any drift in merge replay order,
+    greedy application, the vocab cache join, or zero-word document
+    handling changes the counts -> driver-red. Oracle replays training
+    AND encoding in DuckDB (encode of a training word == its final
+    trained state, byte-for-byte — the invariant tests/test_bpe.py
+    pins)."""
+    from pyspark_unload_to_gcs_spark.operators.bpe import bpe_encode_counts
+
+    merges = [(a, b) for a, b, _ in _trained_merges(spark, sf_dir)]
+    return bpe_encode_counts(
+        _t(spark, sf_dir, "documents"), merges, text_column="text", id_column="doc_id"
+    )
