@@ -13,7 +13,9 @@ bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
 remaining versioned-state streaming folds), repeated_span_dedup
 (corpus-wide exact substring dedup), and the BPE tokenizer pair
 bpe_train_merges + bpe_tokenize_counts (full training replay +
-vocabulary-cached corpus tokenization), all parity-tested at sf0.001
+vocabulary-cached corpus tokenization), and quality_classifier_margin
+(fasttext-style hashed-feature linear scoring, exact integer
+accumulation), all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
@@ -848,4 +850,62 @@ def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(a, b) for a, b, _ in _trained_merges(spark, sf_dir)]
     return bpe_encode_counts(
         _t(spark, sf_dir, "documents"), merges, text_column="text", id_column="doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Hashed-feature linear classifier scoring (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_CLS_BUCKETS = 4096
+
+_CLS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS token
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substring(md5(token), i, 1)) - 1
+                       AS BIGINT) << (4 * (8 - i)))) % {_CLS_BUCKETS} AS bucket
+  FROM toks
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((bucket * 2654435761) % 1000003 - 500001) AS BIGINT) AS sum_micro
+  FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.sum_micro, 0) AS BIGINT) AS margin_micro,
+       round(CAST(COALESCE(s.sum_micro, 0) AS DOUBLE) / 1000000, 9) AS margin
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register_staged("quality_classifier_margin", oracle=_CLS_SQL)
+def quality_classifier_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed-feature linear classifier scoring
+    (operators/classifier.py): token -> md5-derived feature bucket ->
+    broadcast weight join -> exact BIGINT per-doc accumulation -> one
+    division. FULL value oracle: the md5 bucket hash and the integer
+    micro-unit weights are replayable bit-exactly in DuckDB, so the
+    entire scoring pass — hashing, weight lookup, aggregation,
+    zero-token document handling — is driver-red-able. The weight
+    table here is the deterministic synthetic scramble
+    (``synthetic_weights``); production passes an offline-trained
+    table of the same (bucket, w_micro) shape through the identical
+    plan."""
+    from pyspark_unload_to_gcs_spark.operators.classifier import (
+        linear_text_classifier,
+        synthetic_weights,
+    )
+
+    return linear_text_classifier(
+        _t(spark, sf_dir, "documents"),
+        synthetic_weights(spark, _CLS_BUCKETS),
+        num_buckets=_CLS_BUCKETS,
+        text_column="text",
+        id_column="doc_id",
     )
