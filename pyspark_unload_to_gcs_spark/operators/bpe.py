@@ -322,18 +322,101 @@ def encode_word_py(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
     return unwrap_symbols(state)
 
 
+def encode_word_rank(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with the min-rank loop (the GPT-2 encoder
+    shape): repeatedly find the lowest-rank adjacent pair present and
+    merge ALL its occurrences greedy left-to-right, until no adjacent
+    pair is in the rank table. Cost is O(len(word)^2) independent of
+    the merge-table size — the production path at real vocabularies
+    (a 32k-merge table makes the in-order replay O(32k) PER WORD;
+    this is O(word)).
+
+    Equivalent to :func:`encode_word_py` whenever the rank table came
+    from actual BPE training AND no two merges produce the same output
+    string: a pair containing a trained symbol always ranks after the
+    merge that created that symbol, so the lowest-rank present pair is
+    exactly the next in-order applicable merge. ``encode_ranks``
+    enforces the duplicate-output precondition; equivalence on trained
+    tables is property-tested against the replay in tests/test_bpe.py."""
+    parts = list(word) + [EOW]
+    while len(parts) > 1:
+        best_rank = None
+        best = None
+        for pair in zip(parts, parts[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        a, b = best
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return parts
+
+
+def encode_ranks(merges: Sequence[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Rank table for :func:`encode_word_rank`. FAILS FAST when two
+    merges produce the same output string (e.g. ('a','bc') and
+    ('ab','c') both -> 'abc'): under duplicate outputs a symbol's
+    creation rank is ambiguous and the min-rank loop may diverge from
+    the in-order replay — callers must use ``method='replay'`` there.
+    Real trained tables never contain duplicates (a pair stops
+    existing once merged), so this is a corrupt-input guard, not a
+    practical restriction."""
+    seen_out: dict[str, tuple[str, str]] = {}
+    ranks: dict[tuple[str, str], int] = {}
+    for i, (a, b) in enumerate(merges):
+        out = a + b
+        prev = seen_out.get(out)
+        if prev is not None and prev != (a, b):
+            raise ValueError(
+                f"encode_ranks: merges {prev} and {(a, b)} both produce "
+                f"{out!r} — min-rank encoding is ambiguous; use the "
+                "in-order replay encoder"
+            )
+        seen_out[out] = (a, b)
+        if (a, b) not in ranks:
+            ranks[(a, b)] = i
+    return ranks
+
+
 def encode_vocab(
     words_df: DataFrame,
     merges: Sequence[tuple[str, str]],
     word_column: str = "word",
+    method: str = "replay",
 ) -> DataFrame:
     """Add ``pieces array<string>`` to a (distinct-)word frame via an
-    Arrow-batched ``mapInPandas`` replaying the broadcast merge list.
+    Arrow-batched ``mapInPandas`` applying the broadcast merge list.
     Call this on the DISTINCT vocabulary, not the corpus — the join
-    back to documents is the corpus-sized step and stays JVM-side."""
+    back to documents is the corpus-sized step and stays JVM-side.
+
+    ``method``:
+    - ``"replay"`` (default): in-order merge replay — byte-for-byte
+      the trainer's recurrence, so oracle-facing paths use it (same
+      posture as ``ivf_assign(method='fold')``). O(num_merges) per
+      word: right at the small merge tables the registered queries
+      train, wrong at a production 32k-merge table.
+    - ``"rank"``: min-rank loop, O(word²) independent of table size —
+      the production path at real vocabularies. Equivalence on trained
+      tables is guarded by ``encode_ranks`` (duplicate-output check)
+      and property-tested against the replay.
+    """
     import pandas as pd
 
+    if method not in ("replay", "rank"):
+        raise ValueError(
+            f"encode_vocab: unknown method {method!r} (expected 'replay' or 'rank')"
+        )
     merge_list = [(str(a), str(b)) for a, b in merges]
+    ranks = encode_ranks(merge_list) if method == "rank" else None
     out_fields = [f for f in words_df.schema.fields]
     schema = words_df.withColumn("pieces", F.array().cast("array<string>")).schema
 
@@ -342,7 +425,10 @@ def encode_vocab(
             # positional arrays, never the input Series (lore #24:
             # a non-default index misaligns the pd.DataFrame ctor)
             words = pdf[word_column].to_numpy()
-            pieces = [encode_word_py(w, merge_list) for w in words]
+            if ranks is None:
+                pieces = [encode_word_py(w, merge_list) for w in words]
+            else:
+                pieces = [encode_word_rank(w, ranks) for w in words]
             out = {f.name: pdf[f.name].to_numpy() for f in out_fields}
             out["pieces"] = pieces
             yield pd.DataFrame(out)
@@ -355,6 +441,7 @@ def bpe_encode_counts(
     merges: Sequence[tuple[str, str]],
     text_column: str = "text",
     id_column: str = "doc_id",
+    method: str = "replay",
 ) -> DataFrame:
     """Per-document BPE stats: ``(id, n_words, n_pieces)``. The corpus
     explodes to (id, word) rows JVM-side, joins the Arrow-encoded
@@ -367,7 +454,7 @@ def bpe_encode_counts(
         F.col(id_column), F.explode(words_col(F.col(text_column))).alias("word")
     )
     vocab = doc_words.select("word").distinct()
-    encoded = encode_vocab(vocab, merges).select(
+    encoded = encode_vocab(vocab, merges, method=method).select(
         "word", F.size("pieces").alias("n_pieces_word")
     )
     per_doc = (
@@ -387,3 +474,59 @@ def bpe_encode_counts(
             F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-table persistence (tokenizer artifact management)
+# --------------------------------------------------------------------------
+
+_MERGES_FORMAT_VERSION = 1
+
+
+def save_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge table as a tiny rank-ordered parquet
+    dataset with embedded build metadata (format version + the word
+    pattern and EOW marker the table was trained under), so a
+    mismatched tokenizer artifact FAILS LOUDLY at load instead of
+    silently mis-encoding — the same metadata-guard contract as the
+    near-dedup / ANN incremental indexes."""
+    rows = [
+        (i, str(a), str(b), _MERGES_FORMAT_VERSION, WORD_PATTERN, EOW)
+        for i, (a, b) in enumerate(merges)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rank bigint, a string, b string, __version int, "
+        "__word_pattern string, __eow string",
+    )
+    # one file: the table is vocab-merge-sized (<= tens of thousands of
+    # rows), and a single ordered file keeps the artifact atomic
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`, validating the
+    embedded metadata against this module's constants."""
+    df = spark.read.parquet(path)
+    expected = {"rank", "a", "b", "__version", "__word_pattern", "__eow"}
+    if set(df.columns) != expected:
+        raise ValueError(
+            f"load_merges: {path} is not a merge table (columns {df.columns})"
+        )
+    rows = df.orderBy("rank").collect()
+    for r in rows[:1]:
+        if r["__version"] != _MERGES_FORMAT_VERSION:
+            raise ValueError(
+                f"load_merges: format version {r['__version']} != "
+                f"{_MERGES_FORMAT_VERSION}"
+            )
+        if r["__word_pattern"] != WORD_PATTERN or r["__eow"] != EOW:
+            raise ValueError(
+                "load_merges: merge table was trained under a different "
+                f"tokenization base (pattern={r['__word_pattern']!r}, "
+                f"eow={r['__eow']!r}) — re-train or use the matching module"
+            )
+    ranks = [int(r["rank"]) for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(f"load_merges: non-contiguous ranks in {path}")
+    return [(r["a"], r["b"]) for r in rows]

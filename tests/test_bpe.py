@@ -230,3 +230,92 @@ def test_encode_counts_matches_python_referee(spark, docs):
         words = [w for w in re.split(r"[^a-z0-9]+", (row["text"] or "").lower()) if w]
         n_pieces = sum(len(encode_word_py(w, merges)) for w in words)
         assert got[row["doc_id"]] == (len(words), n_pieces)
+
+
+# --------------------------------------------------------------------------
+# Min-rank encoder (production path) and merge persistence
+# --------------------------------------------------------------------------
+
+
+from pyspark_unload_to_gcs_spark.operators.bpe import (  # noqa: E402
+    encode_ranks,
+    encode_word_rank,
+    load_merges,
+    save_merges,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vocab=st.dictionaries(WORDS, st.integers(min_value=1, max_value=9), min_size=1, max_size=12),
+    k=st.integers(min_value=1, max_value=20),
+    probe=WORDS,
+)
+def test_rank_encoder_matches_replay_on_trained_tables(vocab, k, probe):
+    """On a table produced by actual training, the min-rank loop must
+    equal the in-order replay — for every training word AND for
+    out-of-vocabulary probes over the same alphabet."""
+    merges = train_merges_py(vocab, k)
+    ranks = encode_ranks(merges)
+    for w in list(vocab) + [probe]:
+        assert encode_word_rank(w, ranks) == encode_word_py(w, merges)
+
+
+def test_encode_ranks_rejects_duplicate_outputs():
+    with pytest.raises(ValueError, match="ambiguous"):
+        encode_ranks([("a", "bc"), ("ab", "c")])
+
+
+def test_encode_ranks_tolerates_repeated_identical_merge():
+    # a literally repeated entry is harmless (first rank wins)
+    ranks = encode_ranks([("a", "b"), ("a", "b")])
+    assert ranks == {("a", "b"): 0}
+
+
+def test_encode_vocab_rank_method_matches_replay(spark, docs):
+    from pyspark_unload_to_gcs_spark.operators.bpe import encode_vocab
+
+    merges = bpe_train(docs, num_merges=10)
+    wc = word_counts(docs, "text")
+    a = {
+        r["word"]: r["pieces"]
+        for r in encode_vocab(wc.select("word"), merges, method="replay").collect()
+    }
+    b = {
+        r["word"]: r["pieces"]
+        for r in encode_vocab(wc.select("word"), merges, method="rank").collect()
+    }
+    assert a == b
+
+
+def test_encode_vocab_rejects_unknown_method(spark):
+    from pyspark_unload_to_gcs_spark.operators.bpe import encode_vocab
+
+    df = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError, match="unknown method"):
+        encode_vocab(df, [], method="heap")
+
+
+def test_save_load_merges_roundtrip(spark, docs, tmp_path):
+    merges = bpe_train(docs, num_merges=8)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+
+
+def test_load_merges_rejects_foreign_parquet(spark, tmp_path):
+    path = str(tmp_path / "not_merges")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(path)
+    with pytest.raises(ValueError, match="not a merge table"):
+        load_merges(spark, path)
+
+
+def test_load_merges_rejects_mismatched_tokenization_base(spark, tmp_path):
+    path = str(tmp_path / "merges_badmeta")
+    spark.createDataFrame(
+        [(0, "a", "b", 1, "[^a-z]+", "</w>")],
+        "rank bigint, a string, b string, __version int, "
+        "__word_pattern string, __eow string",
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="different .* tokenization|tokenization base"):
+        load_merges(spark, path)
