@@ -235,6 +235,27 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_zip(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams via aligned slices folded
+    with ``zip_with`` — the ``adjacent_pairs`` construction generalized
+    to n. Unlike ``word_ngrams_from_tokens`` (whose ``transform``
+    lambda SLICES THE TOKEN ARRAY per gram position, re-evaluating the
+    tokenization expression per element once CollapseProject refolds a
+    staged projection — measured 7.5 s vs 0.5 s on 265k bigrams), every
+    lambda here touches only its element arguments, so ``toks`` is
+    evaluated O(n) times per ROW, never per element. Safe to use with
+    an inline tokenization expression; no materialization barrier
+    needed."""
+    sz = F.size(toks)
+    out_len = sz - (n - 1)
+    acc = F.slice(toks, 1, out_len)
+    for i in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, i, out_len), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(acc)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """One-expression convenience form of ``tokens_col`` ->
     ``word_ngrams_from_tokens``. Fine for tests/small frames; hot paths
@@ -261,18 +282,21 @@ def ngram_contamination(
     the corpus never shuffles; docs with fewer than ``n`` tokens are
     preserved with counts 0 (explode_outer keeps a NULL-gram row).
     """
-    # Staged projections: token arrays become real column attributes
-    # before the n-gram lambda references them (HOF re-eval hazard).
-    corpus_grams = (
-        corpus.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
-        .select(
-            F.col(id_column),
-            F.explode_outer(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
-        )
+    # word_ngrams_zip: slice+zip_with gram build — lambdas never
+    # reference the token array, so no HOF re-eval hazard and no
+    # staging barrier needed (the earlier transform-based build
+    # re-tokenized per gram position once CollapseProject refolded
+    # the staged projection).
+    corpus_grams = corpus.select(
+        F.col(id_column),
+        F.explode_outer(word_ngrams_zip(tokens_col(F.col(text_column)), n)).alias(
+            "gram"
+        ),
     )
     bench_grams = (
-        benchmark.select(tokens_col(F.col(text_column)).alias("__toks"))
-        .select(F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"))
+        benchmark.select(
+            F.explode(word_ngrams_zip(tokens_col(F.col(text_column)), n)).alias("gram")
+        )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -518,3 +542,79 @@ def bm25_search(
         .agg(F.sum("__s").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_column).asc()).limit(top_k)
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_column: str = "text",
+    group_column: str = "source",
+    max_n: int = 3,
+) -> DataFrame:
+    """Corpus-health diversity profile: per (slice, gram size) token
+    counts, DISTINCT gram counts, and the type-token ratio — the
+    standard signal for repetitive / template-heavy / synthetic-looped
+    slices of a training corpus (a low trigram ratio at normal unigram
+    ratio = boilerplate).
+
+    Output: one row per (group, gram_n in 1..max_n) with
+    ``n_grams`` (BIGINT), ``n_distinct`` (BIGINT), ``diversity``
+    (= n_distinct / n_grams, the one division, rounded to 9).
+
+    Plan shape: one branch per gram size UNIONed (n=1 is a bare token
+    explode; n>=2 builds grams with ``word_ngrams_zip`` — the
+    slice+zip_with construction whose lambdas never re-evaluate the
+    tokenization; the ``transform``-based ``word_ngrams_from_tokens``
+    re-tokenized per gram position after CollapseProject refolded the
+    staged projection, 7.5 s vs 0.4 s per branch at sf0.1). The union
+    scans the corpus once per gram size — scan-bound and cheap next to
+    the distinct shuffle. Then a
+    TWO-LEVEL aggregation: (group, gram_n, gram) counts first, then
+    the slice rollup — the first aggregate map-side-combines to the
+    distinct-gram vocabulary, so the shuffle carries distinct grams,
+    and no Expand-based distinct rewrite appears (a single-agg
+    count+count_distinct mix would Expand the exploded stream).
+    Exact distinct counts are inherent to the metric; at truly
+    vocabulary-exploding scales use ``approx_count_distinct`` over the
+    same staged stream (one pass, no distinct shuffle) and accept the
+    ~2% HLL error."""
+    from functools import reduce
+
+    from pyspark_unload_to_gcs_spark.operators.bpe import words_col
+
+    if max_n < 1:
+        raise ValueError(f"ngram_diversity: max_n must be >= 1, got {max_n}")
+    staged = df.select(F.col(group_column).alias("grp"), words_col(F.col(text_column)).alias("toks"))
+
+    branches = [
+        staged.select(
+            "grp", F.lit(1).alias("gram_n"), F.explode("toks").alias("gram")
+        )
+    ]
+    for n in range(2, max_n + 1):
+        branches.append(
+            staged.select(
+                "grp",
+                F.lit(n).alias("gram_n"),
+                F.explode(word_ngrams_zip(F.col("toks"), n)).alias("gram"),
+            )
+        )
+    exploded = reduce(lambda a, b: a.unionByName(b), branches)
+    per_gram = exploded.groupBy("grp", "gram_n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("grp", "gram_n")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_column),
+            F.col("gram_n").cast("long").alias("gram_n"),
+            "n_grams",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_grams"), 9).alias(
+                "diversity"
+            ),
+        )
+    )

@@ -13,9 +13,10 @@ bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
 remaining versioned-state streaming folds), repeated_span_dedup
 (corpus-wide exact substring dedup), and the BPE tokenizer pair
 bpe_train_merges + bpe_tokenize_counts (full training replay +
-vocabulary-cached corpus tokenization), and quality_classifier_margin
+vocabulary-cached corpus tokenization), quality_classifier_margin
 (fasttext-style hashed-feature linear scoring, exact integer
-accumulation), all parity-tested at sf0.001
+accumulation), and ngram_diversity (per-slice type-token profile),
+all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
@@ -908,4 +909,52 @@ def quality_classifier_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=_CLS_BUCKETS,
         text_column="text",
         id_column="doc_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram diversity profile (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents
+), g1 AS (
+  SELECT source, 1 AS gram_n, unnest(t) AS gram FROM toks
+), g2 AS (
+  SELECT source, 2 AS gram_n,
+         unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                               z -> z[1] || ' ' || z[2])) AS gram
+  FROM toks WHERE len(t) >= 2
+), g3 AS (
+  SELECT source, 3 AS gram_n,
+         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+                               z -> z[1] || ' ' || z[2] || ' ' || z[3])) AS gram
+  FROM toks WHERE len(t) >= 3
+), allg AS (
+  SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3
+)
+SELECT source, CAST(gram_n AS BIGINT) AS gram_n,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       round(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 9) AS diversity
+FROM allg
+GROUP BY source, gram_n
+"""
+
+
+@register_staged("ngram_diversity", oracle=_DIVERSITY_SQL)
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, gram size) type-token diversity profile
+    (operators/text.py ``ngram_diversity``): the corpus-health metric
+    that flags template-heavy / synthetic-looped slices. Full value
+    oracle — token counts, distinct 1/2/3-gram counts, and the ratio
+    are replayed in DuckDB over the same alnum tokenization."""
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), text_column="text", group_column="source"
     )

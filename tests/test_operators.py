@@ -638,3 +638,36 @@ def test_repeated_span_dedup_overlapping_windows_union(spark):
     assert out.n_repeated_windows == 4  # starts 1..4
     assert out.n_tokens_removed == 6
     assert out.clean_text == ""
+
+
+def test_ngram_diversity_known_values(spark):
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1"),      # toks [a,b,a,b]: 4 uni (2 distinct), 3 bi (2), 2 tri (2)
+            (2, "", "s1"),             # no tokens
+            (3, "x", "s2"),            # 1 unigram only
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source"], r["gram_n"]): (r["n_grams"], r["n_distinct"], r["diversity"])
+        for r in ngram_diversity(df).collect()
+    }
+    assert rows[("s1", 1)] == (4, 2, 0.5)
+    assert rows[("s1", 2)] == (3, 2, round(2 / 3, 9))
+    assert rows[("s1", 3)] == (2, 2, 1.0)
+    assert rows[("s2", 1)] == (1, 1, 1.0)
+    # s2 has no bigrams/trigrams -> no rows
+    assert ("s2", 2) not in rows and ("s2", 3) not in rows
+
+
+def test_ngram_diversity_rejects_bad_max_n(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_diversity
+
+    df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
+    with _pytest.raises(ValueError, match="max_n"):
+        ngram_diversity(df, max_n=0)
