@@ -75,19 +75,14 @@ CLOSE = "\x1e"
 # unwrap, drop the trailing EOW, concatenate, and the word reappears.
 EOW = "</w>"
 
-WORD_PATTERN = "[^a-z0-9]+"
+# the shared tokenization base lives in operators/text.py (the layer
+# below); re-exported here because the merge-table metadata embeds it
+from pyspark_unload_to_gcs_spark.operators.text import WORD_PATTERN, words_col  # noqa: F401
 
 
 # --------------------------------------------------------------------------
 # Word extraction / symbol representation (shared by train + encode)
 # --------------------------------------------------------------------------
-
-
-def words_col(text):
-    """Lowercase alphanumeric words of ``text`` as array<string> —
-    the shared train/encode tokenization base (same split as
-    ``bpe_pair_stats``; boundary empty tokens filtered)."""
-    return F.filter(F.split(F.lower(text), WORD_PATTERN), lambda x: x != "")
 
 
 def word_counts(df: DataFrame, text_column: str = "text") -> DataFrame:
@@ -242,19 +237,19 @@ def bpe_train_distributed(
     ``collect()`` per iteration is bounded by construction (the merge
     decision IS driver state — same posture as the k-means centroid
     collects in ``similarity.py``)."""
+    from pyspark_unload_to_gcs_spark.operators.text import adjacent_pairs
+
+    # localCheckpoint at entry: the seeded states materialize once, so
+    # the first iterations don't re-run the caller's upstream lineage
+    # (a raw word_counts would otherwise re-shuffle the corpus per
+    # iteration until the first in-loop checkpoint)
     syms = vocab_df.select(
         seed_symbols_col(F.col("word")).alias("state"),
         F.col("weight").cast("long").alias("weight"),
-    )
+    ).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
-        parts = symbol_parts_col(F.col("state"))
-        n = F.size(parts)
-        left = F.slice(parts, 1, n - 1)
-        right = F.slice(parts, 2, n - 1)
-        pairs = F.when(n >= 2, F.zip_with(
-            left, right, lambda x, y: F.struct(x.alias("a"), y.alias("b"))
-        )).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pairs = adjacent_pairs(symbol_parts_col(F.col("state")))
         top = (
             syms.select(F.col("weight"), F.explode(pairs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -295,7 +290,12 @@ def bpe_train(
     vocabulary cardinality is probed with the limit+1 early-exit trick,
     and only a vocabulary that FITS is collected; larger vocabularies
     stay distributed."""
-    wc = word_counts(df, text_column)
+    # localCheckpoint BEFORE the probe: the corpus-sized explode+groupBy
+    # runs exactly once, and the probe/collect (driver path) or the
+    # per-iteration jobs (distributed path) all read the materialized
+    # vocab-sized frame instead of re-shuffling the corpus (same
+    # single-pass gate posture as the union-find gate in graph.py)
+    wc = word_counts(df, text_column).localCheckpoint()
     probe = wc.limit(driver_vocab_limit + 1).count()
     if probe <= driver_vocab_limit:
         vocab = {r["word"]: int(r["weight"]) for r in wc.collect()}

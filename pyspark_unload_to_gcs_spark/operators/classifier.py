@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark_unload_to_gcs_spark.operators.bpe import words_col
+from pyspark_unload_to_gcs_spark.operators.text import words_col
 
 MICRO = 1_000_000
 
@@ -88,8 +88,13 @@ def linear_text_classifier(
     ).select(
         id_column, token_bucket(F.col("token"), num_buckets).alias("bucket")
     )
+    # no explicit broadcast hint: a hint is always honored and would
+    # force-collect a production-scale trained table to the driver; AQE
+    # broadcasts the weight side while it is under the threshold and
+    # degrades to the bucket-key shuffle join beyond it — exactly the
+    # documented behavior (same posture as bpe_encode_counts)
     per_doc = (
-        toks.join(F.broadcast(weights), "bucket", "left")
+        toks.join(weights, "bucket", "left")
         .groupBy(id_column)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -24,6 +24,19 @@ WORD_SPLIT = "\\s+"
 PUNCT_PATTERN = "[^\\p{L}\\p{N}\\s]"
 
 
+WORD_PATTERN = "[^a-z0-9]+"
+
+
+def words_col(text: Column) -> Column:
+    """Lowercase alphanumeric words of ``text`` as array<string> — the
+    project-wide tokenization base shared by the BPE tokenizer, the
+    hashed-feature classifier, the diversity profile and their DuckDB
+    oracles (same split as ``bpe_pair_stats``; identical regex
+    semantics in Java and DuckDB RE2; boundary empty tokens
+    filtered)."""
+    return F.filter(F.split(F.lower(text), WORD_PATTERN), lambda x: x != "")
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization; empty string -> empty array (Spark's
     split('', pattern) returns [''], which would count as one token)."""
@@ -578,8 +591,6 @@ def ngram_diversity(
     same staged stream (one pass, no distinct shuffle) and accept the
     ~2% HLL error."""
     from functools import reduce
-
-    from pyspark_unload_to_gcs_spark.operators.bpe import words_col
 
     if max_n < 1:
         raise ValueError(f"ngram_diversity: max_n must be >= 1, got {max_n}")

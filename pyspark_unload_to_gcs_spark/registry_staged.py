@@ -730,7 +730,7 @@ WITH wc AS (
     SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                               x -> x != '')) AS word
     FROM documents) GROUP BY word
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT word, weight,
          array_to_string(list_transform(list_append(string_split(word, ''), '</w>'),
                                         c -> chr(31) || c || chr(30)), '') AS state
@@ -751,12 +751,19 @@ WITH wc AS (
   ) GROUP BY 1, 2
 ), m{i} AS (
   SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
-), s{i} AS (
-  SELECT word, weight,
-         replace(state,
-                 chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
-                 chr(31) || m.a || m.b || chr(30)) AS state
-  FROM s{i - 1} CROSS JOIN m{i} m
+), mm{i} AS (
+  -- ungrouped aggregate: guaranteed ONE row even when training
+  -- exhausts before merge {i} (empty m{i} -> MAX is NULL -> chr(0),
+  -- which never occurs in a state, so the replace is a no-op instead
+  -- of the CROSS JOIN deleting every word state). Single reference to
+  -- m{i} — per-step scalar subqueries re-evaluated the CTE chain
+  -- exponentially across the 8 unrolled steps.
+  SELECT COALESCE(MAX(chr(31) || a || chr(30) || chr(31) || b || chr(30)), chr(0)) AS pat,
+         COALESCE(MAX(chr(31) || a || b || chr(30)), chr(0)) AS rep
+  FROM m{i}
+), s{i} AS MATERIALIZED (
+  SELECT word, weight, replace(state, mm.pat, mm.rep) AS state
+  FROM s{i - 1} CROSS JOIN mm{i} mm
 )"""
         )
     return "".join(parts)
