@@ -562,6 +562,8 @@ def ngram_diversity(
     text_column: str = "text",
     group_column: str = "source",
     max_n: int = 3,
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Corpus-health diversity profile: per (slice, gram size) token
     counts, DISTINCT gram counts, and the type-token ratio — the
@@ -586,10 +588,15 @@ def ngram_diversity(
     distinct-gram vocabulary, so the shuffle carries distinct grams,
     and no Expand-based distinct rewrite appears (a single-agg
     count+count_distinct mix would Expand the exploded stream).
-    Exact distinct counts are inherent to the metric; at truly
-    vocabulary-exploding scales use ``approx_count_distinct`` over the
-    same staged stream (one pass, no distinct shuffle) and accept the
-    ~2% HLL error."""
+    ``approx=True`` is the vocabulary-exploding-scale lever: ONE
+    aggregation with ``approx_count_distinct(gram, rsd)`` straight
+    over the exploded stream — the HLL sketches partial-aggregate
+    map-side, so nothing gram-sized ever shuffles (the exact path
+    shuffles the distinct-gram vocabulary, which at web scale is
+    billions of trigrams). Deterministic for a given dataset (HLL is
+    hash-based, no runtime randomness); accuracy is pinned against the
+    exact twin by the ``ngram_diversity_approx_accuracy`` query, per
+    the repo's approximate-operator contract."""
     from functools import reduce
 
     if max_n < 1:
@@ -610,15 +617,21 @@ def ngram_diversity(
             )
         )
     exploded = reduce(lambda a, b: a.unionByName(b), branches)
-    per_gram = exploded.groupBy("grp", "gram_n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return (
-        per_gram.groupBy("grp", "gram_n")
-        .agg(
+    if approx:
+        agged = exploded.groupBy("grp", "gram_n").agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.approx_count_distinct("gram", rsd).alias("n_distinct"),
+        )
+    else:
+        per_gram = exploded.groupBy("grp", "gram_n", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        agged = per_gram.groupBy("grp", "gram_n").agg(
             F.sum("cnt").cast("long").alias("n_grams"),
             F.count(F.lit(1)).alias("n_distinct"),
         )
+    return (
+        agged
         .select(
             F.col("grp").alias(group_column),
             F.col("gram_n").cast("long").alias("gram_n"),

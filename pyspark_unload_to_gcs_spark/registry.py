@@ -453,10 +453,10 @@ def _load_extensions() -> None:
 # R07 ROTATION PLAN (execute next round): keep the core eight; promote
 # the r07 STAGED cohort (registry_staged: sessionize_stream_replay,
 # retention_stream_replay, repeated_span_dedup, bpe_train_merges,
-# bpe_tokenize_counts, quality_classifier_margin, ngram_diversity —
-# finished,
+# bpe_tokenize_counts, quality_classifier_margin, ngram_diversity,
+# ngram_diversity_approx_accuracy — finished,
 # oracle-parity-tested at sf0.001 AND sf0.01) plus any query added in
-# r07; then refresh the r04 greens — 8 + 7 leaves 35 slots, so the
+# r07; then refresh the r04 greens — 8 + 8 leaves 34 slots, so the
 # r04 names that don't fit (pick the least load-bearing) slide to r08
 # (40 names:
 # cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H

@@ -15,7 +15,8 @@ remaining versioned-state streaming folds), repeated_span_dedup
 bpe_train_merges + bpe_tokenize_counts (full training replay +
 vocabulary-cached corpus tokenization), quality_classifier_margin
 (fasttext-style hashed-feature linear scoring, exact integer
-accumulation), and ngram_diversity (per-slice type-token profile),
+accumulation), and ngram_diversity + ngram_diversity_approx_accuracy
+(per-slice type-token profile, exact + HLL accuracy pin),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -964,4 +965,60 @@ def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_diversity(
         _t(spark, sf_dir, "documents"), text_column="text", group_column="source"
+    )
+
+
+_DIVERSITY_ACCURACY_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents
+), dims AS (
+  SELECT source, 1 AS gram_n FROM toks WHERE len(t) >= 1
+  UNION SELECT source, 2 FROM toks WHERE len(t) >= 2
+  UNION SELECT source, 3 FROM toks WHERE len(t) >= 3
+)
+SELECT source, CAST(gram_n AS BIGINT) AS gram_n,
+       TRUE AS totals_equal, TRUE AS within_5pct
+FROM dims
+"""
+
+
+@register_staged("ngram_diversity_approx_accuracy", oracle=_DIVERSITY_ACCURACY_SQL)
+def ngram_diversity_approx_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy pin for the PRODUCTION approx diversity path (the
+    repo's approximate-operator contract: every approx path gets a
+    driver-red-able twin). Calls the real ``ngram_diversity(approx=
+    True, rsd=0.02)`` — not a recomputed sketch — FULL-outer-joins it
+    against the exact twin on (source, gram_n) so an extra or missing
+    dimension breaks the row count, and emits tolerance booleans:
+    exact token totals must be EQUAL (the count side shares no HLL),
+    and the HLL distinct estimate must sit within 5% of exact
+    (measured max 3.0% across sf0.001/0.01/0.1; HLL is hash-based and
+    deterministic per dataset, so the boolean is stable). Oracle =
+    the exact dimension set with constant TRUE."""
+    from pyspark_unload_to_gcs_spark.operators.text import ngram_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_diversity(docs).select(
+        "source", "gram_n",
+        F.col("n_grams").alias("n_grams_e"),
+        F.col("n_distinct").alias("n_distinct_e"),
+    )
+    approx = ngram_diversity(docs, approx=True, rsd=0.02).select(
+        "source", "gram_n",
+        F.col("n_grams").alias("n_grams_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+    )
+    joined = exact.join(approx, ["source", "gram_n"], "full_outer")
+    return joined.select(
+        "source",
+        F.col("gram_n").cast("long").alias("gram_n"),
+        (F.col("n_grams_e") == F.col("n_grams_a")).alias("totals_equal"),
+        (
+            F.abs(F.col("n_distinct_a") - F.col("n_distinct_e")).cast("double")
+            / F.col("n_distinct_e")
+            <= 0.05
+        ).alias("within_5pct"),
     )
