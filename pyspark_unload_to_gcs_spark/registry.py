@@ -454,9 +454,10 @@ def _load_extensions() -> None:
 # the r07 STAGED cohort (registry_staged: sessionize_stream_replay,
 # retention_stream_replay, repeated_span_dedup, bpe_train_merges,
 # bpe_tokenize_counts, quality_classifier_margin, ngram_diversity,
-# ngram_diversity_approx_accuracy — finished,
+# ngram_diversity_approx_accuracy, wav_decode_stats,
+# bmp_decode_stats — finished,
 # oracle-parity-tested at sf0.001 AND sf0.01) plus any query added in
-# r07; then refresh the r04 greens — 8 + 8 leaves 34 slots, so the
+# r07; then refresh the r04 greens — 8 + 10 leaves 32 slots, so the
 # r04 names that don't fit (pick the least load-bearing) slide to r08
 # (40 names:
 # cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H

@@ -15,8 +15,10 @@ remaining versioned-state streaming folds), repeated_span_dedup
 bpe_train_merges + bpe_tokenize_counts (full training replay +
 vocabulary-cached corpus tokenization), quality_classifier_margin
 (fasttext-style hashed-feature linear scoring, exact integer
-accumulation), and ngram_diversity + ngram_diversity_approx_accuracy
-(per-slice type-token profile, exact + HLL accuracy pin),
+accumulation), ngram_diversity + ngram_diversity_approx_accuracy
+(per-slice type-token profile, exact + HLL accuracy pin), and
+wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
+decode under closed-form oracles),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -1022,3 +1024,143 @@ def ngram_diversity_approx_accuracy_q(spark: SparkSession, sf_dir: str) -> DataF
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL media decode under a closed-form oracle (r07 staged cohort)
+# --------------------------------------------------------------------------
+#
+# The decode capability for uncompressed formats is REAL in this
+# environment (operators/multimodal.py decode_wav/decode_bmp: struct +
+# numpy parsers — header walk, endianness, channel de-interleave, row
+# padding, bottom-up raster). To make it driver-red-able, each doc gets
+# deterministically synthesized media bytes (closed-form integer sample
+# and pixel functions of doc_id), the REAL parser decodes them, and the
+# DuckDB oracle computes the same statistics from the closed forms —
+# any parser offset/endianness/padding/interleave bug shifts the
+# integer sums and turns the row red. Encoder and parser are written
+# independently (fixed-format writer vs chunk-walking reader).
+
+_WAV_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         200 + doc_id % 53 AS n_frames
+  FROM documents
+), samples AS (
+  SELECT doc_id, ch, n_frames,
+         unnest(generate_series(0, ch * n_frames - 1)) AS j
+  FROM params
+), vals AS (
+  SELECT doc_id, ch, n_frames,
+         (doc_id * 31 + j * 7) % 2048 - 1024 AS s
+  FROM samples
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(MIN(ch) AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bit_depth,
+       CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+       CAST(MIN(n_frames) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+FROM vals
+GROUP BY doc_id
+"""
+
+
+@register_staged("wav_decode_stats", oracle=_WAV_SQL)
+def wav_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM16 decode under a full value oracle: per document a
+    deterministic PCM ramp (mono/stereo alternating by doc_id) is
+    encoded to canonical RIFF bytes and parsed back by the real
+    chunk-walking decoder (operators/multimodal.py::decode_wav); the
+    oracle recomputes header fields and integer-exact sample stats
+    from the closed-form sample function. This is the uncompressed-
+    format half of the media-decode capability — compressed codecs
+    remain env-gated stubs, documented as such."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                ch = 1 + d % 2
+                n = 200 + d % 53
+                samples = [((d * 31 + j * 7) % 2048) - 1024 for j in range(ch * n)]
+                payloads.append(encode_wav_pcm16(samples, 8000, n_channels=ch))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synthesized = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_wav(synthesized)
+
+
+_BMP_SQL = """
+WITH params AS (
+  SELECT doc_id, 5 + doc_id % 16 AS w, 3 + doc_id % 7 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, w * h - 1)) AS p
+  FROM params
+), vals AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * (p % w) + 17 * (p // w)) % 256 AS r,
+         (doc_id * 5 + (p % w)) % 256 AS g,
+         (doc_id * 7 + (p // w)) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       CAST(MIN(w) AS INTEGER) AS width,
+       CAST(MIN(h) AS INTEGER) AS height,
+       CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM vals
+GROUP BY doc_id
+"""
+
+
+@register_staged("bmp_decode_stats", oracle=_BMP_SQL)
+def bmp_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 24-bit BMP decode under a full value oracle: deterministic
+    per-doc pixel field (width 5-20 exercises every 4-byte row-padding
+    residue; bottom-up BGR raster written by the independent encoder),
+    parsed by the real decoder; oracle recomputes dimensions and
+    per-channel BIGINT sums from the closed-form pixel functions."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp24,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 5 + d % 16, 3 + d % 7
+                px = [
+                    [((d + 3 * x + 17 * y) % 256, (d * 5 + x) % 256, (d * 7 + y) % 256)
+                     for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synthesized = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_bmp(synthesized)

@@ -98,3 +98,107 @@ def test_embed_topk_retrieves_self(spark):
     top = cosine_topk(emb, [float(v) for v in target], k=3,
                       id_column="doc_id", vec_column="embedding", ensure_parallel=False)
     assert top.first().doc_id == 7  # nearest neighbor of a vector is itself
+
+
+# --------------------------------------------------------------------------
+# Real uncompressed-format decoders (WAV/PCM16, BMP24)
+# --------------------------------------------------------------------------
+
+
+def test_decode_wav_bytes_rejects_malformed():
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import decode_wav_bytes
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav_bytes(b"not a wav")
+    with _pytest.raises(ValueError, match="missing fmt"):
+        decode_wav_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_wav_bytes_rejects_non_pcm16():
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav_pcm16,
+    )
+
+    raw = bytearray(encode_wav_pcm16([0, 1, 2], 8000))
+    struct.pack_into("<H", raw, 20, 3)  # IEEE float format tag
+    with _pytest.raises(ValueError, match="only PCM16"):
+        decode_wav_bytes(bytes(raw))
+
+
+def test_decode_wav_walks_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav_pcm16,
+    )
+
+    raw = encode_wav_pcm16([5, -5, 100, -100], 16000, n_channels=2)
+    # splice an odd-sized LIST chunk (word-aligned with a pad byte)
+    listchunk = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:36] + listchunk + raw[36:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, ch, bits, frames = decode_wav_bytes(spliced)
+    assert (rate, ch, bits) == (16000, 2, 16)
+    assert np.array_equal(frames, np.array([[5, -5], [100, -100]]))
+
+
+def test_decode_bmp_top_down_variant():
+    import struct
+
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_bmp_bytes,
+        encode_bmp24,
+    )
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    raw = bytearray(encode_bmp24(px))
+    # negative height = top-down raster; row order in the file is then
+    # already top-to-bottom, so flip the stored rows to keep content
+    h = struct.unpack_from("<i", raw, 22)[0]
+    stride = ((2 * 3 + 3) // 4) * 4
+    body = bytes(raw[54:])
+    flipped = b"".join(body[i * stride : (i + 1) * stride] for i in reversed(range(h)))
+    raw2 = bytes(raw[:54]) + flipped
+    raw2 = bytearray(raw2)
+    struct.pack_into("<i", raw2, 22, -h)
+    img = decode_bmp_bytes(bytes(raw2))
+    assert [[tuple(int(v) for v in img[y][x]) for x in range(2)] for y in range(2)] == px
+
+
+def test_decode_bmp_rejects_unsupported():
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import decode_bmp_bytes
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp_bytes(b"xx" + b"\x00" * 60)
+
+
+def test_wav_bmp_spark_roundtrip(spark):
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16([100, -200, 300], 8000)
+    bmp = encode_bmp24([[(10, 20, 30)]])
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = decode_wav(df).collect()[0]
+    assert (row["n_frames"], row["peak_abs"], row["sum_abs"]) == (3, 300, 600)
+    df2 = spark.createDataFrame([(2, bytearray(bmp))], "doc_id long, payload binary")
+    row2 = decode_bmp(df2).collect()[0]
+    assert (row2["width"], row2["height"], row2["sum_r"], row2["sum_g"], row2["sum_b"]) == (1, 1, 10, 20, 30)
