@@ -800,3 +800,154 @@ def semantic_match_against_index(
         .filter(F.col("cosine") >= cosine_threshold)
         .select("new_id", "index_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ ANN compression; Jegou et al., TPAMI 2011)
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks_from_sample(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks from the ``k`` smallest-id vectors'
+    sub-slices — the same deterministic bounded-collect seeding as
+    ``ivf_centroids_from_sample`` (an index-build parameter, k*dim
+    floats on the driver). Returns m codebooks, each in ``ivf_assign``
+    centroid shape [(code, sub_vector)]. A Lloyd refinement per
+    subspace is a drop-in upgrade via ``ivf_centroids_kmeans`` on the
+    sliced frame; the oracled query stays on the sampled seeds its
+    replay can reconstruct."""
+    rows = (
+        df.select(F.col(id_column), F.col(vec_column))
+        .orderBy(F.col(id_column).asc())
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks_from_sample: empty input")
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [(j, vecs[j][s * sub : (s + 1) * sub]) for j in range(len(vecs))]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    vec_column: str = "embedding",
+    code_column: str = "pq_codes",
+    method: str = "fold",
+) -> DataFrame:
+    """Encode vectors to ``m`` sub-space codes (array<long>): slice the
+    vector, assign each slice to its nearest codebook entry through the
+    SAME ``ivf_assign`` machinery (fold path = oracle-replayable,
+    arrow path = BLAS production; identical tie rule). One narrow map,
+    no shuffle; the m-byte-ish code row is what a 100 TB corpus stores
+    instead of the full vector (dim x 4 bytes -> m codes)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    out = df
+    for s in range(m):
+        out = out.withColumn(
+            f"__pq_sub{s}", F.slice(F.col(vec_column), s * sub + 1, sub)
+        )
+        out = ivf_assign(
+            out,
+            codebooks[s],
+            vec_column=f"__pq_sub{s}",
+            cell_column=f"__pq_c{s}",
+            method=method,
+        )
+    out = out.withColumn(
+        code_column, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
+    )
+    return out.drop(
+        *[f"__pq_sub{s}" for s in range(m)], *[f"__pq_c{s}" for s in range(m)]
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query,
+    k: int = 10,
+    *,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    code_column: str = "pq_codes",
+    method: str = "fold",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: the full-precision
+    query scores every code row through per-subspace lookup tables —
+    ``score = (sum_s lut_dot[s][code_s]) / (|q| * sqrt(sum_s
+    lut_ss[s][code_s]))``, i.e. exact cosine against the RECONSTRUCTED
+    vector. The LUTs (m x k floats) are computed driver-side and baked
+    in as literal arrays, so scoring is m ``element_at`` lookups plus
+    a fixed-order sum — whole-stage codegen, no vector math per row,
+    and cross-engine replayable (explicit left-associated addition
+    chain; DuckDB recomputes the same LUT values from the codebook
+    literals). Top-k via orderBy+limit = TakeOrderedAndProject.
+
+    At 100 TB: encode once, store codes (32x smaller than fp32 at
+    m=4/dim=64), scan codes only — the memory-bandwidth win is the
+    point of PQ; IVF cells + PQ codes compose (encode the assigned
+    frame, prune cells first)."""
+    import math
+
+    q = [float(x) for x in query]
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    if len(q) != m * sub:
+        raise ValueError(f"pq_topk: query dim {len(q)} != {m * sub}")
+    qnorm = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    lut_dot: list[list[float]] = []
+    lut_ss: list[list[float]] = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        by_code = dict()
+        for code, c in codebooks[s]:
+            by_code[int(code)] = (
+                sum(a * b for a, b in zip(qs, c)),
+                sum(x * x for x in c),
+            )
+        codes_sorted = sorted(by_code)
+        if codes_sorted != list(range(len(codes_sorted))):
+            raise ValueError("pq_topk: codebook codes must be 0..k-1")
+        lut_dot.append([by_code[j][0] for j in codes_sorted])
+        lut_ss.append([by_code[j][1] for j in codes_sorted])
+
+    enc = pq_encode(
+        df, codebooks, vec_column=vec_column, code_column=code_column, method=method
+    )
+    code_at = lambda s: F.element_at(F.col(code_column), s + 1).cast("int") + 1  # noqa: E731
+    dot_expr = F.element_at(F.array(*[F.lit(v) for v in lut_dot[0]]), code_at(0))
+    ss_expr = F.element_at(F.array(*[F.lit(v) for v in lut_ss[0]]), code_at(0))
+    for s in range(1, m):
+        dot_expr = dot_expr + F.element_at(
+            F.array(*[F.lit(v) for v in lut_dot[s]]), code_at(s)
+        )
+        ss_expr = ss_expr + F.element_at(
+            F.array(*[F.lit(v) for v in lut_ss[s]]), code_at(s)
+        )
+    recon_norm = F.sqrt(ss_expr)
+    score = F.when(recon_norm == 0.0, F.lit(0.0)).otherwise(
+        dot_expr / (F.lit(qnorm) * recon_norm)
+    )
+    return (
+        enc.select(F.col(id_column), score.alias("pq_score"))
+        .orderBy(F.desc("pq_score"), F.col(id_column).asc())
+        .limit(k)
+    )

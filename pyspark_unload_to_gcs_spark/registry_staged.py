@@ -18,7 +18,8 @@ vocabulary-cached corpus tokenization), quality_classifier_margin
 accumulation), ngram_diversity + ngram_diversity_approx_accuracy
 (per-slice type-token profile, exact + HLL accuracy pin), and
 wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
-decode under closed-form oracles),
+decode under closed-form oracles), and vector_topk_pq
+(product-quantization ADC top-k, full codebook/assignment/LUT replay),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -1164,3 +1165,108 @@ def bmp_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     synthesized = docs.mapInPandas(synth, "doc_id long, payload binary")
     return decode_bmp(synthesized)
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN top-k (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 16, 16  # m subspaces, k codes, dim 64 -> sub 16
+
+
+def _pq_oracle() -> str:
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    m, sub = _PQ_M, _PQ_SUB
+    vslice = "b.v[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]".format(sub=sub)
+    qslice = "qv.qv[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]".format(sub=sub)
+    d_cols = ", ".join(
+        f"MAX(CASE WHEN a.s = {s} THEN l.d END) AS d{s}, "
+        f"MAX(CASE WHEN a.s = {s} THEN l.ss END) AS ss{s}"
+        for s in range(m)
+    )
+    dsum = "(((d0 + d1) + d2) + d3)"
+    sssum = "(((ss0 + ss1) + ss2) + ss3)"
+    score = (
+        f"CASE WHEN sqrt({sssum}) = 0 THEN 0.0 "
+        f"ELSE {dsum} / (qn.qn * sqrt({sssum})) END"
+    )
+    return f"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qn AS (
+      SELECT CASE WHEN sqrt({_SS.format(a="qv")}) = 0 THEN 1.0
+                  ELSE sqrt({_SS.format(a="qv")}) END AS qn
+      FROM qv
+    ),
+    cbv AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS j,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id != 0 ORDER BY vec_id ASC LIMIT {_PQ_K}
+    ),
+    cb AS (
+      SELECT sub.s, cbv.j, cbv.c[sub.s * {sub} + 1 : (sub.s + 1) * {sub}] AS cs
+      FROM cbv, (SELECT unnest(generate_series(0, {m - 1})) AS s) sub
+    ),
+    cbn AS (
+      SELECT s, j, cs,
+             CASE WHEN sqrt({_SS.format(a="cs")}) = 0 THEN 1.0
+                  ELSE sqrt({_SS.format(a="cs")}) END AS n
+      FROM cb
+    ),
+    cbu AS (SELECT s, j, cs, list_transform(cs, x -> x / n) AS u FROM cbn),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id != 0
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, s, j FROM (
+        SELECT b.vec_id, cu.s, cu.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id, cu.s
+                 ORDER BY {_DOT.format(a=vslice, b="cu.u")} DESC, cu.j DESC
+               ) AS rn
+        FROM base b, cbu cu
+      ) WHERE rn = 1
+    ),
+    luts AS MATERIALIZED (
+      SELECT cu.s, cu.j,
+             {_DOT.format(a=qslice, b="cu.cs")} AS d,
+             {_SS.format(a="cu.cs")} AS ss
+      FROM cbu cu, qv
+    ),
+    per_vec AS (
+      SELECT a.vec_id, {d_cols}
+      FROM assigned a JOIN luts l ON a.s = l.s AND a.j = l.j
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round({score}, 6) AS pq_score_r
+    FROM per_vec, qn
+    ORDER BY {score} DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register_staged("vector_topk_pq", oracle=_pq_oracle())
+def vector_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (operators/similarity.py
+    ``pq_codebooks_from_sample``/``pq_encode``/``pq_topk``; Jegou et
+    al. TPAMI 2011): vectors compress to m=4 sub-space codes through
+    the shared ``ivf_assign`` machinery, the full-precision query
+    scores code rows via literal lookup tables (ADC — cosine against
+    the reconstructed vector), m ``element_at`` lookups + a fixed-order
+    sum per row. FULL value oracle: DuckDB reconstructs the sampled
+    codebooks, replays the per-subspace argmax assignment (same tie
+    rule as the IVF oracle), recomputes the LUT values from the
+    codebook literals and the left-associated score sum, and takes the
+    same top-10."""
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K)
+    out = S.pq_topk(corpus, q, k=10, codebooks=codebooks)
+    return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))

@@ -143,3 +143,55 @@ def test_semantic_dedup_auto_arrow_matches_fold(spark, sf_dir):
         ).collect()
     }
     assert fold == arrow
+
+
+# --------------------------------------------------------------------------
+# Product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_encode_arrow_matches_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id != 0")
+    cb = S.pq_codebooks_from_sample(emb, m=4, k=16)
+    fold = {r["vec_id"]: r["pq_codes"] for r in S.pq_encode(emb, cb).collect()}
+    arrow = {
+        r["vec_id"]: r["pq_codes"]
+        for r in S.pq_encode(emb, cb, method="arrow").collect()
+    }
+    assert fold == arrow
+
+
+def test_pq_planted_duplicate_ranks_first(spark):
+    import random
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    dim, m, k = 8, 2, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 40)]
+    query = rows[4][1]          # vec_id 5's vector IS the query
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = S.pq_codebooks_from_sample(df, m=m, k=k)
+    top = S.pq_topk(df, query, k=3, codebooks=cb).collect()
+    # identical vector -> identical codes -> exact reconstructed-cosine
+    # of the quantized self -> must be the argmax row
+    assert top[0]["vec_id"] == 5
+
+
+def test_pq_dim_validation(spark):
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks_from_sample(df, m=2, k=2)
+    cb = S.pq_codebooks_from_sample(df, m=3, k=1)
+    with _pytest.raises(ValueError, match="query dim"):
+        S.pq_topk(df, [1.0, 2.0], k=1, codebooks=cb)
