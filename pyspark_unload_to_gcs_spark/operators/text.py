@@ -258,7 +258,16 @@ def word_ngrams_zip(toks: Column, n: int) -> Column:
     lambda here touches only its element arguments, so ``toks`` is
     evaluated O(n) times per ROW, never per element. Safe to use with
     an inline tokenization expression; no materialization barrier
-    needed."""
+    needed.
+
+    CROSSOVER: the chain is (n-1) interpreted zip_with invocations per
+    row, so it wins when gram positions per doc are many relative to n
+    (small n, long-ish docs: ngram_diversity's n<=3, 8.7 -> 1.7 s) and
+    LOSES to the single-transform build at larger n over short docs
+    (ngram_contamination's n=5 on the ~5-token fixture docs: 1.5 s zip
+    vs 0.9 s transform, fresh-frame A/B). Pick per call site and
+    measure with FRESH frames — re-collecting one DataFrame object
+    reuses its shuffle stages and hides ~95% of the cost."""
     sz = F.size(toks)
     out_len = sz - (n - 1)
     acc = F.slice(toks, 1, out_len)
@@ -295,21 +304,22 @@ def ngram_contamination(
     the corpus never shuffles; docs with fewer than ``n`` tokens are
     preserved with counts 0 (explode_outer keeps a NULL-gram row).
     """
-    # word_ngrams_zip: slice+zip_with gram build — lambdas never
-    # reference the token array, so no HOF re-eval hazard and no
-    # staging barrier needed (the earlier transform-based build
-    # re-tokenized per gram position once CollapseProject refolded
-    # the staged projection).
-    corpus_grams = corpus.select(
-        F.col(id_column),
-        F.explode_outer(word_ngrams_zip(tokens_col(F.col(text_column)), n)).alias(
-            "gram"
-        ),
+    # transform-based gram build, NOT word_ngrams_zip: the zip chain
+    # costs (n-1) interpreted HOF invocations per ROW, which loses at
+    # n=5 on short documents (fresh-frame A/B at sf0.1: 1.5 s zip vs
+    # 0.9 s transform — few gram positions per doc, so the transform's
+    # per-element re-eval is the cheaper side of the crossover; see
+    # word_ngrams_zip's docstring for the other side).
+    corpus_grams = (
+        corpus.select(F.col(id_column), tokens_col(F.col(text_column)).alias("__toks"))
+        .select(
+            F.col(id_column),
+            F.explode_outer(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+        )
     )
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams_zip(tokens_col(F.col(text_column)), n)).alias("gram")
-        )
+        benchmark.select(tokens_col(F.col(text_column)).alias("__toks"))
+        .select(F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
