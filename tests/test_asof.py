@@ -195,3 +195,33 @@ def test_pq_dim_validation(spark):
     cb = S.pq_codebooks_from_sample(df, m=3, k=1)
     with _pytest.raises(ValueError, match="query dim"):
         S.pq_topk(df, [1.0, 2.0], k=1, codebooks=cb)
+
+
+def test_pq_codebooks_kmeans_refinement_drop_in(spark, sf_dir):
+    """pq_codebooks_from_sample documents ivf_centroids_kmeans as a
+    drop-in per-subspace refinement — prove the composition: refined
+    codebooks slot into pq_encode/pq_topk unchanged and (on the
+    fixture) produce a valid, deterministic top-k."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id != 0")
+    m, k = 4, 8
+    dim = len(emb.select("embedding").head()[0])
+    sub = dim // m
+    refined = []
+    for s in range(m):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("embedding")
+        )
+        refined.append(
+            S.ivf_centroids_kmeans(sliced, n_centroids=k, iterations=1)
+        )
+    q = [float(x) for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter("vec_id = 0").select("embedding").head()[0]]
+    a = [(r["vec_id"], round(r["pq_score"], 9))
+         for r in S.pq_topk(emb, q, k=5, codebooks=refined).collect()]
+    b = [(r["vec_id"], round(r["pq_score"], 9))
+         for r in S.pq_topk(emb, q, k=5, codebooks=refined).collect()]
+    assert a == b and len(a) == 5  # deterministic, full k
