@@ -18,8 +18,9 @@ vocabulary-cached corpus tokenization), quality_classifier_margin
 accumulation), ngram_diversity + ngram_diversity_approx_accuracy
 (per-slice type-token profile, exact + HLL accuracy pin), and
 wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
-decode under closed-form oracles), and vector_topk_pq
-(product-quantization ADC top-k, full codebook/assignment/LUT replay),
+decode under closed-form oracles), and vector_topk_pq +
+vector_topk_ivfpq (product-quantization ADC top-k and the composed
+IVF-prune + PQ-scan layout, full codebook/assignment/LUT replays),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -1269,4 +1270,151 @@ def vector_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K)
     out = S.pq_topk(corpus, q, k=10, codebooks=codebooks)
+    return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))
+
+
+def _ivfpq_oracle() -> str:
+    """Composed replay: the IVF oracle's coarse probe restriction
+    (16 centroids, 4 probes, full-vector argmax) feeding the PQ
+    oracle's per-subspace assignment + LUT scoring, both over the same
+    sampled seeds. Spines MATERIALIZED (lore #27)."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    m, sub = _PQ_M, _PQ_SUB
+    vslice = f"b.v[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]"
+    qslice = f"qv.qv[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]"
+    d_cols = ", ".join(
+        f"MAX(CASE WHEN a.s = {s} THEN l.d END) AS d{s}, "
+        f"MAX(CASE WHEN a.s = {s} THEN l.ss END) AS ss{s}"
+        for s in range(m)
+    )
+    dsum = "(((d0 + d1) + d2) + d3)"
+    sssum = "(((ss0 + ss1) + ss2) + ss3)"
+    score = (
+        f"CASE WHEN sqrt({sssum}) = 0 THEN 0.0 "
+        f"ELSE {dsum} / (qn.qn * sqrt({sssum})) END"
+    )
+    return f"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qn AS (
+      SELECT CASE WHEN sqrt({_SS.format(a="qv")}) = 0 THEN 1.0
+                  ELSE sqrt({_SS.format(a="qv")}) END AS qn
+      FROM qv
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id != 0 ORDER BY vec_id ASC LIMIT 16
+    ),
+    centn AS (
+      SELECT cell, c,
+             CASE WHEN sqrt({_SS.format(a="c")}) = 0
+                  THEN 1.0 ELSE sqrt({_SS.format(a="c")}) END AS n
+      FROM cent
+    ),
+    centu AS (SELECT cell, c, n, list_transform(c, x -> x / n) AS u FROM centn),
+    probes AS (
+      -- (q*c)/n term order, matching the python probe ranking exactly
+      -- (a*(x/n) rounds differently in the last ulp)
+      SELECT cell FROM centu, qv
+      ORDER BY list_reduce(list_transform(list_zip(qv.qv, centu.c),
+                                          z -> z[1] * z[2] / centu.n),
+                           (x, y) -> x + y) DESC,
+               cell ASC
+      LIMIT 4
+    ),
+    base0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id != 0
+    ),
+    coarse AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, cu.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {_DOT.format(a="b.v", b="cu.u")} DESC, cu.cell DESC
+               ) AS rn
+        FROM base0 b, centu cu
+      ) WHERE rn = 1
+    ),
+    base AS MATERIALIZED (
+      SELECT b.vec_id, b.v FROM base0 b
+      JOIN coarse co ON b.vec_id = co.vec_id
+      JOIN probes p ON co.cell = p.cell
+    ),
+    cbv AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS j,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id != 0 ORDER BY vec_id ASC LIMIT {_PQ_K}
+    ),
+    cb AS (
+      SELECT sub.s, cbv.j, cbv.c[sub.s * {sub} + 1 : (sub.s + 1) * {sub}] AS cs
+      FROM cbv, (SELECT unnest(generate_series(0, {m - 1})) AS s) sub
+    ),
+    cbu AS (
+      SELECT s, j, cs,
+             list_transform(cs, x -> x / (CASE WHEN sqrt({_SS.format(a="cs")}) = 0
+                                               THEN 1.0 ELSE sqrt({_SS.format(a="cs")}) END)) AS u
+      FROM cb
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, s, j FROM (
+        SELECT b.vec_id, cu.s, cu.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id, cu.s
+                 ORDER BY {_DOT.format(a=vslice, b="cu.u")} DESC, cu.j DESC
+               ) AS rn
+        FROM base b, cbu cu
+      ) WHERE rn = 1
+    ),
+    luts AS MATERIALIZED (
+      SELECT cu.s, cu.j,
+             {_DOT.format(a=qslice, b="cu.cs")} AS d,
+             {_SS.format(a="cu.cs")} AS ss
+      FROM cbu cu, qv
+    ),
+    per_vec AS (
+      SELECT a.vec_id, {d_cols}
+      FROM assigned a JOIN luts l ON a.s = l.s AND a.j = l.j
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round({score}, 6) AS pq_score_r
+    FROM per_vec, qn
+    ORDER BY {score} DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register_staged("vector_topk_ivfpq", oracle=_ivfpq_oracle())
+def vector_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB vector-search layout: IVF coarse cells
+    prune the corpus to 4 probed cells of 16 (partition pruning at
+    scale), then PQ ADC scores only the surviving code rows — the scan
+    touches n_probe/n_centroids of the data AND reads m-code rows
+    instead of full vectors. Both stages run through the shared
+    oracle-replayable machinery (``ivf_assign`` coarse + per-subspace;
+    ``pq_topk`` LUT scoring); the oracle replays coarse centroid pick,
+    probe selection, cell restriction, per-subspace assignment, LUT
+    values, and the left-associated score in one composed SQL."""
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    centroids = S.ivf_centroids_from_sample(corpus, n_centroids=16)
+
+    import math
+
+    def unit_dot(vec):
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return sum(float(a) * x / n for a, x in zip(q, vec))
+
+    probe_ids = [c[0] for c in sorted(centroids, key=lambda c: (-unit_dot(c[1]), c[0]))[:4]]
+    assigned = S.ivf_assign(corpus, centroids)
+    pruned = assigned.filter(F.col("ivf_cell").isin(probe_ids)).drop("ivf_cell")
+    codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K)
+    out = S.pq_topk(pruned, q, k=10, codebooks=codebooks)
     return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))

@@ -414,3 +414,47 @@ HOF_CASES = [(f"hof_{i}",) + _hof_case(_RNG) for i in range(N_HOF)]
 )
 def test_fuzz_hof_matches_duckdb(spark, duck, orders_view, name, spark_sql, duck_sql):
     assert_matches(spark.sql(spark_sql), duck, duck_sql, name=name)
+
+
+def test_fuzz_words_col_matches_duckdb(spark):
+    """The lowercase-alnum tokenization base (text.words_col) is the
+    shared regex five oracles replay with DuckDB's
+    `list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), ...)`
+    — fuzz the parity over adversarial ASCII (empty, boundary
+    separators, digit runs, long separator runs, case). Non-ASCII is
+    deliberately out of scope: Java and DuckDB lower()/char classes
+    can diverge there and every oracle-facing fixture is ASCII."""
+    import random
+    import string
+
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.text import words_col
+
+    rng = random.Random(SEED)
+    alphabet = string.ascii_letters + string.digits + " .,;:!?-_/()[]'\"\t\n@#$%^&*+="
+    texts = ["", " ", "...", "a", "A1b2", "  leading", "trailing  ", "-a-b-"]
+    for _ in range(120):
+        n = rng.randint(0, 40)
+        texts.append("".join(rng.choice(alphabet) for _ in range(n)))
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["i"]: r["w"]
+        for r in sdf.select("i", words_col(F.col("text")).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        i: w
+        for i, w in con.sql(
+            "SELECT i, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+            " x -> x != '') AS w FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
