@@ -1,0 +1,104 @@
+"""Mergeable-summary operators on the Apache DataSketches builtins
+(Spark 4 ``kll_sketch_*`` / ``theta_sketch_*`` / ``hll_*`` SQL
+functions; DataSketches library, Apache — public).
+
+THE 100 TB pattern these exist for: aggregate once into per-partition
+(per-day, per-source) SKETCH rows — kilobytes each — then answer
+corpus-wide questions by MERGING sketches, never rereading data. A
+year of daily quantile/distinct summaries collapses to 365 binary
+cells; any date-range query is a fold over the slice. HLL variants of
+this pattern already power ``rolling_active_users_approx`` and the
+streaming actives state (``streaming/actives.py``); this module adds
+the quantile (KLL) and set-operation-capable distinct (theta) halves.
+
+Exactness contract (the oracle lever, same family as NOTES lore #22):
+a DataSketches sketch is EXACT below its retained-item capacity — KLL
+retains all items while n <= k, theta stores every distinct hash under
+its nominal entry count. Size the parameter above fixture cardinality
+and the "approximate" rollup carries a full value oracle at driver
+scale (verified: KLL-below-capacity == DuckDB ``quantile_disc``,
+merged and per-group); above capacity (the bench/audit scales and
+production) the same plan degrades gracefully to the sketch's
+published error bounds. Docstrings on the registered queries state
+which regime each scale runs in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold_sketches(arr, merge_fn):
+    """Left fold of a collect_list of sketch binaries with the binary
+    merge builtin (there is no *_union_agg for KLL): aggregate(tail,
+    head, merge). The collected list is per-GROUP sketch rows — one
+    kilobyte-scale binary per group, never data rows."""
+    return F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: merge_fn(acc, x),
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    value_column: str,
+    group_column,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9),
+    k: int = 16384,
+    total_sentinel: int = -1,
+) -> DataFrame:
+    """Per-group KLL value-quantile summaries plus the MERGED overall
+    row (group = ``total_sentinel``): one aggregation builds the
+    per-group sketches; the overall quantiles come from folding the
+    group sketches — the corpus is read once. Quantile columns are
+    ``q_25``-style (rank x100)."""
+    per = (
+        df.select(group_column.alias("grp"), F.col(value_column).alias("v"))
+        .groupBy("grp")
+        .agg(F.kll_sketch_agg_double("v", F.lit(k)).alias("sk"))
+    )
+    qcols = lambda sk: [  # noqa: E731
+        F.kll_sketch_get_quantile_double(sk, F.lit(q)).alias(
+            f"q_{int(round(q * 100))}"
+        )
+        for q in quantiles
+    ]
+    per_rows = per.select(F.col("grp").cast("long").alias("grp"), *qcols(F.col("sk")))
+    merged = (
+        per.agg(F.collect_list("sk").alias("arr"))
+        .select(
+            _fold_sketches(F.col("arr"), F.kll_sketch_merge_double).alias("m")
+        )
+        .select(F.lit(int(total_sentinel)).cast("long").alias("grp"), *qcols(F.col("m")))
+    )
+    return per_rows.unionByName(merged)
+
+
+def theta_distinct_rollup(
+    df: DataFrame,
+    key_column: str,
+    group_column,
+    lg_nom_entries: int = 12,
+    total_sentinel: int = -1,
+) -> DataFrame:
+    """Per-group theta distinct-count summaries plus the UNION overall
+    row: theta (unlike HLL) also supports intersection/difference
+    downstream, which is why dedup/overlap tooling stores theta state.
+    ``theta_union_agg`` folds the group sketches."""
+    per = (
+        df.select(group_column.alias("grp"), F.col(key_column).alias("k"))
+        .groupBy("grp")
+        .agg(F.theta_sketch_agg("k", F.lit(lg_nom_entries)).alias("sk"))
+    )
+    per_rows = per.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.theta_sketch_estimate("sk").cast("long").alias("n_distinct"),
+    )
+    union_row = per.agg(
+        F.theta_sketch_estimate(F.expr("theta_union_agg(sk, 12)"))
+        .cast("long")
+        .alias("n_distinct")
+    ).select(F.lit(int(total_sentinel)).cast("long").alias("grp"), "n_distinct")
+    return per_rows.unionByName(union_row)

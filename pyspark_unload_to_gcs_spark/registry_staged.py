@@ -21,6 +21,8 @@ wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
 decode under closed-form oracles), and vector_topk_pq +
 vector_topk_ivfpq (product-quantization ADC top-k and the composed
 IVF-prune + PQ-scan layout, full codebook/assignment/LUT replays),
+plus kll_value_quantiles_rollup + theta_users_daily (mergeable
+DataSketches rollups, exact-below-capacity oracles),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -1418,3 +1420,72 @@ def vector_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K)
     out = S.pq_topk(pruned, q, k=10, codebooks=codebooks)
     return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketch rollups (r07 staged cohort)
+# --------------------------------------------------------------------------
+
+_KLL_SQL = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS grp, value AS v
+  FROM events
+), per AS (
+  SELECT grp, quantile_disc(v, 0.25) AS q_25, quantile_disc(v, 0.5) AS q_50,
+         quantile_disc(v, 0.9) AS q_90
+  FROM d GROUP BY grp
+), tot AS (
+  SELECT CAST(-1 AS BIGINT) AS grp, quantile_disc(v, 0.25) AS q_25,
+         quantile_disc(v, 0.5) AS q_50, quantile_disc(v, 0.9) AS q_90
+  FROM d
+)
+SELECT CAST(grp AS BIGINT) AS grp, q_25, q_50, q_90 FROM per
+UNION ALL SELECT grp, q_25, q_50, q_90 FROM tot
+"""
+
+
+@register_staged("kll_value_quantiles_rollup", oracle=_KLL_SQL)
+def kll_value_quantiles_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summaries (operators/sketches.py): per-day
+    KLL sketches of event values + the MERGED overall row — the read-
+    once/merge-forever rollup shape. k=16384 exceeds the sf0.01 corpus
+    (10k values), so every sketch is below retained-item capacity and
+    the rollup is EXACT (== DuckDB quantile_disc, lore #22 family);
+    at bench/audit scales the identical plan degrades to KLL's
+    published ~1.65% rank error, documented here rather than hidden."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import kll_quantile_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return kll_quantile_rollup(
+        ev, "value", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    )
+
+
+_THETA_SQL = """
+WITH d AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS grp, user_id
+  FROM events
+)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM d GROUP BY grp
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM d
+"""
+
+
+@register_staged("theta_users_daily", oracle=_THETA_SQL)
+def theta_users_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user summaries via THETA sketches (the
+    set-operation-capable cousin of the HLL state the streaming
+    actives already keep): per-day DAU + theta-union total. Below the
+    2^12 nominal-entry capacity (150 distinct users at sf0.01, 1500 at
+    sf0.1) theta stores every distinct hash, so estimates are EXACT
+    and the oracle is plain COUNT(DISTINCT); past capacity (the x10
+    audit's 15k users, production) the same plan returns the published
+    ~1.6% RSE estimate."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_distinct_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return theta_distinct_rollup(
+        ev, "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    )

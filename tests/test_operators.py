@@ -671,3 +671,44 @@ def test_ngram_diversity_rejects_bad_max_n(spark):
     df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
     with _pytest.raises(ValueError, match="max_n"):
         ngram_diversity(df, max_n=0)
+
+
+def test_kll_rollup_merged_equals_global_below_capacity(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import kll_quantile_rollup
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in range(4) for v in range(g * 50, g * 50 + 40)],
+        "g long, value double",
+    )
+    out = {
+        r["grp"]: (r["q_25"], r["q_50"], r["q_90"])
+        for r in kll_quantile_rollup(df, "value", F.col("g"), k=1024).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, -1}
+    # below capacity the merged row is the exact global order statistic
+    vals = sorted(float(v) for g in range(4) for v in range(g * 50, g * 50 + 40))
+    import math
+
+    def disc(q):
+        return vals[max(0, math.ceil(q * len(vals)) - 1)]
+
+    assert out[-1] == (disc(0.25), disc(0.5), disc(0.9))
+
+
+def test_theta_rollup_exact_below_capacity(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_distinct_rollup
+
+    df = spark.createDataFrame(
+        [(g, u) for g in range(3) for u in range(g * 10, g * 10 + 20)],
+        "g long, user long",
+    )
+    out = {
+        r["grp"]: r["n_distinct"]
+        for r in theta_distinct_rollup(df, "user", F.col("g")).collect()
+    }
+    # groups overlap by 10 users: per-group 20 each, union 40
+    assert out == {0: 20, 1: 20, 2: 20, -1: 40}
