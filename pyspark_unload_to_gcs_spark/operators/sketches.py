@@ -102,3 +102,43 @@ def theta_distinct_rollup(
         .alias("n_distinct")
     ).select(F.lit(int(total_sentinel)).cast("long").alias("grp"), "n_distinct")
     return per_rows.unionByName(union_row)
+
+
+def theta_overlap_rollup(
+    df: DataFrame,
+    key_column: str,
+    group_column,
+) -> DataFrame:
+    """Consecutive-group audience flow from theta SET OPERATIONS — the
+    capability HLL sketches fundamentally lack: per group pair
+    (prev -> cur), ``n_returning`` (intersection), ``n_churned``
+    (prev difference cur), ``n_new`` (cur difference prev). The
+    per-group sketch frame is tiny (one row per group), so the lag
+    window and estimates are free; the corpus was read once to build
+    the sketches. Exact below nominal-entry capacity, published-RSE
+    estimates above it."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(group_column.alias("grp"), F.col(key_column).alias("k"))
+        .groupBy("grp")
+        .agg(F.theta_sketch_agg("k").alias("sk"))
+    )
+    w = Window.orderBy("grp")
+    paired = per.select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("sk"),
+        F.lag("sk").over(w).alias("prev_sk"),
+    ).filter(F.col("prev_sk").isNotNull())
+    return paired.select(
+        "grp",
+        F.theta_sketch_estimate(F.expr("theta_intersection(prev_sk, sk)"))
+        .cast("long")
+        .alias("n_returning"),
+        F.theta_sketch_estimate(F.expr("theta_difference(prev_sk, sk)"))
+        .cast("long")
+        .alias("n_churned"),
+        F.theta_sketch_estimate(F.expr("theta_difference(sk, prev_sk)"))
+        .cast("long")
+        .alias("n_new"),
+    )

@@ -456,9 +456,10 @@ def _load_extensions() -> None:
 # bpe_tokenize_counts, quality_classifier_margin, ngram_diversity,
 # ngram_diversity_approx_accuracy, wav_decode_stats,
 # bmp_decode_stats, vector_topk_pq, vector_topk_ivfpq,
-# kll_value_quantiles_rollup, theta_users_daily — finished,
+# kll_value_quantiles_rollup, theta_users_daily,
+# theta_user_day_overlap — finished,
 # oracle-parity-tested at sf0.001 AND sf0.01) plus any query added in
-# r07; then refresh the r04 greens — 8 + 14 leaves 28 slots, so
+# r07; then refresh the r04 greens — 8 + 15 leaves 27 slots, so
 # r04 names that don't fit (pick the least load-bearing) slide to r08
 # (40 names:
 # cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H

@@ -21,8 +21,9 @@ wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
 decode under closed-form oracles), and vector_topk_pq +
 vector_topk_ivfpq (product-quantization ADC top-k and the composed
 IVF-prune + PQ-scan layout, full codebook/assignment/LUT replays),
-plus kll_value_quantiles_rollup + theta_users_daily (mergeable
-DataSketches rollups, exact-below-capacity oracles),
+plus kll_value_quantiles_rollup + theta_users_daily +
+theta_user_day_overlap (mergeable DataSketches rollups incl. theta set
+operations, exact-below-capacity oracles),
 all parity-tested at sf0.001
 (tests/test_staged_queries.py) AND sf0.01 (manual replica).
 
@@ -1487,5 +1488,44 @@ def theta_users_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return theta_distinct_rollup(
+        ev, "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    )
+
+
+_THETA_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS grp, user_id
+  FROM events
+), pairs AS (
+  -- previous PRESENT group (lag over observed days), matching the
+  -- Spark side's lag-window pairing — NOT grp-1, which would silently
+  -- diverge on a gapped day sequence
+  SELECT grp, LAG(grp) OVER (ORDER BY grp) AS prev
+  FROM (SELECT DISTINCT grp FROM d)
+)
+SELECT CAST(p.grp AS BIGINT) AS grp,
+       CAST((SELECT COUNT(*) FROM d a JOIN d b ON a.user_id = b.user_id
+             AND a.grp = p.prev AND b.grp = p.grp) AS BIGINT) AS n_returning,
+       CAST((SELECT COUNT(*) FROM d a WHERE a.grp = p.prev
+             AND a.user_id NOT IN (SELECT user_id FROM d b WHERE b.grp = p.grp)) AS BIGINT) AS n_churned,
+       CAST((SELECT COUNT(*) FROM d b WHERE b.grp = p.grp
+             AND b.user_id NOT IN (SELECT user_id FROM d a WHERE a.grp = p.prev)) AS BIGINT) AS n_new
+FROM pairs p
+WHERE p.prev IS NOT NULL
+"""
+
+
+@register_staged("theta_user_day_overlap", oracle=_THETA_OVERLAP_SQL)
+def theta_user_day_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience flow via theta SET OPERATIONS
+    (operators/sketches.py ``theta_overlap_rollup``): returning /
+    churned / new user counts from sketch intersection and difference
+    — the analysis HLL state cannot express. Exact below capacity at
+    driver scale (oracle = exact set arithmetic over per-day distinct
+    users); published-RSE estimates at production cardinality."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_overlap_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return theta_overlap_rollup(
         ev, "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
     )

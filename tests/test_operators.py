@@ -712,3 +712,26 @@ def test_theta_rollup_exact_below_capacity(spark):
     }
     # groups overlap by 10 users: per-group 20 each, union 40
     assert out == {0: 20, 1: 20, 2: 20, -1: 40}
+
+
+def test_theta_overlap_rollup_exact_with_gapped_days(spark):
+    """Lag-of-present-groups semantics: a missing middle day pairs day
+    5 with day 2, not the absent day 4 — pinned so the Spark side and
+    oracle can't silently diverge on gapped sequences."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_overlap_rollup
+
+    rows = (
+        [(2, u) for u in range(20)]
+        + [(5, u) for u in range(10, 25)]  # gap: days 3-4 absent
+        + [(6, u) for u in range(25, 30)]
+    )
+    df = spark.createDataFrame(rows, "g long, user long")
+    out = {
+        r["grp"]: (r["n_returning"], r["n_churned"], r["n_new"])
+        for r in theta_overlap_rollup(df, "user", F.col("g")).collect()
+    }
+    # day 5 vs day 2: overlap 10..19 = 10 returning; 0..9 churned; 20..24 new
+    # day 6 vs day 5: disjoint -> 0 returning, 15 churned, 5 new
+    assert out == {5: (10, 10, 5), 6: (0, 15, 5)}
