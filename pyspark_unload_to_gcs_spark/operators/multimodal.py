@@ -379,7 +379,7 @@ def decode_wav_bytes(raw: bytes):
         cid, csize = struct.unpack_from("<4sI", raw, pos)
         body = raw[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            if csize < 16:
+            if csize < 16 or len(body) < 16:
                 raise ValueError("decode_wav: truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -394,6 +394,8 @@ def decode_wav_bytes(raw: bytes):
         )
     if n_channels < 1:
         raise ValueError("decode_wav: zero channels")
+    if sample_rate < 1:
+        raise ValueError("decode_wav: non-positive sample rate")
     usable = len(data) - (len(data) % (2 * n_channels))
     flat = np.frombuffer(data[:usable], dtype="<i2")
     frames = flat.reshape(-1, n_channels)
@@ -482,6 +484,8 @@ def decode_bmp_bytes(raw: bytes):
         raise ValueError(f"decode_bmp: only uncompressed 24bpp supported (bpp={bpp})")
     top_down = height < 0
     height = abs(height)
+    if width < 0:
+        raise ValueError("decode_bmp: negative width")
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
     need = data_offset + stride * height

@@ -814,24 +814,29 @@ def pq_codebooks_from_sample(
     vec_column: str = "embedding",
     m: int = 4,
     k: int = 16,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace codebooks from the ``k`` smallest-id vectors'
-    sub-slices — the same deterministic bounded-collect seeding as
-    ``ivf_centroids_from_sample`` (an index-build parameter, k*dim
-    floats on the driver). Returns m codebooks, each in ``ivf_assign``
-    centroid shape [(code, sub_vector)]. A Lloyd refinement per
-    subspace is a drop-in upgrade via ``ivf_centroids_kmeans`` on the
-    sliced frame; the oracled query stays on the sampled seeds its
-    replay can reconstruct."""
-    rows = (
-        df.select(F.col(id_column), F.col(vec_column))
-        .orderBy(F.col(id_column).asc())
-        .limit(k)
-        .collect()
-    )
-    if not rows:
+    sub-slices — REUSES ``ivf_centroids_from_sample`` for the seeding
+    collect (an index-build parameter, k*dim floats on the driver);
+    pass ``seeds`` when the caller already collected coarse centroids
+    of the same size so the composed IVF+PQ build runs ONE collect,
+    not two identical ones. Returns m codebooks, each in
+    ``ivf_assign`` centroid shape [(code, sub_vector)]. A Lloyd
+    refinement per subspace is a drop-in upgrade via
+    ``ivf_centroids_kmeans`` on the sliced frame; the oracled query
+    stays on the sampled seeds its replay can reconstruct."""
+    if seeds is None:
+        seeds = ivf_centroids_from_sample(
+            df, id_column=id_column, vec_column=vec_column, n_centroids=k
+        )
+    elif len(seeds) != k:
+        raise ValueError(
+            f"pq_codebooks_from_sample: {len(seeds)} seeds != k={k}"
+        )
+    if not seeds:
         raise ValueError("pq_codebooks_from_sample: empty input")
-    vecs = [[float(x) for x in r[1]] for r in rows]
+    vecs = [vec for _, vec in seeds]
     dim = len(vecs[0])
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")

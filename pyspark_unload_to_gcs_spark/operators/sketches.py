@@ -29,18 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fold_sketches(arr, merge_fn):
-    """Left fold of a collect_list of sketch binaries with the binary
-    merge builtin (there is no *_union_agg for KLL): aggregate(tail,
-    head, merge). The collected list is per-GROUP sketch rows — one
-    kilobyte-scale binary per group, never data rows."""
-    return F.aggregate(
-        F.slice(arr, 2, F.size(arr) - 1),
-        F.element_at(arr, 1),
-        lambda acc, x: merge_fn(acc, x),
-    )
-
-
 def kll_quantile_rollup(
     df: DataFrame,
     value_column: str,
@@ -59,19 +47,22 @@ def kll_quantile_rollup(
         .groupBy("grp")
         .agg(F.kll_sketch_agg_double("v", F.lit(k)).alias("sk"))
     )
+    # an EMPTY merged sketch (zero input rows) is a valid buffer with
+    # n=0 that get_quantile rejects — guard so an empty frame yields
+    # NULL quantiles instead of KLL_INVALID_INPUT (review follow-up)
     qcols = lambda sk: [  # noqa: E731
-        F.kll_sketch_get_quantile_double(sk, F.lit(q)).alias(
-            f"q_{int(round(q * 100))}"
-        )
+        F.when(
+            F.kll_sketch_get_n_double(sk) > 0,
+            F.kll_sketch_get_quantile_double(sk, F.lit(q)),
+        ).alias(f"q_{int(round(q * 100))}")
         for q in quantiles
     ]
     per_rows = per.select(F.col("grp").cast("long").alias("grp"), *qcols(F.col("sk")))
-    merged = (
-        per.agg(F.collect_list("sk").alias("arr"))
-        .select(
-            _fold_sketches(F.col("arr"), F.kll_sketch_merge_double).alias("m")
-        )
-        .select(F.lit(int(total_sentinel)).cast("long").alias("grp"), *qcols(F.col("m")))
+    # kll_merge_agg_double is the aggregate union (a collect_list +
+    # binary-merge fold would crash on an EMPTY group frame: slice with
+    # negative length under ANSI; review finding)
+    merged = per.agg(F.kll_merge_agg_double("sk", F.lit(k)).alias("m")).select(
+        F.lit(int(total_sentinel)).cast("long").alias("grp"), *qcols(F.col("m"))
     )
     return per_rows.unionByName(merged)
 
@@ -97,7 +88,7 @@ def theta_distinct_rollup(
         F.theta_sketch_estimate("sk").cast("long").alias("n_distinct"),
     )
     union_row = per.agg(
-        F.theta_sketch_estimate(F.expr("theta_union_agg(sk, 12)"))
+        F.theta_sketch_estimate(F.theta_union_agg("sk", F.lit(lg_nom_entries)))
         .cast("long")
         .alias("n_distinct")
     ).select(F.lit(int(total_sentinel)).cast("long").alias("grp"), "n_distinct")

@@ -1418,7 +1418,9 @@ def vector_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ids = [c[0] for c in sorted(centroids, key=lambda c: (-unit_dot(c[1]), c[0]))[:4]]
     assigned = S.ivf_assign(corpus, centroids)
     pruned = assigned.filter(F.col("ivf_cell").isin(probe_ids)).drop("ivf_cell")
-    codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K)
+    # coarse centroids and PQ seeds are the same 16 smallest-id vectors
+    # -> ONE collect serves both (review finding)
+    codebooks = S.pq_codebooks_from_sample(corpus, m=_PQ_M, k=_PQ_K, seeds=centroids)
     out = S.pq_topk(pruned, q, k=10, codebooks=codebooks)
     return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))
 

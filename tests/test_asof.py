@@ -218,10 +218,17 @@ def test_pq_codebooks_kmeans_refinement_drop_in(spark, sf_dir):
         refined.append(
             S.ivf_centroids_kmeans(sliced, n_centroids=k, iterations=1)
         )
-    q = [float(x) for x in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-         .filter("vec_id = 0").select("embedding").head()[0]]
-    a = [(r["vec_id"], round(r["pq_score"], 9))
-         for r in S.pq_topk(emb, q, k=5, codebooks=refined).collect()]
-    b = [(r["vec_id"], round(r["pq_score"], 9))
-         for r in S.pq_topk(emb, q, k=5, codebooks=refined).collect()]
-    assert a == b and len(a) == 5  # deterministic, full k
+    # plant the query: vec_id 3's own vector — identical input means
+    # identical codes, and the ADC score of a vector against its own
+    # reconstruction is the maximum over rows sharing those codes, so
+    # the planted row must appear in the top-k (a tautological
+    # "run-it-twice" assertion could not catch a wrong-result bug;
+    # review finding)
+    q = [float(x) for x in emb.filter("vec_id = 3").select("embedding").head()[0]]
+    top = S.pq_topk(emb, q, k=5, codebooks=refined).collect()
+    assert len(top) == 5
+    ids = [r["vec_id"] for r in top]
+    assert 3 in ids
+    # and the planted row's score is the max (ties allowed)
+    by_id = {r["vec_id"]: r["pq_score"] for r in top}
+    assert by_id[3] == max(by_id.values())

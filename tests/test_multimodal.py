@@ -202,3 +202,40 @@ def test_wav_bmp_spark_roundtrip(spark):
     df2 = spark.createDataFrame([(2, bytearray(bmp))], "doc_id long, payload binary")
     row2 = decode_bmp(df2).collect()[0]
     assert (row2["width"], row2["height"], row2["sum_r"], row2["sum_g"], row2["sum_b"]) == (1, 1, 10, 20, 30)
+
+
+def test_decode_wav_rejects_truncated_fmt_and_zero_rate():
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav_pcm16,
+    )
+
+    # fmt chunk declares 16 bytes but the file ends mid-chunk
+    truncated = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + struct.pack("<4sI", b"fmt ", 16) + b"\x01\x00"
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav_bytes(truncated)
+    # well-formed but sample_rate=0 would divide by zero downstream
+    raw = bytearray(encode_wav_pcm16([1, 2], 8000))
+    struct.pack_into("<I", raw, 24, 0)
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_wav_bytes(bytes(raw))
+
+
+def test_decode_bmp_rejects_negative_width():
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_bmp_bytes,
+        encode_bmp24,
+    )
+
+    raw = bytearray(encode_bmp24([[(1, 2, 3)]]))
+    struct.pack_into("<i", raw, 18, -1)
+    with _pytest.raises(ValueError, match="negative width"):
+        decode_bmp_bytes(bytes(raw))

@@ -735,3 +735,38 @@ def test_theta_overlap_rollup_exact_with_gapped_days(spark):
     # day 5 vs day 2: overlap 10..19 = 10 returning; 0..9 churned; 20..24 new
     # day 6 vs day 5: disjoint -> 0 returning, 15 churned, 5 new
     assert out == {5: (10, 10, 5), 6: (0, 15, 5)}
+
+
+def test_kll_rollup_handles_empty_frame(spark):
+    """Empty input must yield just the (possibly-null) merged sentinel
+    row or no rows — not an ANSI slice crash (review finding: the old
+    collect_list+fold merged path threw on arr=[])."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import kll_quantile_rollup
+
+    df = spark.createDataFrame([], "g long, value double")
+    rows = kll_quantile_rollup(df, "value", F.col("g"), k=256).collect()
+    # per-group part is empty; the global agg emits one sentinel row
+    # whose quantiles are NULL (merge of zero sketches)
+    assert all(r["grp"] == -1 for r in rows)
+
+
+def test_theta_union_respects_lg_nom_entries(spark):
+    """The union row must use the caller's capacity, not a hardcoded
+    one (review finding: theta_union_agg(sk, 12) ignored the
+    parameter). At lg=4 (16 entries) a 200-key union must NOT be exact;
+    at lg=12 it must be."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_distinct_rollup
+
+    df = spark.createDataFrame(
+        [(g, u) for g in range(2) for u in range(g * 100, g * 100 + 100)],
+        "g long, user long",
+    )
+    exact = {
+        r["grp"]: r["n_distinct"]
+        for r in theta_distinct_rollup(df, "user", F.col("g"), lg_nom_entries=12).collect()
+    }
+    assert exact[-1] == 200
