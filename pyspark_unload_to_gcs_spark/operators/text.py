@@ -652,3 +652,47 @@ def ngram_diversity(
             ),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    form: str = "NFC",
+    output_column: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column via a
+    streaming Arrow ``mapInPandas`` — the multilingual-corpus
+    prerequisite for exact/near dedup and fingerprinting (visually
+    identical strings with different codepoint sequences, e.g.
+    precomposed vs combining accents, must collide BEFORE hashing).
+
+    Spark has no builtin Unicode normalizer, so this is an honest
+    Python step — but a cheap one: pure per-row map, no shuffle, Arrow
+    batch transfer, and ``unicodedata.normalize`` short-circuits via
+    ``is_normalized`` on already-normalized input (the overwhelmingly
+    common case). Cross-engine parity with DuckDB's ``nfc_normalize``
+    is pinned for NFC in tests on synthetic multilingual frames; the
+    driver fixtures are ASCII (normalization = identity), so this
+    stays a local-test-capability rather than a vacuous driver row."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    out_col = output_column or text_column
+    schema = df.withColumn(out_col, F.col(text_column)).schema
+    names = [f.name for f in schema.fields]
+    src, dst, f_ = text_column, out_col, form
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {n: pdf[n].to_numpy() for n in names if n != dst}
+            cols[dst] = [
+                unicodedata.normalize(f_, t) if t is not None else None
+                for t in pdf[src].to_numpy()
+            ]
+            yield pd.DataFrame({n: cols[n] for n in names})
+
+    return df.mapInPandas(run, schema)

@@ -342,3 +342,142 @@ def write_zordered(
         "overwrite"
     ).save(path)
     return path
+
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def write_manifest(output_uri: str, *, row_count: int | None = None) -> dict:
+    """Write a ``_MANIFEST.json`` control document next to an export:
+    per-file byte sizes + md5 checksums, file count, total bytes, and
+    (optionally) the exported row count — the exactly-once handoff
+    artifact a downstream consumer validates BEFORE ingesting (a
+    partially-visible export directory fails the manifest check
+    instead of silently under-loading). Files are enumerated through
+    the Hadoop FileSystem API, so object-store URIs work the same as
+    local paths; the manifest is written LAST, so its presence implies
+    the listed files were complete when hashed. Returns the manifest
+    dict."""
+    import hashlib
+    import json
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("write_manifest: no active SparkSession")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output_uri)
+    fs = path.getFileSystem(hconf)
+    entries = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, hidden temporaries
+        # py4j does NOT propagate JVM mutations of a python bytearray
+        # back, so stream.read(buf) loops silently yield zeros — read
+        # whole files through commons-io (export files are bounded by
+        # maxRecordsPerFile; fine to hold one in memory)
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        digest = hashlib.md5(data)
+        rel = str(p.toUri().getPath())
+        base = str(path.getFileSystem(hconf).makeQualified(path).toUri().getPath())
+        rel = rel[len(base) :].lstrip("/") if rel.startswith(base) else name
+        entries.append(
+            {"path": rel, "bytes": int(st.getLen()), "md5": digest.hexdigest()}
+        )
+    entries.sort(key=lambda e: e["path"])
+    manifest = {
+        "version": 1,
+        "n_files": len(entries),
+        "total_bytes": sum(e["bytes"] for e in entries),
+        "files": entries,
+    }
+    if row_count is not None:
+        manifest["row_count"] = int(row_count)
+    out = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    stream = fs.create(out, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    finally:
+        stream.close()
+    return manifest
+
+
+def validate_manifest(output_uri: str) -> dict:
+    """Re-enumerate and re-hash an export directory against its
+    ``_MANIFEST.json``; raises ValueError naming the first divergence
+    (missing/extra/resized/corrupted file) and returns the manifest on
+    success — the consumer-side half of the exactly-once handoff."""
+    import hashlib
+    import json
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("validate_manifest: no active SparkSession")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output_uri)
+    fs = path.getFileSystem(hconf)
+    mpath = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    if not fs.exists(mpath):
+        raise ValueError(f"validate_manifest: no {MANIFEST_NAME} under {output_uri}")
+    stream = fs.open(mpath)
+    try:
+        manifest = json.loads(
+            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode()
+        )
+    finally:
+        stream.close()
+
+    seen = {}
+    it = fs.listFiles(path, True)
+    base = str(fs.makeQualified(path).toUri().getPath())
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = str(p.toUri().getPath())
+        rel = rel[len(base) :].lstrip("/") if rel.startswith(base) else name
+        try:
+            stream = fs.open(p)
+            try:
+                data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            finally:
+                stream.close()
+        except Exception as exc:  # Hadoop ChecksumException etc.
+            # an unreadable/CRC-failing file IS a divergence — surface
+            # it under the manifest contract, not as an opaque JVM error
+            raise ValueError(
+                f"validate_manifest: {rel} diverges (unreadable: "
+                f"{str(exc).splitlines()[0][:120]})"
+            ) from exc
+        seen[rel] = {"bytes": int(st.getLen()), "md5": hashlib.md5(data).hexdigest()}
+
+    want = {e["path"]: e for e in manifest["files"]}
+    missing = sorted(set(want) - set(seen))
+    extra = sorted(set(seen) - set(want))
+    if missing:
+        raise ValueError(f"validate_manifest: missing files {missing[:3]}")
+    if extra:
+        raise ValueError(f"validate_manifest: unexpected files {extra[:3]}")
+    for rel, e in want.items():
+        got = seen[rel]
+        if got["bytes"] != e["bytes"] or got["md5"] != e["md5"]:
+            raise ValueError(
+                f"validate_manifest: {rel} diverges "
+                f"(bytes {got['bytes']} vs {e['bytes']}, md5 {got['md5']} vs {e['md5']})"
+            )
+    return manifest

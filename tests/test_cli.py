@@ -117,3 +117,82 @@ def test_cli_explain_prints_plan(capsys):
 
     assert main(["--run_query", "q6_revenue_delta", "--explain"]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+# --------------------------------------------------------------------------
+# Export manifest (exactly-once handoff artifact)
+# --------------------------------------------------------------------------
+
+
+def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
+    import gzip
+    import json
+    import os
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import (
+        validate_manifest,
+        write_export,
+        write_manifest,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = f"file:{tmp_path}/export"
+    write_export(df, SyncConfig(table="t", output_uri=out, export_format="json"))
+    manifest = write_manifest(out, row_count=100)
+    assert manifest["n_files"] >= 1 and manifest["row_count"] == 100
+    assert all(len(e["md5"]) == 32 for e in manifest["files"])
+    # clean validate
+    got = validate_manifest(out)
+    assert got == manifest
+    # corrupt one data file -> named divergence
+    data_files = [
+        p for p in os.listdir(f"{tmp_path}/export") if not p.startswith(("_", "."))
+    ]
+    victim = os.path.join(f"{tmp_path}/export", sorted(data_files)[0])
+    with open(victim, "ab") as fh:
+        fh.write(b"junk")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverges"):
+        validate_manifest(out)
+
+
+def test_manifest_detects_missing_and_extra_files(spark, tmp_path):
+    import os
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import (
+        validate_manifest,
+        write_export,
+        write_manifest,
+    )
+    import pytest as _pytest
+
+    df = spark.range(10).selectExpr("id")
+    out = f"file:{tmp_path}/export2"
+    write_export(df, SyncConfig(table="t", output_uri=out, export_format="json"))
+    write_manifest(out)
+    extra = f"{tmp_path}/export2/stray.json"
+    with open(extra, "w") as fh:
+        fh.write("{}")
+    with _pytest.raises(ValueError, match="unexpected files"):
+        validate_manifest(out)
+    os.remove(extra)
+    data_files = sorted(
+        p for p in os.listdir(f"{tmp_path}/export2") if not p.startswith(("_", "."))
+    )
+    os.remove(os.path.join(f"{tmp_path}/export2", data_files[0]))
+    with _pytest.raises(ValueError, match="missing files"):
+        validate_manifest(out)
+
+
+def test_validate_manifest_requires_manifest(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.sinks.writers import validate_manifest
+
+    os_dir = tmp_path / "nothing"
+    os_dir.mkdir()
+    with _pytest.raises(ValueError, match="no _MANIFEST"):
+        validate_manifest(f"file:{os_dir}")

@@ -770,3 +770,64 @@ def test_theta_union_respects_lg_nom_entries(spark):
         for r in theta_distinct_rollup(df, "user", F.col("g"), lg_nom_entries=12).collect()
     }
     assert exact[-1] == 200
+
+
+def test_normalize_unicode_matches_duckdb_nfc(spark):
+    """NFC parity with DuckDB's nfc_normalize on synthetic multilingual
+    content (the fixtures are ASCII, so this is the only place the
+    capability is non-vacuously exercised)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_unload_to_gcs_spark.operators.text import normalize_unicode
+
+    texts = [
+        "café terrasse",        # combining acute -> precomposed
+        "éèê",          # already NFC
+        "Ångström",        # ring + diaeresis
+        "가가",          # hangul precomposed + jamo pair
+        "plain ascii",
+        "",
+        None,
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(sdf, "text").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(con.sql(
+        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE nfc_normalize(text) END FROM t"
+    ).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_normalize_unicode_enables_exact_dedup_collision(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.text import fingerprint, normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "doc_id long, text string"
+    )
+    raw = df.select(fingerprint(F.col("text")).alias("fp")).distinct().count()
+    normed = (
+        normalize_unicode(df, "text")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert raw == 2 and normed == 1  # the point of normalizing first
+
+
+def test_normalize_unicode_rejects_unknown_form(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown form"):
+        normalize_unicode(df, "text", form="NFX")
