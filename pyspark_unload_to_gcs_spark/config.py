@@ -71,6 +71,11 @@ class SyncConfig:
     # column) — at 100 TB the partition column is what makes downstream
     # incremental reads prune
     partition_by: tuple[str, ...] = ()
+    # engine extension: write a _MANIFEST.json control document (per-file
+    # md5 + bytes + the observed row count) after the export — the
+    # exactly-once handoff artifact downstream consumers validate with
+    # sinks.writers.validate_manifest before ingesting
+    emit_manifest: bool = False
 
     # cdc (reference export.py:103-128)
     use_custom_sql: bool = False

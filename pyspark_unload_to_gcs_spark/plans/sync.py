@@ -169,9 +169,14 @@ def run_sync(spark: SparkSession, config: SyncConfig) -> SyncResult:
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     uri = write_export(df, config)
+    rows_written = obs.get["rows"]
+    if config.emit_manifest:
+        from pyspark_unload_to_gcs_spark.sinks.writers import write_manifest
+
+        write_manifest(uri, row_count=rows_written)
     return SyncResult(
         plan_description=planned.description,
         change_capture_sync_last_commit_ms=planned.change_capture_sync_last_commit_ms,
-        rows_written=obs.get["rows"],
+        rows_written=rows_written,
         output_uri=uri,
     )

@@ -196,3 +196,20 @@ def test_validate_manifest_requires_manifest(spark, tmp_path):
     os_dir.mkdir()
     with _pytest.raises(ValueError, match="no _MANIFEST"):
         validate_manifest(f"file:{os_dir}")
+
+
+def test_run_sync_emit_manifest(spark, tmp_path):
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.plans.sync import run_sync
+    from pyspark_unload_to_gcs_spark.sinks.writers import validate_manifest
+
+    spark.range(50).selectExpr("id", "id % 5 AS g").createOrReplaceTempView(
+        "manifest_src"
+    )
+    out = f"file:{tmp_path}/sync_out"
+    res = run_sync(
+        spark,
+        SyncConfig(table="manifest_src", output_uri=out, emit_manifest=True),
+    )
+    m = validate_manifest(out)
+    assert m["row_count"] == res.rows_written == 50
