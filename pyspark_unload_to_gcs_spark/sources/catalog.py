@@ -232,3 +232,28 @@ def load_json(
     elif not infer:
         raise ValueError("load_json needs schema=... or infer=True (full extra pass)")
     return reader.load(path)
+
+
+def load_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str,
+    schema: str | None = None,
+    infer: bool = False,
+) -> DataFrame:
+    """XML ingestion (Spark 4 built-in XML source; the wiki-dump /
+    feed-archive shape a training-corpus pipeline ingests — e.g.
+    ``row_tag="page"`` over a MediaWiki export). Same explicit-schema
+    FAILFAST posture as load_csv/load_json: inference costs an extra
+    pass and mistypes sparse nested fields, so production readers pass
+    the DDL. Each ``row_tag`` element becomes one row; nested elements
+    arrive as structs/arrays, attributes as ``_attr`` columns."""
+    reader = (
+        spark.read.format("xml").option("rowTag", row_tag).option("mode", "FAILFAST")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not infer:
+        raise ValueError("load_xml needs schema=... or infer=True (full extra pass)")
+    return reader.load(path)

@@ -213,3 +213,34 @@ def test_run_sync_emit_manifest(spark, tmp_path):
     )
     m = validate_manifest(out)
     assert m["row_count"] == res.rows_written == 50
+
+
+def test_xml_ingestion_roundtrip(spark, tmp_path):
+    """Spark 4's built-in XML source: write docs as <doc> rows, read
+    back through load_xml with an explicit schema — value-identical."""
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_xml
+
+    df = spark.createDataFrame(
+        [(1, "hello <world>", 3.5), (2, "unicode café", -1.0), (3, "", 0.0)],
+        "doc_id long, text string, score double",
+    )
+    out = f"file:{tmp_path}/xml_out"
+    df.write.format("xml").option("rowTag", "doc").mode("overwrite").save(out)
+    back = load_xml(
+        spark, out, row_tag="doc", schema="doc_id long, text string, score double"
+    )
+    a = sorted([tuple(r) for r in df.collect()])
+    b = sorted(
+        [tuple(r) for r in back.select("doc_id", "text", "score").collect()],
+        key=lambda t: t[0],
+    )
+    assert a == b
+
+
+def test_load_xml_requires_schema_or_infer(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_xml
+
+    with _pytest.raises(ValueError, match="schema=|infer"):
+        load_xml(spark, "/tmp/nope.xml", row_tag="r")
