@@ -10,7 +10,8 @@ Differences from the reference surface (all additive):
   job write to file:/ or s3://; required when --bucket is omitted).
 - ``--custom_sql_dir`` replaces the Databricks-workspace file lookup for
   --use_custom_sql (there is no dbutils outside Databricks).
-- ``--partition_by`` / ``--single_file`` / ``--compression`` expose the
+- ``--partition_by`` / ``--single_file`` / ``--compression`` /
+  ``--emit_manifest`` expose the
   engine's partitioned-write controls.
 - The checkpoint document goes to stdout as one JSON line instead of
   ``dbutils.notebook.exit`` (reference export.py:330-337); orchestrators
@@ -66,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition_by", default="")
     p.add_argument("--single_file", action="store_true", default=None)
     p.add_argument("--compression", default="gzip")
+    p.add_argument("--emit_manifest", action="store_true")
     return p
 
 
@@ -102,6 +104,7 @@ def config_from_args(args: argparse.Namespace) -> SyncConfig:
         compression=args.compression,
         max_records_per_file=args.max_records_per_file,
         single_file=args.single_file,
+        emit_manifest=args.emit_manifest,
         partition_by=partition_by,
         use_custom_sql=args.use_custom_sql,
         custom_sql_dir=args.custom_sql_dir,

@@ -347,52 +347,72 @@ def write_zordered(
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def _manifest_fs(output_uri: str):
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("manifest: no active SparkSession")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output_uri)
+    fs = path.getFileSystem(hconf)
+    return jvm, fs, path
+
+
+def _iter_data_files(fs, path):
+    """Yield (rel_path, file_status) for every DATA file under the
+    export root, excluding hidden/temporary content by checking EVERY
+    path component (``_temporary/0/part-*.json`` from a failed prior
+    job must not be manifested as data — a leaf-name-only check missed
+    it; review finding)."""
+    base = str(fs.makeQualified(path).toUri().getPath())
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        full = str(p.toUri().getPath())
+        rel = full[len(base):].lstrip("/") if full.startswith(base) else p.getName()
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
+            continue
+        yield rel, st
+
+
+def _md5_hex_jvm(jvm, fs, p) -> str:
+    """md5 of a file, streamed ENTIRELY JVM-side via commons-codec
+    DigestUtils — only the 32-char hex crosses py4j, so a multi-GB
+    part file never materializes on the Python side (review finding;
+    commons-codec ships on Spark's classpath)."""
+    stream = fs.open(p)
+    try:
+        return str(jvm.org.apache.commons.codec.digest.DigestUtils.md5Hex(stream))
+    finally:
+        stream.close()
+
+
 def write_manifest(output_uri: str, *, row_count: int | None = None) -> dict:
     """Write a ``_MANIFEST.json`` control document next to an export:
     per-file byte sizes + md5 checksums, file count, total bytes, and
     (optionally) the exported row count — the exactly-once handoff
     artifact a downstream consumer validates BEFORE ingesting (a
     partially-visible export directory fails the manifest check
-    instead of silently under-loading). Files are enumerated through
-    the Hadoop FileSystem API, so object-store URIs work the same as
-    local paths; the manifest is written LAST, so its presence implies
+    instead of silently under-loading). Files enumerate through the
+    Hadoop FileSystem API (object-store URIs work like local paths);
+    hashing streams JVM-side; the manifest is written to a temporary
+    name and RENAMED into place, so its presence atomically implies
     the listed files were complete when hashed. Returns the manifest
     dict."""
-    import hashlib
     import json
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError("write_manifest: no active SparkSession")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(output_uri)
-    fs = path.getFileSystem(hconf)
+    jvm, fs, path = _manifest_fs(output_uri)
     entries = []
-    it = fs.listFiles(path, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, hidden temporaries
-        # py4j does NOT propagate JVM mutations of a python bytearray
-        # back, so stream.read(buf) loops silently yield zeros — read
-        # whole files through commons-io (export files are bounded by
-        # maxRecordsPerFile; fine to hold one in memory)
-        stream = fs.open(p)
-        try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        digest = hashlib.md5(data)
-        rel = str(p.toUri().getPath())
-        base = str(path.getFileSystem(hconf).makeQualified(path).toUri().getPath())
-        rel = rel[len(base) :].lstrip("/") if rel.startswith(base) else name
+    for rel, st in _iter_data_files(fs, path):
         entries.append(
-            {"path": rel, "bytes": int(st.getLen()), "md5": digest.hexdigest()}
+            {
+                "path": rel,
+                "bytes": int(st.getLen()),
+                "md5": _md5_hex_jvm(jvm, fs, st.getPath()),
+            }
         )
     entries.sort(key=lambda e: e["path"])
     manifest = {
@@ -403,32 +423,32 @@ def write_manifest(output_uri: str, *, row_count: int | None = None) -> dict:
     }
     if row_count is not None:
         manifest["row_count"] = int(row_count)
+    tmp = jvm.org.apache.hadoop.fs.Path(path, "." + MANIFEST_NAME + ".tmp")
     out = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
-    stream = fs.create(out, True)
+    stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(json.dumps(manifest, indent=1).encode()))
     finally:
         stream.close()
+    fs.delete(out, False)
+    if not fs.rename(tmp, out):
+        raise IOError(f"write_manifest: rename to {MANIFEST_NAME} failed")
     return manifest
 
 
 def validate_manifest(output_uri: str) -> dict:
-    """Re-enumerate and re-hash an export directory against its
-    ``_MANIFEST.json``; raises ValueError naming the first divergence
-    (missing/extra/resized/corrupted file) and returns the manifest on
-    success — the consumer-side half of the exactly-once handoff."""
-    import hashlib
+    """Re-enumerate an export directory against its ``_MANIFEST.json``
+    and raise ValueError naming the first divergence (missing / extra /
+    resized / corrupted file); returns the manifest on success — the
+    consumer-side half of the exactly-once handoff. Cheap checks run
+    FIRST (set membership, byte sizes from the listing); only
+    size-matching files are hashed. Checksum/EOF read failures surface
+    as divergences; infrastructure errors (auth, network) propagate
+    untranslated so a transient timeout is not mistaken for corruption
+    (review finding)."""
     import json
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise RuntimeError("validate_manifest: no active SparkSession")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(output_uri)
-    fs = path.getFileSystem(hconf)
+    jvm, fs, path = _manifest_fs(output_uri)
     mpath = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
     if not fs.exists(mpath):
         raise ValueError(f"validate_manifest: no {MANIFEST_NAME} under {output_uri}")
@@ -440,44 +460,35 @@ def validate_manifest(output_uri: str) -> dict:
     finally:
         stream.close()
 
-    seen = {}
-    it = fs.listFiles(path, True)
-    base = str(fs.makeQualified(path).toUri().getPath())
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        rel = str(p.toUri().getPath())
-        rel = rel[len(base) :].lstrip("/") if rel.startswith(base) else name
-        try:
-            stream = fs.open(p)
-            try:
-                data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            finally:
-                stream.close()
-        except Exception as exc:  # Hadoop ChecksumException etc.
-            # an unreadable/CRC-failing file IS a divergence — surface
-            # it under the manifest contract, not as an opaque JVM error
-            raise ValueError(
-                f"validate_manifest: {rel} diverges (unreadable: "
-                f"{str(exc).splitlines()[0][:120]})"
-            ) from exc
-        seen[rel] = {"bytes": int(st.getLen()), "md5": hashlib.md5(data).hexdigest()}
-
+    listed = {rel: st for rel, st in _iter_data_files(fs, path)}
     want = {e["path"]: e for e in manifest["files"]}
-    missing = sorted(set(want) - set(seen))
-    extra = sorted(set(seen) - set(want))
+    missing = sorted(set(want) - set(listed))
+    extra = sorted(set(listed) - set(want))
     if missing:
         raise ValueError(f"validate_manifest: missing files {missing[:3]}")
     if extra:
         raise ValueError(f"validate_manifest: unexpected files {extra[:3]}")
-    for rel, e in want.items():
-        got = seen[rel]
-        if got["bytes"] != e["bytes"] or got["md5"] != e["md5"]:
+    for rel, e in sorted(want.items()):
+        got_bytes = int(listed[rel].getLen())
+        if got_bytes != e["bytes"]:
             raise ValueError(
                 f"validate_manifest: {rel} diverges "
-                f"(bytes {got['bytes']} vs {e['bytes']}, md5 {got['md5']} vs {e['md5']})"
+                f"(bytes {got_bytes} vs {e['bytes']})"
+            )
+    for rel, e in sorted(want.items()):
+        try:
+            got_md5 = _md5_hex_jvm(jvm, fs, listed[rel].getPath())
+        except Exception as exc:
+            msg = str(exc)
+            if "ChecksumException" in msg or "EOFException" in msg:
+                raise ValueError(
+                    f"validate_manifest: {rel} diverges (unreadable: "
+                    f"{msg.splitlines()[0][:120]})"
+                ) from exc
+            raise  # infrastructure error — not a data divergence
+        if got_md5 != e["md5"]:
+            raise ValueError(
+                f"validate_manifest: {rel} diverges "
+                f"(md5 {got_md5} vs {e['md5']})"
             )
     return manifest

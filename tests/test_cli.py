@@ -244,3 +244,37 @@ def test_load_xml_requires_schema_or_infer(spark):
 
     with _pytest.raises(ValueError, match="schema=|infer"):
         load_xml(spark, "/tmp/nope.xml", row_tag="r")
+
+
+def test_manifest_skips_temporary_directories(spark, tmp_path):
+    """A leftover _temporary/ subtree (failed prior job) must not be
+    manifested as data, in write OR validate (review finding,
+    empirically confirmed against the leaf-name-only filter)."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sinks.writers import (
+        validate_manifest,
+        write_export,
+        write_manifest,
+    )
+
+    df = spark.range(10).selectExpr("id")
+    out = f"file:{tmp_path}/export3"
+    write_export(df, SyncConfig(table="t", output_uri=out, export_format="json"))
+    tmpdir = f"{tmp_path}/export3/_temporary/0"
+    os.makedirs(tmpdir)
+    with open(f"{tmpdir}/part-00000.json", "w") as fh:
+        fh.write('{"id": 999}\n')
+    m = write_manifest(out)
+    assert all(not e["path"].startswith("_temporary") for e in m["files"])
+    validate_manifest(out)  # the stray subtree must not fail validation
+
+
+def test_cli_emit_manifest_flag(spark, tmp_path):
+    from pyspark_unload_to_gcs_spark.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--table", "t", "--output_uri", f"file:{tmp_path}/x", "--emit_manifest"]
+    )
+    assert config_from_args(args).emit_manifest is True
