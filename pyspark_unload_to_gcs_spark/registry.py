@@ -450,23 +450,38 @@ def _load_extensions() -> None:
 #   4. one spare slot to the oldest r04 green (cdc_apply_changes — the
 #      MERGE batch path, complementing the new merge_stream_replay).
 #
-# R07 ROTATION PLAN (execute next round): keep the core eight; promote
-# the r07 STAGED cohort (registry_staged: sessionize_stream_replay,
-# retention_stream_replay, repeated_span_dedup, bpe_train_merges,
-# bpe_tokenize_counts, quality_classifier_margin, ngram_diversity,
-# ngram_diversity_approx_accuracy, wav_decode_stats,
-# bmp_decode_stats, vector_topk_pq, vector_topk_ivfpq,
-# kll_value_quantiles_rollup, theta_users_daily,
-# theta_user_day_overlap — finished,
-# oracle-parity-tested at sf0.001 AND sf0.01) plus any query added in
-# r07; then refresh the r04 greens — 8 + 15 leaves 27 slots, so
-# r04 names that don't fit (pick the least load-bearing) slide to r08
-# (40 names:
-# cdc_apply_changes cohort, the ANN/vector_topk family, the TPC-H
-# q8-q22 shapes, privacy gates, pagerank, layout queries) — they fit in
-# one window with room to spare; backfill remaining slots with the
-# oldest r05 greens. Steady state: every query re-checked at least
-# every third round.
+# Round-7 window composition (executes the r06 rotation plan verbatim):
+#   1. reference-parity core (pinned since r03);
+#   2. never-checked: the FIFTEEN promoted r07 staged entries
+#      (registry_staged → live this round: sessionize/retention stream
+#      replays, repeated_span_dedup, BPE train+encode, classifier
+#      margin, n-gram diversity + accuracy pin, WAV/BMP decode,
+#      PQ + IVF·PQ top-k, KLL/theta rollups + theta overlap) — all
+#      parity-tested at sf0.001 AND sf0.01 before promotion;
+#   3. evidence refresh, oldest first: 27 of the 40 r04-only greens.
+#      The 13 that slide to r08 are the least load-bearing: the
+#      rows-only rolling_active_users_approx (window stays all
+#      oracle-bearing; its accuracy twin re-greened r05) and twelve
+#      names whose shape is a sibling of an in-window or fresher
+#      query (vector_topk_lsh/quantized — topk family re-proven via
+#      vector_topk r06 + pq/ivfpq this round; k_anonymity_suppression
+#      — profile twin in-window; TPC-H q9/q10/q11/q14/q15/q17/q19/
+#      q20/q21 — plain SQL shapes locally re-proven every pytest,
+#      q8/q22/pivot kept as family representatives).
+#
+# R08 ROTATION PLAN (execute next round): keep the core eight; promote
+# any r08 staged cohort (registry_staged currently holds the
+# unicode/manifest/XML driver-row candidates if they were staged) and
+# any query added in r08; then refresh, oldest evidence first:
+# the 13 r04 names deferred above (rolling_active_users_approx,
+# vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
+# q9_product_profit, q10_returned_revenue, q11_important_parts,
+# q14_promo_revenue_ratio, q15_top_supplier,
+# q17_small_quantity_revenue, q19_disjunctive_revenue,
+# q20_heavy_widget_suppliers, q21_sole_returning_supplier), then the
+# 42 r05-only greens (oldest first; ~29 fit after core+staged+r04 —
+# the remainder slide to r09). Steady state: every query re-checked
+# at least every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
@@ -477,52 +492,52 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: new this round + promoted staged cohort
-    "near_dedup_simhash_recall",
-    "export_roundtrip_hash",
-    "merge_stream_replay",
-    "rollup_stream_replay",
-    # 3a. r02-only greens (oldest evidence in the ledger)
-    "train_test_split",
-    "balanced_corpus_sample",
-    "weighted_source_mix",
-    # 3b. r03-only greens — all 34
-    "customers_without_orders",
-    "nations_customers_not_suppliers",
-    "asof_latest_click",
-    "range_join_attribution",
-    "tumbling_daily_events",
-    "sliding_window_events",
-    "sessionization",
-    "text_stats",
-    "training_corpus_pipeline",
-    "tfidf_top_terms",
-    "bm25_search",
-    "clean_corpus_stats",
-    "vector_topk",
-    "bpe_ish_token_count",
-    "multimodal_meta",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "rolling_active_users",
-    "growth_accounting",
-    "top_event_paths",
-    "session_funnel",
-    "q12_priority_by_linestatus",
-    "user_event_gaps",
-    "document_chunks",
-    "incremental_rollup_merge",
-    "pii_redaction",
-    "repetition_stats",
-    "benchmark_contamination",
-    "q7_nation_pair_revenue",
-    "q16_part_supplier_counts",
-    "sequence_packing",
-    "q2_min_price_supplier",
-    "incremental_topk_merge",
-    "winsorized_value_stats",
-    # 4. spare slot: oldest r04 green
-    "cdc_apply_changes",
+    # 2. never-checked: the promoted r07 staged cohort
+    "sessionize_stream_replay",
+    "retention_stream_replay",
+    "repeated_span_dedup",
+    "bpe_train_merges",
+    "bpe_tokenize_counts",
+    "quality_classifier_margin",
+    "ngram_diversity",
+    "ngram_diversity_approx_accuracy",
+    "wav_decode_stats",
+    "bmp_decode_stats",
+    "vector_topk_pq",
+    "vector_topk_ivfpq",
+    "kll_value_quantiles_rollup",
+    "theta_users_daily",
+    "theta_user_day_overlap",
+    # 3. evidence refresh: 27 of the 40 r04-only greens (oldest rows
+    #    in the ledger; the 13 deferred names are listed in the r08
+    #    plan above)
+    "bpe_pair_stats",
+    "bucketed_colocated_join",
+    "chunk_dedup_clean",
+    "embedding_near_dedup",
+    "fuzzy_entity_join_exact",
+    "hybrid_search_rrf",
+    "incremental_ann_match",
+    "incremental_near_dedup",
+    "incremental_semantic_match",
+    "k_anonymity_profile",
+    "l_diversity_profile",
+    "length_bucketed_batches",
+    "multimodal_decode_stats",
+    "nations_with_customers_and_suppliers",
+    "near_dedup_pairs_exact",
+    "near_dup_clusters_exact",
+    "pagerank_ship_graph",
+    "pivot_returnflag_status",
+    "q8_market_share",
+    "q22_idle_rich_customers",
+    "scd2_history",
+    "semantic_dedup",
+    "temperature_mix_weights",
+    "token_budget_select",
+    "unigram_logprob_quality",
+    "vector_topk_ivf",
+    "zorder_layout",
 )
 
 

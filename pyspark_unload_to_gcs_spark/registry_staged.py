@@ -7,25 +7,14 @@ finished Spark sides, DuckDB oracles, and local parity tests
 in a later round's window plan. The r04 cohort (gopher quality
 profile, C4 page cleaning, gopher repetition, quality-aware keep-best
 dedup) was PROMOTED in r05; the r06 cohort (merge_stream_replay,
-rollup_stream_replay — the streaming foreachBatch replays at the
-bottom of this module) was PROMOTED in r06. The CURRENT staged cohort
-(r07) is sessionize_stream_replay + retention_stream_replay (the two
-remaining versioned-state streaming folds), repeated_span_dedup
-(corpus-wide exact substring dedup), and the BPE tokenizer pair
-bpe_train_merges + bpe_tokenize_counts (full training replay +
-vocabulary-cached corpus tokenization), quality_classifier_margin
-(fasttext-style hashed-feature linear scoring, exact integer
-accumulation), ngram_diversity + ngram_diversity_approx_accuracy
-(per-slice type-token profile, exact + HLL accuracy pin), and
-wav_decode_stats + bmp_decode_stats (REAL uncompressed-format media
-decode under closed-form oracles), and vector_topk_pq +
-vector_topk_ivfpq (product-quantization ADC top-k and the composed
-IVF-prune + PQ-scan layout, full codebook/assignment/LUT replays),
-plus kll_value_quantiles_rollup + theta_users_daily +
-theta_user_day_overlap (mergeable DataSketches rollups incl. theta set
-operations, exact-below-capacity oracles),
-all parity-tested at sf0.001
-(tests/test_staged_queries.py) AND sf0.01 (manual replica).
+rollup_stream_replay) in r06; and the fifteen-query r07 cohort
+(sessionize/retention stream replays, repeated_span_dedup, the BPE
+tokenizer pair, quality_classifier_margin, n-gram diversity + its
+accuracy pin, WAV/BMP decode, PQ + IVF·PQ top-k, and the KLL/theta
+sketch rollups) was PROMOTED in r07 — every ``@register`` below this
+docstring is LIVE; the module keeps its name and the
+``register_staged`` hook for future cohorts. Entries staged for r08
+(if any) sit at the bottom under ``@register_staged``.
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -561,7 +550,7 @@ GROUP BY user_id, session_seq
 """
 
 
-@register_staged("sessionize_stream_replay", oracle=_SESSION_REPLAY_SQL)
+@register("sessionize_stream_replay", oracle=_SESSION_REPLAY_SQL)
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned-state incremental sessionizer
     (streaming/sessionize_fold.py ``fold_batch``) replayed over four
@@ -615,7 +604,7 @@ GROUP BY coh.cohort_period, period_offset
 """
 
 
-@register_staged("retention_stream_replay", oracle=_RETENTION_REPLAY_SQL)
+@register("retention_stream_replay", oracle=_RETENTION_REPLAY_SQL)
 def retention_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming retention fold (streaming/retention.py
     ``fold_periods_batch``) replayed over four micro-batches split by
@@ -687,7 +676,7 @@ FROM kept
 _SPAN_DEDUP_MEMO: dict = {}
 
 
-@register_staged("repeated_span_dedup", oracle=_SPAN_DEDUP_SQL)
+@register("repeated_span_dedup", oracle=_SPAN_DEDUP_SQL)
 def repeated_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact repeated-span removal (operators/dedup.py
     ``repeated_span_dedup``; Lee et al. 2022 substring dedup at window
@@ -827,7 +816,7 @@ def _trained_merges(spark: SparkSession, sf_dir: str) -> list:
     return _BPE_MERGES_MEMO[key]
 
 
-@register_staged("bpe_train_merges", oracle=_BPE_TRAIN_SQL)
+@register("bpe_train_merges", oracle=_BPE_TRAIN_SQL)
 def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-table training on the documents corpus (operators/
     bpe.py; Sennrich arXiv 1508.07909), 8 merges, emitted as
@@ -849,7 +838,7 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged("bpe_tokenize_counts", oracle=_BPE_COUNTS_SQL)
+@register("bpe_tokenize_counts", oracle=_BPE_COUNTS_SQL)
 def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization with the trained merge table: per-document
     (n_words, n_pieces) through the vocabulary-cached encode path
@@ -900,7 +889,7 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
-@register_staged("quality_classifier_margin", oracle=_CLS_SQL)
+@register("quality_classifier_margin", oracle=_CLS_SQL)
 def quality_classifier_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fasttext-style hashed-feature linear classifier scoring
     (operators/classifier.py): token -> md5-derived feature bucket ->
@@ -961,7 +950,7 @@ GROUP BY source, gram_n
 """
 
 
-@register_staged("ngram_diversity", oracle=_DIVERSITY_SQL)
+@register("ngram_diversity", oracle=_DIVERSITY_SQL)
 def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, gram size) type-token diversity profile
     (operators/text.py ``ngram_diversity``): the corpus-health metric
@@ -992,7 +981,7 @@ FROM dims
 """
 
 
-@register_staged("ngram_diversity_approx_accuracy", oracle=_DIVERSITY_ACCURACY_SQL)
+@register("ngram_diversity_approx_accuracy", oracle=_DIVERSITY_ACCURACY_SQL)
 def ngram_diversity_approx_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy pin for the PRODUCTION approx diversity path (the
     repo's approximate-operator contract: every approx path gets a
@@ -1074,7 +1063,7 @@ GROUP BY doc_id
 """
 
 
-@register_staged("wav_decode_stats", oracle=_WAV_SQL)
+@register("wav_decode_stats", oracle=_WAV_SQL)
 def wav_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV/PCM16 decode under a full value oracle: per document a
     deterministic PCM ramp (mono/stereo alternating by doc_id) is
@@ -1136,7 +1125,7 @@ GROUP BY doc_id
 """
 
 
-@register_staged("bmp_decode_stats", oracle=_BMP_SQL)
+@register("bmp_decode_stats", oracle=_BMP_SQL)
 def bmp_decode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 24-bit BMP decode under a full value oracle: deterministic
     per-doc pixel field (width 5-20 exercises every 4-byte row-padding
@@ -1250,7 +1239,7 @@ def _pq_oracle() -> str:
     """
 
 
-@register_staged("vector_topk_pq", oracle=_pq_oracle())
+@register("vector_topk_pq", oracle=_pq_oracle())
 def vector_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 (operators/similarity.py
     ``pq_codebooks_from_sample``/``pq_encode``/``pq_topk``; Jegou et
@@ -1388,7 +1377,7 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register_staged("vector_topk_ivfpq", oracle=_ivfpq_oracle())
+@register("vector_topk_ivfpq", oracle=_ivfpq_oracle())
 def vector_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB vector-search layout: IVF coarse cells
     prune the corpus to 4 probed cells of 16 (partition pruning at
@@ -1447,7 +1436,7 @@ UNION ALL SELECT grp, q_25, q_50, q_90 FROM tot
 """
 
 
-@register_staged("kll_value_quantiles_rollup", oracle=_KLL_SQL)
+@register("kll_value_quantiles_rollup", oracle=_KLL_SQL)
 def kll_value_quantiles_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile summaries (operators/sketches.py): per-day
     KLL sketches of event values + the MERGED overall row — the read-
@@ -1476,7 +1465,7 @@ SELECT CAST(-1 AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM d
 """
 
 
-@register_staged("theta_users_daily", oracle=_THETA_SQL)
+@register("theta_users_daily", oracle=_THETA_SQL)
 def theta_users_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-user summaries via THETA sketches (the
     set-operation-capable cousin of the HLL state the streaming
@@ -1517,7 +1506,7 @@ WHERE p.prev IS NOT NULL
 """
 
 
-@register_staged("theta_user_day_overlap", oracle=_THETA_OVERLAP_SQL)
+@register("theta_user_day_overlap", oracle=_THETA_OVERLAP_SQL)
 def theta_user_day_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day audience flow via theta SET OPERATIONS
     (operators/sketches.py ``theta_overlap_rollup``): returning /
