@@ -1109,10 +1109,16 @@ def repeated_span_dedup(
     one session should memoize the result per (session, input), and at
     very large corpora write the staged frame to storage instead.
     """
+    # explicit whitespace class, NOT \s: Java \s includes U+000B
+    # (vertical tab) while the DuckDB oracle's RE2 \s does not, so the
+    # "identical tokenization" claim would silently diverge on VT-
+    # bearing text (r06 advice). The class below spells out the same
+    # five separators on both engines (\x0B written as a hex escape —
+    # Java's \v means "any vertical whitespace", not VT).
     toks = F.when(
         F.trim(F.coalesce(F.col(text_column), F.lit(""))) == "",
         F.array().cast("array<string>"),
-    ).otherwise(F.split(F.trim(F.col(text_column)), r"\s+"))
+    ).otherwise(F.split(F.trim(F.col(text_column)), r"[ \t\n\x0B\f\r]+"))
     staged = df.select(
         F.col(id_column).alias("__id"),
         toks.alias("__toks"),

@@ -643,7 +643,7 @@ _SPAN_DEDUP_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
          CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks
   FROM documents
 ),
 w AS (

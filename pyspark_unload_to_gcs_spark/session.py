@@ -8,6 +8,7 @@ test runs. Everything here is plain public Spark configuration.
 from __future__ import annotations
 
 import os
+import uuid as _uuid
 
 from pyspark.sql import SparkSession
 
@@ -15,13 +16,22 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
 def session_token(spark: SparkSession) -> str:
-    """Stable identity for per-session memo keys. ``id(spark)`` is
-    unsafe: a stopped session's address can be reused by a new
+    """Stable identity for per-session memo keys. ``id(spark)`` alone
+    is unsafe: a stopped session's address can be reused by a new
     SparkSession, handing the memo a DataFrame bound to the dead
-    session (ADVICE r05). ``applicationId`` is unique per started
-    application (timestamp+counter based) and survives for the
-    session's life."""
-    return spark.sparkContext.applicationId
+    session (ADVICE r05). ``applicationId`` alone is also not enough:
+    ``SparkSession.newSession()`` siblings share one SparkContext and
+    would share memos despite being distinct sessions with their own
+    conf/temp-view state (ADVICE r06). So the token is applicationId
+    plus a UUID stamped on the Python session object on first use —
+    unique per live SparkSession, stable for its lifetime, and
+    unforgeable by address recycling (a recycled address is a NEW
+    object without the attribute, so it mints a fresh token)."""
+    tok = getattr(spark, "_pyspark_gcs_session_token", None)
+    if tok is None:
+        tok = f"{spark.sparkContext.applicationId}-{_uuid.uuid4().hex}"
+        spark._pyspark_gcs_session_token = tok
+    return tok
 
 
 def get_spark(

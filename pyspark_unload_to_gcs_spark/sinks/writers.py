@@ -95,13 +95,11 @@ def compact_files(
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         src_p = jvm.org.apache.hadoop.fs.Path(path)
         fs = src_p.getFileSystem(hconf)
-        total_bytes = 0
-        it = fs.listFiles(src_p, True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if not (name.startswith("_") or name.startswith(".")):
-                total_bytes += st.getLen()
+        # component-wise hidden check (same rule as _iter_data_files):
+        # part files under a leftover _temporary/ dir from a crashed
+        # prior write must not inflate the sizing target (r06 advice —
+        # the leaf-name-only check counted them)
+        total_bytes = sum(st.getLen() for _rel, st in _iter_data_files(fs, src_p))
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         tag = uuid.uuid4().hex[:8]
         tmp_uri = f"{path.rstrip('/')}__compact_{tag}"
@@ -134,12 +132,17 @@ def compact_files(
     # trailing slash would nest them inside the source (r06 review:
     # os.rename of a dir into itself raises EINVAL)
     src = path.rstrip("/") or path
-    total_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, files in os.walk(src)
-        for f in files
-        if not f.startswith(("_", "."))
-    )
+    total_bytes = 0
+    for dp, dirs, files in os.walk(src):
+        # prune hidden/temporary DIRECTORIES too (component-wise rule,
+        # matching the URI branch and _iter_data_files): a crashed
+        # prior write's _temporary/0/part-* must not count
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        total_bytes += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tag = uuid.uuid4().hex[:8]
     tmp = f"{src}__compact_{tag}"

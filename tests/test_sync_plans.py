@@ -296,3 +296,29 @@ def test_orc_export_roundtrip(spark, sf_dir, tmp_path):
     write_export(nested, SyncConfig(table="n2", output_uri=f"file:{tmp_path}/o2",
                                     export_format="orc"))
     assert spark.read.orc(f"file:{tmp_path}/o2").count() == nested.count()
+
+
+def test_compact_files_ignores_temporary_leftovers(spark, tmp_path):
+    """Sizing must skip files under hidden/temporary DIRECTORIES, not
+    just hidden leaf names (r06 advice): a 10 MB junk part under a
+    leftover _temporary/ from a crashed prior write must not inflate
+    the n_files target on either backend."""
+    import glob as g
+    import os
+
+    from pyspark_unload_to_gcs_spark.sinks.writers import compact_files
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    for backend in ("local", "uri"):
+        out = str(tmp_path / f"tempjunk_{backend}")
+        load_parquet(spark, ORDERS).repartition(4).write.parquet(out)
+        junk_dir = os.path.join(out, "_temporary", "0")
+        os.makedirs(junk_dir)
+        with open(os.path.join(junk_dir, "part-junk.bin"), "wb") as f:
+            f.write(b"x" * (10 * 1024 * 1024))  # visible leaf name, hidden parent
+        target = out if backend == "local" else f"file:{out}"
+        n = compact_files(spark, target, target_file_mb=1)
+        # real data is ~50 KB; counting the junk would ask for ~10 files
+        assert n == 1, f"{backend}: junk under _temporary/ inflated sizing to {n}"
+        assert len(g.glob(f"{out}/part-*.parquet")) == 1
+        assert spark.read.parquet(out).count() == 1500
