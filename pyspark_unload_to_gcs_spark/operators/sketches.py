@@ -99,6 +99,7 @@ def theta_overlap_rollup(
     df: DataFrame,
     key_column: str,
     group_column,
+    lg_nom_entries: int | None = None,
 ) -> DataFrame:
     """Consecutive-group audience flow from theta SET OPERATIONS — the
     capability HLL sketches fundamentally lack: per group pair
@@ -107,13 +108,21 @@ def theta_overlap_rollup(
     per-group sketch frame is tiny (one row per group), so the lag
     window and estimates are free; the corpus was read once to build
     the sketches. Exact below nominal-entry capacity, published-RSE
-    estimates above it."""
+    estimates above it. ``lg_nom_entries`` sizes the per-group sketch
+    (builtin default 2^12 when None); the estimating-regime accuracy
+    pin passes a deliberately tiny capacity to force estimates at
+    driver scale."""
     from pyspark.sql import Window
 
+    agg = (
+        F.theta_sketch_agg("k")
+        if lg_nom_entries is None
+        else F.theta_sketch_agg("k", F.lit(lg_nom_entries))
+    )
     per = (
         df.select(group_column.alias("grp"), F.col(key_column).alias("k"))
         .groupBy("grp")
-        .agg(F.theta_sketch_agg("k").alias("sk"))
+        .agg(agg.alias("sk"))
     )
     w = Window.orderBy("grp")
     paired = per.select(

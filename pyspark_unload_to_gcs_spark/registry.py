@@ -470,9 +470,11 @@ def _load_extensions() -> None:
 #      q8/q22/pivot kept as family representatives).
 #
 # R08 ROTATION PLAN (execute next round): keep the core eight; promote
-# any r08 staged cohort (registry_staged currently holds the
-# unicode/manifest/XML driver-row candidates if they were staged) and
-# any query added in r08; then refresh, oldest evidence first:
+# the r08 STAGED cohort (registry_staged: unicode_normalize_stats,
+# export_manifest_roundtrip, xml_ingest_roundtrip,
+# theta_overlap_estimate_accuracy — all parity-tested at sf0.001 AND
+# sf0.01 in r07) and any query added in r08; then refresh, oldest
+# evidence first:
 # the 13 r04 names deferred above (rolling_active_users_approx,
 # vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
 # q9_product_profit, q10_returned_revenue, q11_important_parts,

@@ -1520,3 +1520,303 @@ def theta_user_day_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap_rollup(
         ev, "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
     )
+
+
+# --------------------------------------------------------------------------
+# r08 STAGED cohort: driver rows for the round-6 third-wave capabilities
+# (VERDICT r06 #3) — Unicode normalization over PLANTED non-ASCII text,
+# the manifest-validated export roundtrip, and the XML ingestion
+# roundtrip. Staged because the r07 window is full; the r08 rotation
+# plan in registry.py promotes them.
+# --------------------------------------------------------------------------
+
+# Planted suffixes: the driver fixtures are pure ASCII, so a
+# normalization driver row over raw documents would be vacuous
+# (normalize == identity). Both engines append the SAME codepoint
+# sequences (embedded verbatim in this module's source and in the SQL
+# text), including DECOMPOSED accents that NFC must recompose — so a
+# normalizer that does nothing, normalizes the wrong form, or breaks
+# on batch boundaries flips `changed`/lengths/hashes and goes driver-
+# red. BMP-only codepoints: Spark length() counts UTF-16 units while
+# DuckDB counts codepoints; they agree only below U+10000.
+_U_SFX0 = " café plan"  # e + combining acute -> NFC recomposes
+_U_SFX1 = " ÅB Å"  # A + combining ring, Angstrom sign -> both change
+_U_SFX2 = " ascii tail"  # NFC identity
+
+_UNICODE_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN '{_U_SFX0}'
+                   WHEN 1 THEN '{_U_SFX1}'
+                   ELSE '{_U_SFX2}' END AS praw
+  FROM documents
+)
+SELECT doc_id,
+       (nfc_normalize(praw) != praw) AS changed,
+       CAST(length(praw) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(praw)) AS BIGINT) AS len_nfc,
+       md5(nfc_normalize(praw)) AS nfc_hash
+FROM planted
+"""
+
+
+@register_staged("unicode_normalize_stats", oracle=_UNICODE_SQL)
+def unicode_normalize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization (operators/text.py ``normalize_unicode``,
+    Arrow mapInPandas) under a driver value oracle: every document gets
+    a planted suffix cycling through decomposed-accent, combining-ring
+    + Angstrom-sign, and ASCII-identity cases; the output carries the
+    changed flag, both char lengths, and the md5 of the normalized
+    text. DuckDB's ``nfc_normalize`` replays Python's
+    ``unicodedata.normalize('NFC', ...)`` exactly (both implement
+    Unicode NFC; parity pinned in tests since r06)."""
+    from pyspark_unload_to_gcs_spark.operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_U_SFX0))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_U_SFX1))
+            .otherwise(F.lit(_U_SFX2)),
+        ).alias("praw"),
+    )
+    normed = normalize_unicode(docs, "praw", form="NFC", output_column="pnfc")
+    return normed.select(
+        "doc_id",
+        (F.col("pnfc") != F.col("praw")).alias("changed"),
+        F.length("praw").cast("long").alias("len_raw"),
+        F.length("pnfc").cast("long").alias("len_nfc"),
+        F.md5(F.col("pnfc")).alias("nfc_hash"),
+    )
+
+
+_MANIFEST_ROUNDTRIP_MEMO: dict = {}
+
+_MANIFEST_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       md5(to_json(struct_pack(
+           o_orderkey      := o_orderkey,
+           o_orderpriority := o_orderpriority,
+           o_orderstatus   := o_orderstatus))) AS row_hash,
+       TRUE AS manifest_ok
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus != ''
+  AND o_orderpriority IS NOT NULL AND o_orderpriority != ''
+"""
+
+
+@register_staged("export_manifest_roundtrip", oracle=_MANIFEST_ROUNDTRIP_SQL)
+def export_manifest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once export handoff under a driver oracle
+    (sinks/writers.py ``write_manifest``/``validate_manifest``;
+    extends the r06 ``export_roundtrip_hash`` pin): full sync of
+    orders with non-null filter + json-method content hash, written
+    as gzip JSON-lines with maxRecordsPerFile, then a _MANIFEST.json
+    is written (per-file sizes + JVM-side md5) and VALIDATED —
+    ``validate_manifest`` raising on any missing/extra/resized/
+    corrupted part file kills the query, so the manifest machinery
+    itself is driver-red-able — and only then are the bytes on disk
+    read back and value-hashed against DuckDB computing the same
+    projection+hash from parquet. Hash restricted to BIGINT/VARCHAR
+    columns where Spark/DuckDB JSON serialization is byte-identical
+    (content_hash_json precedent). Write memoized per (session,
+    sf_dir)."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.config import ExportFormat, SyncConfig
+    from pyspark_unload_to_gcs_spark.operators.filters import non_null_filter
+    from pyspark_unload_to_gcs_spark.operators.hashing import content_hash
+    from pyspark_unload_to_gcs_spark.sinks.writers import (
+        validate_manifest,
+        write_export,
+        write_manifest,
+    )
+
+    key = (session_token(spark), sf_dir)
+    if key not in _MANIFEST_ROUNDTRIP_MEMO:
+        df = non_null_filter(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority"
+            ),
+            ["o_orderstatus", "o_orderpriority"],
+        )
+        df = content_hash(df, "row_hash", method="json")
+        out_dir = tempfile.mkdtemp(prefix="export_manifest_roundtrip_")
+        uri = f"file:{out_dir}"
+        write_export(
+            df,
+            SyncConfig(
+                table="orders",
+                export_format=ExportFormat.JSON,
+                output_uri=uri,
+                compression="gzip",
+                max_records_per_file=2000,
+            ),
+        )
+        write_manifest(uri)
+        _MANIFEST_ROUNDTRIP_MEMO[key] = uri
+    uri = _MANIFEST_ROUNDTRIP_MEMO[key]
+    # consumer-side validation on EVERY read: a part file that went
+    # missing or changed since the write fails here, before any row
+    # is served (raises ValueError -> driver red)
+    validate_manifest(uri)
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_orderpriority string, row_hash string"
+    ).json(uri).withColumn("manifest_ok", F.lit(True))
+
+
+_XML_ROUNDTRIP_MEMO: dict = {}
+
+_XML_ROUNDTRIP_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+@register_staged("xml_ingest_roundtrip", oracle=_XML_ROUNDTRIP_SQL)
+def xml_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion under a driver oracle (sources/catalog.py
+    ``load_xml``, Spark 4 built-in XML source): the nation table is
+    written as an XML document (one <nation> element per row), read
+    BACK through ``load_xml`` with an explicit schema + FAILFAST, and
+    value-hashed against DuckDB reading the original parquet — element
+    escaping, rowTag framing, and schema projection all sit inside the
+    checked path. Write memoized per (session, sf_dir)."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_xml
+
+    key = (session_token(spark), sf_dir)
+    if key not in _XML_ROUNDTRIP_MEMO:
+        out_dir = tempfile.mkdtemp(prefix="xml_roundtrip_")
+        (
+            _t(spark, sf_dir, "nation")
+            .select(
+                F.col("n_nationkey").cast("long"),
+                "n_name",
+                F.col("n_regionkey").cast("long"),
+            )
+            .coalesce(1)
+            .write.format("xml")
+            .option("rowTag", "nation")
+            .option("rootTag", "nations")
+            .mode("overwrite")
+            .save(out_dir)
+        )
+        _XML_ROUNDTRIP_MEMO[key] = out_dir
+    return load_xml(
+        spark,
+        _XML_ROUNDTRIP_MEMO[key],
+        row_tag="nation",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta set-operation accuracy pin, ESTIMATING regime (VERDICT r06 #8)
+# --------------------------------------------------------------------------
+
+# The live theta_user_day_overlap row proves the sketch algebra in the
+# exact-below-capacity regime (lore #22). This pin forces the
+# ESTIMATING regime at driver scale with a deliberately tiny capacity
+# (lg_nom = 6 -> 64 nominal entries vs ~150 distinct users/day at
+# sf0.01) and gates every returning/churned/new estimate inside
+# BOUND_SIGMA x union/sqrt(k) of its exact value — the documented
+# error shape of theta set operations (DataSketches set-op error
+# analysis: intersection/difference error scales with the UNION
+# cardinality over sqrt(nominal entries), not with the result size).
+# Empirical worst at sf0.01/lg6 is 3.19 units (measured r07), so 6
+# units passes with ~2x headroom while a catastrophic regression
+# (collapsed sketch, wrong set-op wiring, hash change) lands far
+# outside. At sf0.001 the same capacity sits BELOW the ~15 users/day
+# cardinality, so the pytest-scale run degenerates to the exact
+# regime (trivially green there; the driver's sf0.01 run is the
+# estimating-regime evidence).
+_THETA_ACC_LG = 6
+_THETA_ACC_SIGMA = 6.0
+
+_THETA_ACC_SQL = """
+WITH d AS (
+  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS grp,
+         user_id
+  FROM events
+),
+pairs AS (
+  SELECT grp, LAG(grp) OVER (ORDER BY grp) AS prev
+  FROM (SELECT DISTINCT grp FROM d)
+)
+SELECT CAST(p.grp AS BIGINT) AS grp,
+       TRUE AS returning_within_bound,
+       TRUE AS churned_within_bound,
+       TRUE AS new_within_bound
+FROM pairs p
+WHERE p.prev IS NOT NULL
+"""
+
+
+@register_staged("theta_overlap_estimate_accuracy", oracle=_THETA_ACC_SQL)
+def theta_overlap_estimate_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimating-regime accuracy pin for theta set operations
+    (operators/sketches.py ``theta_overlap_rollup``): runs the
+    audience-flow rollup at a capacity far below the daily user
+    cardinality, recomputes the exact returning/churned/new counts
+    from first principles, and emits per-day booleans asserting each
+    estimate sits within BOUND_SIGMA x union/sqrt(k) of exact — the
+    oracle expects every boolean TRUE, so an estimator drifting
+    outside the documented error envelope goes driver-red (same
+    pattern as the HLL accuracy pins)."""
+    from pyspark.sql import Window
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import theta_overlap_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    approx = theta_overlap_rollup(ev, "user_id", day, lg_nom_entries=_THETA_ACC_LG)
+
+    d = ev.select(day.alias("grp"), "user_id").distinct()
+    days = d.select("grp").distinct()
+    w = Window.orderBy("grp")
+    pairs = (
+        days.select("grp", F.lag("grp").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    # exact set arithmetic via one full-outer join per pair keyed on
+    # (pair, user): returning = both sides, churned = prev-only,
+    # new = cur-only, union = all
+    exact = (
+        pairs.join(d.withColumnRenamed("grp", "prev").withColumnRenamed("user_id", "u"), "prev")
+        .select("grp", "prev", "u", F.lit(1).alias("in_prev"))
+        .join(
+            pairs.join(d.withColumnRenamed("user_id", "u"), "grp")
+            .select("grp", "prev", "u", F.lit(1).alias("in_cur")),
+            ["grp", "prev", "u"],
+            "full_outer",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.when(F.col("in_prev").isNotNull() & F.col("in_cur").isNotNull(), 1)).alias("ex_ret"),
+            F.count(F.when(F.col("in_prev").isNotNull() & F.col("in_cur").isNull(), 1)).alias("ex_chur"),
+            F.count(F.when(F.col("in_prev").isNull() & F.col("in_cur").isNotNull(), 1)).alias("ex_new"),
+            F.count(F.lit(1)).alias("ex_union"),
+        )
+    )
+    bound = F.lit(_THETA_ACC_SIGMA) * F.col("ex_union") / F.lit(float(2 ** _THETA_ACC_LG) ** 0.5)
+    return (
+        approx.join(exact, "grp")
+        .select(
+            F.col("grp").cast("long").alias("grp"),
+            (F.abs(F.col("n_returning") - F.col("ex_ret")) <= bound).alias(
+                "returning_within_bound"
+            ),
+            (F.abs(F.col("n_churned") - F.col("ex_chur")) <= bound).alias(
+                "churned_within_bound"
+            ),
+            (F.abs(F.col("n_new") - F.col("ex_new")) <= bound).alias(
+                "new_within_bound"
+            ),
+        )
+    )
