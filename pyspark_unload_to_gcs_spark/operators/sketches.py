@@ -142,3 +142,54 @@ def theta_overlap_rollup(
         .cast("long")
         .alias("n_new"),
     )
+
+
+def approx_topk_rollup(
+    df: DataFrame,
+    item_column: str,
+    group_column,
+    k: int = 3,
+    max_items_tracked: int = 4096,
+    total_sentinel: int = -1,
+) -> DataFrame:
+    """Per-group heavy hitters plus the MERGED overall row via the
+    Spark 4.1 ``approx_top_k_*`` mergeable frequent-items sketch
+    family — the same one-scan-then-merge shape as the KLL/theta
+    rollups: the corpus is read once into per-group sketch states;
+    any cross-group answer folds states with
+    ``approx_top_k_combine``, never rereads data.
+
+    Output is (grp, rank, item, cnt) with rank 1..k by count DESC.
+    Exactness contract (lore #22, as for KLL/theta): the sketch is
+    EXACT while the number of distinct items stays at or below
+    ``max_items_tracked`` — size it above the slice cardinality and
+    the rollup carries a full value oracle on (rank, cnt) at driver
+    scale (item identity at tied counts is selection-arbitrary in ANY
+    engine, so oracles should compare rank+count, not item). Above
+    capacity the estimates degrade to the DataSketches frequent-items
+    error bound (overcount ≤ stream_n / max_items_tracked)."""
+    per = (
+        df.select(group_column.alias("grp"), F.col(item_column).alias("it"))
+        .groupBy("grp")
+        .agg(
+            F.expr(f"approx_top_k_accumulate(it, {int(max_items_tracked)})").alias(
+                "st"
+            )
+        )
+    )
+    def explode_topk(frame: DataFrame) -> DataFrame:
+        est = F.expr(f"approx_top_k_estimate(st, {int(k)})")
+        return frame.select(
+            F.col("grp").cast("long").alias("grp"),
+            F.posexplode(est).alias("pos", "e"),
+        ).select(
+            "grp",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("e.item").cast("string").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+
+    merged = per.agg(
+        F.expr(f"approx_top_k_combine(st, {int(max_items_tracked)})").alias("st")
+    ).select(F.lit(int(total_sentinel)).alias("grp"), "st")
+    return explode_topk(per).unionByName(explode_topk(merged))

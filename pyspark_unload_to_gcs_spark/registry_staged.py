@@ -1820,3 +1820,152 @@ def theta_overlap_estimate_accuracy_q(spark: SparkSession, sf_dir: str) -> DataF
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join (engine addition; staged r08)
+# --------------------------------------------------------------------------
+
+_IVL_DAY = 86_400_000
+_IVL_SLOT = 28_800_000  # 8 h slot stride
+_IVL_OFF = 3_600_000  # windows open 1 h into each slot
+_IVL_LEN = 14_400_000  # 4 h window length
+
+_IVL_OVERLAP_SQL = f"""
+WITH act AS (
+  SELECT user_id,
+         CAST(floor(epoch_ms(ts) / {_IVL_DAY}) AS BIGINT) AS aday,
+         MIN(epoch_ms(ts)) AS a_s,
+         MAX(epoch_ms(ts)) + 1 AS a_e
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT d.wday, s.slot,
+         d.wday * {_IVL_DAY} + s.slot * {_IVL_SLOT} + {_IVL_OFF} AS w_s,
+         d.wday * {_IVL_DAY} + s.slot * {_IVL_SLOT} + {_IVL_OFF + _IVL_LEN} AS w_e
+  FROM (SELECT DISTINCT CAST(floor(epoch_ms(ts) / {_IVL_DAY}) AS BIGINT) AS wday
+        FROM events) d
+  CROSS JOIN (VALUES (0), (1), (2)) s(slot)
+)
+SELECT w.wday AS day, CAST(w.slot AS BIGINT) AS slot,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(LEAST(a.a_e, w.w_e) - GREATEST(a.a_s, w.w_s)) AS BIGINT)
+         AS total_overlap_ms
+FROM act a JOIN win w ON a.a_s < w.w_e AND w.w_s < a.a_e
+GROUP BY 1, 2
+"""
+
+
+@register_staged("activity_window_overlap", oracle=_IVL_OVERLAP_SQL)
+def activity_window_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap JOIN (operators/interval.py
+    ``interval_overlap_join`` — both sides are [start, end) intervals,
+    the shape Spark has no native join for): per-user-per-day activity
+    intervals [first event, last event+1) against three fixed 4-hour
+    maintenance windows per day, aggregated to per-window audience +
+    total overlapped milliseconds. The operator decomposes the range
+    predicate into ONE equi-join shuffle on a 4-hour time-grid cell
+    with filter-based exactly-once pair emission (no distinct, no
+    cartesian); the DuckDB oracle runs the naive range join and must
+    agree bit-for-bit on counts and overlap sums."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import epoch_ms
+    from pyspark_unload_to_gcs_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ms = epoch_ms(ev, "ts")
+    act = (
+        ev.select(F.col("user_id"), ms.alias("ms"))
+        .groupBy(
+            "user_id", F.floor(F.col("ms") / _IVL_DAY).cast("long").alias("aday")
+        )
+        .agg(F.min("ms").alias("a_s"), (F.max("ms") + 1).alias("a_e"))
+    )
+    win = (
+        act.select(F.col("aday").alias("wday"))
+        .distinct()
+        .crossJoin(spark.range(3).select(F.col("id").alias("slot")))
+        .select(
+            "wday",
+            "slot",
+            (
+                F.col("wday") * _IVL_DAY + F.col("slot") * _IVL_SLOT + _IVL_OFF
+            ).alias("w_s"),
+            (
+                F.col("wday") * _IVL_DAY
+                + F.col("slot") * _IVL_SLOT
+                + F.lit(_IVL_OFF + _IVL_LEN)
+            ).alias("w_e"),
+        )
+    )
+    pairs = interval_overlap_join(
+        act,
+        win,
+        left_start="a_s",
+        left_end="a_e",
+        right_start="w_s",
+        right_end="w_e",
+        granularity=_IVL_LEN,
+    )
+    return (
+        pairs.groupBy(F.col("wday").alias("day"), F.col("slot").cast("long").alias("slot"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.least("a_e", "w_e") - F.greatest("a_s", "w_s")
+            ).cast("long").alias("total_overlap_ms"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Frequent-items heavy-hitter rollup (approx_top_k family; staged r08)
+# --------------------------------------------------------------------------
+
+_HH_SQL = """
+WITH c AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS grp,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT grp, cnt,
+         row_number() OVER (PARTITION BY grp ORDER BY cnt DESC) AS rank
+  FROM c
+),
+o AS (
+  SELECT CAST(-1 AS BIGINT) AS grp, CAST(SUM(cnt) AS BIGINT) AS cnt, event_type
+  FROM c GROUP BY event_type
+),
+ro AS (
+  SELECT grp, cnt, row_number() OVER (ORDER BY cnt DESC) AS rank FROM o
+)
+SELECT grp, CAST(rank AS BIGINT) AS rank, cnt FROM r WHERE rank <= 3
+UNION ALL
+SELECT grp, CAST(rank AS BIGINT) AS rank, cnt FROM ro WHERE rank <= 3
+"""
+
+
+@register_staged("heavy_hitters_daily", oracle=_HH_SQL)
+def heavy_hitters_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items heavy hitters (operators/sketches.py
+    ``approx_topk_rollup``, Spark 4.1 ``approx_top_k_*`` builtins):
+    per-day top-3 event-type counts PLUS the overall top-3 computed by
+    COMBINING the per-day sketch states (grp = -1) — one corpus scan,
+    cross-day answers from state merge. Exact regime at every tested
+    scale (max_items_tracked = 4096 >> distinct event types), so the
+    oracle replays (rank, cnt) exactly; item identity is excluded from
+    the compared columns because rank order among TIED counts is
+    selection-arbitrary in both engines (same reasoning as the
+    scd_latest tie rule). At production cardinality the same plan
+    degrades to the frequent-items overcount bound
+    (<= stream_n / max_items_tracked), documented on the operator."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import approx_topk_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    return approx_topk_rollup(
+        ev, "event_type", day, k=3, max_items_tracked=4096
+    ).select("grp", "rank", "cnt")

@@ -831,3 +831,33 @@ def test_normalize_unicode_rejects_unknown_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="unknown form"):
         normalize_unicode(df, "text", form="NFX")
+
+
+def test_approx_topk_rollup_exact_regime_and_merge(spark):
+    """Below max_items_tracked the frequent-items sketch is exact:
+    per-group (rank, item, cnt) match a plain count/sort, and the
+    merged overall row equals global counts (lore #22)."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import approx_topk_rollup
+
+    rows = (
+        [(1, "a")] * 5 + [(1, "b")] * 3 + [(1, "c")] * 1
+        + [(2, "b")] * 4 + [(2, "d")] * 2
+    )
+    df = spark.createDataFrame(rows, "g int, x string")
+    out = approx_topk_rollup(df, "x", F.col("g"), k=2, max_items_tracked=64)
+    got = {(r["grp"], r["rank"]): (r["item"], r["cnt"]) for r in out.collect()}
+    assert got[(1, 1)] == ("a", 5) and got[(1, 2)] == ("b", 3)
+    assert got[(2, 1)] == ("b", 4) and got[(2, 2)] == ("d", 2)
+    # merged: global counts a=5, b=7, d=2, c=1 -> top2 = b(7), a(5)
+    assert got[(-1, 1)] == ("b", 7) and got[(-1, 2)] == ("a", 5)
+
+
+def test_approx_topk_rollup_short_groups_emit_partial_ranks(spark):
+    from pyspark_unload_to_gcs_spark.operators.sketches import approx_topk_rollup
+
+    df = spark.createDataFrame([(1, "only")], "g int, x string")
+    out = approx_topk_rollup(df, "x", F.col("g"), k=3).collect()
+    assert {(r["grp"], r["rank"], r["cnt"]) for r in out} == {
+        (1, 1, 1),
+        (-1, 1, 1),
+    }
