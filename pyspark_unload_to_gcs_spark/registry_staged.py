@@ -1969,3 +1969,145 @@ def heavy_hitters_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_topk_rollup(
         ev, "event_type", day, k=3, max_items_tracked=4096
     ).select("grp", "rank", "cnt")
+
+
+# --------------------------------------------------------------------------
+# binaryFile media ingestion + ORC ingestion roundtrips (staged r08)
+# --------------------------------------------------------------------------
+
+_BINFILE_WAV_MEMO: dict = {}
+
+_BINFILE_WAV_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         200 + doc_id % 53 AS n_frames
+  FROM documents WHERE doc_id % 10 = 0
+), samples AS (
+  SELECT doc_id, ch, n_frames,
+         unnest(generate_series(0, ch * n_frames - 1)) AS j
+  FROM params
+), vals AS (
+  SELECT doc_id, ch, n_frames,
+         (doc_id * 31 + j * 7) % 2048 - 1024 AS s
+  FROM samples
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(MIN(ch) AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bit_depth,
+       CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+       CAST(MIN(n_frames) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+FROM vals
+GROUP BY doc_id
+"""
+
+
+@register_staged("binaryfile_wav_ingest", oracle=_BINFILE_WAV_SQL)
+def binaryfile_wav_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store media ingestion end to end: one WAV FILE per
+    sampled document (doc_id % 10 == 0) is written to a directory by a
+    DISTRIBUTED Arrow stage (each executor writes its partition's
+    files — no driver loop), the directory is ingested back through
+    Spark's built-in ``binaryFile`` source (the blob-lakehouse shape:
+    pathGlobFilter + partitioned listing at scale), doc ids are
+    recovered from file names, and the real chunk-walking PCM16
+    decoder produces stats the closed-form oracle replays exactly.
+    Compared to wav_decode_stats (payload synthesized in-plan), this
+    row additionally proves the FILE path: bytes survive the
+    write/list/read roundtrip bit-exactly or the stats diverge."""
+    import os
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    key = (session_token(spark), sf_dir)
+    if key not in _BINFILE_WAV_MEMO:
+        out_dir = tempfile.mkdtemp(prefix="binaryfile_wav_")
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 10 == 0)
+        )
+
+        def write_files(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                n_written = []
+                for d in pdf["doc_id"].to_numpy():
+                    d = int(d)
+                    ch = 1 + d % 2
+                    n = 200 + d % 53
+                    samples = [
+                        ((d * 31 + j * 7) % 2048) - 1024 for j in range(ch * n)
+                    ]
+                    raw = encode_wav_pcm16(samples, 8000, n_channels=ch)
+                    tmp = os.path.join(out_dir, f".doc_{d}.wav.tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(raw)
+                    os.rename(tmp, os.path.join(out_dir, f"doc_{d}.wav"))
+                    n_written.append(d)
+                yield pd.DataFrame({"doc_id": n_written})
+
+        # count() drives the distributed write to completion before
+        # the directory is listed (write-then-read barrier)
+        docs.mapInPandas(write_files, "doc_id long").count()
+        _BINFILE_WAV_MEMO[key] = out_dir
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(_BINFILE_WAV_MEMO[key])
+    )
+    payloads = binary.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return decode_wav(payloads)
+
+
+_ORC_ROUNDTRIP_MEMO: dict = {}
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer
+"""
+
+
+@register_staged("orc_ingest_roundtrip", oracle=_ORC_ROUNDTRIP_SQL)
+def orc_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion under a driver oracle (Spark built-in ORC source;
+    the warehouse-interchange format next to parquet): the customer
+    table is written as ORC and read back with an explicit schema, so
+    type mapping (BIGINT/VARCHAR/DOUBLE), compression, and the
+    vectorized ORC reader all sit inside the value-hashed path. Write
+    memoized per (session, sf_dir)."""
+    import tempfile
+
+    key = (session_token(spark), sf_dir)
+    if key not in _ORC_ROUNDTRIP_MEMO:
+        out_dir = tempfile.mkdtemp(prefix="orc_roundtrip_")
+        (
+            _t(spark, sf_dir, "customer")
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+                F.col("c_acctbal").cast("double").alias("acctbal"),
+            )
+            .write.format("orc")
+            .mode("overwrite")
+            .save(out_dir)
+        )
+        _ORC_ROUNDTRIP_MEMO[key] = out_dir
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_mktsegment string, acctbal double"
+    ).orc(_ORC_ROUNDTRIP_MEMO[key])
