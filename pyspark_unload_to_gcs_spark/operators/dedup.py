@@ -1161,3 +1161,77 @@ def repeated_span_dedup(
             " ", F.transform("__kept", lambda p: F.element_at(F.col("__toks"), p))
         ).alias("clean_text"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    *,
+    max_length: int = 256,
+) -> DataFrame:
+    """All pairs within Levenshtein distance <= 1, by
+    deletion-neighborhood blocking (FastSS; Bocek et al. 2007, public)
+    — an EXACT candidate scheme, not an approximate one: any two
+    strings at edit distance <= 1 (substitution, insertion, deletion,
+    or equality) share at least one member of their deletion
+    neighborhoods {s} ∪ {s minus char i}, so an equi-join on the
+    variant key finds EVERY qualifying pair and ``levenshtein`` then
+    filters grid coincidences. No all-pairs comparison anywhere:
+
+      1. narrow map: each string of length L explodes to L+1 variant
+         rows (the 100 TB knob: rows x (L+1) shuffle entries — this is
+         a SHORT-STRING operator (names, titles, codes); ``max_length``
+         fails fast rather than silently exploding a document corpus,
+         where the near-dedup family is the right tool);
+      2. ONE shuffle: self-equi-join on the variant string;
+      3. pair dedup is a ``distinct`` on (id_a, id_b) — pairs sharing
+         several variants (e.g. equal strings) collapse;
+      4. verify with the builtin ``levenshtein`` (JVM-side, exact).
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist in {0, 1}.
+    Distance 0 (exact duplicates) is included by design — callers
+    wanting strictly-typo pairs filter ``dist = 1``."""
+    probe = df.select(
+        F.col(id_column).alias("__id"), F.col(text_column).alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    too_long = probe.filter(F.length("__t") > max_length).limit(1).count()
+    if too_long:
+        raise ValueError(
+            f"edit_distance_pairs: {text_column} exceeds max_length="
+            f"{max_length}; this is a short-string operator — use the "
+            "minhash/simhash near-dedup family for documents"
+        )
+    variants = probe.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.concat(
+                F.array(F.col("__t")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__t")),
+                    lambda i: F.concat(
+                        F.substring(F.col("__t"), F.lit(1), i - 1),
+                        F.substr(
+                            F.col("__t"), i + 1, F.length("__t")
+                        ),
+                    ),
+                ),
+            )
+        ).alias("__v"),
+    )
+    a = variants.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "__v"
+    )
+    b = variants.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "__v"
+    )
+    return (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+        .withColumn("dist", F.levenshtein("__ta", "__tb").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

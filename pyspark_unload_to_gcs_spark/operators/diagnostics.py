@@ -1,0 +1,78 @@
+"""Workload diagnostics: the numbers an engineer needs BEFORE running
+a 100 TB join/aggregation — key-skew profiles that predict whether a
+shuffle partitions evenly, whether AQE skew-join will engage, and
+whether a salting/broadcast strategy is warranted.
+
+All-integer outputs (counts, ranks, parts-per-million shares) so the
+profile is value-oracle-able cross-engine with no float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -> DataFrame:
+    """One-row skew profile of a prospective shuffle key: total rows,
+    distinct keys, the heaviest key's count, exact p50/p90/p99 of the
+    per-key count distribution (discrete — the value AT rank
+    ``ceil(q * n_keys)`` in count order, deterministic integers), and
+    the heaviest key's row share in parts-per-million.
+
+    Shape: one groupBy(key) count (the same shuffle the real join
+    would do, so the profile costs one pass of the probe side), then a
+    rank selection over the PER-KEY count frame — n_keys rows, orders
+    of magnitude smaller than the data. The count-frame sort is exact;
+    at extreme key cardinality swap the rank selection for a KLL
+    sketch over counts (operators/sketches.py) — same output schema,
+    bounded state.
+
+    NULL keys count as a key (they hash-partition together in a real
+    shuffle, which is exactly the skew this profile exists to catch).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_column).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = counts.select(
+        "cnt", F.row_number().over(Window.orderBy("cnt", "k")).alias("rk")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    picks = totals.select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        *[
+            F.ceil(F.col("n_keys") * F.lit(q)).cast("long").alias(f"__rk_{tag}")
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ],
+    )
+    out = picks
+    for tag in ("p50", "p90", "p99"):
+        out = out.join(
+            ranked.select(
+                F.col("cnt").alias(f"{tag}_cnt"), F.col("rk").alias(f"__rk_{tag}")
+            ),
+            f"__rk_{tag}",
+        )
+    return out.select(
+        F.lit(label or key_column).alias("key"),
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        # explicit floor: Spark's double->long cast truncates while
+        # DuckDB's ROUNDS — floor() on both engines is the only
+        # spelling that agrees (NOTES lore #8 family)
+        F.floor(F.col("max_cnt") * 1_000_000 / F.col("n_rows"))
+        .cast("long")
+        .alias("top1_share_ppm"),
+    )

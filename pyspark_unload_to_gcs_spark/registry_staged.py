@@ -2111,3 +2111,111 @@ def orc_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "c_custkey bigint, c_name string, c_mktsegment string, acctbal double"
     ).orc(_ORC_ROUNDTRIP_MEMO[key])
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostics (staged r08)
+# --------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH prof AS (
+  SELECT 'l_partkey' AS key, l_partkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'user_id' AS key, user_id AS k FROM events
+),
+c AS (
+  SELECT key, k, CAST(COUNT(*) AS BIGINT) AS cnt FROM prof GROUP BY key, k
+),
+r AS (
+  SELECT key, cnt,
+         row_number() OVER (PARTITION BY key ORDER BY cnt, k) AS rk
+  FROM c
+),
+t AS (
+  SELECT key,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM c GROUP BY key
+)
+SELECT t.key, t.n_rows, t.n_keys, t.max_cnt,
+       (SELECT cnt FROM r WHERE r.key = t.key
+         AND rk = CAST(ceil(t.n_keys * 0.5) AS BIGINT)) AS p50_cnt,
+       (SELECT cnt FROM r WHERE r.key = t.key
+         AND rk = CAST(ceil(t.n_keys * 0.9) AS BIGINT)) AS p90_cnt,
+       (SELECT cnt FROM r WHERE r.key = t.key
+         AND rk = CAST(ceil(t.n_keys * 0.99) AS BIGINT)) AS p99_cnt,
+       CAST(FLOOR(t.max_cnt * 1000000.0 / t.n_rows) AS BIGINT) AS top1_share_ppm
+FROM t
+"""
+
+
+@register_staged("join_key_skew_profile", oracle=_SKEW_SQL)
+def join_key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics (operators/diagnostics.py
+    ``key_skew_profile``): for two prospective shuffle keys
+    (lineitem.l_partkey, events.user_id) emit total rows, distinct
+    keys, heaviest-key count, exact discrete p50/p90/p99 of the
+    per-key count distribution, and the heaviest key's
+    parts-per-million row share — the numbers that decide broadcast
+    vs shuffle vs salt vs AQE-skew-join before a 100 TB run. All
+    integers; the oracle replays the rank selection exactly."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import key_skew_profile
+
+    li = key_skew_profile(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", label="l_partkey"
+    )
+    ev = key_skew_profile(_t(spark, sf_dir, "events"), "user_id", label="user_id")
+    return li.unionByName(ev)
+
+
+# --------------------------------------------------------------------------
+# Edit-distance dedup (FastSS deletion neighborhood; staged r08)
+# --------------------------------------------------------------------------
+
+_TYPO_SQL = """
+WITH corpus AS (
+  SELECT c_custkey AS id, c_name AS t FROM customer
+  UNION ALL
+  SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer) AS id,
+         substr(c_name, 1, (c_custkey % 12) + 3) || 'q'
+           || substr(c_name, (c_custkey % 12) + 5) AS t
+  FROM customer WHERE c_custkey % 10 = 4
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM corpus a JOIN corpus b ON a.id < b.id
+WHERE levenshtein(a.t, b.t) <= 1
+"""
+
+
+@register_staged("name_typo_pairs", oracle=_TYPO_SQL)
+def name_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup via FastSS deletion-neighborhood blocking
+    (operators/dedup.py ``edit_distance_pairs``; Bocek et al. 2007):
+    customer names plus PLANTED one-character typos (10% of
+    customers, deterministic substitution position) — every pair
+    within Levenshtein distance 1 must surface, including the natural
+    single-digit-apart name pairs the fixture already contains. The
+    blocking is EXACT for d <= 1, so unlike the minhash/simhash
+    family this row carries a FULL value oracle (DuckDB brute-forces
+    all pairs; Spark does one variant-key equi-join — same answer,
+    quadratic vs linear shape). Planted-id stride is data-driven
+    (max id + 1), so ids never collide at any audited scale."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    stride = (cust.agg(F.max("c_custkey")).first()[0] or 0) + 1
+    pos = (F.col("c_custkey") % 12) + 4
+    typos = cust.filter(F.col("c_custkey") % 10 == 4).select(
+        (F.col("c_custkey") + stride).alias("id"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.lit("q"),
+            F.substr(F.col("c_name"), pos + 1, F.length("c_name")),
+        ).alias("t"),
+    )
+    corpus = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("t")
+    ).unionByName(typos)
+    return edit_distance_pairs(corpus, "id", "t")

@@ -861,3 +861,60 @@ def test_approx_topk_rollup_short_groups_emit_partial_ranks(spark):
         (1, 1, 1),
         (-1, 1, 1),
     }
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """FastSS deletion-neighborhood blocking is EXACT for distance <= 1:
+    pairs match a brute-force referee on a corpus covering equality,
+    substitution, insertion, deletion, distance-2 (excluded), and
+    shared-variant multiplicity."""
+    import itertools
+
+    from pyspark_unload_to_gcs_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "kitten"),     # equal -> dist 0
+        (3, "mitten"),     # substitution of 1
+        (4, "kitte"),      # deletion of 1
+        (5, "kittens"),    # insertion of 1
+        (6, "sitting"),    # distance 3 from kitten -> excluded
+        (7, "x"),
+        (8, ""),           # empty vs "x": distance 1
+        (9, "y"),          # "x" vs "y": substitution
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (x[0], y[0]): lev(x[1], y[1])
+        for x, y in itertools.combinations(rows, 2)
+        if lev(x[1], y[1]) <= 1
+    }
+    assert got == want
+    # and pairs are emitted exactly once despite multi-variant overlap
+    assert edit_distance_pairs(df).count() == len(want)
+
+
+def test_edit_distance_pairs_rejects_long_strings(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_length"):
+        edit_distance_pairs(df)
