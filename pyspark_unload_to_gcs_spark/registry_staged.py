@@ -2219,3 +2219,88 @@ def name_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"), F.col("c_name").alias("t")
     ).unionByName(typos)
     return edit_distance_pairs(corpus, "id", "t")
+
+
+# --------------------------------------------------------------------------
+# Exactly-once ingestion dedup stream replay (staged r08)
+# --------------------------------------------------------------------------
+
+_DEDUP_REPLAY_MEMO: dict = {}
+
+_DEDUP_REPLAY_SQL = """
+SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+FROM events
+"""
+
+
+@register_staged("dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
+def dedup_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-write-wins ingestion dedup (streaming/dedup.py
+    ``dedup_batch``) replayed over three micro-batches that simulate
+    at-least-once delivery with PAYLOAD-MUTATING retries:
+
+    - batch 0: events from the first 10 days (original payloads,
+      seq 0);
+    - batch 1: the next 10 days PLUS a redelivery of every
+      event_id % 4 == 0 row from batch 0 with value poisoned (+1000,
+      seq 1) PLUS a poisoned within-batch duplicate of its own
+      event_id % 9 == 0 rows (seq 1 vs the original's seq 0);
+    - batch 2: the remaining days plus a poisoned redelivery of
+      batch 1's event_id % 5 == 0 rows.
+
+    The accepted set must equal the ORIGINAL events table exactly —
+    any duplicate admitted, any poisoned payload kept, or any
+    first-occurrence dropped flips row count or value hash. Cross-
+    batch admission is an anti-join on the accumulated state's keys;
+    within-batch collapse keeps the lowest sequence; retries rewrite
+    version ``v=batch_id`` idempotently (exactly-once posture shared
+    with merge/rollup replays)."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch,
+        read_deduped,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        epoch_ms_col(ev, "ts").alias("ts_ms"),
+    )
+    day = F.floor(F.col("ts_ms") / 86_400_000) - F.floor(
+        F.lit(1_704_067_200_000) / 86_400_000
+    )  # days since 2024-01-01 (events fixture spans Jan 2024)
+    tag = lambda df, s: df.withColumn("__seq", F.lit(s))  # noqa: E731
+    poison = lambda df: df.withColumn("value", F.col("value") + 1000.0)  # noqa: E731
+
+    b0_rows = base.filter(day < 10)
+    b1_rows = base.filter((day >= 10) & (day < 20))
+    b2_rows = base.filter(day >= 20)
+    b0 = tag(b0_rows, 0)
+    b1 = (
+        tag(b1_rows, 0)
+        .unionByName(tag(poison(b0_rows.filter(F.col("event_id") % 4 == 0)), 1))
+        .unionByName(tag(poison(b1_rows.filter(F.col("event_id") % 9 == 0)), 1))
+    )
+    b2 = tag(b2_rows, 0).unionByName(
+        tag(poison(b1_rows.filter(F.col("event_id") % 5 == 0)), 1)
+    )
+    return replay_batches(
+        _DEDUP_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        (b0, b1, b2),
+        lambda frame, i, state: dedup_batch(
+            frame,
+            i,
+            key_columns=["event_id"],
+            sequence_column="__seq",
+            state_path=state,
+        ),
+        lambda state: read_deduped(spark, state),
+        prefix="dedup_stream_replay_",
+    )

@@ -1,20 +1,47 @@
-"""Streaming exact dedup — the streaming twin of
-``operators/dedup.py::exact_dedup`` for at-least-once upstream sources
-(Kafka replays, file redeliveries).
+"""Streaming ingestion dedup for at-least-once upstream sources
+(Kafka replays, file redeliveries, CDC retries) — two complementary
+contracts:
 
-``dropDuplicatesWithinWatermark`` (Spark 3.5+) keys state by the dedup
-columns and EXPIRES each key once the event-time watermark passes its
-first-seen time + delay, so state is bounded by the duplicate-arrival
-window instead of growing with the whole stream — the property that
-matters at 100 TB/day. Plain ``dropDuplicates`` on a stream keeps every
-key forever; use it only when the key space is small and closed.
+1. ``stream_exact_dedup`` — Spark's native
+   ``dropDuplicatesWithinWatermark`` (3.5+): state is keyed by the
+   dedup columns and EXPIRES once the event-time watermark passes a
+   key's first-seen time + delay, so state is bounded by the
+   duplicate-arrival window instead of growing with the whole stream —
+   the property that matters at 100 TB/day. Plain ``dropDuplicates``
+   on a stream keeps every key forever; use it only when the key space
+   is small and closed.
+
+2. ``dedup_batch`` / ``start_streaming_dedup`` — UNBOUNDED
+   first-write-wins with explicit versioned state, for the contract
+   watermark expiry cannot give: a row may arrive again arbitrarily
+   late, possibly with a MUTATED payload from a retried upstream job,
+   and the FIRST accepted version must survive. Per micro-batch:
+   - within the batch: collapse to the lowest ``sequence_column`` row
+     per key (one hash shuffle on the key);
+   - across batches: anti-join the collapsed batch against the
+     accumulated state's keys (same shuffle key — exchange reuse);
+   - exactly-once across RETRIES (same protocol as streaming/merge.py
+     / rollup.py): state version ``v=<batch_id>`` derives only from
+     the latest version ``< batch_id`` plus the batch rows, written
+     with overwrite, so a retried batch rewrites the identical state
+     instead of re-admitting rows.
+
+   State is the accumulated deduped output itself (simple, and what
+   the replay oracle reads back). At 100 TB the versioned rewrite is
+   the documented swap point: keep only the KEY INDEX as versioned
+   state and append accepted rows to an insert-only table/Delta sink —
+   the collapse/anti-join algebra is unchanged.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.streaming.rollup import read_state
 
 
 def stream_exact_dedup(
@@ -32,3 +59,67 @@ def stream_exact_dedup(
     return events.withWatermark(time_column, watermark_delay).dropDuplicatesWithinWatermark(
         list(key_columns)
     )
+
+
+def read_deduped(
+    spark: SparkSession, state_path: str, *, before: int | None = None
+) -> DataFrame | None:
+    """Latest committed deduped output (same layout as rollup state)."""
+    return read_state(spark, state_path, before=before)
+
+
+def dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    key_columns: Sequence[str],
+    sequence_column: str,
+    state_path: str,
+) -> None:
+    """Fold one micro-batch: admit only first-seen keys (module
+    docstring, contract 2). Deterministic in (state@<batch_id, batch
+    rows)."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(*key_columns).orderBy(F.col(sequence_column).asc())
+    collapsed = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", sequence_column)
+    )
+    prev = read_deduped(spark, state_path, before=batch_id)
+    if prev is None:
+        nxt = collapsed
+    else:
+        nxt = prev.unionByName(
+            collapsed.join(
+                prev.select(*key_columns), list(key_columns), "left_anti"
+            )
+        )
+    nxt.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+
+
+def start_streaming_dedup(
+    stream_df: DataFrame,
+    *,
+    key_columns: Sequence[str],
+    sequence_column: str,
+    state_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously admit first-seen rows from a stream; returns the
+    StreamingQuery. ``read_deduped`` serves the accepted set."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, bid: dedup_batch(
+            bdf,
+            bid,
+            key_columns=key_columns,
+            sequence_column=sequence_column,
+            state_path=state_path,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1198,3 +1198,53 @@ def test_incremental_sessionize_randomized_splits_match_batch(spark):
             .collect()
         }
         assert got == exp, f"seed {seed}: {len(got)} vs {len(exp)} sessions"
+
+
+def test_streaming_first_write_wins_dedup_and_retry(spark, sf_dir, tmp_path):
+    """Versioned-state first-write-wins dedup (streaming/dedup.py
+    ``dedup_batch``): poisoned redeliveries across batches and
+    duplicate rows within a batch must all lose to the first accepted
+    version, and re-running the final batch (Spark retry semantics)
+    must leave the state byte-identical."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch,
+        read_deduped,
+    )
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    state = str(tmp_path / "dedup_state")
+    poison = ev.withColumn("value", F.col("value") + 1000.0)
+    b0 = ev.filter(F.col("event_id") % 2 == 0).withColumn("__seq", F.lit(0))
+    # batch 1: the other half (seq 0) + poisoned redelivery of batch 0's
+    # %4 rows + poisoned within-batch duplicate of its own %9 rows
+    b1 = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("__seq", F.lit(0))
+        .unionByName(
+            poison.filter(F.col("event_id") % 4 == 0).withColumn("__seq", F.lit(1))
+        )
+        .unionByName(
+            poison.filter(
+                (F.col("event_id") % 2 == 1) & (F.col("event_id") % 9 == 0)
+            ).withColumn("__seq", F.lit(1))
+        )
+    )
+    for i, b in enumerate((b0, b1)):
+        dedup_batch(
+            b, i, key_columns=["event_id"], sequence_column="__seq", state_path=state
+        )
+    got = read_deduped(spark, state)
+    want = {r["event_id"]: r["value"] for r in ev.collect()}
+    got_map = {r["event_id"]: r["value"] for r in got.collect()}
+    assert got_map == want  # every original kept, every poison dropped
+
+    # retry batch 1: state must not change (version overwrite, not append)
+    dedup_batch(
+        b1, 1, key_columns=["event_id"], sequence_column="__seq", state_path=state
+    )
+    again = {r["event_id"]: r["value"] for r in read_deduped(spark, state).collect()}
+    assert again == want
