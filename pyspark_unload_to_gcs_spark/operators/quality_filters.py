@@ -646,3 +646,64 @@ def repetition_profile_pandas(pdf, id_column: str = "doc_id", text_column: str =
         ok = ok & (frac <= limit)
     out["repetition_ok"] = ok
     return pd.DataFrame(out)
+
+
+def compression_ratio_quality(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    level: int = 6,
+    min_ratio: float = 1.2,
+    max_ratio: float = 12.0,
+) -> DataFrame:
+    """Deflate-compressibility quality signal (the RefinedWeb /
+    CCNet-family heuristic, public): highly repetitive boilerplate
+    compresses extremely well (ratio >> 10), while random/binary junk
+    barely compresses (ratio ~= 1); natural prose sits between. Adds
+    ``raw_bytes``, ``compressed_bytes`` (zlib, fixed ``level``),
+    ``compression_ratio`` (raw/compressed, 0.0 for empty text) and the
+    ``compression_ok`` band verdict.
+
+    Shape: pure per-row Arrow map — no shuffle, linear scan, the same
+    posture as the other Gopher/C4 filters. zlib is stdlib; bytes
+    counted on UTF-8. NOTE: compressed sizes are a property of the
+    zlib build (version/strategy), identical across a homogeneous
+    cluster but NOT a cross-engine replayable constant — so this
+    operator is pinned by a Python referee in tests rather than a
+    DuckDB value oracle (contrast lore #22 sketches; same honesty rule
+    as the env-gated codecs)."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"compression_ratio_quality: bad zlib level {level}")
+    schema_df = (
+        df.withColumn("raw_bytes", F.lit(0).cast("long"))
+        .withColumn("compressed_bytes", F.lit(0).cast("long"))
+        .withColumn("compression_ratio", F.lit(0.0))
+        .withColumn("compression_ok", F.lit(True))
+    )
+    names = [f.name for f in schema_df.schema.fields]
+    src, lvl, lo, hi = text_column, level, float(min_ratio), float(max_ratio)
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[src].to_numpy()
+            raw = []
+            comp = []
+            for t in texts:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, lvl)) if b else 0)
+            out = {n: pdf[n] for n in names if n in pdf.columns}
+            out["raw_bytes"] = pd.Series(raw, dtype="int64")
+            out["compressed_bytes"] = pd.Series(comp, dtype="int64")
+            ratio = pd.Series(
+                [r / c if c else 0.0 for r, c in zip(raw, comp)], dtype="float64"
+            )
+            out["compression_ratio"] = ratio
+            out["compression_ok"] = (ratio >= lo) & (ratio <= hi)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema_df.schema)

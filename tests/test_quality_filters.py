@@ -345,3 +345,44 @@ def test_repetition_arrow_core_matches_referee_property():
                 assert row[k] == v, (text, k, row[k], v)
 
     check()
+
+
+def test_compression_ratio_quality_matches_zlib_referee(spark):
+    import zlib
+
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        compression_ratio_quality,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam " * 400),            # boilerplate -> very high ratio
+        (3, "k9!x#q7@z$m2&visdkfh"),  # junk -> ratio ~1
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio_quality(df).collect()}
+    for doc_id, text in rows:
+        b = (text or "").encode("utf-8")
+        assert got[doc_id]["raw_bytes"] == len(b)
+        want_c = len(zlib.compress(b, 6)) if b else 0
+        assert got[doc_id]["compressed_bytes"] == want_c
+        if b:
+            assert abs(got[doc_id]["compression_ratio"] - len(b) / want_c) < 1e-12
+    assert got[2]["compression_ratio"] > 10 and not got[2]["compression_ok"]
+    assert got[3]["compression_ratio"] < 1.2 and not got[3]["compression_ok"]
+    assert got[1]["compression_ok"]
+    assert got[4]["compression_ratio"] == 0.0 and got[5]["compression_ratio"] == 0.0
+
+
+def test_compression_ratio_quality_rejects_bad_level(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.quality_filters import (
+        compression_ratio_quality,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="zlib level"):
+        compression_ratio_quality(df, level=0)
