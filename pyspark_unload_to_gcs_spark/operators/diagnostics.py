@@ -76,3 +76,60 @@ def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -
         .cast("long")
         .alias("top1_share_ppm"),
     )
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    label: str | None = None,
+) -> DataFrame:
+    """Predict an equi-join's output size WITHOUT running the join:
+    |A ⋈ B| = Σ_k cntA(k) · cntB(k), computed by joining the two
+    per-key COUNT frames (n_keys rows each — orders of magnitude
+    smaller than the data) instead of the data itself. One row out:
+    input sizes, per-side distinct keys, matching-key count, and the
+    exact predicted join cardinality — the number that decides whether
+    a 100 TB join is runnable at all (a fan-out prediction of 10^14
+    rows is a design review, not a cluster ticket).
+
+    Cost: the two groupBy(key) counts are the same shuffles the real
+    join would do, but the frames that MEET are count rows, so the
+    probe is safe even when the join itself would explode. At extreme
+    key cardinality, swap exact counts for theta sketches
+    (operators/sketches.py) to bound the matching-key estimate."""
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    joined = lc.join(rc, "k")
+    matched = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_keys"),
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("predicted_rows"),
+    )
+    lt = lc.agg(
+        F.sum("ca").cast("long").alias("n_left"),
+        F.count(F.lit(1)).cast("long").alias("n_left_keys"),
+    )
+    rt = rc.agg(
+        F.sum("cb").cast("long").alias("n_right"),
+        F.count(F.lit(1)).cast("long").alias("n_right_keys"),
+    )
+    return (
+        lt.crossJoin(rt)
+        .crossJoin(matched)
+        .select(
+            F.lit(label or f"{left_key}={right_key}").alias("join"),
+            "n_left",
+            "n_right",
+            "n_left_keys",
+            "n_right_keys",
+            "n_common_keys",
+            "predicted_rows",
+        )
+    )

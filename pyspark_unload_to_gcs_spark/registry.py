@@ -474,9 +474,10 @@ def _load_extensions() -> None:
 # export_manifest_roundtrip, xml_ingest_roundtrip,
 # theta_overlap_estimate_accuracy, activity_window_overlap,
 # heavy_hitters_daily, binaryfile_wav_ingest, orc_ingest_roundtrip,
-# join_key_skew_profile, name_typo_pairs, dedup_stream_replay — all
-# parity-tested at sf0.001 AND sf0.01 in r07) and any query added in
-# r08; then refresh, oldest evidence first:
+# join_key_skew_profile, name_typo_pairs, dedup_stream_replay,
+# join_cardinality_profile — all parity-tested at sf0.001 AND sf0.01
+# in r07) and any query added in r08; then refresh, oldest evidence
+# first:
 # the 13 r04 names deferred above (rolling_active_users_approx,
 # vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
 # q9_product_profit, q10_returned_revenue, q11_important_parts,

@@ -2304,3 +2304,62 @@ def dedup_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda state: read_deduped(spark, state),
         prefix="dedup_stream_replay_",
     )
+
+
+_JOINCARD_SQL = """
+WITH lo AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca FROM lineitem GROUP BY 1
+),
+oo AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb FROM orders GROUP BY 1
+),
+lp AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS ca FROM lineitem GROUP BY 1
+),
+pp AS (
+  SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cb FROM part GROUP BY 1
+)
+SELECT 'lineitem_orders' AS join,
+       (SELECT CAST(SUM(ca) AS BIGINT) FROM lo) AS n_left,
+       (SELECT CAST(SUM(cb) AS BIGINT) FROM oo) AS n_right,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lo) AS n_left_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM oo) AS n_right_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+       CAST(COALESCE(SUM(lo.ca * oo.cb), 0) AS BIGINT) AS predicted_rows
+FROM lo JOIN oo USING (k)
+UNION ALL
+SELECT 'lineitem_part' AS join,
+       (SELECT CAST(SUM(ca) AS BIGINT) FROM lp),
+       (SELECT CAST(SUM(cb) AS BIGINT) FROM pp),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lp),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pp),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(lp.ca * pp.cb), 0) AS BIGINT)
+FROM lp JOIN pp USING (k)
+"""
+
+
+@register_staged("join_cardinality_profile", oracle=_JOINCARD_SQL)
+def join_cardinality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction without running the join
+    (operators/diagnostics.py ``join_cardinality_profile``): for
+    lineitem⋈orders (o_orderkey) and lineitem⋈part (p_partkey), the
+    per-key count frames meet instead of the data, giving the EXACT
+    output cardinality Σ cntA·cntB plus per-side key statistics — the
+    pre-flight check for 100 TB joins. Verified against DuckDB
+    computing the same sums; both joins' predicted_rows additionally
+    equal the true join counts by construction."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        join_cardinality_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = join_cardinality_profile(
+        li, "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey",
+        label="lineitem_orders",
+    )
+    b = join_cardinality_profile(
+        li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+        label="lineitem_part",
+    )
+    return a.unionByName(b)

@@ -918,3 +918,29 @@ def test_edit_distance_pairs_rejects_long_strings(spark):
     df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
     with _pytest.raises(ValueError, match="max_length"):
         edit_distance_pairs(df)
+
+
+def test_join_cardinality_profile_predicts_true_join_size(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        join_cardinality_profile,
+    )
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    li = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    prof = join_cardinality_profile(li, "l_orderkey", orders, "o_orderkey").first()
+    true_rows = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert prof["predicted_rows"] == true_rows
+    assert prof["n_left"] == li.count() and prof["n_right"] == orders.count()
+
+
+def test_key_skew_profile_counts_null_keys_and_ranks(spark):
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import key_skew_profile
+
+    rows = [(None,)] * 5 + [("a",)] * 3 + [("b",)] * 1 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    p = key_skew_profile(df, "k").first()
+    assert p["n_rows"] == 10 and p["n_keys"] == 4 and p["max_cnt"] == 5
+    # counts ascending: [1, 1, 3, 5]; p50 -> rank 2 (1), p90 -> rank 4 (5)
+    assert p["p50_cnt"] == 1 and p["p90_cnt"] == 5 and p["p99_cnt"] == 5
+    assert p["top1_share_ppm"] == 500_000
