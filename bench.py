@@ -125,6 +125,20 @@ def main() -> None:
         traceback.print_exc(file=sys.stderr)
     warmup_exact_pairs_sec = round(time.perf_counter() - t0, 3)
 
+    # And for the PQ/IVF vector index: coarse-assign + PQ-encode the
+    # embedding corpus once (persisted per session) — the encode-once-
+    # query-many index build both PQ queries read (r07). Billing it to
+    # whichever of vector_topk_pq / vector_topk_ivfpq runs first hid
+    # ~6 s of one-time index cost inside a per-query number.
+    from pyspark_unload_to_gcs_spark import registry_staged
+
+    t0 = time.perf_counter()
+    try:
+        registry_staged._pq_shared(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — cold cost falls to the first consumer
+        traceback.print_exc(file=sys.stderr)
+    warmup_pq_index_sec = round(time.perf_counter() - t0, 3)
+
     # Per-query noop floor (VERDICT r05 #8): every query pays a fixed
     # job-submission + noop-write cost regardless of its plan. Measured
     # here once per run (median of empty-plan writes; first reading
@@ -211,6 +225,7 @@ def main() -> None:
         "warmup_shared_signatures_sec": warmup_shared_sig_sec,
         "warmup_bucketed_layout_sec": warmup_bucketed_layout_sec,
         "warmup_exact_pairs_sec": warmup_exact_pairs_sec,
+        "warmup_pq_index_sec": warmup_pq_index_sec,
         "noop_floor_sec_per_query": noop_floor_sec,
         "sec_per_query_raw": round(total / n_timed, 4),
         "floor_adjusted_total_sec": round(max(total - noop_floor_sec * len(timings), 0.0), 3),

@@ -934,8 +934,15 @@ def pq_topk(
         lut_dot.append([by_code[j][0] for j in codes_sorted])
         lut_ss.append([by_code[j][1] for j in codes_sorted])
 
-    enc = pq_encode(
-        df, codebooks, vec_column=vec_column, code_column=code_column, method=method
+    # a frame that already carries ``code_column`` is used as-is — the
+    # encode-once-query-many index pattern (the caller persists the
+    # encoded corpus once per session; repeated queries scan codes)
+    enc = (
+        df
+        if code_column in df.columns
+        else pq_encode(
+            df, codebooks, vec_column=vec_column, code_column=code_column, method=method
+        )
     )
     code_at = lambda s: F.element_at(F.col(code_column), s + 1).cast("int") + 1  # noqa: E731
     dot_expr = F.element_at(F.array(*[F.lit(v) for v in lut_dot[0]]), code_at(0))
