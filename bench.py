@@ -206,22 +206,21 @@ def main() -> None:
     # (VERDICT r06 #6). Report their subtotal separately so a
     # production-path regression isn't masked by pin noise — the raw
     # driver-parsed headline is unchanged.
-    PIN_QUERIES = {
-        "near_dedup_minhash_recall",
-        "near_dedup_ngram_recall",
-        "near_dedup_simhash_recall",
-        "fuzzy_entity_join_recall",
-        "events_approx_users_accuracy",
-        "rolling_actives_approx_accuracy",
-        "ngram_diversity_approx_accuracy",
-    }
-    pins_total = round(sum(t for n, t in timings.items() if n in PIN_QUERIES), 3)
+    # pins are identified by the repo's naming CONVENTION (recall pins
+    # end in _recall, accuracy pins in _accuracy) rather than a frozen
+    # name list, so newly promoted pins (e.g. the staged
+    # theta_overlap_estimate_accuracy) classify themselves (review
+    # finding: a hardcoded set silently drifts as rotations promote)
+    def _is_pin(name: str) -> bool:
+        return name.endswith(("_recall", "_accuracy"))
+
+    pins_total = round(sum(t for n, t in timings.items() if _is_pin(n)), 3)
     detail = {
         **result,
         "queries": timings,
         "pins_total_sec": pins_total,
         "production_total_sec": round(total - pins_total, 3),
-        "n_pin_queries": sum(1 for n in timings if n in PIN_QUERIES),
+        "n_pin_queries": sum(1 for n in timings if _is_pin(n)),
         "warmup_shared_signatures_sec": warmup_shared_sig_sec,
         "warmup_bucketed_layout_sec": warmup_bucketed_layout_sec,
         "warmup_exact_pairs_sec": warmup_exact_pairs_sec,

@@ -1192,16 +1192,23 @@ def edit_distance_pairs(
     Output: (id_a, id_b, dist) with id_a < id_b, dist in {0, 1}.
     Distance 0 (exact duplicates) is included by design — callers
     wanting strictly-typo pairs filter ``dist = 1``."""
+    # the length gate lives IN THE PLAN (raise_error fires on the first
+    # offending row at execution) rather than as an eager pre-scan: the
+    # previous limit(1).count() probe ran a full Spark job at plan-
+    # construction time on every call — plan lint, digest, and bench
+    # all paid a corpus scan for a validation that usually passes
+    # (review finding)
+    guard_msg = (
+        f"edit_distance_pairs: {text_column} exceeds max_length="
+        f"{max_length}; this is a short-string operator - use the "
+        "minhash/simhash near-dedup family for documents"
+    )
+    guarded = F.when(
+        F.length(F.col(text_column)) <= max_length, F.col(text_column)
+    ).otherwise(F.raise_error(F.lit(guard_msg)))
     probe = df.select(
-        F.col(id_column).alias("__id"), F.col(text_column).alias("__t")
+        F.col(id_column).alias("__id"), guarded.alias("__t")
     ).filter(F.col("__t").isNotNull())
-    too_long = probe.filter(F.length("__t") > max_length).limit(1).count()
-    if too_long:
-        raise ValueError(
-            f"edit_distance_pairs: {text_column} exceeds max_length="
-            f"{max_length}; this is a short-string operator — use the "
-            "minhash/simhash near-dedup family for documents"
-        )
     variants = probe.select(
         "__id",
         "__t",

@@ -60,6 +60,10 @@ def interval_overlap_join(
             f"interval_overlap_join: column names must be disjoint; shared: "
             f"{sorted(overlap_cols)[:5]}"
         )
+    if "__cell" in left.columns or "__cell" in right.columns:
+        # reserved internal name: withColumn would silently clobber the
+        # caller's column and the trailing drop would erase it (review)
+        raise ValueError("interval_overlap_join: '__cell' is reserved")
     g = F.lit(int(granularity))
 
     def cells(df: DataFrame, start: str, end: str) -> DataFrame:

@@ -484,8 +484,9 @@ def _load_extensions() -> None:
 # q14_promo_revenue_ratio, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_revenue,
 # q20_heavy_widget_suppliers, q21_sole_returning_supplier), then the
-# 42 r05-only greens (oldest first; with the 14-query staged cohort,
-# 8 + 14 + 13 leaves ~15 r05 slots — the remainder slide to r09).
+# 42 r05-only greens (oldest first; with the TWELVE-query staged
+# cohort, 8 + 12 + 13 = 33 leaves 17 r05 slots — the remainder slide
+# to r09).
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core

@@ -79,10 +79,24 @@ def dedup_batch(
     """Fold one micro-batch: admit only first-seen keys (module
     docstring, contract 2). Deterministic in (state@<batch_id, batch
     rows)."""
+    import functools
+
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
-    w = Window.partitionBy(*key_columns).orderBy(F.col(sequence_column).asc())
+    # deterministic within-batch collapse (review finding): sequence
+    # alone leaves equal-(key, seq) rows to shuffle order, so a
+    # foreachBatch RETRY could rewrite v=batch_id with a DIFFERENT
+    # winner — order by every remaining column after the sequence
+    # (NULL seqs last: an untagged row must not beat seq 0).
+    tiebreak = [
+        F.col(c)
+        for c in batch_df.columns
+        if c not in key_columns and c != sequence_column
+    ]
+    w = Window.partitionBy(*key_columns).orderBy(
+        F.col(sequence_column).asc_nulls_last(), *tiebreak
+    )
     collapsed = (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -92,11 +106,21 @@ def dedup_batch(
     if prev is None:
         nxt = collapsed
     else:
-        nxt = prev.unionByName(
-            collapsed.join(
-                prev.select(*key_columns), list(key_columns), "left_anti"
-            )
+        # NULL-SAFE anti-join (review finding): a plain equality anti-
+        # join lets NULL-key rows through in EVERY batch (NULL = NULL
+        # is NULL), re-admitting them forever while the window collapse
+        # above groups NULLs — eqNullSafe makes NULL a first-class key.
+        prev_keys = prev.select(
+            *[F.col(k).alias(f"__pk_{k}") for k in key_columns]
         )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                collapsed[k].eqNullSafe(prev_keys[f"__pk_{k}"])
+                for k in key_columns
+            ],
+        )
+        nxt = prev.unionByName(collapsed.join(prev_keys, cond, "left_anti"))
     nxt.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
 
 

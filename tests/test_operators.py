@@ -916,8 +916,12 @@ def test_edit_distance_pairs_rejects_long_strings(spark):
     from pyspark_unload_to_gcs_spark.operators.dedup import edit_distance_pairs
 
     df = spark.createDataFrame([(1, "x" * 500)], "doc_id long, text string")
-    with _pytest.raises(ValueError, match="max_length"):
-        edit_distance_pairs(df)
+    # the guard is IN THE PLAN (raise_error), so it fires on execution,
+    # not at plan construction (review: the eager pre-scan cost a full
+    # corpus job per call)
+    plan = edit_distance_pairs(df)
+    with _pytest.raises(Exception, match="max_length"):
+        plan.count()
 
 
 def test_join_cardinality_profile_predicts_true_join_size(spark, sf_dir):

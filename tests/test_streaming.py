@@ -1248,3 +1248,44 @@ def test_streaming_first_write_wins_dedup_and_retry(spark, sf_dir, tmp_path):
     )
     again = {r["event_id"]: r["value"] for r in read_deduped(spark, state).collect()}
     assert again == want
+
+
+def test_first_write_wins_dedup_null_keys_and_equal_seq_retry(spark, tmp_path):
+    """Review findings: NULL keys must behave as first-class keys
+    across batches (eqNullSafe anti-join — plain equality re-admitted
+    them every batch), and equal-(key, seq) rows must collapse
+    DETERMINISTICALLY so a foreachBatch retry rewrites identical
+    state."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch,
+        read_deduped,
+    )
+
+    state = str(tmp_path / "null_dedup_state")
+    b0 = spark.createDataFrame(
+        [(None, 1.0, 0), (5, 2.0, 0)], "k int, v double, __seq int"
+    )
+    # batch 1 redelivers the NULL-key row (poisoned) AND carries two
+    # equal-seq rows for a fresh key plus an untagged (NULL-seq) row
+    # that must not beat seq 0
+    b1 = spark.createDataFrame(
+        [(None, 101.0, 1), (7, 30.0, 0), (7, 40.0, 0), (7, 5.0, None)],
+        "k int, v double, __seq int",
+    )
+    dedup_batch(b0, 0, key_columns=["k"], sequence_column="__seq", state_path=state)
+    dedup_batch(b1, 1, key_columns=["k"], sequence_column="__seq", state_path=state)
+    got = {r["k"]: r["v"] for r in read_deduped(spark, state).collect()}
+    assert got[None] == 1.0, "NULL-key redelivery was re-admitted"
+    assert got[5] == 2.0
+    assert got[7] == 30.0, "equal-seq tie must pick the deterministic min row"
+    assert len(got) == 3
+
+    # retry batch 1 several times: state must be byte-identical
+    for _ in range(3):
+        dedup_batch(
+            b1, 1, key_columns=["k"], sequence_column="__seq", state_path=state
+        )
+        again = {r["k"]: r["v"] for r in read_deduped(spark, state).collect()}
+        assert again == got
