@@ -2381,3 +2381,50 @@ def join_cardinality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         label="lineitem_part",
     )
     return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# VARIANT semi-structured profile (Spark 4 shredded type; staged r08)
+# --------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events
+GROUP BY event_type
+"""
+
+
+@register_staged("variant_props_profile", oracle=_VARIANT_SQL)
+def variant_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion under a driver oracle
+    (operators/semistructured.py): events.props parses ONCE to the
+    shredded binary encoding (``try_parse_json``), typed extraction
+    reads the shredded field (``variant_get`` — no JSON re-parse per
+    access), and the per-document inferred schema
+    (``schema_of_variant``) is pinned as a constant column — the
+    fixture's props are uniformly ``{"k": <int>}``, so any drift in
+    parsing, shredding, type inference, or extraction flips either
+    the aggregates or the schema literal. DuckDB replays the same
+    aggregates through its JSON functions; the schema string is the
+    Spark-side inference contract, asserted equal across every group."""
+    from pyspark_unload_to_gcs_spark.operators.semistructured import (
+        parse_variant,
+        variant_fields,
+    )
+
+    ev = parse_variant(_t(spark, sf_dir, "events"), "props", output_column="__v")
+    ev = variant_fields(ev, "__v", {"k": ("$.k", "long")})
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.max(F.schema_of_variant(F.col("__v"))).alias("props_schema"),
+    )

@@ -948,3 +948,47 @@ def test_key_skew_profile_counts_null_keys_and_ranks(spark):
     # counts ascending: [1, 1, 3, 5]; p50 -> rank 2 (1), p90 -> rank 4 (5)
     assert p["p50_cnt"] == 1 and p["p90_cnt"] == 5 and p["p99_cnt"] == 5
     assert p["top1_share_ppm"] == 500_000
+
+
+def test_variant_parse_extract_and_drift_profile(spark):
+    from pyspark_unload_to_gcs_spark.operators.semistructured import (
+        parse_variant,
+        variant_fields,
+        variant_schema_profile,
+    )
+
+    rows = [
+        (1, '{"k": 5, "m": {"x": 1.5}, "tags": ["a", "b"]}'),
+        (2, '{"k": 7, "m": {"x": 2.5}, "tags": []}'),
+        (3, '{"k": "not-a-number"}'),
+        (4, "not json at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    v = parse_variant(df, "props")
+    out = variant_fields(
+        v, "v", {"k": ("$.k", "long"), "mx": ("$.m.x", "double"), "t0": ("$.tags[0]", "string")}
+    )
+    got = {r["id"]: (r["k"], r["mx"], r["t0"]) for r in out.collect()}
+    assert got[1] == (5, 1.5, "a")
+    assert got[2] == (7, 2.5, None)
+    assert got[3] == (None, None, None)  # type-mismatch -> NULL, not error
+    assert got[4] == (None, None, None)  # malformed -> try parse NULL
+    assert got[5] == (None, None, None)
+
+    prof = {r["variant_schema"]: r["n_docs"] for r in variant_schema_profile(v, "v").collect()}
+    assert prof[None] == 2  # malformed + NULL input group together
+    assert sum(prof.values()) == 5
+    assert any(s and s.startswith("OBJECT<") for s in prof if s)
+
+
+def test_variant_parse_fail_mode_raises_on_malformed(spark):
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.operators.semistructured import parse_variant
+
+    df = spark.createDataFrame([(1, "nope")], "id long, props string")
+    with _pytest.raises(Exception, match="MALFORMED_RECORD_IN_PARSING|JSON"):
+        parse_variant(df, "props", mode="fail").collect()
+    with _pytest.raises(ValueError, match="unknown mode"):
+        parse_variant(df, "props", mode="bogus")
