@@ -167,7 +167,8 @@ def approx_topk_rollup(
     scale (item identity at tied counts is selection-arbitrary in ANY
     engine, so oracles should compare rank+count, not item). Above
     capacity the estimates degrade to the DataSketches frequent-items
-    error bound (overcount ≤ stream_n / max_items_tracked)."""
+    error bound (|estimate - true| <= stream_n / max_items_tracked;
+    the sketch reports within that envelope, not one-sided)."""
     per = (
         df.select(group_column.alias("grp"), F.col(item_column).alias("it"))
         .groupBy("grp")

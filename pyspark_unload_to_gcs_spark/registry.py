@@ -475,17 +475,18 @@ def _load_extensions() -> None:
 # theta_overlap_estimate_accuracy, activity_window_overlap,
 # heavy_hitters_daily, binaryfile_wav_ingest, orc_ingest_roundtrip,
 # join_key_skew_profile, name_typo_pairs, dedup_stream_replay,
-# join_cardinality_profile, variant_props_profile — all parity-tested
-# at sf0.001 AND sf0.01 in r07) and any query added in r08; then
-# refresh, oldest evidence first:
+# join_cardinality_profile, variant_props_profile,
+# heavy_hitters_stream_replay — all parity-tested at sf0.001 AND
+# sf0.01 in r07) and any query added in r08; then refresh, oldest
+# evidence first:
 # the 13 r04 names deferred above (rolling_active_users_approx,
 # vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
 # q9_product_profit, q10_returned_revenue, q11_important_parts,
 # q14_promo_revenue_ratio, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_revenue,
 # q20_heavy_widget_suppliers, q21_sole_returning_supplier), then the
-# 42 r05-only greens (oldest first; with the THIRTEEN-query staged
-# cohort, 8 + 13 + 13 = 34 leaves 16 r05 slots — the remainder slide
+# 42 r05-only greens (oldest first; with the FOURTEEN-query staged
+# cohort, 8 + 14 + 13 = 35 leaves 15 r05 slots — the remainder slide
 # to r09).
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (

@@ -2428,3 +2428,52 @@ def variant_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.max(F.schema_of_variant(F.col("__v"))).alias("props_schema"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy-hitters sketch fold (staged r08)
+# --------------------------------------------------------------------------
+
+_HH_STREAM_MEMO: dict = {}
+
+
+@register_staged("heavy_hitters_stream_replay", oracle=_HH_SQL)
+def heavy_hitters_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of heavy_hitters_daily
+    (streaming/topk_sketch.py ``fold_topk_batch``): events replayed in
+    three event-time micro-batches, each batch's per-day approx_top_k
+    sketch states UNION+COMBINE-merged onto the previous state version
+    (kilobyte sketch rows per day — state size independent of stream
+    volume). The served (grp, rank, cnt) top-3 + fold-merged overall
+    row must equal the one-shot batch rollup — the SAME oracle
+    heavy_hitters_daily carries (exact regime: max_items_tracked far
+    above the event-type cardinality). Exactly-once via versioned
+    v=batch_id overwrite, the merge/rollup/dedup protocol."""
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+    from pyspark_unload_to_gcs_spark.streaming.topk_sketch import (
+        fold_topk_batch,
+        read_topk,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    bounds = ["2024-01-11", "2024-01-21"]
+    batches = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter(F.col("ts") >= bounds[1]),
+    ]
+    return replay_batches(
+        _HH_STREAM_MEMO,
+        (session_token(spark), sf_dir),
+        batches,
+        lambda frame, b, state: fold_topk_batch(
+            frame,
+            b,
+            item_column="event_type",
+            group_column=day,
+            state_path=state,
+        ),
+        lambda state: read_topk(spark, state, k=3),
+        prefix="heavy_hitters_stream_replay_",
+    )

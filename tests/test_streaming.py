@@ -1289,3 +1289,47 @@ def test_first_write_wins_dedup_null_keys_and_equal_seq_retry(spark, tmp_path):
         )
         again = {r["k"]: r["v"] for r in read_deduped(spark, state).collect()}
         assert again == got
+
+
+def test_streaming_topk_sketch_matches_batch_and_is_retry_safe(spark, sf_dir, tmp_path):
+    """Per-group approx_top_k sketch states folded across micro-batches
+    must serve the same (grp, rank, cnt) rows as the one-shot batch
+    rollup (exact regime), and re-folding the final batch must leave
+    the state identical."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.sketches import approx_topk_rollup
+    from pyspark_unload_to_gcs_spark.streaming.topk_sketch import (
+        fold_topk_batch,
+        read_topk,
+    )
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet").select("event_type", "ts")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    state = str(tmp_path / "topk_state")
+    batches = [
+        ev.filter(F.col("ts") < "2024-01-12"),
+        ev.filter((F.col("ts") >= "2024-01-12") & (F.col("ts") < "2024-01-22")),
+        ev.filter(F.col("ts") >= "2024-01-22"),
+    ]
+    for i, b in enumerate(batches):
+        fold_topk_batch(
+            b, i, item_column="event_type", group_column=day, state_path=state
+        )
+    got = {
+        (r["grp"], r["rank"]): r["cnt"] for r in read_topk(spark, state, k=3).collect()
+    }
+    want = {
+        (r["grp"], r["rank"]): r["cnt"]
+        for r in approx_topk_rollup(ev, "event_type", day, k=3).collect()
+    }
+    assert got == want
+
+    # retry the last batch: state unchanged
+    fold_topk_batch(
+        batches[-1], 2, item_column="event_type", group_column=day, state_path=state
+    )
+    again = {
+        (r["grp"], r["rank"]): r["cnt"] for r in read_topk(spark, state, k=3).collect()
+    }
+    assert again == want
