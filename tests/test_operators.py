@@ -992,3 +992,28 @@ def test_variant_parse_fail_mode_raises_on_malformed(spark):
         parse_variant(df, "props", mode="fail").collect()
     with _pytest.raises(ValueError, match="unknown mode"):
         parse_variant(df, "props", mode="bogus")
+
+
+def test_approx_topk_estimating_regime_error_envelope(spark):
+    """Above max_items_tracked the frequent-items estimates must stay
+    inside the documented envelope |est - true| <= stream_n / m for the
+    genuinely heavy items (DataSketches frequent-items guarantee)."""
+    from pyspark_unload_to_gcs_spark.operators.sketches import approx_topk_rollup
+
+    # 40 distinct items, tracked capacity 8: heavy items a(300), b(200)
+    # over a 100-item uniform tail (n = 600)
+    rows = [(1, "a")] * 300 + [(1, "b")] * 200 + [
+        (1, f"t{i % 40}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g int, x string")
+    out = {
+        r["rank"]: (r["item"], r["cnt"])
+        for r in approx_topk_rollup(
+            df, "x", F.col("g"), k=2, max_items_tracked=8
+        ).collect()
+        if r["grp"] == 1
+    }
+    n = len(rows)
+    m = 8
+    assert out[1][0] == "a" and abs(out[1][1] - 300) <= n / m
+    assert out[2][0] == "b" and abs(out[2][1] - 200) <= n / m
