@@ -478,7 +478,9 @@ def _load_extensions() -> None:
 # join_cardinality_profile, variant_props_profile,
 # heavy_hitters_stream_replay — all parity-tested at sf0.001 AND
 # sf0.01 in r07) and any query added in r08; then refresh, oldest
-# evidence first:
+# evidence first (after promoting, add plan budgets for the new live
+# names: `python tools/plan_digest.py --budgets` merged to preserve
+# existing ceilings — see the r07 promotion commit):
 # the 13 r04 names deferred above (rolling_active_users_approx,
 # vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
 # q9_product_profit, q10_returned_revenue, q11_important_parts,
