@@ -44,24 +44,27 @@ def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_cnt"),
     )
-    picks = totals.select(
-        "n_rows",
-        "n_keys",
-        "max_cnt",
-        *[
-            F.ceil(F.col("n_keys") * F.lit(q)).cast("long").alias(f"__rk_{tag}")
-            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
-        ],
-    )
-    out = picks
-    for tag in ("p50", "p90", "p99"):
-        out = out.join(
-            ranked.select(
-                F.col("cnt").alias(f"{tag}_cnt"), F.col("rk").alias(f"__rk_{tag}")
-            ),
-            f"__rk_{tag}",
+    # ONE conditional-aggregation pass picks all three rank positions
+    # (r07 rewrite: the previous three per-percentile joins recomputed
+    # the count frame and cost 16 exchanges for a diagnostic; the
+    # 1-row totals broadcast against the rank frame and a single agg
+    # read the values AT ceil(q * n_keys)). max(when(...)) is safe:
+    # exactly one row matches each target rank.
+    joined = ranked.crossJoin(F.broadcast(totals))
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rk") == F.ceil(F.col("n_keys") * F.lit(q)).cast("long"),
+            F.col("cnt"),
         )
-    return out.select(
+    ).cast("long")
+    return joined.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_keys").alias("n_keys"),
+        F.max("max_cnt").alias("max_cnt"),
+        pick(0.5).alias("p50_cnt"),
+        pick(0.9).alias("p90_cnt"),
+        pick(0.99).alias("p99_cnt"),
+    ).select(
         F.lit(label or key_column).alias("key"),
         "n_rows",
         "n_keys",
