@@ -36,16 +36,33 @@ def asof_join(
     right_payload: tuple[str, ...],
     tolerance_ms: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time`` <= ``left_time`` for the same ``on`` key (ties at
-    equal timestamps match, like DuckDB/pandas ASOF).
+    """For each left row, attach one right row for the same ``on`` key
+    (pandas ``merge_asof`` direction semantics, exact matches allowed):
+
+    - ``"backward"`` (default): greatest ``right_time <= left_time``;
+    - ``"forward"``: smallest ``right_time >= left_time``;
+    - ``"nearest"``: whichever of the two is closer in time, ties going
+      BACKWARD (documented, deterministic).
 
     ``right_payload`` columns are appended with ``suffix`` appended to
     any name colliding with a left column. ``tolerance_ms`` bounds the
-    lookback window (matches older than left_time - tolerance become
-    NULL).
+    match window on each side (a match farther than the tolerance
+    becomes NULL; under ``nearest`` the other side can still match).
+
+    Plan shape: the union-marker construction — right rows and left
+    rows union on (key, time, side), ONE shuffle on the key, and the
+    match is a running ``last(payload, ignorenulls)`` window fill
+    (forward = the same fill over the reversed ordering; nearest = both
+    fills over one Exchange — two sorts, zero joins, zero pair
+    amplification).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: unknown direction {direction!r} "
+            "(expected 'backward', 'forward' or 'nearest')"
+        )
     lcols = left.columns
     payload_struct = F.struct(
         F.col(right_time).cast("timestamp").alias("__rt"),
@@ -66,19 +83,53 @@ def asof_join(
         *lcols,
     )
     unioned = r.unionByName(l)
-    # right rows sort before left at the same timestamp -> inclusive
-    w = (
+    # right rows sort before left at the same timestamp -> exact
+    # matches are inclusive in BOTH directions
+    w_back = (
         Window.partitionBy("__key")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last("__payload", ignorenulls=True).over(w)
-    out = unioned.withColumn("__match", carried).filter(F.col("__side") == 1)
-    if tolerance_ms is not None:
-        in_range = F.unix_millis(F.col("__match.__rt")) >= (
-            F.unix_millis(F.col("__ts")) - F.lit(tolerance_ms)
+    w_fwd = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def in_tolerance(match, sign: int):
+        if tolerance_ms is None:
+            return match
+        delta = sign * (
+            F.unix_millis(match["__rt"]) - F.unix_millis(F.col("__ts"))
         )
-        out = out.withColumn("__match", F.when(in_range, F.col("__match")))
+        return F.when(delta <= F.lit(int(tolerance_ms)), match)
+
+    out = unioned
+    if direction in ("backward", "nearest"):
+        out = out.withColumn(
+            "__mb", in_tolerance(F.last("__payload", ignorenulls=True).over(w_back), -1)
+        )
+    if direction in ("forward", "nearest"):
+        out = out.withColumn(
+            "__mf", in_tolerance(F.last("__payload", ignorenulls=True).over(w_fwd), 1)
+        )
+    out = out.filter(F.col("__side") == 1)
+    if direction == "backward":
+        out = out.withColumn("__match", F.col("__mb"))
+    elif direction == "forward":
+        out = out.withColumn("__match", F.col("__mf"))
+    else:
+        lt = F.unix_millis(F.col("__ts"))
+        back_delta = lt - F.unix_millis(F.col("__mb.__rt"))
+        fwd_delta = F.unix_millis(F.col("__mf.__rt")) - lt
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            # tie -> backward (<=), the documented deterministic rule
+            .when(back_delta <= fwd_delta, F.col("__mb"))
+            .otherwise(F.col("__mf")),
+        )
 
     rename = {c: (c + suffix if c in lcols else c) for c in right_payload}
     return out.select(

@@ -476,8 +476,9 @@ def _load_extensions() -> None:
 # heavy_hitters_daily, binaryfile_wav_ingest, orc_ingest_roundtrip,
 # join_key_skew_profile, name_typo_pairs, dedup_stream_replay,
 # join_cardinality_profile, variant_props_profile,
-# heavy_hitters_stream_replay — all parity-tested at sf0.001 AND
-# sf0.01 in r07) and any query added in r08; then refresh, oldest
+# heavy_hitters_stream_replay, asof_nearest_click — all parity-tested
+# at sf0.001 AND sf0.01 in r07) and any query added in r08; then
+# refresh, oldest
 # evidence first (after promoting, add plan budgets for the new live
 # names: `python tools/plan_digest.py --budgets` merged to preserve
 # existing ceilings — see the r07 promotion commit):
@@ -487,8 +488,8 @@ def _load_extensions() -> None:
 # q14_promo_revenue_ratio, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_revenue,
 # q20_heavy_widget_suppliers, q21_sole_returning_supplier), then the
-# 42 r05-only greens (oldest first; with the FOURTEEN-query staged
-# cohort, 8 + 14 + 13 = 35 leaves 15 r05 slots — the remainder slide
+# 42 r05-only greens (oldest first; with the FIFTEEN-query staged
+# cohort, 8 + 15 + 13 = 36 leaves 14 r05 slots — the remainder slide
 # to r09).
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (

@@ -2477,3 +2477,76 @@ def heavy_hitters_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda state: read_topk(spark, state, k=3),
         prefix="heavy_hitters_stream_replay_",
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-direction as-of join (pandas merge_asof parity; staged r08)
+# --------------------------------------------------------------------------
+
+_ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_ms(ts) AS ct FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT p.event_id, p.user_id, p.purchase_ms, c.ct AS bt
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.purchase_ms >= c.ct
+),
+f AS (
+  SELECT p.event_id, c.ct AS ft
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.purchase_ms <= c.ct
+)
+SELECT b.event_id, b.user_id, b.purchase_ms,
+       CASE
+         WHEN bt IS NOT NULL
+              AND (ft IS NULL OR (b.purchase_ms - bt) <= (ft - b.purchase_ms))
+           THEN bt
+         ELSE ft
+       END AS nearest_click_ms
+FROM b JOIN f USING (event_id)
+"""
+
+
+@register_staged("asof_nearest_click", oracle=_ASOF_NEAREST_SQL)
+def asof_nearest_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof.py ``asof_join``
+    with ``direction="nearest"`` — pandas merge_asof parity, ties going
+    backward): every purchase attaches its CLOSEST click by the same
+    user, before or after. One union-marker shuffle, two window fills
+    over the same Exchange, zero joins and zero pair amplification on
+    the Spark side; the DuckDB oracle composes a backward and a forward
+    ASOF JOIN and replays the tie rule in a CASE. Output carries the
+    matched TIME (not the click id) so same-timestamp click ties are
+    selection-free in both engines."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    joined = asof_join(
+        purchases.withColumnRenamed("user_id", "puser"),
+        clicks.withColumnRenamed("cuser", "puser"),
+        on="puser",
+        left_time="pts",
+        right_time="cts",
+        right_payload=(),
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.col("puser").alias("user_id"),
+        epoch_ms_col(joined, "pts").alias("purchase_ms"),
+        F.unix_millis(F.col("cts")).alias("nearest_click_ms"),
+    )

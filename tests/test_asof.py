@@ -4,6 +4,10 @@ no-match NULLs)."""
 
 from datetime import datetime
 
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from pyspark_unload_to_gcs_spark.operators.asof import asof_join, range_join
@@ -232,3 +236,110 @@ def test_pq_codebooks_kmeans_refinement_drop_in(spark, sf_dir):
     # and the planted row's score is the max (ties allowed)
     by_id = {r["vec_id"]: r["pq_score"] for r in top}
     assert by_id[3] == max(by_id.values())
+
+
+def _asof_referee(lrows, rrows, direction, tolerance=None):
+    """Brute-force merge_asof semantics: (key, lt) -> matched rt or None;
+    exact matches allowed; nearest ties go backward."""
+    out = {}
+    for lid, k, lt in lrows:
+        backs = [rt for rk, rt in rrows if rk == k and rt <= lt]
+        fwds = [rt for rk, rt in rrows if rk == k and rt >= lt]
+        b = max(backs) if backs else None
+        f = min(fwds) if fwds else None
+        if tolerance is not None:
+            if b is not None and lt - b > tolerance:
+                b = None
+            if f is not None and f - lt > tolerance:
+                f = None
+        if direction == "backward":
+            out[lid] = b
+        elif direction == "forward":
+            out[lid] = f
+        elif b is None:
+            out[lid] = f
+        elif f is None:
+            out[lid] = b
+        else:
+            out[lid] = b if (lt - b) <= (f - lt) else f
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 5_000])
+def test_asof_join_directions_match_referee(spark, direction, tolerance):
+    import pyspark.sql.functions as FF
+
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    lrows = [
+        (1, "u", 10_000), (2, "u", 13_000), (3, "u", 30_000),
+        (4, "v", 5_000), (5, "w", 8_000), (6, "u", 12_000),
+    ]
+    rrows = [
+        ("u", 9_000), ("u", 12_000), ("u", 21_000),
+        ("v", 50_000), ("x", 1_000),
+    ]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, k, t in lrows], "lid long, k string, lt long"
+    ).select("lid", "k", FF.timestamp_millis(FF.col("lt")).alias("lt"))
+    right = spark.createDataFrame(
+        [(k, t, f"p{t}") for k, t in rrows], "k string, rt long, pay string"
+    ).select("k", FF.timestamp_millis(FF.col("rt")).alias("rt"), "pay")
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_payload=("pay",), direction=direction, tolerance_ms=tolerance,
+    )
+    got = {
+        r["lid"]: (None if r["rt"] is None else int(r["rt"].timestamp() * 1000))
+        for r in out.collect()
+    }
+    want = _asof_referee(lrows, [(k, t) for k, t in rrows], direction, tolerance)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=0, max_size=10
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=0, max_size=10
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 3_000, 10_000]),
+)
+def test_asof_join_directions_fuzz(spark, lrows, rrows, direction, tol):
+    import pyspark.sql.functions as FF
+
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    lrows = [(i, f"k{k}", t * 1000) for i, (k, t) in enumerate(lrows)]
+    rrows = [(f"k{k}", t * 1000) for k, t in rrows]
+    if not lrows:
+        return
+    left = spark.createDataFrame(
+        lrows, "lid long, k string, lt long"
+    ).select("lid", "k", FF.timestamp_millis(FF.col("lt")).alias("lt"))
+    right = spark.createDataFrame(
+        rrows + [("__never", 0)], "k string, rt long"
+    ).select("k", FF.timestamp_millis(FF.col("rt")).alias("rt"))
+    right = right.withColumn("pay", FF.col("rt").cast("string"))
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_payload=("pay",), direction=direction, tolerance_ms=tol,
+    )
+    got = {
+        r["lid"]: (None if r["rt"] is None else int(r["rt"].timestamp() * 1000))
+        for r in out.collect()
+    }
+    assert got == _asof_referee(lrows, rrows, direction, tol)
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="x", left_time="x", right_time="x",
+                  right_payload=(), direction="sideways")
