@@ -1203,8 +1203,15 @@ def edit_distance_pairs(
         f"{max_length}; this is a short-string operator - use the "
         "minhash/simhash near-dedup family for documents"
     )
+    # NULL-tolerant guard (r08 review finding): length(NULL) is NULL,
+    # which is not TRUE, so a plain `length <= max` WHEN drops NULL
+    # rows into the raise_error branch and kills the job before the
+    # isNotNull() filter below can discard them. NULL text is a
+    # no-op row, not an oversized one — let it through to the filter.
     guarded = F.when(
-        F.length(F.col(text_column)) <= max_length, F.col(text_column)
+        F.col(text_column).isNull()
+        | (F.length(F.col(text_column)) <= max_length),
+        F.col(text_column),
     ).otherwise(F.raise_error(F.lit(guard_msg)))
     probe = df.select(
         F.col(id_column).alias("__id"), guarded.alias("__t")
@@ -1216,7 +1223,16 @@ def edit_distance_pairs(
             F.concat(
                 F.array(F.col("__t")),
                 F.transform(
-                    F.sequence(F.lit(1), F.length("__t")),
+                    # sequence(1, 0) yields DESCENDING [1, 0] (implicit
+                    # step -1 when start > stop), so a zero-length
+                    # string would emit two bogus variant rows built
+                    # from out-of-range substrings (r08 review
+                    # finding). An empty string has an empty deletion
+                    # neighborhood - guard to an empty index array.
+                    F.when(
+                        F.length("__t") > 0,
+                        F.sequence(F.lit(1), F.length("__t")),
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.concat(
                         F.substring(F.col("__t"), F.lit(1), i - 1),
                         F.substr(

@@ -17,8 +17,9 @@ def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -
     """One-row skew profile of a prospective shuffle key: total rows,
     distinct keys, the heaviest key's count, exact p50/p90/p99 of the
     per-key count distribution (discrete — the value AT rank
-    ``ceil(q * n_keys)`` in count order, deterministic integers), and
-    the heaviest key's row share in parts-per-million.
+    ``(n_keys * pct + 99) div 100`` = ceil(n_keys * pct / 100) in
+    count order, pure BIGINT arithmetic), and the heaviest key's row
+    share in parts-per-million.
 
     Shape: one groupBy(key) count (the same shuffle the real join
     would do, so the profile costs one pass of the probe side), then a
@@ -51,9 +52,15 @@ def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -
     # read the values AT ceil(q * n_keys)). max(when(...)) is safe:
     # exactly one row matches each target rank.
     joined = ranked.crossJoin(F.broadcast(totals))
-    pick = lambda q: F.max(  # noqa: E731
+    # rank = ceil(n_keys * pct / 100) computed in PURE BIGINT as
+    # (n_keys * pct + 99) div 100: the previous ceil(n_keys * 0.99)
+    # was off-by-one wherever the IEEE product overshoots the integer
+    # (0.99 * 100 = 99.000000000000014 -> ceil 100), and oracle parity
+    # held only because DuckDB repeated the identical float expression
+    # (r08 review finding). Integer arithmetic has one answer.
+    pick = lambda pct: F.max(  # noqa: E731
         F.when(
-            F.col("rk") == F.ceil(F.col("n_keys") * F.lit(q)).cast("long"),
+            F.col("rk") == F.expr(f"(n_keys * {pct} + 99) div 100"),
             F.col("cnt"),
         )
     ).cast("long")
@@ -61,9 +68,9 @@ def key_skew_profile(df: DataFrame, key_column: str, label: str | None = None) -
         F.max("n_rows").alias("n_rows"),
         F.max("n_keys").alias("n_keys"),
         F.max("max_cnt").alias("max_cnt"),
-        pick(0.5).alias("p50_cnt"),
-        pick(0.9).alias("p90_cnt"),
-        pick(0.99).alias("p99_cnt"),
+        pick(50).alias("p50_cnt"),
+        pick(90).alias("p90_cnt"),
+        pick(99).alias("p99_cnt"),
     ).select(
         F.lit(label or key_column).alias("key"),
         "n_rows",

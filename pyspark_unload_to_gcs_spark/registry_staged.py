@@ -2035,7 +2035,17 @@ def binaryfile_wav_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder produces stats the closed-form oracle replays exactly.
     Compared to wav_decode_stats (payload synthesized in-plan), this
     row additionally proves the FILE path: bytes survive the
-    write/list/read roundtrip bit-exactly or the stats diverge."""
+    write/list/read roundtrip bit-exactly or the stats diverge.
+
+    FIXTURE-BUILD FS ASSUMPTION (r08 review finding): the executor-side
+    ``open()`` writes land in a driver-created ``tempfile.mkdtemp``
+    directory, which executors can only see when they share the
+    driver's filesystem — true in local mode (this harness) but not on
+    a multi-node cluster. The guard below refuses to build the fixture
+    off local mode; at scale the same distributed write targets a
+    shared URI (HDFS/GCS/NFS) through the Hadoop FileSystem API instead
+    of a local tempdir. The INGEST side (binaryFile + pathGlobFilter)
+    is URI-agnostic already."""
     import os
     import tempfile
 
@@ -2046,6 +2056,14 @@ def binaryfile_wav_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (session_token(spark), sf_dir)
     if key not in _BINFILE_WAV_MEMO:
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "binaryfile_wav_ingest builds its WAV fixture in a "
+                "driver-local tempdir, which executors cannot reach on "
+                f"master={master!r}; point the fixture writer at a "
+                "shared filesystem URI before running off local mode"
+            )
         out_dir = tempfile.mkdtemp(prefix="binaryfile_wav_")
         docs = (
             _t(spark, sf_dir, "documents")
@@ -2157,12 +2175,14 @@ t AS (
   FROM c GROUP BY key
 )
 SELECT t.key, t.n_rows, t.n_keys, t.max_cnt,
+       -- integer rank mirror of operators/diagnostics.py: BIGINT
+       -- (n_keys * pct + 99) // 100, never float ceil (r08 review)
        (SELECT cnt FROM r WHERE r.key = t.key
-         AND rk = CAST(ceil(t.n_keys * 0.5) AS BIGINT)) AS p50_cnt,
+         AND rk = (t.n_keys * 50 + 99) // 100) AS p50_cnt,
        (SELECT cnt FROM r WHERE r.key = t.key
-         AND rk = CAST(ceil(t.n_keys * 0.9) AS BIGINT)) AS p90_cnt,
+         AND rk = (t.n_keys * 90 + 99) // 100) AS p90_cnt,
        (SELECT cnt FROM r WHERE r.key = t.key
-         AND rk = CAST(ceil(t.n_keys * 0.99) AS BIGINT)) AS p99_cnt,
+         AND rk = (t.n_keys * 99 + 99) // 100) AS p99_cnt,
        CAST(FLOOR(t.max_cnt * 1000000.0 / t.n_rows) AS BIGINT) AS top1_share_ppm
 FROM t
 """

@@ -61,6 +61,21 @@ def stream_exact_dedup(
     )
 
 
+def _orderable(dt) -> bool:
+    """Whether a Spark type supports ORDER BY: maps are not orderable,
+    and arrays/structs inherit unorderability from their element/field
+    types (Catalyst RowOrdering.isOrderable semantics)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def read_deduped(
     spark: SparkSession, state_path: str, *, before: int | None = None
 ) -> DataFrame | None:
@@ -89,10 +104,16 @@ def dedup_batch(
     # foreachBatch RETRY could rewrite v=batch_id with a DIFFERENT
     # winner — order by every remaining column after the sequence
     # (NULL seqs last: an untagged row must not beat seq 0).
+    # Map-typed payloads are not orderable (AnalysisException at plan
+    # time, r08 review finding): those columns tiebreak on
+    # xxhash64(to_json(col)) instead — still deterministic per row
+    # content, while orderable columns keep the min-row contract.
     tiebreak = [
-        F.col(c)
-        for c in batch_df.columns
-        if c not in key_columns and c != sequence_column
+        F.col(f.name)
+        if _orderable(f.dataType)
+        else F.xxhash64(F.to_json(F.col(f.name)))
+        for f in batch_df.schema.fields
+        if f.name not in key_columns and f.name != sequence_column
     ]
     w = Window.partitionBy(*key_columns).orderBy(
         F.col(sequence_column).asc_nulls_last(), *tiebreak

@@ -924,6 +924,21 @@ def test_edit_distance_pairs_rejects_long_strings(spark):
         plan.count()
 
 
+def test_edit_distance_pairs_tolerates_null_text(spark):
+    """r08 review finding: length(NULL) is NULL, so the max_length
+    guard's WHEN dropped NULL-text rows into the raise_error branch
+    and killed the job before the isNotNull filter could discard
+    them. NULL rows must be silently excluded, not fatal."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, None), (3, "mitten"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in edit_distance_pairs(df).collect()}
+    assert got == {(1, 3)}
+
+
 def test_join_cardinality_profile_predicts_true_join_size(spark, sf_dir):
     from pyspark_unload_to_gcs_spark.operators.diagnostics import (
         join_cardinality_profile,
@@ -948,6 +963,25 @@ def test_key_skew_profile_counts_null_keys_and_ranks(spark):
     # counts ascending: [1, 1, 3, 5]; p50 -> rank 2 (1), p90 -> rank 4 (5)
     assert p["p50_cnt"] == 1 and p["p90_cnt"] == 5 and p["p99_cnt"] == 5
     assert p["top1_share_ppm"] == 500_000
+
+
+def test_key_skew_profile_integer_rank_at_float_boundary(spark):
+    """r08 review finding: ceil(n_keys * 0.99) in IEEE double reads
+    99.000000000000014 at n_keys=100 and ceils to rank 100 — one rank
+    too high. The BIGINT spelling (n_keys*99 + 99) div 100 must pick
+    rank 99 exactly: with keys 0..99 carrying counts 1..100, p99 is
+    the count at ascending rank 99 (= 99), not rank 100 (= 100)."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import key_skew_profile
+
+    rows = [(f"k{i:03d}",) for i in range(100) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    p = key_skew_profile(df, "k").first()
+    assert p["n_keys"] == 100 and p["max_cnt"] == 100
+    # ceil(100*0.50)=50 -> count 50; ceil(100*0.90)=90 -> 90;
+    # ceil(100*0.99)=99 -> 99 (the float ceil bug read 100 here)
+    assert p["p50_cnt"] == 50
+    assert p["p90_cnt"] == 90
+    assert p["p99_cnt"] == 99
 
 
 def test_variant_parse_extract_and_drift_profile(spark):

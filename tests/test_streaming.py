@@ -1291,6 +1291,48 @@ def test_first_write_wins_dedup_null_keys_and_equal_seq_retry(spark, tmp_path):
         assert again == got
 
 
+def test_first_write_wins_dedup_map_typed_payload(spark, tmp_path):
+    """r08 review finding: the deterministic-collapse tiebreak ordered
+    by every payload column, which fails analysis for non-orderable
+    types (map<...>). Map columns must tiebreak via
+    xxhash64(to_json(col)) — dedup over a map payload must plan, run,
+    and stay first-write-wins + retry-idempotent."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch,
+        read_deduped,
+    )
+
+    state = str(tmp_path / "map_dedup_state")
+    b0 = spark.createDataFrame(
+        [(1, {"a": 1}, 0)], "k int, props map<string,int>, __seq int"
+    )
+    # redelivery of key 1 with a mutated map + a fresh key with two
+    # equal-seq rows (the tie the hash must break deterministically)
+    b1 = spark.createDataFrame(
+        [(1, {"a": 999}, 1), (2, {"b": 1}, 0), (2, {"b": 2}, 0)],
+        "k int, props map<string,int>, __seq int",
+    )
+    dedup_batch(b0, 0, key_columns=["k"], sequence_column="__seq", state_path=state)
+    dedup_batch(b1, 1, key_columns=["k"], sequence_column="__seq", state_path=state)
+    got = {r["k"]: dict(r["props"]) for r in read_deduped(spark, state).collect()}
+    assert got[1] == {"a": 1}, "map-payload redelivery was re-admitted"
+    assert got[2] in ({"b": 1}, {"b": 2})
+    assert len(got) == 2
+
+    # retries rewrite identical state (the winner of the key-2 tie
+    # must be stable across re-executions)
+    for _ in range(3):
+        dedup_batch(
+            b1, 1, key_columns=["k"], sequence_column="__seq", state_path=state
+        )
+        again = {
+            r["k"]: dict(r["props"]) for r in read_deduped(spark, state).collect()
+        }
+        assert again == got
+
+
 def test_streaming_topk_sketch_matches_batch_and_is_retry_safe(spark, sf_dir, tmp_path):
     """Per-group approx_top_k sketch states folded across micro-batches
     must serve the same (grp, rank, cnt) rows as the one-shot batch
