@@ -469,28 +469,37 @@ def _load_extensions() -> None:
 #      q20/q21 — plain SQL shapes locally re-proven every pytest,
 #      q8/q22/pivot kept as family representatives).
 #
-# R08 ROTATION PLAN (execute next round): keep the core eight; promote
-# the r08 STAGED cohort (registry_staged: unicode_normalize_stats,
-# export_manifest_roundtrip, xml_ingest_roundtrip,
-# theta_overlap_estimate_accuracy, activity_window_overlap,
-# heavy_hitters_daily, binaryfile_wav_ingest, orc_ingest_roundtrip,
-# join_key_skew_profile, name_typo_pairs, dedup_stream_replay,
-# join_cardinality_profile, variant_props_profile,
-# heavy_hitters_stream_replay, asof_nearest_click — all parity-tested
-# at sf0.001 AND sf0.01 in r07) and any query added in r08; then
-# refresh, oldest
-# evidence first (after promoting, add plan budgets for the new live
-# names: `python tools/plan_digest.py --budgets` merged to preserve
-# existing ceilings — see the r07 promotion commit):
-# the 13 r04 names deferred above (rolling_active_users_approx,
-# vector_topk_lsh, vector_topk_quantized, k_anonymity_suppression,
-# q9_product_profit, q10_returned_revenue, q11_important_parts,
-# q14_promo_revenue_ratio, q15_top_supplier,
-# q17_small_quantity_revenue, q19_disjunctive_revenue,
-# q20_heavy_widget_suppliers, q21_sole_returning_supplier), then the
-# 42 r05-only greens (oldest first; with the FIFTEEN-query staged
-# cohort, 8 + 15 + 13 = 36 leaves 14 r05 slots — the remainder slide
-# to r09).
+# R08 ROTATION PLAN — EXECUTED IN R09 (round 8 shipped no builder
+# work; VERDICT r08 item #1): the fifteen-query staged cohort promoted
+# to live ``@register`` in registry_staged.py, window below = core 8 +
+# 15 promoted + the 13 deferred-r04 refreshes + 14 oldest r05 greens
+# (alphabetical within the equal-age r05 cohort, with
+# rolling_actives_approx_accuracy swapped in to accompany the
+# rows-only rolling_active_users_approx, and semantic_dedup_auto
+# forced in because its benched arm switches to the Arrow assignment
+# this round — fresh driver evidence must cover the arm that ships).
+# Plan budgets for the promoted names were pre-recorded in r07
+# (tests/plan_budgets.json) so no budget merge was needed.
+#
+# R10 ROTATION PLAN (execute next round): keep the core eight;
+# promote any r09 staged entries (registry_staged bottom, e.g.
+# asof_forward_tolerance); then refresh, oldest evidence first:
+# the 27 remaining r05-only greens not refreshed this round
+# (grouping_sets_revenue, hot_users, json_props_extract,
+# lang_id_heuristic, near_dedup_minhash_recall,
+# near_dedup_ngram_recall, normalized_dedup, orders_with_returns,
+# q1_pricing_summary, q3_order_revenue, q4_order_priority,
+# q5_local_supplier_volume, q6_revenue_delta, quality_score,
+# regional_revenue, rolling_user_value, rollup_pricing,
+# salted_user_activity, scd_latest_order_maxby,
+# token_budget_stream_replay, token_count, top_orders_per_customer,
+# top_parts_by_revenue, user_activity, value_histogram,
+# value_percentiles, value_percentiles_approx), then the oldest r06
+# greens for the remaining slots (asof_latest_click,
+# balanced_corpus_sample, benchmark_contamination, bm25_search, ...
+# alphabetical). After promoting new staged names run
+# `python tools/plan_digest.py --budgets` merged to preserve
+# existing ceilings.
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
@@ -502,52 +511,53 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r07 staged cohort
-    "sessionize_stream_replay",
-    "retention_stream_replay",
-    "repeated_span_dedup",
-    "bpe_train_merges",
-    "bpe_tokenize_counts",
-    "quality_classifier_margin",
-    "ngram_diversity",
-    "ngram_diversity_approx_accuracy",
-    "wav_decode_stats",
-    "bmp_decode_stats",
-    "vector_topk_pq",
-    "vector_topk_ivfpq",
-    "kll_value_quantiles_rollup",
-    "theta_users_daily",
-    "theta_user_day_overlap",
-    # 3. evidence refresh: 27 of the 40 r04-only greens (oldest rows
-    #    in the ledger; the 13 deferred names are listed in the r08
-    #    plan above)
-    "bpe_pair_stats",
-    "bucketed_colocated_join",
-    "chunk_dedup_clean",
-    "embedding_near_dedup",
-    "fuzzy_entity_join_exact",
-    "hybrid_search_rrf",
-    "incremental_ann_match",
-    "incremental_near_dedup",
-    "incremental_semantic_match",
-    "k_anonymity_profile",
-    "l_diversity_profile",
-    "length_bucketed_batches",
-    "multimodal_decode_stats",
-    "nations_with_customers_and_suppliers",
-    "near_dedup_pairs_exact",
-    "near_dup_clusters_exact",
-    "pagerank_ship_graph",
-    "pivot_returnflag_status",
-    "q8_market_share",
-    "q22_idle_rich_customers",
-    "scd2_history",
-    "semantic_dedup",
-    "temperature_mix_weights",
-    "token_budget_select",
-    "unigram_logprob_quality",
-    "vector_topk_ivf",
-    "zorder_layout",
+    # 2. never-checked: the promoted r08 staged cohort (live as of r09)
+    "unicode_normalize_stats",
+    "export_manifest_roundtrip",
+    "xml_ingest_roundtrip",
+    "theta_overlap_estimate_accuracy",
+    "activity_window_overlap",
+    "heavy_hitters_daily",
+    "binaryfile_wav_ingest",
+    "orc_ingest_roundtrip",
+    "join_key_skew_profile",
+    "name_typo_pairs",
+    "dedup_stream_replay",
+    "join_cardinality_profile",
+    "variant_props_profile",
+    "heavy_hitters_stream_replay",
+    "asof_nearest_click",
+    # 3. evidence refresh: the 13 r04-only greens deferred in r07
+    "rolling_active_users_approx",
+    "vector_topk_lsh",
+    "vector_topk_quantized",
+    "k_anonymity_suppression",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_widget_suppliers",
+    "q21_sole_returning_supplier",
+    # 4. evidence refresh: 14 of the 41 r05-only greens (oldest
+    #    cohort; alphabetical, with the two substitutions noted in
+    #    the executed-plan comment above)
+    "big_orders",
+    "c4_page_clean_stats",
+    "constraint_profile_orders",
+    "cube_order_stats",
+    "customer_order_distribution",
+    "dedup_keep_best_exact",
+    "doc_fingerprint",
+    "events_approx_users_accuracy",
+    "exact_dedup",
+    "fuzzy_entity_join_recall",
+    "gopher_quality_profile",
+    "gopher_repetition",
+    "rolling_actives_approx_accuracy",
+    "semantic_dedup_auto",
 )
 
 

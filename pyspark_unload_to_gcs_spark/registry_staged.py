@@ -11,10 +11,14 @@ rollup_stream_replay) in r06; and the fifteen-query r07 cohort
 (sessionize/retention stream replays, repeated_span_dedup, the BPE
 tokenizer pair, quality_classifier_margin, n-gram diversity + its
 accuracy pin, WAV/BMP decode, PQ + IVF·PQ top-k, and the KLL/theta
-sketch rollups) was PROMOTED in r07 — every ``@register`` below this
-docstring is LIVE; the module keeps its name and the
-``register_staged`` hook for future cohorts. Entries staged for r08
-(if any) sit at the bottom under ``@register_staged``.
+sketch rollups) was PROMOTED in r07; the fifteen-query r08 cohort
+(unicode/manifest/XML/ORC roundtrips, theta-overlap accuracy pin,
+interval overlap, heavy-hitters batch + stream replay, binaryFile WAV
+ingest, join skew/cardinality diagnostics, FastSS typo pairs, dedup
+stream replay, VARIANT props, as-of nearest click) in r09 — every
+``@register`` below this docstring is LIVE; the module keeps its name
+and the ``register_staged`` hook for future cohorts. Entries staged
+for r10 (if any) sit at the bottom under ``@register_staged``.
 
 Oracle-parity rules honored here (NOTES.md lore #6/#8/#14): every
 computed column aliased identically on both sides, integer aggregates
@@ -1579,7 +1583,7 @@ FROM planted
 """
 
 
-@register_staged("unicode_normalize_stats", oracle=_UNICODE_SQL)
+@register("unicode_normalize_stats", oracle=_UNICODE_SQL)
 def unicode_normalize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC normalization (operators/text.py ``normalize_unicode``,
     Arrow mapInPandas) under a driver value oracle: every document gets
@@ -1625,7 +1629,7 @@ WHERE o_orderstatus IS NOT NULL AND o_orderstatus != ''
 """
 
 
-@register_staged("export_manifest_roundtrip", oracle=_MANIFEST_ROUNDTRIP_SQL)
+@register("export_manifest_roundtrip", oracle=_MANIFEST_ROUNDTRIP_SQL)
 def export_manifest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exactly-once export handoff under a driver oracle
     (sinks/writers.py ``write_manifest``/``validate_manifest``;
@@ -1695,7 +1699,7 @@ FROM nation
 """
 
 
-@register_staged("xml_ingest_roundtrip", oracle=_XML_ROUNDTRIP_SQL)
+@register("xml_ingest_roundtrip", oracle=_XML_ROUNDTRIP_SQL)
 def xml_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingestion under a driver oracle (sources/catalog.py
     ``load_xml``, Spark 4 built-in XML source): the nation table is
@@ -1776,7 +1780,7 @@ WHERE p.prev IS NOT NULL
 """
 
 
-@register_staged("theta_overlap_estimate_accuracy", oracle=_THETA_ACC_SQL)
+@register("theta_overlap_estimate_accuracy", oracle=_THETA_ACC_SQL)
 def theta_overlap_estimate_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimating-regime accuracy pin for theta set operations
     (operators/sketches.py ``theta_overlap_rollup``): runs the
@@ -1874,7 +1878,7 @@ GROUP BY 1, 2
 """
 
 
-@register_staged("activity_window_overlap", oracle=_IVL_OVERLAP_SQL)
+@register("activity_window_overlap", oracle=_IVL_OVERLAP_SQL)
 def activity_window_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap JOIN (operators/interval.py
     ``interval_overlap_join`` — both sides are [start, end) intervals,
@@ -1966,7 +1970,7 @@ SELECT grp, CAST(rank AS BIGINT) AS rank, cnt FROM ro WHERE rank <= 3
 """
 
 
-@register_staged("heavy_hitters_daily", oracle=_HH_SQL)
+@register("heavy_hitters_daily", oracle=_HH_SQL)
 def heavy_hitters_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable frequent-items heavy hitters (operators/sketches.py
     ``approx_topk_rollup``, Spark 4.1 ``approx_top_k_*`` builtins):
@@ -2023,7 +2027,7 @@ GROUP BY doc_id
 """
 
 
-@register_staged("binaryfile_wav_ingest", oracle=_BINFILE_WAV_SQL)
+@register("binaryfile_wav_ingest", oracle=_BINFILE_WAV_SQL)
 def binaryfile_wav_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Object-store media ingestion end to end: one WAV FILE per
     sampled document (doc_id % 10 == 0) is written to a directory by a
@@ -2118,7 +2122,7 @@ FROM customer
 """
 
 
-@register_staged("orc_ingest_roundtrip", oracle=_ORC_ROUNDTRIP_SQL)
+@register("orc_ingest_roundtrip", oracle=_ORC_ROUNDTRIP_SQL)
 def orc_ingest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC ingestion under a driver oracle (Spark built-in ORC source;
     the warehouse-interchange format next to parquet): the customer
@@ -2188,7 +2192,7 @@ FROM t
 """
 
 
-@register_staged("join_key_skew_profile", oracle=_SKEW_SQL)
+@register("join_key_skew_profile", oracle=_SKEW_SQL)
 def join_key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join skew diagnostics (operators/diagnostics.py
     ``key_skew_profile``): for two prospective shuffle keys
@@ -2227,7 +2231,7 @@ WHERE levenshtein(a.t, b.t) <= 1
 """
 
 
-@register_staged("name_typo_pairs", oracle=_TYPO_SQL)
+@register("name_typo_pairs", oracle=_TYPO_SQL)
 def name_typo_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance dedup via FastSS deletion-neighborhood blocking
     (operators/dedup.py ``edit_distance_pairs``; Bocek et al. 2007):
@@ -2271,7 +2275,7 @@ FROM events
 """
 
 
-@register_staged("dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
+@register("dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
 def dedup_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-write-wins ingestion dedup (streaming/dedup.py
     ``dedup_batch``) replayed over three micro-batches that simulate
@@ -2377,7 +2381,7 @@ FROM lp JOIN pp USING (k)
 """
 
 
-@register_staged("join_cardinality_profile", oracle=_JOINCARD_SQL)
+@register("join_cardinality_profile", oracle=_JOINCARD_SQL)
 def join_cardinality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size prediction without running the join
     (operators/diagnostics.py ``join_cardinality_profile``): for
@@ -2420,7 +2424,7 @@ GROUP BY event_type
 """
 
 
-@register_staged("variant_props_profile", oracle=_VARIANT_SQL)
+@register("variant_props_profile", oracle=_VARIANT_SQL)
 def variant_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT ingestion under a driver oracle
     (operators/semistructured.py): events.props parses ONCE to the
@@ -2457,7 +2461,7 @@ def variant_props_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_STREAM_MEMO: dict = {}
 
 
-@register_staged("heavy_hitters_stream_replay", oracle=_HH_SQL)
+@register("heavy_hitters_stream_replay", oracle=_HH_SQL)
 def heavy_hitters_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of heavy_hitters_daily
     (streaming/topk_sketch.py ``fold_topk_batch``): events replayed in
@@ -2532,7 +2536,7 @@ FROM b JOIN f USING (event_id)
 """
 
 
-@register_staged("asof_nearest_click", oracle=_ASOF_NEAREST_SQL)
+@register("asof_nearest_click", oracle=_ASOF_NEAREST_SQL)
 def asof_nearest_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join (operators/asof.py ``asof_join``
     with ``direction="nearest"`` — pandas merge_asof parity, ties going
