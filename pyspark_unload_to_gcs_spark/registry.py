@@ -484,8 +484,8 @@ def _load_extensions() -> None:
 # R10 ROTATION PLAN (execute next round): keep the core eight;
 # promote any r09 staged entries (registry_staged bottom, e.g.
 # asof_forward_tolerance); then refresh, oldest evidence first:
-# the 27 remaining r05-only greens not refreshed this round
-# (grouping_sets_revenue, hot_users, json_props_extract,
+# the 28 remaining r05-only greens not refreshed this round
+# (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
 # lang_id_heuristic, near_dedup_minhash_recall,
 # near_dedup_ngram_recall, normalized_dedup, orders_with_returns,
 # q1_pricing_summary, q3_order_revenue, q4_order_priority,
@@ -541,10 +541,12 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q20_heavy_widget_suppliers",
     "q21_sole_returning_supplier",
-    # 4. evidence refresh: 14 of the 41 r05-only greens (oldest
-    #    cohort; alphabetical, with the two substitutions noted in
-    #    the executed-plan comment above)
-    "big_orders",
+    # 4. evidence refresh: 13 of the 41 r05-only greens (oldest
+    #    cohort; alphabetical, with the substitutions noted in the
+    #    executed-plan comment above) + the NEW asof_forward_tolerance
+    #    (VERDICT r08 #6 asks for a driver row this round; big_orders
+    #    — a plain filter re-proven by every pytest — slides to r10)
+    "asof_forward_tolerance",
     "c4_page_clean_stats",
     "constraint_profile_orders",
     "cube_order_stats",

@@ -2574,3 +2574,69 @@ def asof_nearest_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms_col(joined, "pts").alias("purchase_ms"),
         F.unix_millis(F.col("cts")).alias("nearest_click_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward-direction as-of join with tolerance (live r09; VERDICT r08 #6)
+# --------------------------------------------------------------------------
+
+_ASOF_FORWARD_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_ms(ts) AS ct FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.purchase_ms,
+       CASE WHEN c.ct - p.purchase_ms <= 3600000 THEN c.ct END
+         AS next_click_ms
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_ms <= c.ct
+"""
+
+
+@register("asof_forward_tolerance", oracle=_ASOF_FORWARD_SQL)
+def asof_forward_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join under a tolerance bound
+    (operators/asof.py ``asof_join`` with ``direction="forward"``,
+    ``tolerance_ms=3_600_000`` — pandas merge_asof parity): every
+    purchase attaches the NEXT click by the same user, and a match
+    farther than one hour ahead becomes NULL. Completes the direction
+    coverage (asof_latest_click = backward, asof_nearest_click =
+    nearest, this row = forward + tolerance). Same union-marker plan:
+    ONE shuffle on the key, a reversed-order window fill, zero joins
+    and zero pair amplification; the tolerance is a post-fill WHEN on
+    the matched time delta, not a join predicate. The DuckDB oracle is
+    a forward ASOF LEFT JOIN (smallest click time >= purchase time)
+    with the tolerance replayed as a CASE on the time delta; output
+    carries the matched TIME so same-timestamp ties are selection-free
+    in both engines."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("puser"), F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("puser"), F.col("ts").alias("cts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="puser",
+        left_time="pts",
+        right_time="cts",
+        right_payload=(),
+        direction="forward",
+        tolerance_ms=3_600_000,
+    )
+    return joined.select(
+        "event_id",
+        F.col("puser").alias("user_id"),
+        epoch_ms_col(joined, "pts").alias("purchase_ms"),
+        F.unix_millis(F.col("cts")).alias("next_click_ms"),
+    )
