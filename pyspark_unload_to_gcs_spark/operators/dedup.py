@@ -1243,14 +1243,22 @@ def edit_distance_pairs(
             )
         ).alias("__v"),
     )
+    # join on the 8-byte hash of the variant, not the variant string:
+    # the equi-join shuffles ~(L+1) rows per input string, so key width
+    # is the dominant shuffle payload. A hash collision can only ADD a
+    # candidate pair, and the builtin-levenshtein verify below already
+    # rejects any pair over distance 1 — exactness is unaffected.
+    variants = variants.select(
+        "__id", "__t", F.xxhash64("__v").alias("__h")
+    )
     a = variants.select(
-        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "__v"
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "__h"
     )
     b = variants.select(
-        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "__v"
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "__h"
     )
     return (
-        a.join(b, "__v")
+        a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__ta", "__tb")
         .distinct()

@@ -963,3 +963,114 @@ def pq_topk(
         .orderBy(F.desc("pq_score"), F.col(id_column).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# On-disk IVF-PQ index maintenance (VERDICT r08 #8 stretch)
+# --------------------------------------------------------------------------
+
+
+def pq_index_write(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    cell_column: str = "ivf_cell",
+    code_column: str = "pq_codes",
+    method: str = "fold",
+) -> None:
+    """Materialize an IVF-PQ index on disk: coarse-assign + PQ-encode
+    the corpus and write ONLY (id, cell, codes) as parquet partitioned
+    by the cell — the 100 TB layout. The index stores m small ints per
+    vector instead of dim floats (32x smaller at m=4/dim=64/fp32), a
+    query prunes to probed cell partitions via partition pruning, and
+    the full vectors stay in the source table, never in the index."""
+    enc = pq_encode(
+        ivf_assign(
+            df, centroids, vec_column=vec_column, cell_column=cell_column, method=method
+        ),
+        codebooks,
+        vec_column=vec_column,
+        code_column=code_column,
+        method=method,
+    )
+    (
+        enc.select(id_column, cell_column, code_column)
+        .write.mode("overwrite")
+        .partitionBy(cell_column)
+        .parquet(path)
+    )
+
+
+def pq_index_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    cell_column: str = "ivf_cell",
+    code_column: str = "pq_codes",
+    method: str = "fold",
+    compact: bool = False,
+) -> int:
+    """Incrementally maintain an on-disk IVF-PQ index: assign + encode
+    ONLY the new batch (never rescans the corpus), then either
+
+    - ``compact=False`` (default): append the encoded rows into their
+      cell partitions — one narrow write, untouched cells are never
+      read or written; or
+    - ``compact=True``: rewrite the TOUCHED cells as single compacted
+      partitions (old rows in those cells + the batch), staged through
+      a ``__compact_tmp`` subdirectory because Spark cannot overwrite a
+      path it is concurrently reading, then dynamic-partition-overwrite
+      back — only partitions present in the staged data are replaced,
+      so untouched cells keep their files byte-identical. This is the
+      small-file compaction path for high-frequency append streams.
+
+    Returns the number of touched cells. The quantizer (centroids +
+    codebooks) must be the one the index was built with — same
+    contract as ``semantic_match_against_index``; PQ codebooks are
+    frozen at build time and appends re-use them (re-TRAINING the
+    quantizer is a rebuild, not an append)."""
+    enc = pq_encode(
+        ivf_assign(
+            new_df, centroids, vec_column=vec_column, cell_column=cell_column, method=method
+        ),
+        codebooks,
+        vec_column=vec_column,
+        code_column=code_column,
+        method=method,
+    ).select(id_column, cell_column, code_column)
+    # bounded collect: one small int per touched cell, <= n_centroids
+    touched = sorted(
+        r[0] for r in enc.select(cell_column).distinct().collect()
+    )
+    if not touched:
+        return 0
+    if not compact:
+        (
+            enc.write.mode("append").partitionBy(cell_column).parquet(path)
+        )
+        return len(touched)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = spark.read.parquet(path).filter(F.col(cell_column).isin(touched))
+    (
+        old.unionByName(enc)
+        .write.mode("overwrite")
+        .partitionBy(cell_column)
+        .parquet(tmp)
+    )
+    staged = spark.read.parquet(tmp)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cell_column)
+        .parquet(path)
+    )
+    return len(touched)

@@ -2640,3 +2640,150 @@ def asof_forward_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms_col(joined, "pts").alias("purchase_ms"),
         F.unix_millis(F.col("cts")).alias("next_click_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental on-disk IVF-PQ index maintenance (staged r10; VERDICT r08 #8)
+# --------------------------------------------------------------------------
+
+_PQ_INCR_MEMO: dict = {}
+
+
+def _pq_incr_oracle() -> str:
+    """The vector_topk_pq LUT replay, parameterized two ways: codebooks
+    derive from the BASE subset only (vec_id % 5 != 1 — appends never
+    retrain the quantizer), and the scored corpus is base UNION the
+    appended batch (the % 5 == 1 rows plus the planted 30001 probe =
+    query + 0.0005, which must surface at the top — a silently dropped
+    or double-applied append flips the result set)."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    m, sub = _PQ_M, _PQ_SUB
+    vslice = "b.v[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]".format(sub=sub)
+    qslice = "qv.qv[cu.s * {sub} + 1 : (cu.s + 1) * {sub}]".format(sub=sub)
+    d_cols = ", ".join(
+        f"MAX(CASE WHEN a.s = {s} THEN l.d END) AS d{s}, "
+        f"MAX(CASE WHEN a.s = {s} THEN l.ss END) AS ss{s}"
+        for s in range(m)
+    )
+    dsum = "(((d0 + d1) + d2) + d3)"
+    sssum = "(((ss0 + ss1) + ss2) + ss3)"
+    score = (
+        f"CASE WHEN sqrt({sssum}) = 0 THEN 0.0 "
+        f"ELSE {dsum} / (qn.qn * sqrt({sssum})) END"
+    )
+    return f"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qn AS (
+      SELECT CASE WHEN sqrt({_SS.format(a="qv")}) = 0 THEN 1.0
+                  ELSE sqrt({_SS.format(a="qv")}) END AS qn
+      FROM qv
+    ),
+    cbv AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS j,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id != 0 AND vec_id % 5 != 1
+      ORDER BY vec_id ASC LIMIT {_PQ_K}
+    ),
+    cb AS (
+      SELECT sub.s, cbv.j, cbv.c[sub.s * {sub} + 1 : (sub.s + 1) * {sub}] AS cs
+      FROM cbv, (SELECT unnest(generate_series(0, {m - 1})) AS s) sub
+    ),
+    cbn AS (
+      SELECT s, j, cs,
+             CASE WHEN sqrt({_SS.format(a="cs")}) = 0 THEN 1.0
+                  ELSE sqrt({_SS.format(a="cs")}) END AS n
+      FROM cb
+    ),
+    cbu AS (SELECT s, j, cs, list_transform(cs, x -> x / n) AS u FROM cbn),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id != 0
+      UNION ALL
+      SELECT 30001 AS vec_id,
+             list_transform(qv, x -> x + CAST(0.0005 AS DOUBLE)) AS v
+      FROM qv
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, s, j FROM (
+        SELECT b.vec_id, cu.s, cu.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id, cu.s
+                 ORDER BY {_DOT.format(a=vslice, b="cu.u")} DESC, cu.j DESC
+               ) AS rn
+        FROM base b, cbu cu
+      ) WHERE rn = 1
+    ),
+    luts AS MATERIALIZED (
+      SELECT cu.s, cu.j,
+             {_DOT.format(a=qslice, b="cu.cs")} AS d,
+             {_SS.format(a="cu.cs")} AS ss
+      FROM cbu cu, qv
+    ),
+    per_vec AS (
+      SELECT a.vec_id, {d_cols}
+      FROM assigned a JOIN luts l ON a.s = l.s AND a.j = l.j
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round({score}, 6) AS pq_score_r
+    FROM per_vec, qn
+    ORDER BY {score} DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register_staged("pq_index_incremental_topk", oracle=_pq_incr_oracle())
+def pq_index_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental on-disk IVF-PQ index maintenance
+    (operators/similarity.py ``pq_index_write``/``pq_index_append``):
+    the base corpus (vec_id % 5 != 1) is assigned + encoded ONCE and
+    written as a parquet index partitioned by IVF cell storing only
+    (id, cell, codes) — 32x smaller than the vectors; a later batch
+    (the % 5 == 1 rows plus a planted probe 30001 = query + 0.0005)
+    is encoded alone, its TOUCHED cells compacted in place via staged
+    dynamic-partition-overwrite, and the query serves PQ top-10 from
+    the maintained index files. The oracle replays codebook
+    derivation from the base subset (appends reuse the frozen
+    quantizer) and scores base UNION batch: a dropped append loses
+    the planted top-1 probe, a double-applied or stale-cell compact
+    duplicates/forgets rows — every path flips the value hash.
+
+    Fixture builds in a driver-local tempdir (local-mode harness; at
+    scale the index path is a shared URI — the write/append API is
+    path-agnostic)."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    key = (session_token(spark), sf_dir)
+    if key not in _PQ_INCR_MEMO:
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = [
+            float(x)
+            for x in corpus.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        ]
+        base = corpus.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 1))
+        planted = corpus.filter(F.col("vec_id") == 0).select(
+            F.lit(30001).cast("long").alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.0005)
+            ).alias("embedding"),
+        )
+        incr = corpus.filter(F.col("vec_id") % 5 == 1).unionByName(planted)
+        centroids = S.ivf_centroids_from_sample(base, n_centroids=_PQ_K)
+        codebooks = S.pq_codebooks_from_sample(
+            base, m=_PQ_M, k=_PQ_K, seeds=centroids
+        )
+        path = tempfile.mkdtemp(prefix="pq_index_incr_") + "/index"
+        S.pq_index_write(base, path, centroids, codebooks)
+        S.pq_index_append(
+            spark, path, incr, centroids, codebooks, compact=True
+        )
+        _PQ_INCR_MEMO[key] = (path, codebooks, q)
+    path, codebooks, q = _PQ_INCR_MEMO[key]
+    index = spark.read.parquet(path)
+    out = S.pq_topk(index.drop("ivf_cell"), q, k=10, codebooks=codebooks)
+    return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))

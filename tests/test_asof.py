@@ -343,3 +343,71 @@ def test_asof_join_rejects_unknown_direction(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="x", left_time="x", right_time="x",
                   right_payload=(), direction="sideways")
+
+
+def test_pq_index_append_modes_and_untouched_cells(spark, tmp_path):
+    """On-disk IVF-PQ maintenance (similarity.pq_index_write/append):
+    append mode adds batch rows without reading old cells; compact
+    mode rewrites ONLY touched cell partitions (untouched partition
+    files stay byte-identical); both end states serve the same top-k
+    as a from-scratch index over the union."""
+    import os
+    import random
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+
+    rng = random.Random(23)
+    dim, m, k = 8, 2, 4
+    mk = lambda i: [rng.uniform(-1, 1) for _ in range(dim)]  # noqa: E731
+    base_rows = [(i, mk(i)) for i in range(1, 31)]
+    new_rows = [(i, mk(i)) for i in range(100, 110)]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    query = base_rows[2][1]
+    cents = S.ivf_centroids_from_sample(base, n_centroids=k)
+    cb = S.pq_codebooks_from_sample(base, m=m, k=k, seeds=cents)
+
+    def serve(path):
+        idx = spark.read.parquet(path).drop("ivf_cell")
+        return [
+            (r["vec_id"], round(r["pq_score"], 9))
+            for r in S.pq_topk(idx, query, k=5, codebooks=cb).collect()
+        ]
+
+    # reference: one-shot index over the union
+    ref = str(tmp_path / "ref_idx")
+    S.pq_index_write(base.unionByName(new), ref, cents, cb)
+    want = serve(ref)
+
+    for compact in (False, True):
+        path = str(tmp_path / f"idx_compact_{compact}")
+        S.pq_index_write(base, path, cents, cb)
+        # fingerprint every partition file before the append
+        pre = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    pre[p] = os.path.getsize(p)
+        touched = S.pq_index_append(
+            spark, path, new, cents, cb, compact=compact
+        )
+        assert 1 <= touched <= k
+        assert serve(path) == want, f"compact={compact} diverges from rebuild"
+        # untouched cell partitions keep their original files
+        touched_cells = {
+            r[0]
+            for r in S.pq_encode(
+                S.ivf_assign(new, cents), cb
+            ).select("ivf_cell").distinct().collect()
+        }
+        for p, size in pre.items():
+            cell = int(p.split("ivf_cell=")[1].split("/")[0])
+            if cell not in touched_cells:
+                assert os.path.exists(p) and os.path.getsize(p) == size, (
+                    f"compact={compact}: untouched cell {cell} was rewritten"
+                )
+
+    # empty batch is a no-op
+    assert S.pq_index_append(spark, path, new.limit(0), cents, cb) == 0
