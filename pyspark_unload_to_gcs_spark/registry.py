@@ -482,8 +482,10 @@ def _load_extensions() -> None:
 # (tests/plan_budgets.json) so no budget merge was needed.
 #
 # R10 ROTATION PLAN (execute next round): keep the core eight;
-# promote any r09 staged entries (registry_staged bottom, e.g.
-# asof_forward_tolerance); then refresh, oldest evidence first:
+# promote the r09 staged entries (registry_staged bottom:
+# pq_index_incremental_topk — incremental on-disk IVF-PQ index
+# maintenance, parity-tested at sf0.001+sf0.01, budget recorded);
+# then refresh, oldest evidence first:
 # the 28 remaining r05-only greens not refreshed this round
 # (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
 # lang_id_heuristic, near_dedup_minhash_recall,
