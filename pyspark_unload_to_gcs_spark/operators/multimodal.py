@@ -537,3 +537,161 @@ def decode_bmp(
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
 
     return df.select(id_column, payload_column).mapInPandas(_decode, BMP_STATS_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def ahash_bits_from_image(img) -> int:
+    """64-bit average hash of an RGB ndarray [H, W, 3] (H, W >= 8),
+    ALL-INTEGER so the hash is cross-engine replayable:
+
+    - luma per pixel scaled by 1000: L = 299 r + 587 g + 114 b
+      (no division — the scale cancels in the comparisons);
+    - 8x8 block grid with floor boundaries start_b = b * dim // 8
+      (reduceat block sums; equal-size blocks when dim % 8 == 0);
+    - bit j = 1 iff block_sum_j * n_total > total_sum * n_j — the
+      "block mean above global mean" rule cleared of divisions; ties
+      are 0 in every engine.
+
+    Bit j (row-major block index, j = 8 * by + bx) is bit position j
+    of the returned Python int in [0, 2^64)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    if h < 8 or w < 8:
+        raise ValueError(f"ahash: image {w}x{h} smaller than the 8x8 grid")
+    px = img.astype(np.int64)
+    lum = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ys = [(b * h) // 8 for b in range(8)]
+    xs = [(b * w) // 8 for b in range(8)]
+    rows = np.add.reduceat(lum, ys, axis=0)
+    block = np.add.reduceat(rows, xs, axis=1)  # [8, 8] block sums
+    ych = np.diff(ys + [h])
+    xch = np.diff(xs + [w])
+    counts = np.outer(ych, xch).astype(np.int64)
+    total_sum = int(block.sum())
+    total_cnt = int(counts.sum())
+    bits = (block * total_cnt) > (counts * total_sum)
+    out = 0
+    for j, bit in enumerate(bits.flatten()):
+        if bit:
+            out |= 1 << j
+    return out
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over REAL BMP payloads: decode with the
+    chunk-walking parser, hash with the all-integer 8x8 block rule
+    (``ahash_bits_from_image``). The 64 bits come back as two
+    non-negative BIGINT halves (``ahash_hi`` = bits 32..63, ``ahash_lo``
+    = bits 0..31) so downstream banding, XOR popcount, and the DuckDB
+    replay all stay in signed-64 range. Streaming Arrow batches, one
+    narrow map — the 100 TB shape is hash-on-ingest next to the blob."""
+    id_col, payload_col = id_column, payload_column
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                bits = ahash_bits_from_image(decode_bmp_bytes(bytes(raw)))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "ahash_hi": bits >> 32,
+                        "ahash_lo": bits & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.select(id_column, payload_column).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(
+    hashes: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    hi_column: str = "ahash_hi",
+    lo_column: str = "ahash_lo",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """All image pairs within ``max_hamming`` (< 8) aHash bits, by
+    byte-band pigeonhole — EXACT for the threshold, never all-pairs:
+    two 64-bit hashes differing in at most 7 bits agree on at least
+    one of their 8 bytes, so an equi-join on (band, byte) finds every
+    qualifying pair and XOR popcount verifies. Linear candidate
+    generation (8 rows per image), one shuffle on the band key — the
+    simhash/minhash banding pattern applied to perceptual hashes.
+
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    if not 0 <= max_hamming < 8:
+        raise ValueError(
+            f"ahash_dup_pairs: max_hamming={max_hamming} must be in [0, 8) "
+            "for 8-byte-band pigeonhole exactness"
+        )
+    h = hashes.select(
+        F.col(id_column).alias("__id"),
+        F.col(hi_column).alias("__hi"),
+        F.col(lo_column).alias("__lo"),
+    )
+    bands = h.select(
+        "__id",
+        "__hi",
+        "__lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        (
+                            (
+                                F.col("__lo" if k < 4 else "__hi")
+                                .bitwiseAND(F.lit(255 << (8 * (k % 4))))
+                            )
+                        ).alias("byte"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__hi", "__lo", F.col("__b.band").alias("__band"), F.col("__b.byte").alias("__byte"))
+    a = bands.select(
+        F.col("__id").alias("id_a"),
+        F.col("__hi").alias("__hia"),
+        F.col("__lo").alias("__loa"),
+        "__band",
+        "__byte",
+    )
+    b = bands.select(
+        F.col("__id").alias("id_b"),
+        F.col("__hi").alias("__hib"),
+        F.col("__lo").alias("__lob"),
+        "__band",
+        "__byte",
+    )
+    hamming = (
+        F.bit_count(F.col("__hia").bitwiseXOR(F.col("__hib")))
+        + F.bit_count(F.col("__loa").bitwiseXOR(F.col("__lob")))
+    ).cast("long")
+    return (
+        a.join(b, ["__band", "__byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__hia", "__hib", "__loa", "__lob")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

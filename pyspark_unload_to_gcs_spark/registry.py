@@ -484,8 +484,10 @@ def _load_extensions() -> None:
 # R10 ROTATION PLAN (execute next round): keep the core eight;
 # promote the r09 staged entries (registry_staged bottom:
 # pq_index_incremental_topk — incremental on-disk IVF-PQ index
-# maintenance, parity-tested at sf0.001+sf0.01, budget recorded);
-# then refresh, oldest evidence first:
+# maintenance; image_ahash_dup_pairs — perceptual-hash image dedup
+# over the real BMP raster path; both parity-tested at
+# sf0.001+sf0.01, budgets recorded); then refresh, oldest evidence
+# first:
 # the 28 remaining r05-only greens not refreshed this round
 # (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
 # lang_id_heuristic, near_dedup_minhash_recall,

@@ -2787,3 +2787,117 @@ def pq_index_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(path)
     out = S.pq_topk(index.drop("ivf_cell"), q, k=10, codebooks=codebooks)
     return out.select("vec_id", F.round("pq_score", 6).alias("pq_score_r"))
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup over the real BMP raster path (staged r10;
+# VERDICT r08 #8 stretch, option B)
+# --------------------------------------------------------------------------
+
+_AHASH_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+),
+univ AS (
+  SELECT doc_id AS img_id, doc_id AS d, -1 AS inv FROM ids
+  UNION ALL
+  SELECT doc_id + 50000 AS img_id, doc_id AS d, doc_id % 64 AS inv FROM ids
+),
+blocks AS (
+  SELECT img_id, j,
+         CASE WHEN j = inv THEN 255 - (3 * d + 5 * j) % 256
+              ELSE (3 * d + 5 * j) % 256 END AS r,
+         CASE WHEN j = inv THEN 255 - (7 * d + 11 * j) % 256
+              ELSE (7 * d + 11 * j) % 256 END AS g,
+         CASE WHEN j = inv THEN 255 - (13 * d + 17 * j) % 256
+              ELSE (13 * d + 17 * j) % 256 END AS b
+  FROM univ, (SELECT unnest(generate_series(0, 63)) AS j)
+),
+lum AS (
+  -- 2x2-pixel constant blocks: block luma sum = 4 * scaled luma
+  SELECT img_id, j, 4 * (299 * r + 587 * g + 114 * b) AS L FROM blocks
+),
+tot AS (SELECT img_id, SUM(L) AS t FROM lum GROUP BY img_id),
+bits AS (
+  SELECT l.img_id, l.j,
+         CASE WHEN 64 * l.L > t.t THEN 1 ELSE 0 END AS bit
+  FROM lum l JOIN tot t USING (img_id)
+),
+hashes AS (
+  SELECT img_id,
+         CAST(SUM(CASE WHEN bit = 1 AND j >= 32
+                       THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN bit = 1 AND j < 32
+                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM bits GROUP BY img_id
+)
+SELECT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+"""
+
+
+@register_staged("image_ahash_dup_pairs", oracle=_AHASH_SQL)
+def image_ahash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end to end over the REAL raster
+    path (operators/multimodal.py ``image_ahash``/``ahash_dup_pairs``):
+    every 10th document synthesizes a 16x16 block-constant 24-bit BMP
+    from integer closed forms, plus a near-duplicate twin (+50000)
+    with ONE 2x2 block color-inverted; the real chunk-walking decoder
+    parses the bytes, the all-integer 8x8 average-hash produces
+    (hi, lo) BIGINT halves, and byte-band pigeonhole + XOR popcount
+    emits every pair within hamming 7 — exact for the threshold,
+    never all-pairs. The DuckDB oracle recomputes the block lumas from
+    the closed forms, rebuilds both hash halves bit by bit, and takes
+    literal all-pairs popcount — any drift in BMP padding/BGR order,
+    luma scaling, block boundaries, tie rule, bit packing, banding
+    recall, or hamming arithmetic flips the row set."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        encode_bmp24,
+        image_ahash,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        def block_px(d: int, j: int, inv: int):
+            r = (3 * d + 5 * j) % 256
+            g = (7 * d + 11 * j) % 256
+            b = (13 * d + 17 * j) % 256
+            if j == inv:
+                return (255 - r, 255 - g, 255 - b)
+            return (r, g, b)
+
+        def bmp(d: int, img_id: int, inv: int) -> bytes:
+            px = [
+                [
+                    block_px(d, 8 * (y // 2) + (x // 2), inv)
+                    for x in range(16)
+                ]
+                for y in range(16)
+            ]
+            return encode_bmp24(px)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"].to_numpy():
+                d = int(d)
+                ids.append(d)
+                payloads.append(bmp(d, d, -1))
+                ids.append(d + 50000)
+                payloads.append(bmp(d, d + 50000, d % 64))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    images = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return ahash_dup_pairs(image_ahash(images), max_hamming=7)

@@ -239,3 +239,100 @@ def test_decode_bmp_rejects_negative_width():
     struct.pack_into("<i", raw, 18, -1)
     with _pytest.raises(ValueError, match="negative width"):
         decode_bmp_bytes(bytes(raw))
+
+
+def test_ahash_matches_independent_reference_and_general_sizes():
+    """ahash_bits_from_image vs a dumb per-pixel reference (no
+    reduceat, no vectorization) across non-multiple-of-8 sizes — the
+    unequal-block integer rule must agree everywhere."""
+    import random
+
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        ahash_bits_from_image,
+    )
+
+    def reference(img):
+        h, w = img.shape[0], img.shape[1]
+        lum = [
+            [
+                299 * int(img[y, x, 0]) + 587 * int(img[y, x, 1]) + 114 * int(img[y, x, 2])
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        ys = [(b * h) // 8 for b in range(8)] + [h]
+        xs = [(b * w) // 8 for b in range(8)] + [w]
+        sums, cnts = [], []
+        for by in range(8):
+            for bx in range(8):
+                s = c = 0
+                for y in range(ys[by], ys[by + 1]):
+                    for x in range(xs[bx], xs[bx + 1]):
+                        s += lum[y][x]
+                        c += 1
+                sums.append(s)
+                cnts.append(c)
+        t, n = sum(sums), sum(cnts)
+        out = 0
+        for j in range(64):
+            if sums[j] * n > t * cnts[j]:
+                out |= 1 << j
+        return out
+
+    rng = random.Random(7)
+    for (h, w) in [(8, 8), (16, 16), (12, 20), (9, 31), (50, 8)]:
+        img = np.array(
+            [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )
+        assert ahash_bits_from_image(img) == reference(img), f"{w}x{h}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smaller than"):
+        ahash_bits_from_image(np.zeros((7, 8, 3), dtype=np.uint8))
+
+
+def test_ahash_dup_pairs_pigeonhole_exact(spark):
+    """Banded candidate generation must find EVERY pair within the
+    hamming threshold (pigeonhole exactness) and reject everything
+    beyond it: planted exact duplicate (hamming 0), a 7-bit twin
+    (threshold boundary), an 8-bit twin (just over), and random
+    far-apart decoys — verified against direct popcount over all
+    pairs."""
+    from itertools import combinations
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import ahash_dup_pairs
+
+    def split(bits):
+        return bits >> 32, bits & 0xFFFFFFFF
+
+    base = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        (1, *split(base)),
+        (2, *split(base)),                     # hamming 0 vs 1
+        (3, *split(base ^ 0x7F)),              # hamming 7 vs 1 (boundary)
+        (4, *split(base ^ 0xFF)),              # hamming 8 vs 1 (excluded)
+        (5, *split(0xA5A5A5A5A5A5A5A5)),       # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ahash_hi long, ahash_lo long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_dup_pairs(df, max_hamming=7).collect()
+    }
+    want = {}
+    for (ia, hia, loa), (ib, hib, lob) in combinations(rows, 2):
+        d = bin((hia ^ hib)).count("1") + bin((loa ^ lob)).count("1")
+        if d <= 7:
+            want[(ia, ib)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] == 7
+    assert (1, 4) not in got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        ahash_dup_pairs(df, max_hamming=8)
