@@ -485,7 +485,9 @@ def _load_extensions() -> None:
 # promote the r09 staged entries (registry_staged bottom:
 # pq_index_incremental_topk — incremental on-disk IVF-PQ index
 # maintenance; image_ahash_dup_pairs — perceptual-hash image dedup
-# over the real BMP raster path; both parity-tested at
+# over the real BMP raster path; versioned_snapshot_at +
+# versioned_change_feed — runtime-proven S2-S4 time-travel/CDF
+# semantics over versioned parquet; all parity-tested at
 # sf0.001+sf0.01, budgets recorded); then refresh, oldest evidence
 # first:
 # the 28 remaining r05-only greens not refreshed this round

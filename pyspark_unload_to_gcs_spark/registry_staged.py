@@ -2901,3 +2901,106 @@ def image_ahash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(synth, "doc_id long, payload binary")
     return ahash_dup_pairs(image_ahash(images), max_hamming=7)
+
+
+# --------------------------------------------------------------------------
+# Versioned-parquet time travel + change feed (staged r10; runtime-proven
+# S2-S4 semantics while delta-spark stays env-blocked)
+# --------------------------------------------------------------------------
+
+_VERSIONED_MEMO: dict = {}
+
+
+def _versioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Three-commit versioned table from orders (memoized per session):
+    v0 @ ms 1000 = even keys at original price; v1 @ ms 2000 = ALL keys
+    with price+1.0 where key % 10 == 0 (updates + inserts); v2 @ ms
+    3000 = v1 minus key % 7 == 0 (deletes). Deterministic clock, so
+    both probes replay in closed form from the orders table."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+
+    key = (session_token(spark), sf_dir)
+    if key not in _VERSIONED_MEMO:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="versioned_orders_") + "/t"
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        v1 = base.withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 10 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        commit_version(base.filter(F.col("o_orderkey") % 2 == 0), path, 1000)
+        commit_version(v1, path, 2000)
+        commit_version(v1.filter(F.col("o_orderkey") % 7 != 0), path, 3000)
+        _VERSIONED_MEMO[key] = path
+    return _VERSIONED_MEMO[key]
+
+
+_VERSIONED_SNAPSHOT_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END AS price
+FROM orders
+"""
+
+
+@register_staged("versioned_snapshot_at", oracle=_VERSIONED_SNAPSHOT_SQL)
+def versioned_snapshot_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel semantics with runtime evidence (sources/
+    versioned.py ``snapshot_at_ms``; the Delta S2 probe's resolution
+    rule — newest commit_ms <= ts — on plain parquet): reading the
+    3-commit orders table AS OF ms 2500 must resolve to v1 exactly:
+    all keys present (the v1 inserts), +1.0 on every % 10 == 0 price
+    (the v1 updates visible), and NO % 7 deletions (v2 is in the
+    future). The oracle rebuilds v1 in closed form from orders."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import snapshot_at_ms
+
+    return snapshot_at_ms(spark, _versioned_orders(spark, sf_dir), 2500)
+
+
+_VERSIONED_CDF_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders
+)
+SELECT 'INSERT' AS _mp_change_type, k AS o_orderkey, c AS o_custkey,
+       p AS price, CAST(1 AS BIGINT) AS _commit_version,
+       CAST(2000 AS BIGINT) AS _commit_timestamp
+FROM base WHERE k % 2 = 1
+UNION ALL
+SELECT 'DELETE', k, c, p, 1, 2000 FROM base WHERE k % 10 = 0
+UNION ALL
+SELECT 'INSERT', k, c, p + 1.0, 1, 2000 FROM base WHERE k % 10 = 0
+UNION ALL
+SELECT 'DELETE', k, c, p + CASE WHEN k % 10 = 0 THEN 1.0 ELSE 0.0 END,
+       2, 3000
+FROM base WHERE k % 7 = 0
+"""
+
+
+@register_staged("versioned_change_feed", oracle=_VERSIONED_CDF_SQL)
+def versioned_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed semantics with runtime evidence (sources/
+    versioned.py ``change_feed``; the Delta S3 probe's window read on
+    plain parquet, changes reconstructed per commit via
+    operators/cdc.py ``snapshot_diff``): the window [1500, 3000] must
+    contain exactly v1's changes (odd-key INSERTs; a preimage-DELETE +
+    postimage-INSERT pair per % 10 == 0 update — the same pair shape
+    the reference maps Delta CDF update rows onto, export.py:121-126)
+    and v2's deletes (% 7 == 0 at v1 prices), each stamped with its
+    commit version and timestamp; v0 is before the window and must not
+    leak. The oracle enumerates every change in closed form."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import change_feed
+
+    return change_feed(
+        spark,
+        _versioned_orders(spark, sf_dir),
+        1500,
+        3000,
+        key_columns=["o_orderkey"],
+    )

@@ -1,0 +1,111 @@
+"""Versioned-parquet time travel / change feed (sources/versioned.py)
+— the runtime-proven S2-S4 semantics twin of the env-blocked Delta
+readers. Pins the resolution rules the Delta probes contract:
+timestamp-<= snapshot resolution, DESCRIBE-HISTORY ordering, CDF
+window filtering with out-of-range-empty, commit atomicity."""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark_unload_to_gcs_spark.sources.versioned import (
+    change_feed,
+    commit_version,
+    latest_commit_timestamp_ms,
+    snapshot_at_ms,
+    table_history,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows0 = [(1, 10.0), (2, 20.0)]
+    rows1 = [(1, 11.0), (2, 20.0), (3, 30.0)]  # update k=1, insert k=3
+    rows2 = [(2, 20.0), (3, 30.0)]             # delete k=1
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    assert commit_version(mk(rows0), path, 100) == 0
+    assert commit_version(mk(rows1), path, 200) == 1
+    assert commit_version(mk(rows2), path, 300) == 2
+    return path
+
+
+def test_history_and_latest_commit(table):
+    hist = table_history(table)
+    assert [(e["version"], e["commit_ms"]) for e in hist] == [
+        (2, 300),
+        (1, 200),
+        (0, 100),
+    ]
+    assert latest_commit_timestamp_ms(table) == 300
+
+
+def test_snapshot_resolution_rule(spark, table):
+    def snap(ts):
+        return {
+            (r["k"], r["v"]) for r in snapshot_at_ms(spark, table, ts).collect()
+        }
+
+    # exact boundary is inclusive; between commits resolves DOWN
+    assert snap(100) == {(1, 10.0), (2, 20.0)}
+    assert snap(199) == {(1, 10.0), (2, 20.0)}
+    assert snap(200) == {(1, 11.0), (2, 20.0), (3, 30.0)}
+    assert snap(10_000) == {(2, 20.0), (3, 30.0)}
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        snapshot_at_ms(spark, table, 99)
+
+
+def test_change_feed_window_and_pair_shape(spark, table):
+    rows = change_feed(spark, table, 150, 300, key_columns=["k"]).collect()
+    got = {
+        (r["_mp_change_type"], r["k"], r["v"], r["_commit_version"], r["_commit_timestamp"])
+        for r in rows
+    }
+    assert got == {
+        # commit 1: update k=1 -> preimage DELETE + postimage INSERT,
+        # insert k=3
+        ("DELETE", 1, 10.0, 1, 200),
+        ("INSERT", 1, 11.0, 1, 200),
+        ("INSERT", 3, 30.0, 1, 200),
+        # commit 2: delete k=1
+        ("DELETE", 1, 11.0, 2, 300),
+    }
+    # first commit included -> version 0 appears as all-INSERT
+    first = change_feed(spark, table, 0, 100, key_columns=["k"]).collect()
+    assert {(r["_mp_change_type"], r["k"]) for r in first} == {
+        ("INSERT", 1),
+        ("INSERT", 2),
+    }
+    # window past the last commit -> EMPTY, not an error (the
+    # timestampOutOfRange contract)
+    assert change_feed(spark, table, 301, 999, key_columns=["k"]).count() == 0
+
+
+def test_commit_timestamps_must_be_monotone(spark, table):
+    df = spark.createDataFrame([(9, 9.0)], "k int, v double")
+    with pytest.raises(ValueError, match="non-decreasing"):
+        commit_version(df, table, 299)
+    # equal timestamp is allowed (same-instant commits keep versions
+    # as the tiebreak, like Delta's version-ordered history)
+    assert commit_version(df, table, 300) == 3
+
+
+def test_torn_commit_is_invisible(spark, table):
+    """A version dir without _SUCCESS (torn write) or without a ledger
+    entry (crash before the ledger replace) must not surface in
+    history, snapshots, or the change feed."""
+    torn = os.path.join(table, "v=9")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "junk.parquet"), "wb") as f:
+        f.write(b"\x00")
+    assert [e["version"] for e in table_history(table)] == [2, 1, 0]
+    # committed data dir but no ledger entry: also invisible
+    import shutil
+
+    shutil.copytree(os.path.join(table, "v=2"), os.path.join(table, "v=8"))
+    assert [e["version"] for e in table_history(table)] == [2, 1, 0]
+    assert latest_commit_timestamp_ms(table) == 300
