@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single_file", action="store_true", default=None)
     p.add_argument("--compression", default="gzip")
     p.add_argument("--emit_manifest", action="store_true")
+    # engine extension: CDC probe backend ("delta" needs delta-spark;
+    # "versioned" = sources/versioned.py over plain parquet) + the key
+    # columns its snapshot-diff change feed requires
+    p.add_argument("--table_format", default="delta", choices=["delta", "versioned"])
+    p.add_argument("--cdc_key_columns", default="")
     return p
 
 
@@ -108,6 +113,10 @@ def config_from_args(args: argparse.Namespace) -> SyncConfig:
         partition_by=partition_by,
         use_custom_sql=args.use_custom_sql,
         custom_sql_dir=args.custom_sql_dir,
+        table_format=args.table_format,
+        cdc_key_columns=tuple(
+            c.strip() for c in args.cdc_key_columns.split(",") if c.strip()
+        ),
     )
 
 

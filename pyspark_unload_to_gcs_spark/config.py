@@ -80,6 +80,15 @@ class SyncConfig:
     # cdc (reference export.py:103-128)
     use_custom_sql: bool = False
     custom_sql_dir: str = ""
+    # engine extension: which table format backs the CDC probes.
+    # "delta" = the reference's Delta readers (sources/delta.py,
+    # needs delta-spark); "versioned" = the versioned-parquet source
+    # (sources/versioned.py — same probe semantics, runs anywhere;
+    # `table` is then the versioned directory path). The incremental
+    # versioned change feed reconstructs changes by snapshot diff, so
+    # it needs the table's key columns.
+    table_format: str = "delta"
+    cdc_key_columns: tuple[str, ...] = ()
 
     extra: dict = field(default_factory=dict)
 
@@ -95,6 +104,22 @@ class SyncConfig:
             raise ValueError("time-based sync requires updated_time_column")
         if self.sync_type == SyncType.CDC and self.use_custom_sql and not self.custom_sql_dir:
             raise ValueError("cdc sync with use_custom_sql requires custom_sql_dir")
+        if self.table_format not in ("delta", "versioned"):
+            raise ValueError(
+                f"unknown table_format {self.table_format!r} "
+                "(expected 'delta' or 'versioned')"
+            )
+        if (
+            self.sync_type == SyncType.CDC
+            and self.table_format == "versioned"
+            and self.time_cutoff_ms > 0
+            and not self.cdc_key_columns
+        ):
+            raise ValueError(
+                "incremental cdc sync on a versioned table requires "
+                "cdc_key_columns (the snapshot-diff change feed needs the "
+                "table's key columns)"
+            )
 
 
 @dataclass

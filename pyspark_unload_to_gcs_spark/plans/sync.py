@@ -115,17 +115,33 @@ def _plan_cdc(spark: SparkSession, config: SyncConfig) -> PlannedSync:
     timestamp, every row an INSERT; watermark = that commit ts so
     snapshot and checkpoint agree. Incremental: change feed over the
     half-open window (cutoff, now].
+
+    ``config.table_format`` picks the probe backend: "delta" = the
+    reference's Delta readers (sources/delta.py; needs delta-spark),
+    "versioned" = the versioned-parquet source (sources/versioned.py;
+    same resolution/window semantics, runs anywhere — its change feed
+    already emits the export discriminator, so no CDF mapping pass,
+    and the commit-stamp metadata columns are dropped to keep the
+    export schema identical across backends).
     """
     from pyspark_unload_to_gcs_spark.sources import delta as delta_src
+    from pyspark_unload_to_gcs_spark.sources import versioned as versioned_src
+
+    versioned = config.table_format == "versioned"
+
+    def latest_commit_ms() -> int:
+        if versioned:
+            return versioned_src.latest_commit_timestamp_ms(config.table)
+        return delta_src.latest_commit_timestamp_ms(spark, config.table)
 
     first_sync = config.time_cutoff_ms == 0
     if first_sync and not config.use_custom_sql:
-        end_ms = delta_src.latest_commit_timestamp_ms(spark, config.table)
+        end_ms = latest_commit_ms()
     elif first_sync and config.use_custom_sql:
         # custom SQL first sync still anchors to "now" when the table may
-        # not be Delta; prefer commit ts when it is.
+        # not be Delta/versioned; prefer commit ts when it is.
         try:
-            end_ms = delta_src.latest_commit_timestamp_ms(spark, config.table)
+            end_ms = latest_commit_ms()
         except Exception:
             end_ms = current_timestamp_ms(spark)
     else:
@@ -135,13 +151,27 @@ def _plan_cdc(spark: SparkSession, config: SyncConfig) -> PlannedSync:
         df = custom_sql_source(spark, config.custom_sql_dir, config.time_cutoff_ms, end_ms)
         desc = f"cdc-custom-sql({config.custom_sql_dir}, end={end_ms})"
     elif first_sync:
-        df = snapshot_as_inserts(delta_src.snapshot_at_ms(spark, config.table, end_ms))
+        snap = (
+            versioned_src.snapshot_at_ms(spark, config.table, end_ms)
+            if versioned
+            else delta_src.snapshot_at_ms(spark, config.table, end_ms)
+        )
+        df = snapshot_as_inserts(snap)
         desc = f"cdc-first-sync({config.table} @ {end_ms})"
     else:
         start_ms, _ = cdc_window_bounds_ms(config.time_cutoff_ms, end_ms)
-        df = change_type_mapping(
-            delta_src.change_feed(spark, config.table, start_ms, end_ms)
-        )
+        if versioned:
+            df = versioned_src.change_feed(
+                spark,
+                config.table,
+                start_ms,
+                end_ms,
+                key_columns=list(config.cdc_key_columns),
+            ).drop("_commit_version", "_commit_timestamp")
+        else:
+            df = change_type_mapping(
+                delta_src.change_feed(spark, config.table, start_ms, end_ms)
+            )
         desc = f"cdc-incremental({config.table}, ({config.time_cutoff_ms}, {end_ms}])"
 
     return PlannedSync(df=df, description=desc, change_capture_sync_last_commit_ms=end_ms)

@@ -322,3 +322,100 @@ def test_compact_files_ignores_temporary_leftovers(spark, tmp_path):
         assert n == 1, f"{backend}: junk under _temporary/ inflated sizing to {n}"
         assert len(g.glob(f"{out}/part-*.parquet")) == 1
         assert spark.read.parquet(out).count() == 1500
+
+
+def test_cdc_sync_end_to_end_on_versioned_table(spark, tmp_path):
+    """The reference's change-capture sync flow (first sync -> export
+    -> checkpoint -> incremental sync) executed END TO END on the
+    versioned-parquet backend (table_format='versioned') — the runtime
+    evidence the env-blocked Delta path cannot give: snapshot pinned
+    at the latest commit, every row INSERT, checkpoint == commit ts;
+    then a later commit, an incremental window from the checkpoint,
+    and exactly the update's preimage/postimage pair in the export."""
+    import glob
+    import gzip
+    import json as _json
+
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+
+    table = str(tmp_path / "vt")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 10.0), (2, 20.0)]), table, 1_000)
+
+    # first sync: cutoff 0 -> snapshot AS OF the latest commit
+    out1 = f"file:{tmp_path}/first"
+    res1 = run_sync(
+        spark,
+        SyncConfig(
+            table=table,
+            sync_type=SyncType.CDC,
+            table_format="versioned",
+            output_uri=out1,
+        ),
+    )
+    assert res1.change_capture_sync_last_commit_ms == 1_000
+    rows1 = [
+        _json.loads(line)
+        for f in glob.glob(f"{tmp_path}/first/*.json.gz")
+        for line in gzip.open(f)
+    ]
+    assert {(r["_mp_change_type"], r["k"], r["v"]) for r in rows1} == {
+        ("INSERT", 1, 10.0),
+        ("INSERT", 2, 20.0),
+    }
+
+    # a later commit: update k=1, delete k=2, insert k=3
+    commit_version(mk([(1, 11.0), (3, 30.0)]), table, 2_000)
+
+    # incremental sync from the first checkpoint
+    out2 = f"file:{tmp_path}/incr"
+    res2 = run_sync(
+        spark,
+        SyncConfig(
+            table=table,
+            sync_type=SyncType.CDC,
+            table_format="versioned",
+            time_cutoff_ms=res1.change_capture_sync_last_commit_ms,
+            cdc_key_columns=("k",),
+            output_uri=out2,
+        ),
+    )
+    assert res2.change_capture_sync_last_commit_ms >= 2_000
+    rows2 = [
+        _json.loads(line)
+        for f in glob.glob(f"{tmp_path}/incr/*.json.gz")
+        for line in gzip.open(f)
+    ]
+    assert {(r["_mp_change_type"], r["k"], r["v"]) for r in rows2} == {
+        ("DELETE", 1, 10.0),   # update preimage
+        ("INSERT", 1, 11.0),   # update postimage
+        ("DELETE", 2, 20.0),
+        ("INSERT", 3, 30.0),
+    }
+    # export schema matches the delta-backed path: no commit-stamp cols
+    assert "_commit_version" not in rows2[0]
+
+    # a further incremental with no new commits exports zero rows
+    res3 = run_sync(
+        spark,
+        SyncConfig(
+            table=table,
+            sync_type=SyncType.CDC,
+            table_format="versioned",
+            time_cutoff_ms=res2.change_capture_sync_last_commit_ms,
+            cdc_key_columns=("k",),
+            output_uri=f"file:{tmp_path}/empty",
+        ),
+    )
+    assert res3.rows_written == 0
+
+    # config contract: incremental versioned CDC requires key columns
+    with pytest.raises(ValueError, match="cdc_key_columns"):
+        SyncConfig(
+            table=table,
+            sync_type=SyncType.CDC,
+            table_format="versioned",
+            time_cutoff_ms=5,
+        ).validate()
+    with pytest.raises(ValueError, match="table_format"):
+        SyncConfig(table=table, table_format="iceberg").validate()
