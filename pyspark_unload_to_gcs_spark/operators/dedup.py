@@ -1251,17 +1251,26 @@ def edit_distance_pairs(
     variants = variants.select(
         "__id", "__t", F.xxhash64("__v").alias("__h")
     )
-    a = variants.select(
-        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "__h"
-    )
-    b = variants.select(
-        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "__h"
-    )
-    return (
+    # candidates carry IDS ONLY through the join + distinct (the texts
+    # re-attach afterwards from the small per-id frame): pairs sharing
+    # several variants (equal strings share L+1) duplicate every
+    # candidate row, so row WIDTH on the candidate stream is the
+    # dominant shuffle payload — 16 bytes of ids vs ids plus two
+    # strings. The re-attach joins are per-id (corpus-sized, AQE
+    # broadcasts them at fixture scale) against the already-distinct
+    # pair set.
+    a = variants.select(F.col("__id").alias("id_a"), "__h")
+    b = variants.select(F.col("__id").alias("id_b"), "__h")
+    pairs = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    texts = probe.select(F.col("__id"), F.col("__t"))
+    return (
+        pairs.join(texts.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta")), "id_a")
+        .join(texts.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb")), "id_b")
         .withColumn("dist", F.levenshtein("__ta", "__tb").cast("long"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
