@@ -1674,7 +1674,12 @@ def export_manifest_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 export_format=ExportFormat.JSON,
                 output_uri=uri,
                 compression="gzip",
-                max_records_per_file=2000,
+                # 7500 keeps the split multi-file at the driver's
+                # sf0.01 (15k orders -> 2 files) without drowning the
+                # JVM-side md5 passes in per-file stream-open overhead
+                # at sf0.1+ (2000 -> 75 files was 40% of this query's
+                # wall; SCALE_AUDIT.md r07 table)
+                max_records_per_file=7500,
             ),
         )
         write_manifest(uri)
