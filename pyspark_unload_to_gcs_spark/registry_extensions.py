@@ -1559,7 +1559,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical vectors deterministically share a cell, so recall on
     them is structural) and every 7th as an elementwise +0.001
     perturbation (vec_id+20000, cosine ~0.9999 — may straddle a cell
-    boundary, in which case BOTH engines keep it, deterministically)."""
+    boundary, in which case BOTH engines keep it, deterministically).
+
+    Benches the ARROW assignment arm like its auto-k sibling (VERDICT
+    r08 #3 precedent; 1.8 -> 1.1 s warm at sf0.1); fold stays the
+    oracle-derivation twin, pinned output-equal in
+    tests/test_asof.py::test_semantic_dedup_fixed_k_arrow_matches_fold."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1573,7 +1578,9 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
     )
     uni = base.unionByName(exact).unionByName(pert)
-    out = S.semantic_cluster_dedup(uni, n_centroids=16, cosine_threshold=0.95)
+    out = S.semantic_cluster_dedup(
+        uni, n_centroids=16, cosine_threshold=0.95, assign_method="arrow"
+    )
     return out.select("vec_id", "label")
 
 

@@ -149,6 +149,42 @@ def test_semantic_dedup_auto_arrow_matches_fold(spark, sf_dir):
     assert fold == arrow
 
 
+def test_semantic_dedup_fixed_k_arrow_matches_fold(spark, sf_dir):
+    """The registered fixed-k semantic_dedup now benches the arrow
+    assignment arm (r09, following the auto-k precedent) — its
+    survivor set must equal the fold path's, which is what the DuckDB
+    oracle replays."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators import similarity as S
+    from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "label", "embedding"
+    )
+    pert = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    uni = base.unionByName(exact).unionByName(pert)
+    out = {}
+    for method in ("fold", "arrow"):
+        out[method] = {
+            tuple(r)
+            for r in S.semantic_cluster_dedup(
+                uni, n_centroids=16, cosine_threshold=0.95, assign_method=method
+            )
+            .select("vec_id", "label")
+            .collect()
+        }
+    assert out["fold"] == out["arrow"]
+
+
 # --------------------------------------------------------------------------
 # Product quantization
 # --------------------------------------------------------------------------
