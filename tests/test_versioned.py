@@ -109,3 +109,61 @@ def test_torn_commit_is_invisible(spark, table):
     shutil.copytree(os.path.join(table, "v=2"), os.path.join(table, "v=8"))
     assert [e["version"] for e in table_history(table)] == [2, 1, 0]
     assert latest_commit_timestamp_ms(table) == 300
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    # each commit: a small {key -> value} table state and a clock step
+    states=st.lists(
+        st.dictionaries(st.integers(1, 6), st.integers(0, 99), max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    probe=st.integers(0, 6),
+)
+def test_versioned_source_matches_reference_model(spark, tmp_path_factory, states, probe):
+    """Model-based fuzz: arbitrary commit sequences vs a pure-Python
+    reference. Snapshot-at-any-timestamp must equal the dict state of
+    the resolved commit, and the change feed over any single commit
+    must equal the dict diff (insert/update-pair/delete)."""
+    tmp = tmp_path_factory.mktemp("vfuzz")
+    path = str(tmp / "t")
+    clock = []
+    for i, state in enumerate(states):
+        ms = 100 * (i + 1)
+        rows = [(k, float(v)) for k, v in sorted(state.items())] or [(None, None)]
+        df = spark.createDataFrame(rows, "k int, v double").filter("k IS NOT NULL")
+        commit_version(df, path, ms)
+        clock.append((ms, dict(state)))
+
+    # snapshot resolution at an arbitrary probe timestamp
+    ts = 100 * probe + 50  # lands between commits (or before the first)
+    eligible = [s for ms, s in clock if ms <= ts]
+    if not eligible:
+        with pytest.raises(ValueError):
+            snapshot_at_ms(spark, path, ts)
+    else:
+        got = {r["k"]: r["v"] for r in snapshot_at_ms(spark, path, ts).collect()}
+        assert got == {k: float(v) for k, v in eligible[-1].items()}
+
+    # change feed of each single commit == dict diff
+    prev: dict = {}
+    for i, (ms, state) in enumerate(clock):
+        rows = change_feed(spark, path, ms, ms, key_columns=["k"]).collect()
+        got = {(r["_mp_change_type"], r["k"], r["v"]) for r in rows}
+        want = set()
+        for k in state.keys() - prev.keys():
+            want.add(("INSERT", k, float(state[k])))
+        for k in prev.keys() - state.keys():
+            want.add(("DELETE", k, float(prev[k])))
+        for k in state.keys() & prev.keys():
+            if state[k] != prev[k]:
+                want.add(("DELETE", k, float(prev[k])))
+                want.add(("INSERT", k, float(state[k])))
+        assert got == want, f"commit {i}"
+        assert all(r["_commit_version"] == i and r["_commit_timestamp"] == ms for r in rows)
+        prev = state
