@@ -3009,3 +3009,51 @@ def versioned_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         3000,
         key_columns=["o_orderkey"],
     )
+
+
+# --------------------------------------------------------------------------
+# Parquet footer statistics profile (staged r10): pruning pre-flight
+# --------------------------------------------------------------------------
+
+_FOOTER_SQL = """
+SELECT 'lineitem' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS key_min,
+       CAST(MAX(l_orderkey) AS BIGINT) AS key_max,
+       CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS key_nulls
+FROM lineitem
+UNION ALL
+SELECT 'events',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(user_id) AS BIGINT),
+       CAST(MAX(user_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT)
+FROM events
+"""
+
+
+@register_staged("footer_stats_profile", oracle=_FOOTER_SQL)
+def footer_stats_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning pre-flight from parquet footers only
+    (operators/diagnostics.py ``parquet_footer_profile``): row counts
+    and key min/max/null-count for two prospective predicate columns,
+    read from per-file METADATA — the query never scans a data page.
+    Footer statistics are writer-asserted exact for these integer
+    columns, so the DuckDB oracle recomputes the same numbers from the
+    DATA (COUNT/MIN/MAX) — any footer-parsing bug (row-group walk,
+    column lookup, min/max fold across files, null accounting)
+    diverges from ground truth. n_files/n_row_groups are emitted by
+    the operator but excluded here (not data-derivable); the unit test
+    pins them on a multi-file write."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        parquet_footer_profile,
+    )
+
+    cols = ["table_name", "n_rows", "key_min", "key_max", "key_nulls"]
+    li = parquet_footer_profile(
+        spark, f"{sf_dir}/lineitem.parquet", "l_orderkey", label="lineitem"
+    ).withColumnRenamed("table", "table_name").select(*cols)
+    ev = parquet_footer_profile(
+        spark, f"{sf_dir}/events.parquet", "user_id", label="events"
+    ).withColumnRenamed("table", "table_name").select(*cols)
+    return li.unionByName(ev)

@@ -1051,3 +1051,35 @@ def test_approx_topk_estimating_regime_error_envelope(spark):
     m = 8
     assert out[1][0] == "a" and abs(out[1][1] - 300) <= n / m
     assert out[2][0] == "b" and abs(out[2][1] - 200) <= n / m
+
+
+def test_parquet_footer_profile_multifile_and_missing_stats(spark, tmp_path):
+    """Footer profile over a MULTI-FILE table: n_files/n_row_groups
+    reflect the layout, min/max fold across files, null counts sum;
+    and a key column must exist in every file."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        parquet_footer_profile,
+    )
+
+    out = str(tmp_path / "multi")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    df.repartition(4).write.parquet(out)
+    prof = parquet_footer_profile(spark, out, "k", label="multi").first()
+    assert prof["n_files"] == 4
+    assert prof["n_row_groups"] >= 4
+    assert prof["n_rows"] == 1000
+    assert prof["key_min"] == 0 and prof["key_max"] == 999
+    assert prof["key_nulls"] == 0
+    vprof = parquet_footer_profile(spark, out, "v").first()
+    assert vprof["key_nulls"] == 100
+    assert vprof["key_min"] == 2 and vprof["key_max"] == 1998
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        parquet_footer_profile(spark, out, "no_such_column").first()
