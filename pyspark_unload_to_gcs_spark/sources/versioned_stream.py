@@ -1,0 +1,236 @@
+"""Spark 4 Python DataSource over the versioned-parquet table
+(sources/versioned.py): batch reads resolve a snapshot, streaming
+reads emit each newly COMMITTED version as one micro-batch — the
+ledger-gated ingest source that a bare file stream cannot be (Spark's
+file source lists files with no commit protocol, so a torn multi-file
+write can surface partially; this source only ever exposes versions
+whose ``_SUCCESS`` + ledger entry exist, and its offset is the ledger
+version number, giving exactly-once across restarts for free).
+
+Usage:
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    # batch: one resolved snapshot (+ commit stamps)
+    spark.read.format("versioned_commits").option("path", p)
+         .option("as_of_ms", 2500).load()
+    # stream: every committed version, in order, with commit stamps
+    spark.readStream.format("versioned_commits").option("path", p).load()
+
+Streamed rows carry ``_commit_version`` / ``_commit_timestamp`` next
+to the table columns; downstream exactly-once folds (streaming/dedup,
+merge, rollup) consume them unchanged. Reads happen in Python workers
+via pyarrow (footer-true schema, per-file partitions); this is an
+ingest-control source, not a scan accelerator — for bulk snapshot
+scans prefer ``sources.versioned.snapshot_at_ms`` (JVM parquet reader).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _ddl_for(path: str) -> str:
+    """Spark DDL from the parquet schema of a committed version file
+    (pyarrow, driver-side; timestamps map to TimestampType)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(path).schema_arrow
+    parts = []
+    for field in schema:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t  # decimal(p, s) spells the same in Spark DDL
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise ValueError(
+                f"versioned_commits: unsupported parquet type {t!r} "
+                f"for column {field.name!r}"
+            )
+        parts.append(f"`{field.name}` {ddl}")
+    return ", ".join(parts)
+
+
+def _history(path: str) -> list[dict]:
+    """Committed (version, commit_ms) ascending — the same double gate
+    as sources/versioned.py.table_history (ledger entry AND _SUCCESS)."""
+    ledger_path = os.path.join(path, "_commits.json")
+    if not os.path.exists(ledger_path):
+        return []
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    out = []
+    for e in sorted(ledger, key=lambda e: e["version"]):
+        vdir = os.path.join(path, f"v={e['version']}")
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            out.append(e)
+    return out
+
+
+def _version_files(path: str, version: int) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(path, f"v={version}", "*.parquet"))
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int, commit_ms: int):
+        self.file_path = file_path
+        self.version = version
+        self.commit_ms = commit_ms
+
+
+def _read_file(partition: _FilePartition, *, with_stamps: bool):
+    """Yield pyarrow RecordBatches for one committed part file,
+    optionally appending the commit stamps as constant columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(partition.file_path)
+    for batch in table.to_batches():
+        if with_stamps:
+            n = batch.num_rows
+            arrays = list(batch.columns) + [
+                pa.array([partition.version] * n, pa.int64()),
+                pa.array([partition.commit_ms] * n, pa.int64()),
+            ]
+            names = list(batch.schema.names) + [
+                "_commit_version",
+                "_commit_timestamp",
+            ]
+            batch = pa.RecordBatch.from_arrays(arrays, names=names)
+        yield batch
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, path: str, as_of_ms: int | None):
+        history = _history(path)
+        if not history:
+            raise ValueError(f"versioned_commits: no commits at {path!r}")
+        if as_of_ms is None:
+            entry = history[-1]
+        else:
+            eligible = [e for e in history if e["commit_ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(
+                    f"versioned_commits: as_of_ms={as_of_ms} precedes the "
+                    f"first commit of {path!r}"
+                )
+            entry = eligible[-1]
+        self._parts = [
+            _FilePartition(f, entry["version"], entry["commit_ms"])
+            for f in _version_files(path, entry["version"])
+        ]
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition):
+        # batch snapshots carry the same commit stamps as the stream:
+        # one schema for both paths, and the resolved version is
+        # visible in the result instead of only in logs
+        yield from _read_file(partition, with_stamps=True)
+
+
+class _CommitsStreamReader(DataSourceStreamReader):
+    """Offset = last emitted ledger version; each micro-batch covers
+    the versions committed since. Offsets are JSON dicts
+    ({"version": N}); a restart resumes from the checkpointed offset,
+    and because versions are immutable once committed the replayed
+    batch is byte-identical — exactly-once composition with the
+    versioned-state folds downstream."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def latestOffset(self):
+        history = _history(self._path)
+        return {"version": history[-1]["version"] if history else -1}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        by_version = {e["version"]: e for e in _history(self._path)}
+        parts = []
+        for v in range(lo + 1, hi + 1):
+            e = by_version.get(v)
+            if e is None:
+                continue  # gap = torn write, invisible by contract
+            parts.extend(
+                _FilePartition(f, v, e["commit_ms"])
+                for f in _version_files(self._path, v)
+            )
+        return parts
+
+    def read(self, partition):
+        yield from _read_file(partition, with_stamps=True)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+class VersionedCommitsDataSource(DataSource):
+    """``format("versioned_commits")`` — see module docstring."""
+
+    @classmethod
+    def name(cls):
+        return "versioned_commits"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("versioned_commits: option 'path' is required")
+        return path
+
+    def schema(self) -> str:
+        history = _history(self._path())
+        if not history:
+            raise ValueError(
+                f"versioned_commits: no commits at {self._path()!r} to "
+                "infer a schema from (pass .schema(...) explicitly)"
+            )
+        files = _version_files(self._path(), history[0]["version"])
+        base = _ddl_for(files[0])
+        # both paths stamp commit metadata — one schema serves batch
+        # snapshot reads and the commit stream alike
+        return base + ", `_commit_version` bigint, `_commit_timestamp` bigint"
+
+    def reader(self, schema):
+        as_of = self.options.get("as_of_ms")
+        return _SnapshotReader(
+            self._path(), int(as_of) if as_of is not None else None
+        )
+
+    def streamReader(self, schema):
+        return _CommitsStreamReader(self._path())

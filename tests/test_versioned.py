@@ -167,3 +167,62 @@ def test_versioned_source_matches_reference_model(spark, tmp_path_factory, state
         assert got == want, f"commit {i}"
         assert all(r["_commit_version"] == i and r["_commit_timestamp"] == ms for r in rows)
         prev = state
+
+
+def test_versioned_commits_datasource_batch_stream_and_resume(spark, tmp_path):
+    """Spark 4 Python DataSource over the versioned table
+    (sources/versioned_stream.py): batch reads resolve AS-OF (with
+    commit stamps), the stream emits each committed version exactly
+    once, and a RESTART from the checkpoint picks up only versions
+    committed since (offset = ledger version)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 10.0), (2, 20.0)]), path, 100)
+    commit_version(mk([(1, 11.0), (3, 30.0)]), path, 200)
+
+    # batch: timestamp resolution + stamps
+    as_of = spark.read.format("versioned_commits").option("path", path).option(
+        "as_of_ms", 150
+    ).load()
+    assert sorted((r["k"], r["v"], r["_commit_version"]) for r in as_of.collect()) == [
+        (1, 10.0, 0),
+        (2, 20.0, 0),
+    ]
+    latest = spark.read.format("versioned_commits").option("path", path).load()
+    assert {r["_commit_version"] for r in latest.collect()} == {1}
+
+    def drain():
+        got = []
+        q = (
+            spark.readStream.format("versioned_commits")
+            .option("path", path)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, i: got.extend(b.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["k"], r["v"], r["_commit_version"], r["_commit_timestamp"])
+            for r in got
+        )
+
+    assert drain() == [
+        (1, 10.0, 0, 100),
+        (1, 11.0, 1, 200),
+        (2, 20.0, 0, 100),
+        (3, 30.0, 1, 200),
+    ]
+    # nothing new -> empty follow-up run from the same checkpoint
+    assert drain() == []
+    # a third commit -> ONLY its rows on the next run
+    commit_version(mk([(4, 40.0)]), path, 300)
+    assert drain() == [(4, 40.0, 2, 300)]
