@@ -488,9 +488,10 @@ def _load_extensions() -> None:
 # over the real BMP raster path; versioned_snapshot_at +
 # versioned_change_feed — runtime-proven S2-S4 time-travel/CDF
 # semantics over versioned parquet; footer_stats_profile — parquet
-# footer pruning pre-flight vs data-derived oracle; all parity-tested
-# at sf0.001+sf0.01, budgets recorded); then refresh, oldest evidence
-# first:
+# footer pruning pre-flight vs data-derived oracle;
+# versioned_datasource_snapshot — the Spark 4 Python DataSource read
+# path AS-OF; all parity-tested at sf0.001+sf0.01, budgets recorded);
+# then refresh, oldest evidence first:
 # the 28 remaining r05-only greens not refreshed this round
 # (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
 # lang_id_heuristic, near_dedup_minhash_recall,

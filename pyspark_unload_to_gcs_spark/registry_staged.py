@@ -3057,3 +3057,45 @@ def footer_stats_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", "user_id", label="events"
     ).withColumnRenamed("table", "table_name").select(*cols)
     return li.unionByName(ev)
+
+
+# --------------------------------------------------------------------------
+# Python DataSource batch read over the versioned table (staged r10)
+# --------------------------------------------------------------------------
+
+_VERSIONED_DS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END AS price,
+       CAST(1 AS BIGINT) AS _commit_version,
+       CAST(2000 AS BIGINT) AS _commit_timestamp
+FROM orders
+"""
+
+
+@register_staged("versioned_datasource_snapshot", oracle=_VERSIONED_DS_SQL)
+def versioned_datasource_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource read path under a driver oracle
+    (sources/versioned_stream.py ``VersionedCommitsDataSource``):
+    the 3-commit orders table read AS OF ms 2500 through
+    ``format("versioned_commits")`` — footer-inferred schema, pyarrow
+    RecordBatch partitions in Python workers, commit stamps appended —
+    must resolve to v1 with version/timestamp constants, same closed
+    form as versioned_snapshot_at plus the stamp columns. Any drift in
+    ledger gating, AS-OF resolution, arrow type mapping, or stamp
+    plumbing flips rows or schema."""
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    path = _versioned_orders(spark, sf_dir)
+    key = (session_token(spark), "versioned_commits_registered")
+    if key not in _VERSIONED_MEMO:
+        spark.dataSource.register(VersionedCommitsDataSource)
+        _VERSIONED_MEMO[key] = True
+    return (
+        spark.read.format("versioned_commits")
+        .option("path", path)
+        .option("as_of_ms", 2500)
+        .load()
+    )
