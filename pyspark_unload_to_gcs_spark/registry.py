@@ -491,7 +491,9 @@ def _load_extensions() -> None:
 # footer pruning pre-flight vs data-derived oracle;
 # versioned_datasource_snapshot — the Spark 4 Python DataSource read
 # path AS-OF; all parity-tested at sf0.001+sf0.01, budgets recorded);
-# then refresh, oldest evidence first:
+# then refresh, oldest evidence first (core 8 + 6 staged = 14,
+# leaving 36 slots: the 28 r05 names below, then the 8
+# alphabetically-first r06 greens):
 # the 28 remaining r05-only greens not refreshed this round
 # (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
 # lang_id_heuristic, near_dedup_minhash_recall,

@@ -226,3 +226,52 @@ def test_versioned_commits_datasource_batch_stream_and_resume(spark, tmp_path):
     # a third commit -> ONLY its rows on the next run
     commit_version(mk([(4, 40.0)]), path, 300)
     assert drain() == [(4, 40.0, 2, 300)]
+
+
+def test_versioned_commit_stream_to_export_sink(spark, tmp_path):
+    """Full streaming CDC-ingest composition: versioned commits stream
+    (Python DataSource) -> start_stream_export (foreachBatch + the
+    batch gzip-JSON writer) — each drain exports exactly the versions
+    committed since the checkpoint, the reference's orchestrated
+    incremental loop with Spark checkpointing as the watermark."""
+    import glob
+    import gzip
+    import json as _json
+
+    from pyspark_unload_to_gcs_spark.config import SyncConfig
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.export import start_stream_export
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    table = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 10.0)]), table, 100)
+    commit_version(mk([(2, 20.0)]), table, 200)
+
+    out = f"file:{tmp_path}/exports"
+    cfg = SyncConfig(table=table, output_uri=out)
+
+    def drain():
+        stream = (
+            spark.readStream.format("versioned_commits")
+            .option("path", table)
+            .load()
+        )
+        q, _stats = start_stream_export(
+            stream, cfg, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        rows = []
+        for f in glob.glob(f"{tmp_path}/exports/batch=*/*.json.gz"):
+            rows += [_json.loads(line) for line in gzip.open(f)]
+        return sorted((r["k"], r["v"], r["_commit_version"]) for r in rows)
+
+    assert drain() == [(1, 10.0, 0), (2, 20.0, 1)]
+    # nothing new: a re-drain adds no rows
+    assert drain() == [(1, 10.0, 0), (2, 20.0, 1)]
+    # new commit: only version 2 lands in a new batch directory
+    commit_version(mk([(3, 30.0)]), table, 300)
+    assert drain() == [(1, 10.0, 0), (2, 20.0, 1), (3, 30.0, 2)]
