@@ -149,7 +149,29 @@ def change_feed(
     in_window = [e for e in history if start_ms <= e["commit_ms"] <= end_ms]
     if not history:
         raise ValueError(f"versioned table at {path!r} has no commits")
-    template = _read_version(spark, path, history[0]["version"])
+    # schema evolution: the feed's schema is the LATEST version's (the
+    # table's current shape); older snapshots align by adding typed
+    # NULL columns. An unchanged row that merely gained a NULL column
+    # hashes identically on both sides of the diff, so evolution alone
+    # emits no spurious change rows.
+    template = _read_version(spark, path, history[-1]["version"])
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        cols = []
+        for f in template.schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        extra = [c for c in df.columns if c not in template.columns]
+        if extra:
+            raise ValueError(
+                f"change_feed: version carries columns {extra} absent from "
+                "the latest schema — column DROPS are a rewrite, not an "
+                "evolution this source aligns"
+            )
+        return df.select(*cols)
+
     empty = template.limit(0)
     if not in_window:
         return (
@@ -161,11 +183,11 @@ def change_feed(
     by_version = {e["version"]: e for e in history}
     for e in in_window:
         prev = (
-            _read_version(spark, path, e["version"] - 1)
+            _aligned(_read_version(spark, path, e["version"] - 1))
             if e["version"] - 1 in by_version
             else empty
         )
-        cur = _read_version(spark, path, e["version"])
+        cur = _aligned(_read_version(spark, path, e["version"]))
         parts.append(
             snapshot_diff(prev, cur, key_columns)
             .withColumn("_commit_version", F.lit(e["version"]).cast("long"))

@@ -106,30 +106,47 @@ class _FilePartition(InputPartition):
         self.commit_ms = commit_ms
 
 
-def _read_file(partition: _FilePartition, *, with_stamps: bool):
-    """Yield pyarrow RecordBatches for one committed part file,
-    optionally appending the commit stamps as constant columns."""
+def _arrow_targets(schema) -> list:
+    """[(name, pa.DataType)] for the table columns of the resolved
+    Spark schema (stamps excluded — appended per partition)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return [
+        (f.name, to_arrow_type(f.dataType))
+        for f in schema.fields
+        if f.name not in ("_commit_version", "_commit_timestamp")
+    ]
+
+
+def _read_file(partition: _FilePartition, targets: list):
+    """Yield pyarrow RecordBatches for one committed part file aligned
+    to the resolved schema: columns a version predates come back as
+    typed NULLs (schema evolution — additive only), and the commit
+    stamps are appended as constants."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.file_path)
     for batch in table.to_batches():
-        if with_stamps:
-            n = batch.num_rows
-            arrays = list(batch.columns) + [
-                pa.array([partition.version] * n, pa.int64()),
-                pa.array([partition.commit_ms] * n, pa.int64()),
-            ]
-            names = list(batch.schema.names) + [
-                "_commit_version",
-                "_commit_timestamp",
-            ]
-            batch = pa.RecordBatch.from_arrays(arrays, names=names)
-        yield batch
+        n = batch.num_rows
+        arrays, names = [], []
+        for name, typ in targets:
+            if name in batch.schema.names:
+                arrays.append(batch.column(name))
+            else:
+                arrays.append(pa.nulls(n, typ))
+            names.append(name)
+        arrays += [
+            pa.array([partition.version] * n, pa.int64()),
+            pa.array([partition.commit_ms] * n, pa.int64()),
+        ]
+        names += ["_commit_version", "_commit_timestamp"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, as_of_ms: int | None):
+    def __init__(self, path: str, as_of_ms: int | None, targets: list):
+        self._targets = targets
         history = _history(path)
         if not history:
             raise ValueError(f"versioned_commits: no commits at {path!r}")
@@ -155,7 +172,7 @@ class _SnapshotReader(DataSourceReader):
         # batch snapshots carry the same commit stamps as the stream:
         # one schema for both paths, and the resolved version is
         # visible in the result instead of only in logs
-        yield from _read_file(partition, with_stamps=True)
+        yield from _read_file(partition, self._targets)
 
 
 class _CommitsStreamReader(DataSourceStreamReader):
@@ -166,8 +183,9 @@ class _CommitsStreamReader(DataSourceStreamReader):
     batch is byte-identical — exactly-once composition with the
     versioned-state folds downstream."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, targets: list):
         self._path = path
+        self._targets = targets
 
     def initialOffset(self):
         return {"version": -1}
@@ -191,7 +209,7 @@ class _CommitsStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_file(partition, with_stamps=True)
+        yield from _read_file(partition, self._targets)
 
     def commit(self, end):
         pass
@@ -220,7 +238,9 @@ class VersionedCommitsDataSource(DataSource):
                 f"versioned_commits: no commits at {self._path()!r} to "
                 "infer a schema from (pass .schema(...) explicitly)"
             )
-        files = _version_files(self._path(), history[0]["version"])
+        # LATEST version carries the table's current (evolved) schema;
+        # older versions align via typed-NULL padding in the readers
+        files = _version_files(self._path(), history[-1]["version"])
         base = _ddl_for(files[0])
         # both paths stamp commit metadata — one schema serves batch
         # snapshot reads and the commit stream alike
@@ -229,8 +249,10 @@ class VersionedCommitsDataSource(DataSource):
     def reader(self, schema):
         as_of = self.options.get("as_of_ms")
         return _SnapshotReader(
-            self._path(), int(as_of) if as_of is not None else None
+            self._path(),
+            int(as_of) if as_of is not None else None,
+            _arrow_targets(schema),
         )
 
     def streamReader(self, schema):
-        return _CommitsStreamReader(self._path())
+        return _CommitsStreamReader(self._path(), _arrow_targets(schema))

@@ -275,3 +275,66 @@ def test_versioned_commit_stream_to_export_sink(spark, tmp_path):
     # new commit: only version 2 lands in a new batch directory
     commit_version(mk([(3, 30.0)]), table, 300)
     assert drain() == [(1, 10.0, 0), (2, 20.0, 1), (3, 30.0, 2)]
+
+
+def test_versioned_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: a commit that ADDS a column aligns
+    everywhere — the change feed reports in the latest schema (typed
+    NULLs for pre-evolution rows, and a row that merely gained a NULL
+    column is NOT a change), the Python DataSource pads old versions,
+    and column DROPS are refused with a clear error."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    path = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        path,
+        100,
+    )
+    # v1 adds column w; k=1 keeps v (gains only w), k=2 changes v too
+    commit_version(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 21.0, "b")], "k int, v double, w string"
+        ),
+        path,
+        200,
+    )
+
+    feed = change_feed(spark, path, 150, 250, key_columns=["k"]).collect()
+    got = {(r["_mp_change_type"], r["k"], r["v"], r["w"]) for r in feed}
+    # k=1: v unchanged, w NULL -> "a" IS a change (the column appeared
+    # with a value); k=2: value change. No row for unchanged-everything.
+    assert got == {
+        ("DELETE", 1, 10.0, None),
+        ("INSERT", 1, 10.0, "a"),
+        ("DELETE", 2, 20.0, None),
+        ("INSERT", 2, 21.0, "b"),
+    }
+    # the first commit alone, re-read AFTER evolution: all-INSERT in
+    # the LATEST schema, w typed-NULL, and nothing spurious
+    first = change_feed(spark, path, 0, 100, key_columns=["k"]).collect()
+    assert {(r["_mp_change_type"], r["k"], r["w"]) for r in first} == {
+        ("INSERT", 1, None),
+        ("INSERT", 2, None),
+    }
+
+    # DataSource: old version padded to the evolved schema
+    as_of = (
+        spark.read.format("versioned_commits")
+        .option("path", path)
+        .option("as_of_ms", 150)
+        .load()
+    )
+    assert sorted((r["k"], r["v"], r["w"]) for r in as_of.collect()) == [
+        (1, 10.0, None),
+        (2, 20.0, None),
+    ]
+
+    # column drops are a rewrite, not an evolution
+    commit_version(spark.createDataFrame([(9, "x")], "k int, w string"), path, 300)
+    with pytest.raises(ValueError, match="column DROPS"):
+        change_feed(spark, path, 0, 300, key_columns=["k"]).collect()
