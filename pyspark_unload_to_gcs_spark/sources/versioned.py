@@ -207,3 +207,37 @@ __all__ = [
     "snapshot_at_ms",
     "table_history",
 ]
+
+
+def vacuum(path: str, *, keep_last: int) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions — ledger entry FIRST (readers stop resolving the version
+    the moment the atomic ledger replace lands), data dirs second, so
+    a crash between the two leaves only invisible orphan dirs (the
+    same state a torn commit leaves, already handled by every reader).
+    Time travel to a vacuumed version then raises precedes-first-commit
+    — the Delta VACUUM contract. Returns the dropped version numbers."""
+    if keep_last < 1:
+        raise ValueError(f"vacuum: keep_last={keep_last} must be >= 1")
+    import shutil
+
+    history = table_history(path)  # newest first
+    keep = {e["version"] for e in history[:keep_last]}
+    drop = sorted(e["version"] for e in history if e["version"] not in keep)
+    if not drop:
+        return []
+    ledger = sorted(
+        (
+            {"version": e["version"], "commit_ms": e["commit_ms"]}
+            for e in history
+            if e["version"] in keep
+        ),
+        key=lambda e: e["version"],
+    )
+    tmp = os.path.join(path, _COMMITS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, os.path.join(path, _COMMITS_FILE))
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return drop

@@ -338,3 +338,33 @@ def test_versioned_schema_evolution_additive(spark, tmp_path):
     commit_version(spark.createDataFrame([(9, "x")], "k int, w string"), path, 300)
     with pytest.raises(ValueError, match="column DROPS"):
         change_feed(spark, path, 0, 300, key_columns=["k"]).collect()
+
+
+def test_vacuum_retention(spark, table):
+    """vacuum(keep_last=N): old versions stop resolving the moment the
+    ledger shrinks (ledger-first ordering), history and time travel
+    reflect retention, the change feed window simply skips vacuumed
+    commits, and the newest N keep serving."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.sources.versioned import vacuum
+
+    assert vacuum(table, keep_last=2) == [0]
+    assert [e["version"] for e in table_history(table)] == [2, 1]
+    assert not os.path.exists(os.path.join(table, "v=0"))
+    # time travel to the vacuumed range now raises (Delta VACUUM contract)
+    with pytest.raises(ValueError, match="precedes the first commit"):
+        snapshot_at_ms(spark, table, 150)
+    # the surviving versions read as before
+    assert {r["k"] for r in snapshot_at_ms(spark, table, 250).collect()} == {1, 2, 3}
+    # the feed over a window containing the vacuumed commit skips it;
+    # the oldest SURVIVOR now diffs against empty (all-INSERT)
+    rows = change_feed(spark, table, 0, 300, key_columns=["k"]).collect()
+    versions = {r["_commit_version"] for r in rows}
+    assert versions == {1, 2}
+    v1 = {(r["_mp_change_type"], r["k"]) for r in rows if r["_commit_version"] == 1}
+    assert v1 == {("INSERT", 1), ("INSERT", 2), ("INSERT", 3)}
+    # no-op when everything is within retention; keep_last >= 1 enforced
+    assert vacuum(table, keep_last=10) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(table, keep_last=0)
