@@ -490,9 +490,10 @@ def _load_extensions() -> None:
 # semantics over versioned parquet; footer_stats_profile — parquet
 # footer pruning pre-flight vs data-derived oracle;
 # versioned_datasource_snapshot — the Spark 4 Python DataSource read
-# path AS-OF; all parity-tested at sf0.001+sf0.01, budgets recorded);
-# then refresh, oldest evidence first (core 8 + 6 staged = 14,
-# leaving 36 slots: the 28 r05 names below, then the 8
+# path AS-OF; versioned_stream_replay — a TRUE readStream drain of
+# the commit stream; all parity-tested at sf0.001+sf0.01, budgets
+# recorded); then refresh, oldest evidence first (core 8 + 7 staged
+# = 15, leaving 35 slots: the 28 r05 names below, then the 7
 # alphabetically-first r06 greens):
 # the 28 remaining r05-only greens not refreshed this round
 # (big_orders, grouping_sets_revenue, hot_users, json_props_extract,

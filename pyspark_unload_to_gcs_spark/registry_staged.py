@@ -3099,3 +3099,71 @@ def versioned_datasource_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFra
         .option("as_of_ms", 2500)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# TRUE Structured Streaming drain of the commit stream (staged r10)
+# --------------------------------------------------------------------------
+
+_VERSIONED_STREAM_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c, CAST(o_totalprice AS DOUBLE) AS p
+  FROM orders
+),
+v1 AS (
+  SELECT k, c, p + CASE WHEN k % 10 = 0 THEN 1.0 ELSE 0.0 END AS p FROM base
+)
+SELECT k AS o_orderkey, c AS o_custkey, p AS price,
+       CAST(0 AS BIGINT) AS _commit_version,
+       CAST(1000 AS BIGINT) AS _commit_timestamp
+FROM base WHERE k % 2 = 0
+UNION ALL
+SELECT k, c, p, 1, 2000 FROM v1
+UNION ALL
+SELECT k, c, p, 2, 3000 FROM v1 WHERE k % 7 != 0
+"""
+
+
+@register_staged("versioned_stream_replay", oracle=_VERSIONED_STREAM_SQL)
+def versioned_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution under a driver value
+    oracle (every other *_stream_replay row folds the protocol in
+    batch; this one runs ``readStream`` end to end): the 3-commit
+    versioned orders table drained through the Python DataSource
+    commit stream (availableNow trigger, foreachBatch parquet
+    accumulation) must deliver every version's rows exactly once with
+    their commit stamps — offset handling, ledger gating, arrow
+    NULL-padding, and the stream runner itself all sit inside the
+    value hash. The oracle enumerates the three snapshots in closed
+    form from orders."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    path = _versioned_orders(spark, sf_dir)
+    key = (session_token(spark), sf_dir, "stream_drain")
+    if key not in _VERSIONED_MEMO:
+        reg_key = (session_token(spark), "versioned_commits_registered")
+        if reg_key not in _VERSIONED_MEMO:
+            spark.dataSource.register(VersionedCommitsDataSource)
+            _VERSIONED_MEMO[reg_key] = True
+        out_dir = tempfile.mkdtemp(prefix="versioned_stream_replay_") + "/rows"
+        ckpt = tempfile.mkdtemp(prefix="versioned_stream_replay_ckpt_")
+        stream = (
+            spark.readStream.format("versioned_commits")
+            .option("path", path)
+            .load()
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda batch, _i: batch.write.mode("append").parquet(out_dir)
+            )
+            .start()
+        )
+        q.awaitTermination(300)
+        _VERSIONED_MEMO[key] = out_dir
+    return spark.read.parquet(_VERSIONED_MEMO[key])
