@@ -557,15 +557,19 @@ GROUP BY user_id, session_seq
 @register("sessionize_stream_replay", oracle=_SESSION_REPLAY_SQL)
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned-state incremental sessionizer
-    (streaming/sessionize_fold.py ``fold_batch``) replayed over four
-    event-time-ordered micro-batches (fixed Jan-2024 week boundaries,
+    (streaming/sessionize_fold.py ``fold_batch``) replayed over three
+    event-time-ordered micro-batches (fixed Jan-2024 boundaries,
     satisfying the per-user cross-batch ordering precondition), then
     finalized: the closed-session log + finalized opens must equal the
     direct batch sessionization — the same oracle the batch
     ``sessionization`` query carries. This gives the sessions family a
     driver-faced state-protocol check (rollup and MERGE got theirs in
     r06), covering cross-batch session continuation, gap-split across
-    batch boundaries, and users absent from intermediate batches."""
+    batch boundaries, and users absent from intermediate batches.
+    (Trimmed from four folds to three in r09 per VERDICT r08 #4 — each
+    sequential fold is a full state read+shuffle+write and the fourth
+    boundary proved nothing the second and third don't; the protocol's
+    retry/ordering edge cases live in tests/test_streaming.py.)"""
     from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
     from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
         fold_batch,
@@ -573,12 +577,11 @@ def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    bounds = ["2024-01-08", "2024-01-15", "2024-01-22"]
+    bounds = ["2024-01-11", "2024-01-21"]
     batches = [
         ev.filter(F.col("ts") < bounds[0]),
         ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
-        ev.filter(F.col("ts") >= bounds[2]),
+        ev.filter(F.col("ts") >= bounds[1]),
     ]
     return replay_batches(
         _SESSION_REPLAY_MEMO,
