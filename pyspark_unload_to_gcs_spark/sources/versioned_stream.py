@@ -27,7 +27,6 @@ scans prefer ``sources.versioned.snapshot_at_ms`` (JVM parquet reader).
 from __future__ import annotations
 
 import glob
-import json
 import os
 
 from pyspark.sql.datasource import (
@@ -78,19 +77,13 @@ def _ddl_for(path: str) -> str:
 
 
 def _history(path: str) -> list[dict]:
-    """Committed (version, commit_ms) ascending — the same double gate
-    as sources/versioned.py.table_history (ledger entry AND _SUCCESS)."""
-    ledger_path = os.path.join(path, "_commits.json")
-    if not os.path.exists(ledger_path):
-        return []
-    with open(ledger_path) as f:
-        ledger = json.load(f)
-    out = []
-    for e in sorted(ledger, key=lambda e: e["version"]):
-        vdir = os.path.join(path, f"v={e['version']}")
-        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
-            out.append(e)
-    return out
+    """Committed (version, commit_ms) ASCENDING — delegates to the one
+    authoritative commit gate (ledger entry AND _SUCCESS,
+    sources/versioned.py::table_history) so the two modules cannot
+    drift on what counts as committed."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import table_history
+
+    return sorted(table_history(path), key=lambda e: e["version"])
 
 
 def _version_files(path: str, version: int) -> list[str]:
