@@ -83,7 +83,15 @@ def commit_version(df: DataFrame, path: str, commit_ms: int) -> int:
     reader never sees a version the data for which is incomplete.
     Commit timestamps must be non-decreasing — time travel resolves by
     timestamp, and an out-of-order commit would make ``<= ts`` pick a
-    version that did not exist at ``ts``."""
+    version that did not exist at ``ts``.
+
+    SINGLE-WRITER assumption, stated honestly: the ledger replace is
+    last-writer-wins, so two concurrent committers can orphan each
+    other's version dirs (readers stay consistent — they only ever see
+    whatever ledger landed last — but one commit is silently lost).
+    Serialize writers externally (one orchestrator/stream per table);
+    a log-backed format's optimistic-concurrency CAS is the upgrade
+    path, same API."""
     history = table_history(path)
     if history and commit_ms < history[0]["commit_ms"]:
         raise ValueError(

@@ -368,3 +368,54 @@ def test_vacuum_retention(spark, table):
     assert vacuum(table, keep_last=10) == []
     with pytest.raises(ValueError, match="keep_last"):
         vacuum(table, keep_last=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    states=st.lists(
+        st.dictionaries(st.integers(1, 5), st.integers(0, 50), max_size=5),
+        min_size=1,
+        max_size=4,
+    ),
+    probe=st.integers(1, 5),
+)
+def test_datasource_agrees_with_jvm_reader(spark, tmp_path_factory, states, probe):
+    """Cross-path consistency fuzz: the Python DataSource batch read
+    and the JVM parquet reader (snapshot_at_ms) are fully independent
+    implementations of the same AS-OF contract — on arbitrary commit
+    sequences they must return identical row sets at every probe
+    timestamp (stamps dropped for the comparison)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    tmp = tmp_path_factory.mktemp("xpath")
+    path = str(tmp / "t")
+    for i, state in enumerate(states):
+        rows = [(k, float(v)) for k, v in sorted(state.items())] or [(None, None)]
+        df = spark.createDataFrame(rows, "k int, v double").filter("k IS NOT NULL")
+        commit_version(df, path, 100 * (i + 1))
+
+    ts = 100 * probe + 50
+    try:
+        jvm = {(r["k"], r["v"]) for r in snapshot_at_ms(spark, path, ts).collect()}
+    except ValueError:
+        with pytest.raises(Exception):
+            (
+                spark.read.format("versioned_commits")
+                .option("path", path)
+                .option("as_of_ms", ts)
+                .load()
+                .collect()
+            )
+        return
+    ds = {
+        (r["k"], r["v"])
+        for r in spark.read.format("versioned_commits")
+        .option("path", path)
+        .option("as_of_ms", ts)
+        .load()
+        .collect()
+    }
+    assert ds == jvm
