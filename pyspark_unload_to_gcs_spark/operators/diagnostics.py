@@ -198,6 +198,7 @@ def parquet_footer_profile(
                 kmin = kmax = None
                 knulls = 0
                 stats_ok = True
+                nulls_ok = True
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
                     names = [
@@ -209,15 +210,23 @@ def parquet_footer_profile(
                     else:
                         kmin = st.min if kmin is None else min(kmin, st.min)
                         kmax = st.max if kmax is None else max(kmax, st.max)
-                    knulls += int(st.null_count) if st is not None else 0
+                    # null_count is OPTIONAL in the format: pyarrow
+                    # returns None when has_null_count is false (legal
+                    # for non-pyarrow/Spark writers) — propagate
+                    # unknown, never count 0 (ADVICE r09)
+                    if st is None or not st.has_null_count:
+                        nulls_ok = False
+                    else:
+                        knulls += int(st.null_count)
                 rows.append(
                     {
                         "n_row_groups": md.num_row_groups,
                         "n_rows": md.num_rows,
                         "key_min": int(kmin) if stats_ok and kmin is not None else None,
                         "key_max": int(kmax) if stats_ok and kmax is not None else None,
-                        "key_nulls": knulls,
+                        "key_nulls": knulls if nulls_ok else None,
                         "stats_ok": stats_ok,
+                        "nulls_ok": nulls_ok,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -225,7 +234,7 @@ def parquet_footer_profile(
     per_file = paths_df.mapInPandas(
         _read_footers,
         "n_row_groups long, n_rows long, key_min long, key_max long, "
-        "key_nulls long, stats_ok boolean",
+        "key_nulls long, stats_ok boolean, nulls_ok boolean",
     )
     return per_file.agg(
         _F.lit(label or key_column).alias("table"),
@@ -239,5 +248,8 @@ def parquet_footer_profile(
         _F.when(_F.bool_and("stats_ok"), _F.max("key_max"))
         .cast("long")
         .alias("key_max"),
-        _F.sum("key_nulls").cast("long").alias("key_nulls"),
+        # same rule for null counts: unknown anywhere -> NULL, not 0
+        _F.when(_F.bool_and("nulls_ok"), _F.sum("key_nulls"))
+        .cast("long")
+        .alias("key_nulls"),
     )

@@ -1058,7 +1058,11 @@ def pq_index_append(
             enc.write.mode("append").partitionBy(cell_column).parquet(path)
         )
         return len(touched)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    # unique staging suffix per call: a crashed run's leftovers can
+    # never be confused with (or collide with) live staging data
+    import uuid as _uuid
+
+    tmp = path.rstrip("/") + f"__compact_tmp_{_uuid.uuid4().hex[:12]}"
     old = spark.read.parquet(path).filter(F.col(cell_column).isin(touched))
     (
         old.unionByName(enc)
@@ -1073,4 +1077,13 @@ def pq_index_append(
         .partitionBy(cell_column)
         .parquet(path)
     )
+    # the dynamic-partition overwrite above is fully materialized —
+    # drop the staging copy so high-frequency append streams don't
+    # accumulate a full copy of the touched cells per compaction
+    # (ADVICE r09); Hadoop FS API so object-store URIs work too
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
     return len(touched)

@@ -481,34 +481,32 @@ def _load_extensions() -> None:
 # Plan budgets for the promoted names were pre-recorded in r07
 # (tests/plan_budgets.json) so no budget merge was needed.
 #
-# R10 ROTATION PLAN (execute next round): keep the core eight;
-# promote the r09 staged entries (registry_staged bottom:
-# pq_index_incremental_topk — incremental on-disk IVF-PQ index
-# maintenance; image_ahash_dup_pairs — perceptual-hash image dedup
-# over the real BMP raster path; versioned_snapshot_at +
-# versioned_change_feed — runtime-proven S2-S4 time-travel/CDF
-# semantics over versioned parquet; footer_stats_profile — parquet
-# footer pruning pre-flight vs data-derived oracle;
-# versioned_datasource_snapshot — the Spark 4 Python DataSource read
-# path AS-OF; versioned_stream_replay — a TRUE readStream drain of
-# the commit stream; all parity-tested at sf0.001+sf0.01, budgets
-# recorded); then refresh, oldest evidence first (core 8 + 7 staged
-# = 15, leaving 35 slots: the 28 r05 names below, then the 7
-# alphabetically-first r06 greens):
-# the 28 remaining r05-only greens not refreshed this round
-# (big_orders, grouping_sets_revenue, hot_users, json_props_extract,
-# lang_id_heuristic, near_dedup_minhash_recall,
-# near_dedup_ngram_recall, normalized_dedup, orders_with_returns,
-# q1_pricing_summary, q3_order_revenue, q4_order_priority,
-# q5_local_supplier_volume, q6_revenue_delta, quality_score,
-# regional_revenue, rolling_user_value, rollup_pricing,
-# salted_user_activity, scd_latest_order_maxby,
-# token_budget_stream_replay, token_count, top_orders_per_customer,
-# top_parts_by_revenue, user_activity, value_histogram,
-# value_percentiles, value_percentiles_approx), then the oldest r06
-# greens for the remaining slots (asof_latest_click,
-# balanced_corpus_sample, benchmark_contamination, bm25_search, ...
-# alphabetical). After promoting new staged names run
+# R10 ROTATION — EXECUTED THIS ROUND (the plan pinned here in r09,
+# verbatim): core eight kept; the SEVEN r09-staged entries promoted
+# to live ``@register`` in registry_staged.py
+# (pq_index_incremental_topk, image_ahash_dup_pairs,
+# versioned_snapshot_at, versioned_change_feed, footer_stats_profile,
+# versioned_datasource_snapshot, versioned_stream_replay — the
+# versioned-parquet S2-S4 family incl. the first TRUE readStream row;
+# all parity-tested at sf0.001+sf0.01 before staging, budgets
+# pre-recorded in r09); refresh slots = the 28 r05-only greens (the
+# full r05 cohort minus rows-only near_dedup_simhash, which stays out
+# of the window per VERDICT r09 #3 — its value evidence is the
+# in-window near_dedup_simhash_recall planted/decoy pin) + the 7
+# alphabetically-first r06-only greens. 8 + 7 + 28 + 7 = 50; every
+# window row is oracle-bearing (zero rows-only slots).
+#
+# R11 ROTATION PLAN (execute next round): keep the core eight;
+# promote any r10-staged entries (registry_staged bottom) first;
+# then refresh oldest-evidence-first — the remaining 35 r06-only
+# greens (clean_corpus_stats was last in this window's alphabetical
+# cut; continue from customers_without_orders) fill the next window,
+# with any leftover slots going to the oldest r07 greens
+# (alphabetical). Rows-only names (near_dedup_simhash,
+# rolling_active_users_approx, events_approx_users, near_dedup_*,
+# fuzzy_entity_join, near_dup_clusters, multimodal_decode/embed_topk)
+# stay OUT of _PRIORITY — each family's value evidence is its
+# in-rotation recall/accuracy pin. After promoting staged names run
 # `python tools/plan_digest.py --budgets` merged to preserve
 # existing ceilings.
 # Steady state: every query re-checked at least every third round.
@@ -522,55 +520,55 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r08 staged cohort (live as of r09)
-    "unicode_normalize_stats",
-    "export_manifest_roundtrip",
-    "xml_ingest_roundtrip",
-    "theta_overlap_estimate_accuracy",
-    "activity_window_overlap",
-    "heavy_hitters_daily",
-    "binaryfile_wav_ingest",
-    "orc_ingest_roundtrip",
-    "join_key_skew_profile",
-    "name_typo_pairs",
-    "dedup_stream_replay",
-    "join_cardinality_profile",
-    "variant_props_profile",
-    "heavy_hitters_stream_replay",
-    "asof_nearest_click",
-    # 3. evidence refresh: the 13 r04-only greens deferred in r07
-    "rolling_active_users_approx",
-    "vector_topk_lsh",
-    "vector_topk_quantized",
-    "k_anonymity_suppression",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_widget_suppliers",
-    "q21_sole_returning_supplier",
-    # 4. evidence refresh: 13 of the 41 r05-only greens (oldest
-    #    cohort; alphabetical, with the substitutions noted in the
-    #    executed-plan comment above) + the NEW asof_forward_tolerance
-    #    (VERDICT r08 #6 asks for a driver row this round; big_orders
-    #    — a plain filter re-proven by every pytest — slides to r10)
-    "asof_forward_tolerance",
-    "c4_page_clean_stats",
-    "constraint_profile_orders",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "dedup_keep_best_exact",
-    "doc_fingerprint",
-    "events_approx_users_accuracy",
-    "exact_dedup",
-    "fuzzy_entity_join_recall",
-    "gopher_quality_profile",
-    "gopher_repetition",
-    "rolling_actives_approx_accuracy",
-    "semantic_dedup_auto",
+    # 2. never-checked: the promoted r09 staged cohort (live as of
+    #    r10) — versioned-parquet S2-S4 family, incremental IVF-PQ
+    #    index, image aHash dedup, footer-stats pre-flight
+    "versioned_snapshot_at",
+    "versioned_change_feed",
+    "versioned_datasource_snapshot",
+    "versioned_stream_replay",
+    "pq_index_incremental_topk",
+    "image_ahash_dup_pairs",
+    "footer_stats_profile",
+    # 3. evidence refresh: the 28 r05-only greens (full r05 cohort
+    #    minus rows-only near_dedup_simhash — covered by its recall
+    #    pin below)
+    "big_orders",
+    "grouping_sets_revenue",
+    "hot_users",
+    "json_props_extract",
+    "lang_id_heuristic",
+    "near_dedup_minhash_recall",
+    "near_dedup_ngram_recall",
+    "normalized_dedup",
+    "orders_with_returns",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "quality_score",
+    "regional_revenue",
+    "rolling_user_value",
+    "rollup_pricing",
+    "salted_user_activity",
+    "scd_latest_order_maxby",
+    "token_budget_stream_replay",
+    "token_count",
+    "top_orders_per_customer",
+    "top_parts_by_revenue",
+    "user_activity",
+    "value_histogram",
+    "value_percentiles",
+    "value_percentiles_approx",
+    # 4. evidence refresh: the 7 alphabetically-first r06-only greens
+    "asof_latest_click",
+    "balanced_corpus_sample",
+    "benchmark_contamination",
+    "bm25_search",
+    "bpe_ish_token_count",
+    "cdc_apply_changes",
+    "clean_corpus_stats",
 )
 
 

@@ -2740,7 +2740,7 @@ def _pq_incr_oracle() -> str:
     """
 
 
-@register_staged("pq_index_incremental_topk", oracle=_pq_incr_oracle())
+@register("pq_index_incremental_topk", oracle=_pq_incr_oracle())
 def pq_index_incremental_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental on-disk IVF-PQ index maintenance
     (operators/similarity.py ``pq_index_write``/``pq_index_append``):
@@ -2849,7 +2849,7 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
 """
 
 
-@register_staged("image_ahash_dup_pairs", oracle=_AHASH_SQL)
+@register("image_ahash_dup_pairs", oracle=_AHASH_SQL)
 def image_ahash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup end to end over the REAL raster
     path (operators/multimodal.py ``image_ahash``/``ahash_dup_pairs``):
@@ -2957,7 +2957,7 @@ FROM orders
 """
 
 
-@register_staged("versioned_snapshot_at", oracle=_VERSIONED_SNAPSHOT_SQL)
+@register("versioned_snapshot_at", oracle=_VERSIONED_SNAPSHOT_SQL)
 def versioned_snapshot_at_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel semantics with runtime evidence (sources/
     versioned.py ``snapshot_at_ms``; the Delta S2 probe's resolution
@@ -2991,7 +2991,7 @@ FROM base WHERE k % 7 = 0
 """
 
 
-@register_staged("versioned_change_feed", oracle=_VERSIONED_CDF_SQL)
+@register("versioned_change_feed", oracle=_VERSIONED_CDF_SQL)
 def versioned_change_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed semantics with runtime evidence (sources/
     versioned.py ``change_feed``; the Delta S3 probe's window read on
@@ -3035,7 +3035,7 @@ FROM events
 """
 
 
-@register_staged("footer_stats_profile", oracle=_FOOTER_SQL)
+@register("footer_stats_profile", oracle=_FOOTER_SQL)
 def footer_stats_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-pruning pre-flight from parquet footers only
     (operators/diagnostics.py ``parquet_footer_profile``): row counts
@@ -3076,7 +3076,7 @@ FROM orders
 """
 
 
-@register_staged("versioned_datasource_snapshot", oracle=_VERSIONED_DS_SQL)
+@register("versioned_datasource_snapshot", oracle=_VERSIONED_DS_SQL)
 def versioned_datasource_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark 4 Python DataSource read path under a driver oracle
     (sources/versioned_stream.py ``VersionedCommitsDataSource``):
@@ -3127,7 +3127,7 @@ SELECT k, c, p, 2, 3000 FROM v1 WHERE k % 7 != 0
 """
 
 
-@register_staged("versioned_stream_replay", oracle=_VERSIONED_STREAM_SQL)
+@register("versioned_stream_replay", oracle=_VERSIONED_STREAM_SQL)
 def versioned_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming execution under a driver value
     oracle (every other *_stream_replay row folds the protocol in
@@ -3167,6 +3167,16 @@ def versioned_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout WITHOUT
+        # stopping the query — memoizing then would hand back a
+        # partially-drained output as the query result (ADVICE r09).
+        # Raise loudly instead; surface the stream's own error first.
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                "versioned_stream_replay: availableNow drain did not "
+                f"finish within 300s (stream exception: {exc})"
+            )
         _VERSIONED_MEMO[key] = out_dir
     return spark.read.parquet(_VERSIONED_MEMO[key])

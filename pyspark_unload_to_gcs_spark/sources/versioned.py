@@ -190,6 +190,21 @@ def change_feed(
     parts = []
     by_version = {e["version"]: e for e in history}
     for e in in_window:
+        if e["version"] > 0 and e["version"] - 1 not in by_version:
+            # The predecessor was vacuumed: diffing against empty would
+            # fabricate the whole pre-existing snapshot as INSERT rows
+            # attributed to this commit. Delta CDF errors when the
+            # requested window spans vacuumed history — match it
+            # (ADVICE r09). Version 0 legitimately diffs against empty
+            # (the first-sync all-INSERT shape).
+            raise ValueError(
+                f"change_feed: commit version {e['version']} has no "
+                f"surviving predecessor (version {e['version'] - 1} was "
+                "vacuumed) — the requested window spans vacuumed history, "
+                "so per-commit changes cannot be reconstructed. Narrow "
+                "the window to start at or after the oldest commit whose "
+                "predecessor survives, or re-sync from a full snapshot."
+            )
         prev = (
             _aligned(_read_version(spark, path, e["version"] - 1))
             if e["version"] - 1 in by_version
@@ -224,7 +239,11 @@ def vacuum(path: str, *, keep_last: int) -> list[int]:
     a crash between the two leaves only invisible orphan dirs (the
     same state a torn commit leaves, already handled by every reader).
     Time travel to a vacuumed version then raises precedes-first-commit
-    — the Delta VACUUM contract. Returns the dropped version numbers."""
+    — the Delta VACUUM contract — and ``change_feed`` raises for any
+    window that includes the oldest surviving commit (its predecessor
+    is gone, so its per-commit diff is unreconstructable), matching
+    Delta CDF's error on windows spanning vacuumed history. Returns
+    the dropped version numbers."""
     if keep_last < 1:
         raise ValueError(f"vacuum: keep_last={keep_last} must be >= 1")
     import shutil

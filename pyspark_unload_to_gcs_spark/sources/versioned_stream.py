@@ -64,7 +64,10 @@ def _ddl_for(path: str) -> str:
         if t.startswith("timestamp"):
             ddl = "timestamp"
         elif t.startswith("decimal"):
-            ddl = t  # decimal(p, s) spells the same in Spark DDL
+            # pyarrow renders 'decimal128(p, s)' / 'decimal256(p, s)',
+            # which Spark's DDL parser rejects — re-spell from the
+            # typed precision/scale (ADVICE r09).
+            ddl = f"decimal({field.type.precision},{field.type.scale})"
         else:
             ddl = _ARROW_TO_DDL.get(t)
         if ddl is None:

@@ -444,6 +444,15 @@ def test_pq_index_append_modes_and_untouched_cells(spark, tmp_path):
                 assert os.path.exists(p) and os.path.getsize(p) == size, (
                     f"compact={compact}: untouched cell {cell} was rewritten"
                 )
+        # compaction staging dirs must not leak (ADVICE r09): a
+        # high-frequency append stream would otherwise accumulate a
+        # full copy of the touched cells per compaction
+        leftovers = [
+            d
+            for d in os.listdir(str(tmp_path))
+            if "__compact_tmp" in d
+        ]
+        assert leftovers == [], f"compact={compact}: staging leak {leftovers}"
 
     # empty batch is a no-op
     assert S.pq_index_append(spark, path, new.limit(0), cents, cb) == 0

@@ -1083,3 +1083,25 @@ def test_parquet_footer_profile_multifile_and_missing_stats(spark, tmp_path):
 
     with _pytest.raises(Exception):
         parquet_footer_profile(spark, out, "no_such_column").first()
+
+    # a file written WITHOUT column statistics (legal parquet; some
+    # writers omit them) must propagate NULL into min/max AND
+    # key_nulls — unknown is never counted as 0 (ADVICE r09)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nostats = str(tmp_path / "nostats")
+    import os as _os
+
+    _os.makedirs(nostats)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1, 2, None]})),
+        _os.path.join(nostats, "part-0.parquet"),
+        write_statistics=False,
+    )
+    nprof = parquet_footer_profile(spark, nostats, "k").first()
+    assert nprof["n_rows"] == 3
+    assert nprof["key_min"] is None
+    assert nprof["key_max"] is None
+    assert nprof["key_nulls"] is None

@@ -343,8 +343,9 @@ def test_versioned_schema_evolution_additive(spark, tmp_path):
 def test_vacuum_retention(spark, table):
     """vacuum(keep_last=N): old versions stop resolving the moment the
     ledger shrinks (ledger-first ordering), history and time travel
-    reflect retention, the change feed window simply skips vacuumed
-    commits, and the newest N keep serving."""
+    reflect retention, a change-feed window that spans vacuumed history
+    RAISES instead of fabricating all-INSERT rows (Delta CDF contract),
+    and the newest N keep serving."""
     import os
 
     from pyspark_unload_to_gcs_spark.sources.versioned import vacuum
@@ -357,13 +358,16 @@ def test_vacuum_retention(spark, table):
         snapshot_at_ms(spark, table, 150)
     # the surviving versions read as before
     assert {r["k"] for r in snapshot_at_ms(spark, table, 250).collect()} == {1, 2, 3}
-    # the feed over a window containing the vacuumed commit skips it;
-    # the oldest SURVIVOR now diffs against empty (all-INSERT)
-    rows = change_feed(spark, table, 0, 300, key_columns=["k"]).collect()
-    versions = {r["_commit_version"] for r in rows}
-    assert versions == {1, 2}
-    v1 = {(r["_mp_change_type"], r["k"]) for r in rows if r["_commit_version"] == 1}
-    assert v1 == {("INSERT", 1), ("INSERT", 2), ("INSERT", 3)}
+    # a window that includes the oldest survivor (version 1, whose
+    # predecessor was vacuumed) must raise — diffing against empty
+    # would fabricate the pre-existing snapshot as INSERTs (ADVICE r09)
+    with pytest.raises(ValueError, match="vacuumed"):
+        change_feed(spark, table, 0, 300, key_columns=["k"]).collect()
+    # a window narrowed to commits whose predecessors survive still works
+    rows = change_feed(spark, table, 201, 300, key_columns=["k"]).collect()
+    assert {(r["_mp_change_type"], r["k"], r["_commit_version"]) for r in rows} == {
+        ("DELETE", 1, 2),
+    }
     # no-op when everything is within retention; keep_last >= 1 enforced
     assert vacuum(table, keep_last=10) == []
     with pytest.raises(ValueError, match="keep_last"):
@@ -419,3 +423,34 @@ def test_datasource_agrees_with_jvm_reader(spark, tmp_path_factory, states, prob
         .collect()
     }
     assert ds == jvm
+
+
+def test_datasource_decimal_column_schema_inference(spark, tmp_path):
+    """A versioned table with a DECIMAL column must read through the
+    Python DataSource: pyarrow renders the type 'decimal128(p, s)',
+    which Spark's DDL parser rejects, so _ddl_for re-spells it from
+    the typed precision/scale (ADVICE r09)."""
+    from decimal import Decimal
+
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    path = str(tmp_path / "dec")
+    df = spark.createDataFrame(
+        [(1, Decimal("12.34")), (2, Decimal("56.78"))],
+        "k int, price decimal(10,2)",
+    )
+    commit_version(df, path, 100)
+    got = (
+        spark.read.format("versioned_commits")
+        .option("path", path)
+        .option("as_of_ms", 100)
+        .load()
+    )
+    assert dict(got.dtypes)["price"] == "decimal(10,2)"
+    assert sorted((r["k"], str(r["price"])) for r in got.collect()) == [
+        (1, "12.34"),
+        (2, "56.78"),
+    ]
