@@ -454,3 +454,63 @@ def test_datasource_decimal_column_schema_inference(spark, tmp_path):
         (1, "12.34"),
         (2, "56.78"),
     ]
+
+
+def test_versioned_table_on_file_scheme_uri(spark, tmp_path):
+    """The full lifecycle against an explicit ``file:`` URI — the
+    ledger/layout I/O goes through the Hadoop FileSystem API (VERDICT
+    r09 #2), so the one table format this repo can version is no
+    longer local-FS-only: commit, history, time travel, change feed,
+    and vacuum all speak URI schemes."""
+    uri = "file:" + str(tmp_path / "uri_table")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    assert commit_version(mk([(1, 10.0), (2, 20.0)]), uri, 100) == 0
+    assert commit_version(mk([(1, 11.0), (2, 20.0)]), uri, 200) == 1
+    assert [e["version"] for e in table_history(uri)] == [1, 0]
+    assert {(r["k"], r["v"]) for r in snapshot_at_ms(spark, uri, 150).collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }
+    feed = change_feed(spark, uri, 150, 250, key_columns=["k"]).collect()
+    assert {(r["_mp_change_type"], r["k"], r["v"]) for r in feed} == {
+        ("DELETE", 1, 10.0),
+        ("INSERT", 1, 11.0),
+    }
+    from pyspark_unload_to_gcs_spark.sources.versioned import vacuum
+
+    assert vacuum(uri, keep_last=1) == [0]
+    assert [e["version"] for e in table_history(uri)] == [1]
+    # the vacuumed data dir is actually gone on disk
+    assert not (tmp_path / "uri_table" / "v=0").exists()
+    # no lockfile leaks after commits/vacuum
+    assert not (tmp_path / "uri_table" / "_commits.lock").exists()
+
+
+def test_concurrent_commit_loser_raises(spark, tmp_path):
+    """CAS commit guard (VERDICT r09 #4): while one writer holds
+    ``_commits.lock``, a second commit_version (and vacuum) raises
+    ConcurrentCommitError instead of silently orphaning a version —
+    and a failed attempt leaves the table state untouched."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import (
+        ConcurrentCommitError,
+        vacuum,
+    )
+
+    path = str(tmp_path / "race")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 10.0)]), path, 100)
+    # simulate a concurrent writer mid-commit: its CAS lock is present
+    lockfile = tmp_path / "race" / "_commits.lock"
+    lockfile.write_text("writer-2")
+    with pytest.raises(ConcurrentCommitError, match="_commits.lock"):
+        commit_version(mk([(2, 20.0)]), path, 200)
+    with pytest.raises(ConcurrentCommitError, match="_commits.lock"):
+        vacuum(path, keep_last=1)
+    # the loser did not touch the ledger or write a version dir
+    assert [e["version"] for e in table_history(path)] == [0]
+    assert not (tmp_path / "race" / "v=1").exists()
+    # the holder's lock is untouched (the loser must not release it)
+    assert lockfile.read_text() == "writer-2"
+    # once the concurrent writer finishes (lock released), commits work
+    lockfile.unlink()
+    assert commit_version(mk([(2, 20.0)]), path, 200) == 1
