@@ -3180,3 +3180,66 @@ def versioned_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _VERSIONED_MEMO[key] = out_dir
     return spark.read.parquet(_VERSIONED_MEMO[key])
+
+
+# --- r11 STAGED cohort -------------------------------------------------
+
+_VERSIONED_CDF_MERGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE)
+         + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END AS price
+FROM orders
+WHERE o_orderkey % 7 != 0
+"""
+
+
+@register_staged("versioned_cdf_merge_stream_replay", oracle=_VERSIONED_CDF_MERGE_SQL)
+def versioned_cdf_merge_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CDC loop (export.py:115-128) end to end AS A
+    STREAM (streaming/cdc_stream.py): the 3-commit versioned orders
+    table drains through the ``versioned_commits`` DataSource, each
+    micro-batch derives per-commit preimage-DELETE/postimage-INSERT
+    change rows JVM-side (operators/cdc.snapshot_diff), and the
+    streaming/merge.py algebra folds them exactly-once onto a
+    maintained snapshot. The returned frame is that MAINTAINED
+    SNAPSHOT — the diff→collapse→apply round trip must reproduce the
+    table's final version, which the oracle states in closed form from
+    orders. Offset handling, the CDF derivation, the merge algebra,
+    and the stream runner all sit inside the value hash."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import (
+        start_versioned_cdf_merge,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    path = _versioned_orders(spark, sf_dir)
+    key = (session_token(spark), sf_dir, "cdf_merge")
+    if key not in _VERSIONED_MEMO:
+        reg_key = (session_token(spark), "versioned_commits_registered")
+        if reg_key not in _VERSIONED_MEMO:
+            spark.dataSource.register(VersionedCommitsDataSource)
+            _VERSIONED_MEMO[reg_key] = True
+        state = tempfile.mkdtemp(prefix="versioned_cdf_merge_state_")
+        ckpt = tempfile.mkdtemp(prefix="versioned_cdf_merge_ckpt_")
+        q = start_versioned_cdf_merge(
+            spark,
+            path,
+            key_columns=["o_orderkey"],
+            state_path=state,
+            checkpoint_dir=ckpt,
+        )
+        if not q.awaitTermination(300):
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                "versioned_cdf_merge_stream_replay: availableNow drain did not "
+                f"finish within 300s (stream exception: {exc})"
+            )
+        _VERSIONED_MEMO[key] = state
+    snap = read_snapshot(spark, _VERSIONED_MEMO[key])
+    assert snap is not None
+    return snap

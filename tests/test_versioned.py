@@ -514,3 +514,85 @@ def test_concurrent_commit_loser_raises(spark, tmp_path):
     # once the concurrent writer finishes (lock released), commits work
     lockfile.unlink()
     assert commit_version(mk([(2, 20.0)]), path, 200) == 1
+
+
+def test_versioned_cdf_merge_stream_end_to_end(spark, tmp_path):
+    """The reference's CDC loop as ONE streaming query
+    (streaming/cdc_stream.py): the commit stream drains, per-commit
+    change rows are derived (preimage-DELETE/postimage-INSERT pairs),
+    exported via on_changes, and MERGEd exactly-once onto a maintained
+    snapshot; a restart picks up only new commits and the snapshot
+    converges to the table's latest version."""
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import (
+        start_versioned_cdf_merge,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    changes_dir = str(tmp_path / "changes")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    # v0: insert 1,2 | v1: update 1, insert 3 | v2: delete 2
+    commit_version(mk([(1, 10.0), (2, 20.0)]), table, 100)
+    commit_version(mk([(1, 11.0), (2, 20.0), (3, 30.0)]), table, 200)
+    commit_version(mk([(1, 11.0), (3, 30.0)]), table, 300)
+
+    def export(changes, _bid):
+        changes.write.mode("append").parquet(changes_dir)
+
+    def run():
+        q = start_versioned_cdf_merge(
+            spark,
+            table,
+            key_columns=["k"],
+            state_path=state,
+            checkpoint_dir=ckpt,
+            on_changes=export,
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    # the maintained snapshot equals the table's latest version
+    snap = {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()}
+    assert snap == {(1, 11.0), (3, 30.0)}
+    # the exported change rows are the per-commit CDF shape
+    got = {
+        (r["_mp_change_type"], r["k"], r["v"], r["_commit_version"], r["_commit_timestamp"])
+        for r in spark.read.parquet(changes_dir).collect()
+    }
+    assert got == {
+        ("INSERT", 1, 10.0, 0, 100),
+        ("INSERT", 2, 20.0, 0, 100),
+        ("DELETE", 1, 10.0, 1, 200),
+        ("INSERT", 1, 11.0, 1, 200),
+        ("INSERT", 3, 30.0, 1, 200),
+        ("DELETE", 2, 20.0, 2, 300),
+    }
+    # restart with nothing new: no changes exported, snapshot stable
+    run()
+    assert got == {
+        (r["_mp_change_type"], r["k"], r["v"], r["_commit_version"], r["_commit_timestamp"])
+        for r in spark.read.parquet(changes_dir).collect()
+    }
+    # two more commits; the resumed stream derives ONLY their diffs
+    commit_version(mk([(1, 12.0), (3, 30.0), (4, 40.0)]), table, 400)
+    commit_version(mk([(3, 30.0), (4, 40.0)]), table, 500)
+    run()
+    snap = {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()}
+    assert snap == {(3, 30.0), (4, 40.0)}
+    new_rows = {
+        (r["_mp_change_type"], r["k"], r["v"], r["_commit_version"])
+        for r in spark.read.parquet(changes_dir).collect()
+        if r["_commit_version"] >= 3
+    }
+    assert new_rows == {
+        ("DELETE", 1, 11.0, 3),
+        ("INSERT", 1, 12.0, 3),
+        ("INSERT", 4, 40.0, 3),
+        ("DELETE", 1, 12.0, 4),
+    }
