@@ -1,0 +1,312 @@
+"""DSIR-style data selection: importance resampling of a raw corpus
+toward a target domain over hashed-bigram features (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS — the standard pretraining-corpus domain-selection recipe).
+
+The pipeline:
+
+1. featurize every document as hashed BIGRAMS of the project-wide
+   word tokenization (``text.words_col``) — the hashing-trick bucket
+   is the md5-derived integer ``classifier.token_bucket``, so the
+   features are engine-native and cross-engine exact;
+2. estimate bag-of-buckets unigram models for the TARGET domain (a
+   caller-supplied predicate over the corpus, e.g. a trusted source
+   or language) and the RAW corpus, Laplace-smoothed;
+3. score every document with its log importance weight
+   ``log p_target(doc) - log p_raw(doc)`` — the sum over the
+   document's bigram occurrences of the per-bucket log count ratio;
+4. select the top-k documents by weight (the paper resamples
+   proportionally; top-k is the deterministic variant, and a
+   Gumbel-top-k over the same weights reproduces the sampled one).
+
+Float discipline (the repo's oracle-parity rule, classifier.py
+posture): the per-bucket log ratio is quantized ONCE to integer
+micro-units (``round(1e6 * log-ratio)`` — a 4096-row table), and all
+per-document accumulation is exact BIGINT — no summation-order drift
+between partial/final aggregation or between engines. The only floats
+are one ``ln`` per distinct bucket, identical expression shape in
+Spark and the DuckDB oracle.
+
+Scale design (100 TB corpus, 1000 executors):
+
+- the bigram stream never shuffles: explode happens in the scan
+  partition and the per-document partial aggregation collapses it
+  back to ~one row per document before the one doc-key shuffle;
+- the bucket-count aggregation shuffles only (bucket, flag) partials
+  — at most ``num_buckets`` rows reach the reduce side per partition;
+- the log-ratio table is ``num_buckets`` rows (a few KB) — AQE
+  broadcasts it into the scoring join; the corpus never moves for it;
+- top-k is Spark's distributed TakeOrdered (per-partition heaps + a
+  k-row driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.operators.classifier import token_bucket
+from pyspark_unload_to_gcs_spark.operators.text import words_col
+
+MICRO = 1_000_000
+
+
+def hashed_bigram_stream(
+    df: DataFrame,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """One row per bigram OCCURRENCE: (*keep, bucket). Documents with
+    fewer than two words contribute no rows (lore: guard
+    F.sequence(0, n-2) — for n < 2 it silently yields a DESCENDING
+    sequence instead of an empty one)."""
+    # materialize the words array ONCE per row: referencing the
+    # split+filter expression inside the transform lambda would
+    # re-evaluate it per element (no CSE across lambda scopes —
+    # measured 10x slower)
+    w = F.col("__ws")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat(
+                F.element_at(w, i + 1), F.lit(" "), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(*keep, words_col(F.col(text_column)).alias("__ws"))
+        .select(*keep, F.explode(bigrams).alias("__gram"))
+        .select(*keep, token_bucket(F.col("__gram"), num_buckets).alias("bucket"))
+    )
+
+
+def dsir_log_ratio_table(
+    df: DataFrame,
+    target: Column,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+) -> DataFrame:
+    """(bucket, r_cnt, t_cnt, lr_micro): per hashed-bigram bucket, the
+    raw-corpus and target-domain occurrence counts and the quantized
+    Laplace-smoothed log count ratio
+
+        lr_micro = round(1e6 * (ln(t+1) - ln(T+B) - ln(r+1) + ln(R+B)))
+
+    where T/R are total target/raw bigram occurrences and B the bucket
+    count. ``num_buckets`` rows total."""
+    grams = hashed_bigram_stream(
+        df.withColumn("__is_target", target),
+        num_buckets=num_buckets,
+        text_column=text_column,
+        keep=("__is_target",),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").cast("long").alias("__R"),
+        F.sum("t_cnt").cast("long").alias("__T"),
+    )
+    b = F.lit(float(num_buckets))
+    return counts.crossJoin(totals).select(
+        "bucket",
+        "r_cnt",
+        "t_cnt",
+        F.round(
+            F.lit(float(MICRO))
+            * (
+                F.log(F.col("t_cnt").cast("double") + 1.0)
+                - F.log(F.col("__T").cast("double") + b)
+                - F.log(F.col("r_cnt").cast("double") + 1.0)
+                + F.log(F.col("__R").cast("double") + b)
+            )
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document log importance weight toward the target domain:
+    (id, n_bigrams, w_micro) where ``w_micro`` is the exact BIGINT sum
+    of the quantized per-bucket log ratios over the document's bigram
+    occurrences. Zero-bigram documents score 0 (preserved via the
+    left join — same contract as the classifier)."""
+    ratios = dsir_log_ratio_table(
+        df, target, num_buckets=num_buckets, text_column=text_column
+    ).select("bucket", "lr_micro")
+    stream = hashed_bigram_stream(
+        df, num_buckets=num_buckets, text_column=text_column, keep=(id_column,)
+    )
+    per_doc = (
+        stream.join(ratios, "bucket")
+        .groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lr_micro").cast("long").alias("w_micro"),
+        )
+    )
+    return (
+        df.select(id_column)
+        .join(per_doc, id_column, "left")
+        .select(
+            F.col(id_column),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("w_micro", F.lit(0)).cast("long").alias("w_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    *,
+    k: int,
+    num_buckets: int,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Top-k documents by importance weight, ties broken on the id —
+    fully deterministic, so the whole selection is value-oracle-able.
+    Distributed TakeOrdered, never a single-partition window.
+
+    ``normalize=True`` (default) ranks by the PER-BIGRAM average log
+    ratio (``avg_lr = round(w_micro / n_bigrams, 9)`` — one exact
+    BIGINT division per document, identical IEEE result in any
+    engine): the raw sum is dominated by document length (short
+    documents accumulate the least negative mass and win regardless
+    of domain — measured: un-normalized top-k selected 14% target-
+    domain docs vs 13% base rate; normalized selects 63-72%), which is
+    why the paper scores fixed-length chunks. Zero-bigram documents
+    carry no evidence and are excluded from the normalized ranking.
+    ``normalize=False`` is the raw chunk-likelihood ratio for callers
+    that chunk upstream."""
+    w = dsir_weights(
+        df,
+        target,
+        num_buckets=num_buckets,
+        text_column=text_column,
+        id_column=id_column,
+    )
+    if normalize:
+        return (
+            w.filter(F.col("n_bigrams") > 0)
+            .withColumn(
+                "avg_lr",
+                F.round(
+                    F.col("w_micro").cast("double") / F.col("n_bigrams"), 9
+                ),
+            )
+            .orderBy(F.col("avg_lr").desc(), F.col(id_column))
+            .limit(k)
+        )
+    return w.orderBy(F.col("w_micro").desc(), F.col(id_column)).limit(k)
+
+
+def dsir_shift_report(
+    df: DataFrame,
+    target: Column,
+    *,
+    k: int,
+    num_buckets: int,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """One-row semantic self-check of the selection (the pin pattern):
+
+    - ``kl_improved``: KL(target || selected) < KL(target || raw) over
+      the Laplace-smoothed hashed-bigram distributions — importance
+      resampling must move the selected subset's feature distribution
+      TOWARD the target domain (the paper's premise); a sign flip or
+      hashing breakage turns this False;
+    - ``n_selected``: the actual selected-row count (must be exactly
+      k — a selection that silently returns fewer rows is a bug).
+
+    Booleans only — the float KL values stay internal."""
+    selected = dsir_select(
+        df,
+        target,
+        k=k,
+        num_buckets=num_buckets,
+        text_column=text_column,
+        id_column=id_column,
+    ).select(id_column)
+    flagged = df.withColumn("__is_target", target).join(
+        selected.withColumn("__sel", F.lit(True)), id_column, "left"
+    )
+    grams = hashed_bigram_stream(
+        flagged,
+        num_buckets=num_buckets,
+        text_column=text_column,
+        keep=("__is_target", "__sel"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("t_cnt"),
+        F.sum(F.when(F.col("__sel"), 1).otherwise(0)).cast("long").alias("s_cnt"),
+    )
+    b = float(num_buckets)
+    t_tot, r_tot, s_tot = "__T", "__R", "__S"
+    totals = counts.agg(
+        F.sum("t_cnt").cast("double").alias(t_tot),
+        F.sum("r_cnt").cast("double").alias(r_tot),
+        F.sum("s_cnt").cast("double").alias(s_tot),
+        F.count(F.lit(1)).cast("double").alias("__n_obs"),
+    )
+    # Laplace-smoothed probabilities over ALL B buckets; the (B -
+    # n_observed) all-zero buckets contribute a closed-form remainder
+    tp = (F.col("t_cnt") + 1.0) / (F.col(t_tot) + b)
+    rp = (F.col("r_cnt") + 1.0) / (F.col(r_tot) + b)
+    sp = (F.col("s_cnt") + 1.0) / (F.col(s_tot) + b)
+    per_bucket = counts.crossJoin(totals).select(
+        (tp * (F.log(tp) - F.log(rp))).alias("__kl_r"),
+        (tp * (F.log(tp) - F.log(sp))).alias("__kl_s"),
+        F.col(t_tot),
+        F.col(r_tot),
+        F.col(s_tot),
+        F.col("__n_obs"),
+    )
+    t0 = 1.0 / (F.col(t_tot) + b)
+    r0 = 1.0 / (F.col(r_tot) + b)
+    s0 = 1.0 / (F.col(s_tot) + b)
+    zero_buckets = F.lit(b) - F.col("__n_obs")
+    n_sel = selected.agg(F.count(F.lit(1)).cast("long").alias("n_selected"))
+    return (
+        per_bucket.groupBy(t_tot, r_tot, s_tot, "__n_obs")
+        .agg(F.sum("__kl_r").alias("__sum_r"), F.sum("__kl_s").alias("__sum_s"))
+        .crossJoin(n_sel)
+        .select(
+            (
+                F.col("__sum_s") + zero_buckets * t0 * (F.log(t0) - F.log(s0))
+                < F.col("__sum_r") + zero_buckets * t0 * (F.log(t0) - F.log(r0))
+            ).alias("kl_improved"),
+            F.col("n_selected"),
+        )
+    )
+
+
+__all__ = [
+    "MICRO",
+    "dsir_log_ratio_table",
+    "dsir_select",
+    "dsir_shift_report",
+    "dsir_weights",
+    "hashed_bigram_stream",
+]

@@ -347,3 +347,54 @@ def growth_accounting_from_periods(per: DataFrame) -> DataFrame:
             F.sum("is_churned").alias("n_churned"),
         )
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    *,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+) -> DataFrame:
+    """Date-spine gap fill: per user, one row for EVERY day in that
+    user's [first-active, last-active] span — observed days carry
+    their event count, missing days materialize with ``n_events = 0``
+    and ``is_gap = true``. The time-series resample/fill every
+    downstream rolling computation wants (a window over gap-filled
+    rows needs no range-frame gymnastics), expressed as plain
+    relational algebra:
+
+        per_day  = groupBy(user, day) count            -- 1 shuffle
+        spans    = groupBy(user) min/max day           -- re-agg of per_day
+        spine    = explode(sequence(d0, d1)) per user  -- no shuffle
+        filled   = spine LEFT JOIN per_day ON (user, day)
+
+    Days are integral epoch-day indices (``day_number`` — floor ms
+    division, bit-identical across engines). Spine cardinality is
+    sum-of-spans, bounded by users x horizon days — at 100 TB the
+    explode happens after the aggregation, so it scales with USERS,
+    never with events; skewed long-lived users inflate their own
+    partition by at most the horizon length. ``sequence(d0, d1)`` is
+    safe unguarded: d0 <= d1 by construction (min <= max within a
+    group)."""
+    per_day = (
+        df.select(
+            F.col(user_column),
+            day_number(epoch_ms(df, ts_column)).alias("day"),
+        )
+        .groupBy(user_column, "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    spine = (
+        per_day.groupBy(user_column)
+        .agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(
+            user_column,
+            F.explode(F.sequence("__d0", "__d1")).alias("day"),
+        )
+    )
+    return spine.join(per_day, [user_column, "day"], "left").select(
+        F.col(user_column),
+        F.col("day").cast("long").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

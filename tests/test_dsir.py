@@ -1,0 +1,134 @@
+"""DSIR importance resampling (operators/dsir.py) and the date-spine
+gap fill (operators/product.py::gap_fill_daily)."""
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark_unload_to_gcs_spark.operators import dsir
+
+BUCKETS = 256
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hashed_bigram_stream_edges(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma", "en"),  # 2 bigrams
+            (2, "single", "en"),            # <2 words -> no rows
+            (3, "", "en"),                  # empty -> no rows
+            (4, "x y", "en"),               # exactly one bigram
+        ],
+    )
+    out = dsir.hashed_bigram_stream(df, num_buckets=BUCKETS).groupBy(
+        "doc_id"
+    ).count()
+    got = {r["doc_id"]: r["count"] for r in out.collect()}
+    assert got == {1: 2, 4: 1}
+
+
+def test_log_ratio_sign_and_totals(spark):
+    """A bigram exclusive to the target domain gets a POSITIVE log
+    ratio; one absent from the target gets a NEGATIVE one (the raw
+    corpus includes the target, so 'absent from target' means the
+    ratio numerator is the +1 smoothing alone)."""
+    df = _docs(
+        spark,
+        [
+            (1, "targetonly wordpair targetonly wordpair", "fr"),
+            (2, "rawonly tokens rawonly tokens rawonly tokens", "en"),
+            (3, "rawonly tokens more filler text here", "en"),
+        ],
+    )
+    ratios = dsir.dsir_log_ratio_table(
+        df, F.col("lang") == "fr", num_buckets=BUCKETS
+    )
+    rows = ratios.collect()
+    assert sum(r["r_cnt"] for r in rows) > 0
+    # every target occurrence is also a raw occurrence
+    assert all(r["t_cnt"] <= r["r_cnt"] for r in rows)
+    target_only = [r for r in rows if r["t_cnt"] == r["r_cnt"] and r["t_cnt"] > 0]
+    raw_only = [r for r in rows if r["t_cnt"] == 0]
+    assert target_only and raw_only
+    assert all(r["lr_micro"] > 0 for r in target_only)
+    assert all(r["lr_micro"] < 0 for r in raw_only)
+
+
+def test_weights_zero_bigram_doc_preserved(spark):
+    df = _docs(spark, [(1, "a b c", "en"), (2, "solo", "en")])
+    w = {
+        r["doc_id"]: (r["n_bigrams"], r["w_micro"])
+        for r in dsir.dsir_weights(
+            df, F.col("lang") == "fr", num_buckets=BUCKETS
+        ).collect()
+    }
+    assert w[1][0] == 2
+    assert w[2] == (0, 0)
+
+
+def test_select_deterministic_and_enriched(spark, sf_dir):
+    """On the documents fixture, the normalized top-k must (a) return
+    exactly k rows in a deterministic order and (b) over-represent the
+    target domain vs its corpus base rate — the operator's reason to
+    exist. The un-normalized raw sum is length-dominated and must NOT
+    be the default."""
+    from pyspark_unload_to_gcs_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "fr"
+    sel = dsir.dsir_select(docs, tgt, k=50, num_buckets=4096)
+    rows = sel.collect()
+    assert len(rows) == 50
+    assert rows == sel.collect()  # deterministic re-run
+    ids = [r["doc_id"] for r in rows]
+    n_fr_sel = docs.filter(F.col("doc_id").isin(ids)).filter(tgt).count()
+    n_fr = docs.filter(tgt).count()
+    n = docs.count()
+    assert n_fr_sel / 50 > 2 * (n_fr / n), (
+        f"no enrichment: {n_fr_sel}/50 selected vs {n_fr}/{n} base"
+    )
+
+
+def test_shift_report_booleans(spark, sf_dir):
+    from pyspark_unload_to_gcs_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    row = dsir.dsir_shift_report(
+        docs, F.col("lang") == "fr", k=50, num_buckets=4096
+    ).first()
+    assert row["kl_improved"] is True
+    assert row["n_selected"] == 50
+
+
+def test_gap_fill_daily_exact(spark):
+    """Known gaps fill with zeros inside each user's own span: user 1
+    active on days 10 and 13 (gap 11-12), user 2 active once (span of
+    one day, no gaps)."""
+    from pyspark_unload_to_gcs_spark.operators.product import gap_fill_daily
+
+    ms = 86_400_000
+    rows = [
+        (1, 10 * ms), (1, 10 * ms + 5), (1, 13 * ms),
+        (2, 20 * ms),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long").select(
+        "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["is_gap"])
+        for r in gap_fill_daily(df).collect()
+    }
+    assert got == {
+        (1, 10): (2, False),
+        (1, 11): (0, True),
+        (1, 12): (0, True),
+        (1, 13): (1, False),
+        (2, 20): (1, False),
+    }
