@@ -90,8 +90,15 @@ def _history(path: str) -> list[dict]:
 
 
 def _version_files(path: str, version: int) -> list[str]:
+    """Part files of a committed version, via local glob — this Python
+    DataSource reads with pyarrow in py4j-less workers, so its scope
+    is local/``file:`` paths (the module docstring's ingest-control
+    posture); a ``file:`` URI from the Hadoop-FS versioned writer is
+    accepted by stripping the scheme."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import _strip_file_scheme
+
     return sorted(
-        glob.glob(os.path.join(path, f"v={version}", "*.parquet"))
+        glob.glob(os.path.join(_strip_file_scheme(path), f"v={version}", "*.parquet"))
     )
 
 

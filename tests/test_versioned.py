@@ -596,3 +596,26 @@ def test_versioned_cdf_merge_stream_end_to_end(spark, tmp_path):
         ("INSERT", 4, 40.0, 3),
         ("DELETE", 1, 12.0, 4),
     }
+
+
+def test_datasource_accepts_file_scheme_uri(spark, tmp_path):
+    """The same file: URI the Hadoop-FS versioned writer accepts must
+    also read through the Python DataSource (scheme stripped for the
+    py4j-less pyarrow readers)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    uri = "file:" + str(tmp_path / "dsuri")
+    commit_version(
+        spark.createDataFrame([(1, 10.0)], "k int, v double"), uri, 100
+    )
+    got = (
+        spark.read.format("versioned_commits")
+        .option("path", uri)
+        .option("as_of_ms", 150)
+        .load()
+        .collect()
+    )
+    assert [(r["k"], r["v"], r["_commit_version"]) for r in got] == [(1, 10.0, 0)]
