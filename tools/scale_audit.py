@@ -191,6 +191,9 @@ def main() -> None:
     from pyspark_unload_to_gcs_spark import registry_staged
 
     registry_staged._pq_shared(spark, args.out)
+    # the incremental-index base build is ALSO a bench-named warmup
+    # (r10) — same reasoning as _pq_shared
+    registry_staged._pq_incr_base(spark, args.out)
     print(f"warmup (shared sigs + bucketed layout + exact pairs): "
           f"{round(time.perf_counter() - t0, 1)}s", file=sys.stderr)
 
