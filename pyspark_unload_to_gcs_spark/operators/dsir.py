@@ -238,14 +238,21 @@ def dsir_shift_report(
       k — a selection that silently returns fewer rows is a bug).
 
     Booleans only — the float KL values stay internal."""
-    selected = dsir_select(
-        df,
-        target,
-        k=k,
-        num_buckets=num_buckets,
-        text_column=text_column,
-        id_column=id_column,
-    ).select(id_column)
+    # materialize the (<= k)-row selection once: it is referenced by
+    # the flagged join AND the n_selected count below, and each lazy
+    # reference would re-run the full two-pass weight pipeline
+    selected = (
+        dsir_select(
+            df,
+            target,
+            k=k,
+            num_buckets=num_buckets,
+            text_column=text_column,
+            id_column=id_column,
+        )
+        .select(id_column)
+        .localCheckpoint(eager=True)
+    )
     flagged = df.withColumn("__is_target", target).join(
         selected.withColumn("__sel", F.lit(True)), id_column, "left"
     )

@@ -871,6 +871,18 @@ def bpe_tokenize_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLS_BUCKETS = 4096
 
+
+def _duckdb_token_bucket(expr: str, buckets: int) -> str:
+    """The DuckDB twin of ``operators/classifier.token_bucket`` (first
+    32 bits of md5, parsed base-16, mod buckets) — ONE maintained
+    spelling shared by every oracle that hashes features."""
+    return (
+        "list_sum(list_transform(generate_series(1, 8),\n"
+        f"             i -> CAST(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1\n"
+        f"                       AS BIGINT) << (4 * (8 - i)))) % {buckets}"
+    )
+
+
 _CLS_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -879,9 +891,7 @@ WITH toks AS (
   FROM documents
 ), feats AS (
   SELECT doc_id,
-         list_sum(list_transform(generate_series(1, 8),
-             i -> CAST(strpos('0123456789abcdef', substring(md5(token), i, 1)) - 1
-                       AS BIGINT) << (4 * (8 - i)))) % {_CLS_BUCKETS} AS bucket
+         {_duckdb_token_bucket("token", _CLS_BUCKETS)} AS bucket
   FROM toks
 ), scored AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -3281,9 +3291,7 @@ WITH w AS (
   FROM w
 ), feats AS (
   SELECT g.doc_id, d.lang = 'fr' AS is_target,
-         list_sum(list_transform(generate_series(1, 8),
-             i -> CAST(strpos('0123456789abcdef', substring(md5(g.g), i, 1)) - 1
-                       AS BIGINT) << (4 * (8 - i)))) % {_DSIR_BUCKETS} AS bucket
+         {_duckdb_token_bucket("g.g", _DSIR_BUCKETS)} AS bucket
   FROM grams g JOIN documents d USING (doc_id)
 ), counts AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt,
@@ -3337,8 +3345,8 @@ def dsir_selected_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_SHIFT_SQL = """
-SELECT TRUE AS kl_improved, CAST(100 AS BIGINT) AS n_selected
+_DSIR_SHIFT_SQL = f"""
+SELECT TRUE AS kl_improved, CAST({_DSIR_K} AS BIGINT) AS n_selected
 """
 
 

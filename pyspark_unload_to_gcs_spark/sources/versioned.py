@@ -78,7 +78,12 @@ class ConcurrentCommitError(RuntimeError):
 
 def _strip_file_scheme(path: str) -> str:
     if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+        # honor an authority component ('file://localhost/data/t' is
+        # RFC-legal): urlparse keeps only the path, instead of a naive
+        # prefix strip producing the relative 'localhost/data/t'
+        from urllib.parse import urlparse
+
+        return urlparse(path).path or "/"
     if path.startswith("file:"):
         return path[len("file:"):]
     return path
@@ -158,7 +163,14 @@ def _acquire_commit_lock(path: str, op: str):
     (no blocking, no retry: serialize writers externally for the fast
     path; the lock only turns a silent lost-commit into a loud error).
     A crashed writer leaves the lock behind — recovery is deleting the
-    lockfile once no writer is alive, stated in the error."""
+    lockfile once no writer is alive, stated in the error.
+
+    Atomicity is the filesystem's create-no-overwrite guarantee:
+    exact on local/HDFS (namespace op) and GCS (precondition PUT);
+    S3A implements it as check-then-PUT, so on S3 the lock narrows
+    but does not close the race window — keep the single-writer
+    deployment there. Returns (jvm, fs, lock) so callers reuse the
+    resolved handles instead of re-walking py4j."""
     jvm, _gw, fs, _root = _require_jfs(path, op)
     lock = jvm.org.apache.hadoop.fs.Path(_sub(path, _LOCK_FILE))
     try:
@@ -173,7 +185,7 @@ def _acquire_commit_lock(path: str, op: str):
                 "lockfile manually once no writer is alive."
             ) from None
         raise
-    return fs, lock
+    return jvm, fs, lock
 
 
 def _committed_versions(path: str) -> list[int]:
@@ -232,7 +244,7 @@ def commit_version(df: DataFrame, path: str, commit_ms: int) -> int:
     (the lock is a guard, not a queue — losers raise, never wait); a
     log-backed format's optimistic CAS on the log entry is the
     upgrade path, same API."""
-    fs, lock = _acquire_commit_lock(path, "commit_version")
+    _jvm, fs, lock = _acquire_commit_lock(path, "commit_version")
     try:
         history = table_history(path)  # re-read under the lock
         if history and commit_ms < history[0]["commit_ms"]:
@@ -389,9 +401,8 @@ def vacuum(path: str, *, keep_last: int) -> list[int]:
     the dropped version numbers."""
     if keep_last < 1:
         raise ValueError(f"vacuum: keep_last={keep_last} must be >= 1")
-    fs, lock = _acquire_commit_lock(path, "vacuum")
+    jvm, fs, lock = _acquire_commit_lock(path, "vacuum")
     try:
-        jvm, _gw, _fs, _root = _require_jfs(path, "vacuum")
         history = table_history(path)  # newest first; under the lock
         keep = {e["version"] for e in history[:keep_last]}
         drop = sorted(e["version"] for e in history if e["version"] not in keep)

@@ -58,44 +58,115 @@ from pyspark_unload_to_gcs_spark.streaming.merge import (
 )
 
 _STAMPS = ("_commit_version", "_commit_timestamp")
+_APPLIED_MARKER = "_APPLIED_VERSION"
+
+
+def _applied_watermark(state_path: str, before: int) -> int:
+    """Highest TABLE version folded into the newest committed state
+    strictly before ``before`` (-1 when no state exists yet). The
+    watermark is what makes empty commits safe: version enumeration
+    below is ledger-driven, and the ledger alone cannot say which
+    versions are already applied."""
+    from pyspark_unload_to_gcs_spark.streaming.rollup import _versions
+
+    versions = [v for v in _versions(state_path) if v < before]
+    if not versions:
+        return -1
+    marker = os.path.join(state_path, f"v={versions[-1]}", _APPLIED_MARKER)
+    if not os.path.exists(marker):
+        # every committed state this module writes carries the marker;
+        # its absence means external tampering — resetting to -1 would
+        # silently re-apply history onto a non-empty state
+        raise ValueError(
+            f"cdf_merge_batch: state version v={versions[-1]} at "
+            f"{state_path!r} has no {_APPLIED_MARKER} marker — the state "
+            "was not written by this consumer. Start from a fresh "
+            "state_path + checkpoint pair."
+        )
+    with open(marker) as f:
+        return int(f.read().strip())
 
 
 def cdf_merge_batch(
     batch_df: DataFrame,
     batch_id: int,
     *,
+    table_path: str,
     key_columns: Sequence[str],
     state_path: str,
     on_changes: Callable[[DataFrame, int], None] | None = None,
 ) -> None:
-    """Fold one commit-stream micro-batch (whole-version snapshot rows,
-    possibly several versions) into the maintained snapshot via
-    per-commit diffs. Deterministic in (state@<batch_id, batch rows)."""
+    """Fold one commit-stream micro-batch into the maintained snapshot
+    via per-commit diffs. Deterministic in (state@<batch_id, ledger,
+    batch rows) — safe on retry.
+
+    The versions to apply are enumerated from the table LEDGER between
+    the state's applied-version watermark and the newest version the
+    batch evidences — NOT from the batch rows alone, because an EMPTY
+    commit (a legal truncation: 0 rows) contributes no rows and would
+    otherwise vanish, silently losing its DELETEs while the checkpoint
+    advanced (review finding). An in-range ledger version with no
+    batch rows IS such an empty snapshot; its diff against the
+    previous state emits the truncation.
+
+    Version numbers are dense by construction, so a GAP in the ledger
+    means vacuum outran this consumer — that raises (the Delta CDF
+    fell-behind-retention contract; the batch path raises on the same
+    condition). The one allowed gap is bootstrap: a consumer starting
+    on a table whose early versions were vacuumed takes the oldest
+    surviving version as an initial all-INSERT snapshot load — Delta's
+    CDF-stream start semantics. ``state_path`` and the stream's
+    checkpoint must live and die together (deleting one without the
+    other resets the watermark but not the offsets, the same contract
+    as every versioned-state fold in streaming/)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import table_history
+
     spark = batch_df.sparkSession
-    # bounded collect: one (version, commit_ms) pair per commit in the
-    # batch — commits per micro-batch, never data rows
-    pairs = sorted(
-        (r[0], r[1])
-        for r in batch_df.select(*_STAMPS).distinct().collect()
-    )
-    if not pairs:
-        return
-    base_cols = [c for c in batch_df.columns if c not in _STAMPS]
-    # several passes over the batch below (one filter per version) —
-    # pin the Python-source read so files aren't re-decoded per pass
+    # several passes over the batch below (a stamps collect + one
+    # filter per version) — pin the Python-source read FIRST so the
+    # files aren't re-decoded per pass
     batch_df.persist()
     try:
-        prev_state = read_snapshot(spark, state_path, before=batch_id)
-        prev_frame = (
-            prev_state
-            if prev_state is not None
-            else batch_df.select(*base_cols).limit(0)
+        # bounded collect: one (version, commit_ms) pair per commit in
+        # the batch — commits per micro-batch, never data rows
+        in_batch = {
+            r[0]: r[1]
+            for r in batch_df.select(*_STAMPS).distinct().collect()
+        }
+        prev_applied = _applied_watermark(state_path, batch_id)
+        ledger = sorted(
+            (e["version"], e["commit_ms"]) for e in table_history(table_path)
         )
+        hi = max(in_batch) if in_batch else (ledger[-1][0] if ledger else -1)
+        todo = [(v, ms) for v, ms in ledger if prev_applied < v <= hi]
+        if not todo:
+            return
+        expected = prev_applied + 1 if prev_applied >= 0 else todo[0][0]
+        for v, _ms in todo:
+            if v != expected:
+                raise ValueError(
+                    f"cdf_merge_batch: ledger gap at version {expected} "
+                    f"(next surviving version is {v}) — vacuum removed "
+                    "history this consumer had not applied yet. Re-sync "
+                    "from a full snapshot."
+                )
+            expected = v + 1
+        base_cols = [c for c in batch_df.columns if c not in _STAMPS]
+        empty = batch_df.select(*base_cols).limit(0)
+        prev_state = read_snapshot(spark, state_path, before=batch_id)
+        prev_frame = prev_state if prev_state is not None else empty
         changes: DataFrame | None = None
-        for version, commit_ms in pairs:
-            cur = batch_df.filter(
-                F.col("_commit_version") == version
-            ).select(*base_cols)
+        for version, commit_ms in todo:
+            # in-ledger version with no batch rows = an empty snapshot
+            # (its one part file has zero rows); the diff below emits
+            # the truncation as DELETEs
+            cur = (
+                batch_df.filter(
+                    F.col("_commit_version") == version
+                ).select(*base_cols)
+                if version in in_batch
+                else empty
+            )
             diff = (
                 snapshot_diff(prev_frame, cur, list(key_columns))
                 .withColumn("_commit_version", F.lit(version).cast("long"))
@@ -117,9 +188,12 @@ def cdf_merge_batch(
             ).drop(EXPORT_CHANGE_TYPE_COLUMN)
         else:
             nxt = apply_changes(prev_state, collapsed, list(key_columns))
-        nxt.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"v={batch_id}")
-        )
+        out_dir = os.path.join(state_path, f"v={batch_id}")
+        nxt.write.mode("overwrite").parquet(out_dir)
+        # watermark LAST (after _SUCCESS): a crash in between replays
+        # the batch, which recomputes the identical state + marker
+        with open(os.path.join(out_dir, _APPLIED_MARKER), "w") as f:
+            f.write(str(todo[-1][0]))
     finally:
         batch_df.unpersist()
 
@@ -147,6 +221,7 @@ def start_versioned_cdf_merge(
         lambda bdf, bid: cdf_merge_batch(
             bdf,
             bid,
+            table_path=table_path,
             key_columns=key_columns,
             state_path=state_path,
             on_changes=on_changes,

@@ -619,3 +619,126 @@ def test_datasource_accepts_file_scheme_uri(spark, tmp_path):
         .collect()
     )
     assert [(r["k"], r["v"], r["_commit_version"]) for r in got] == [(1, 10.0, 0)]
+
+
+def test_versioned_cdf_merge_stream_empty_commit_truncation(spark, tmp_path):
+    """A 0-row commit (legal truncation) contributes NO stream rows —
+    the consumer must still apply it (ledger-driven enumeration + the
+    applied-version watermark), emitting the truncation as DELETEs
+    instead of silently losing the version while the checkpoint
+    advances (review finding)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import (
+        start_versioned_cdf_merge,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    changes_dir = str(tmp_path / "changes")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+
+    def run():
+        q = start_versioned_cdf_merge(
+            spark,
+            table,
+            key_columns=["k"],
+            state_path=state,
+            checkpoint_dir=ckpt,
+            on_changes=lambda c, _b: c.write.mode("append").parquet(changes_dir),
+        )
+        assert q.awaitTermination(120)
+
+    commit_version(mk([(1, 10.0), (2, 20.0)]), table, 100)
+    run()
+    assert {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }
+    # the truncating empty commit, as the ONLY new version
+    commit_version(mk([]).filter("k IS NOT NULL"), table, 200)
+    run()
+    snap = read_snapshot(spark, state)
+    assert snap.count() == 0
+    got = {
+        (r["_mp_change_type"], r["k"], r["_commit_version"])
+        for r in spark.read.parquet(changes_dir).collect()
+        if r["_commit_version"] == 1
+    }
+    assert got == {("DELETE", 1, 1), ("DELETE", 2, 1)}
+    # rows after the truncation keep flowing
+    commit_version(mk([(3, 30.0)]), table, 300)
+    run()
+    assert {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()} == {
+        (3, 30.0)
+    }
+
+
+def test_versioned_cdf_merge_stream_vacuum_gap_raises(spark, tmp_path):
+    """A consumer that fell behind retention must RAISE (the ledger
+    gap proves vacuum removed unapplied history), not silently diff
+    across the gap; a FRESH consumer on a vacuumed table is the one
+    allowed bootstrap (initial snapshot-as-INSERTs, Delta's CDF-stream
+    start semantics)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pyspark_unload_to_gcs_spark.sources.versioned import vacuum
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import (
+        start_versioned_cdf_merge,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+
+    # behind-retention consumer: applied v0, then v1 vacuumed away
+    table = str(tmp_path / "t1")
+    commit_version(mk([(1, 10.0)]), table, 100)
+    q = start_versioned_cdf_merge(
+        spark,
+        table,
+        key_columns=["k"],
+        state_path=str(tmp_path / "s1"),
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    assert q.awaitTermination(120)
+    commit_version(mk([(2, 20.0)]), table, 200)
+    commit_version(mk([(3, 30.0)]), table, 300)
+    vacuum(table, keep_last=1)  # drops v0 and the unapplied v1
+    q = start_versioned_cdf_merge(
+        spark,
+        table,
+        key_columns=["k"],
+        state_path=str(tmp_path / "s1"),
+        checkpoint_dir=str(tmp_path / "c1"),
+    )
+    ok = False
+    try:
+        ok = q.awaitTermination(120)
+    except StreamingQueryException as e:
+        assert "ledger gap" in str(e)
+    else:
+        raise AssertionError(f"expected the gap to fail the stream, got {ok}")
+
+    # fresh consumer on the vacuumed table: initial snapshot load
+    table2 = str(tmp_path / "t2")
+    commit_version(mk([(1, 10.0)]), table2, 100)
+    commit_version(mk([(2, 20.0)]), table2, 200)
+    vacuum(table2, keep_last=1)
+    q = start_versioned_cdf_merge(
+        spark,
+        table2,
+        key_columns=["k"],
+        state_path=str(tmp_path / "s2"),
+        checkpoint_dir=str(tmp_path / "c2"),
+    )
+    assert q.awaitTermination(120)
+    snap = read_snapshot(spark, str(tmp_path / "s2"))
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(2, 20.0)}
