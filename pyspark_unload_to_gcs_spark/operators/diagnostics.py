@@ -172,17 +172,62 @@ def parquet_footer_profile(
     Fixture paths are local-FS; at scale the path listing and the
     footer opens go through the executors' shared filesystem (object
     stores serve footer byte-ranges without reading the file)."""
+    from pyspark.sql import functions as _F
+
+    per_file = footer_file_frame(spark, path, key_column)
+    return per_file.agg(
+        _F.lit(label or key_column).alias("table"),
+        _F.count(_F.lit(1)).cast("long").alias("n_files"),
+        _F.sum("n_row_groups").cast("long").alias("n_row_groups"),
+        _F.sum("n_rows").cast("long").alias("n_rows"),
+        # any file without stats poisons min/max to NULL (unknown)
+        _F.when(_F.bool_and("stats_ok"), _F.min("key_min"))
+        .cast("long")
+        .alias("key_min"),
+        _F.when(_F.bool_and("stats_ok"), _F.max("key_max"))
+        .cast("long")
+        .alias("key_max"),
+        # same rule for null counts: unknown anywhere -> NULL, not 0
+        _F.when(_F.bool_and("nulls_ok"), _F.sum("key_nulls"))
+        .cast("long")
+        .alias("key_nulls"),
+    )
+
+
+def footer_file_frame(
+    spark,
+    path: str,
+    key_column: str,
+    *,
+    recursive: bool = False,
+):
+    """Per-FILE parquet footer statistics as a DataFrame — the shared
+    metadata reader under ``parquet_footer_profile`` (table fold) and
+    ``scan_prune_plan`` (per-partition keep/skip):
+
+      (path, n_row_groups, n_rows, key_min, key_max, key_nulls,
+       stats_ok, nulls_ok)
+
+    One small footer read per file, distributed (pyarrow over an
+    Arrow-batched paths frame); no data pages are touched. min/max are
+    NULL (unknown) when any row group lacks statistics; key_nulls is
+    NULL when any row group lacks a null count (optional in the
+    format — ADVICE r09). ``recursive=True`` walks hive-partitioned
+    layouts (``key=value`` subdirectories)."""
     import glob as _glob
     import os as _os
 
-    from pyspark.sql import functions as _F
-
     if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        pattern = (
+            _os.path.join(path, "**", "*.parquet")
+            if recursive
+            else _os.path.join(path, "*.parquet")
+        )
+        files = sorted(_glob.glob(pattern, recursive=recursive))
     else:
         files = [path]
     if not files:
-        raise ValueError(f"parquet_footer_profile: no parquet files at {path!r}")
+        raise ValueError(f"footer_file_frame: no parquet files at {path!r}")
     paths_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
     ).repartition(min(len(files), 64))
@@ -220,6 +265,7 @@ def parquet_footer_profile(
                         knulls += int(st.null_count)
                 rows.append(
                     {
+                        "path": p,
                         "n_row_groups": md.num_row_groups,
                         "n_rows": md.num_rows,
                         "key_min": int(kmin) if stats_ok and kmin is not None else None,
@@ -231,25 +277,86 @@ def parquet_footer_profile(
                 )
             yield pd.DataFrame(rows)
 
-    per_file = paths_df.mapInPandas(
+    return paths_df.mapInPandas(
         _read_footers,
-        "n_row_groups long, n_rows long, key_min long, key_max long, "
-        "key_nulls long, stats_ok boolean, nulls_ok boolean",
+        "path string, n_row_groups long, n_rows long, key_min long, "
+        "key_max long, key_nulls long, stats_ok boolean, nulls_ok boolean",
     )
-    return per_file.agg(
-        _F.lit(label or key_column).alias("table"),
-        _F.count(_F.lit(1)).cast("long").alias("n_files"),
-        _F.sum("n_row_groups").cast("long").alias("n_row_groups"),
-        _F.sum("n_rows").cast("long").alias("n_rows"),
-        # any file without stats poisons min/max to NULL (unknown)
-        _F.when(_F.bool_and("stats_ok"), _F.min("key_min"))
-        .cast("long")
-        .alias("key_min"),
-        _F.when(_F.bool_and("stats_ok"), _F.max("key_max"))
-        .cast("long")
-        .alias("key_max"),
-        # same rule for null counts: unknown anywhere -> NULL, not 0
-        _F.when(_F.bool_and("nulls_ok"), _F.sum("key_nulls"))
-        .cast("long")
-        .alias("key_nulls"),
+
+
+def scan_prune_plan(
+    spark,
+    path: str,
+    key_column: str,
+    *,
+    lower: int,
+    upper: int,
+    partition_column: str | None = None,
+):
+    """The pruning DECISION, before any job runs: which files (or hive
+    partitions) of a parquet table would a range predicate
+    ``lower <= key_column <= upper`` actually read? Footer min/max per
+    file decide ``keep = NOT (key_max < lower OR key_min > upper)``;
+    a file without statistics is kept CONSERVATIVELY (unknown must
+    never be skipped — skipping drops rows, keeping only wastes I/O).
+
+    Returns one row per hive partition value when
+    ``partition_column`` is given (folded across the partition's
+    files), else one row per file:
+
+      (partition|path, n_files, n_rows, key_min, key_max, keep)
+
+    This is the planning answer to "is this table laid out so my
+    query prunes?" — run it on a candidate layout BEFORE committing a
+    100 TB rewrite; the registered query verifies the decisions
+    against data-derived truth."""
+    from pyspark.sql import functions as _F
+
+    per_file = footer_file_frame(
+        spark, path, key_column, recursive=partition_column is not None
+    )
+    if partition_column is None:
+        grouped = per_file.select(
+            _F.col("path").alias("unit"),
+            _F.lit(1).cast("long").alias("n_files"),
+            "n_rows",
+            "key_min",
+            "key_max",
+            "stats_ok",
+        )
+    else:
+        grouped = (
+            per_file.withColumn(
+                "unit",
+                _F.regexp_extract(
+                    "path", f"{partition_column}=([^/]+)", 1
+                ),
+            )
+            .groupBy("unit")
+            .agg(
+                _F.count(_F.lit(1)).cast("long").alias("n_files"),
+                _F.sum("n_rows").cast("long").alias("n_rows"),
+                _F.when(_F.bool_and("stats_ok"), _F.min("key_min"))
+                .cast("long")
+                .alias("key_min"),
+                _F.when(_F.bool_and("stats_ok"), _F.max("key_max"))
+                .cast("long")
+                .alias("key_max"),
+                _F.bool_and("stats_ok").alias("stats_ok"),
+            )
+        )
+    return grouped.select(
+        "unit",
+        "n_files",
+        "n_rows",
+        "key_min",
+        "key_max",
+        _F.when(
+            ~_F.col("stats_ok"), _F.lit(True)  # unknown -> never skip
+        )
+        .otherwise(
+            ~((_F.col("key_max") < _F.lit(int(lower)))
+              | (_F.col("key_min") > _F.lit(int(upper))))
+        )
+        .alias("keep"),
     )

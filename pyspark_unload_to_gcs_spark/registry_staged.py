@@ -3400,3 +3400,77 @@ def gap_fill_daily_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return gap_fill_daily(ev).filter(F.col("user_id") % 5 == 0)
+
+
+_SCAN_PRUNE_SQL = """
+WITH w AS (
+  SELECT CAST((MAX(o_orderkey) + 8) // 8 AS BIGINT) AS k FROM orders
+)
+SELECT CAST(o_orderkey // w.k AS BIGINT) AS bkt,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS key_max,
+       (MAX(o_orderkey) >= 250 AND MIN(o_orderkey) <= 710) AS keep
+FROM orders, w
+GROUP BY bkt
+"""
+
+_SCAN_PRUNE_MEMO: dict = {}
+
+
+@register_staged("scan_prune_preflight", oracle=_SCAN_PRUNE_SQL)
+def scan_prune_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning DECISION verified against data truth
+    (operators/diagnostics.py ``scan_prune_plan``): orders laid out as
+    a hive-partitioned table (one file per key-range bucket), then the
+    footer-only planner decides which partitions a range predicate
+    [250, 710] would read. Footer min/max for an int64 column are
+    writer-exact, so every per-bucket row — counts, bounds, and the
+    keep/skip boolean — must equal the oracle's data-derived
+    recomputation; a stats misread or an off-by-one in the overlap
+    rule flips a boolean. This is the 100 TB layout pre-flight: run it
+    on a candidate partitioning BEFORE committing the rewrite."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import scan_prune_plan
+
+    key = (session_token(spark), sf_dir)
+    if key not in _SCAN_PRUNE_MEMO:
+        orders = _t(spark, sf_dir, "orders")
+        # 8 key-range buckets at EVERY scale (bounded 1-value collect):
+        # width = (max_key + 8) div 8, pure integer arithmetic the
+        # oracle repeats exactly — a fixed width would write thousands
+        # of partition dirs at x10 (fixture cost, not operator cost)
+        max_key = orders.agg(F.max("o_orderkey")).first()[0]
+        width = (int(max_key) + 8) // 8
+        path = tempfile.mkdtemp(prefix="scan_prune_") + "/t"
+        (
+            orders
+            .select(
+                "o_orderkey",
+                # BIGINT `div` == DuckDB `//` (lore: never float-divide
+                # then cast for bucket arithmetic)
+                F.expr(f"o_orderkey div {width}").alias("bkt"),
+            )
+            .repartition("bkt")  # exactly one file per partition dir
+            .write.partitionBy("bkt")
+            .parquet(path)
+        )
+        _SCAN_PRUNE_MEMO[key] = path
+    plan = scan_prune_plan(
+        spark,
+        _SCAN_PRUNE_MEMO[key],
+        "o_orderkey",
+        lower=250,
+        upper=710,
+        partition_column="bkt",
+    )
+    return plan.select(
+        F.col("unit").cast("bigint").alias("bkt"),
+        "n_files",
+        "n_rows",
+        "key_min",
+        "key_max",
+        "keep",
+    )

@@ -1105,3 +1105,59 @@ def test_parquet_footer_profile_multifile_and_missing_stats(spark, tmp_path):
     assert nprof["key_min"] is None
     assert nprof["key_max"] is None
     assert nprof["key_nulls"] is None
+
+
+def test_scan_prune_plan_decisions_and_conservatism(spark, tmp_path):
+    """Keep/skip from footers: kept units cover every matching row (no
+    false drops — the correctness half of pruning), skipped units
+    contain none, and a file WITHOUT statistics is kept conservatively."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import scan_prune_plan
+
+    out = str(tmp_path / "t")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") / 100).cast("long").alias("b"))
+        .repartition("b")
+        .write.partitionBy("b")
+        .parquet(out)
+    )
+    plan = scan_prune_plan(
+        spark, out, "k", lower=150, upper=420, partition_column="b"
+    ).collect()
+    keep = {int(r["unit"]) for r in plan if r["keep"]}
+    skip = {int(r["unit"]) for r in plan if not r["keep"]}
+    assert keep == {1, 2, 3, 4}
+    assert skip == {0, 5, 6, 7, 8, 9}
+    # no false drops: every row matching the predicate lives in a kept unit
+    kept_rows = (
+        spark.read.parquet(out)
+        .filter(F.col("b").isin([int(u) for u in keep]))
+        .filter((F.col("k") >= 150) & (F.col("k") <= 420))
+        .count()
+    )
+    assert kept_rows == 420 - 150 + 1
+
+    # per-file mode (no partition column): one row per part file
+    flat = str(tmp_path / "flat")
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1).write.parquet(flat)
+    rows = scan_prune_plan(spark, flat, "k", lower=1000, upper=2000).collect()
+    assert len(rows) == 1 and rows[0]["keep"] is False
+
+    # a statistics-less file must be KEPT (unknown is never skipped)
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nostats = str(tmp_path / "nostats")
+    os.makedirs(nostats)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1, 2, 3]})),
+        os.path.join(nostats, "part-0.parquet"),
+        write_statistics=False,
+    )
+    rows = scan_prune_plan(spark, nostats, "k", lower=9999, upper=99999).collect()
+    assert len(rows) == 1 and rows[0]["keep"] is True and rows[0]["key_min"] is None
