@@ -186,9 +186,10 @@ def dsir_select(
     Distributed TakeOrdered, never a single-partition window.
 
     ``normalize=True`` (default) ranks by the PER-BIGRAM average log
-    ratio (``avg_lr = round(w_micro / n_bigrams, 9)`` — one exact
-    BIGINT division per document, identical IEEE result in any
-    engine): the raw sum is dominated by document length (short
+    ratio in integer micro-units (``avg_lr_micro = floor(w_micro *
+    1e6 / n_bigrams)`` — one IEEE multiply+divide+floor per document,
+    bit-identical in any engine; round(x, 9) drifted cross-engine at
+    large magnitudes): the raw sum is dominated by document length (short
     documents accumulate the least negative mass and win regardless
     of domain — measured: un-normalized top-k selected 14% target-
     domain docs vs 13% base rate; normalized selects 63-72%), which is
@@ -207,12 +208,14 @@ def dsir_select(
         return (
             w.filter(F.col("n_bigrams") > 0)
             .withColumn(
-                "avg_lr",
-                F.round(
-                    F.col("w_micro").cast("double") / F.col("n_bigrams"), 9
-                ),
+                "avg_lr_micro",
+                F.floor(
+                    F.col("w_micro").cast("double")
+                    * F.lit(1_000_000.0)
+                    / F.col("n_bigrams")
+                ).cast("long"),
             )
-            .orderBy(F.col("avg_lr").desc(), F.col(id_column))
+            .orderBy(F.col("avg_lr_micro").desc(), F.col(id_column))
             .limit(k)
         )
     return w.orderBy(F.col("w_micro").desc(), F.col(id_column)).limit(k)
@@ -309,9 +312,87 @@ def dsir_shift_report(
     )
 
 
+def dsir_ratio_write(
+    df: DataFrame,
+    target: Column,
+    path: str,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+) -> None:
+    """Persist the quantized log-ratio table (``num_buckets`` rows of
+    (bucket, r_cnt, t_cnt, lr_micro)) — the FROZEN importance model a
+    continuous-ingestion pipeline scores every new batch against.
+    Same economics as the IVF-PQ index family: the corpus-wide
+    estimation pass runs once; increments never rescan it."""
+    dsir_log_ratio_table(
+        df, target, num_buckets=num_buckets, text_column=text_column
+    ).write.mode("overwrite").parquet(path)
+
+
+def dsir_score_batch(
+    spark,
+    batch: DataFrame,
+    ratio_path: str,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Score ONLY a new batch against the persisted ratio table:
+    (id, n_bigrams, w_micro, avg_lr) with the identical exact-BIGINT
+    accumulation as ``dsir_weights`` — a batch scored incrementally
+    gets bit-identical weights to the same documents scored in the
+    original corpus pass (pinned by test and by the staged oracle).
+    The batch featurizes alone; the ratio table is a broadcast-size
+    read; the corpus is never rescanned — the same increment
+    economics as ``semantic_match_against_index`` / ``pq_index_append``.
+
+    ``num_buckets`` must be the value the table was built with (the
+    frozen-quantizer contract PQ appends follow: re-deriving the model
+    is a rebuild, not an increment). A batch bigram hashing to a
+    bucket absent from the table never occurred in the estimation
+    corpus; it scores 0 via the left-join coalesce — the neutral
+    conservative choice, stated rather than hidden."""
+    ratios = spark.read.parquet(ratio_path).select("bucket", "lr_micro")
+    stream = hashed_bigram_stream(
+        batch, num_buckets=num_buckets, text_column=text_column, keep=(id_column,)
+    )
+    per_doc = (
+        stream.join(ratios, "bucket", "left")
+        .groupBy(id_column)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce("lr_micro", F.lit(0))).cast("long").alias("w_micro"),
+        )
+    )
+    return (
+        batch.select(id_column)
+        .join(per_doc, id_column, "left")
+        .select(
+            F.col(id_column),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("w_micro", F.lit(0)).cast("long").alias("w_micro"),
+        )
+        .withColumn(
+            "avg_lr_micro",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.floor(
+                    F.col("w_micro").cast("double")
+                    * F.lit(1_000_000.0)
+                    / F.col("n_bigrams")
+                ).cast("long"),
+            ),
+        )
+    )
+
+
 __all__ = [
     "MICRO",
     "dsir_log_ratio_table",
+    "dsir_ratio_write",
+    "dsir_score_batch",
     "dsir_select",
     "dsir_shift_report",
     "dsir_weights",

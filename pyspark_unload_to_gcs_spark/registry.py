@@ -497,17 +497,19 @@ def _load_extensions() -> None:
 # window row is oracle-bearing (zero rows-only slots).
 #
 # R11 ROTATION PLAN (execute next round): keep the core eight;
-# promote the FIVE r10-staged entries first
+# promote the r10-staged entries first
 # (versioned_cdf_merge_stream_replay — the CDC loop as one streaming
 # query; dsir_selected_docs — DSIR importance resampling under a full
 # value oracle; dsir_shift_accuracy — its KL-shift semantic pin;
 # gap_fill_daily_activity — date-spine zero-fill;
 # scan_prune_preflight — footer-stats keep/skip decisions vs data
-# truth; all parity-tested at sf0.001+sf0.01, budgets pre-recorded,
-# x10-audited); then refresh oldest-evidence-first — the remaining 35
-# r06-only greens (clean_corpus_stats was last in this window's
-# alphabetical cut; continue from customers_without_orders):
-# 8 + 5 + 35 = 48, leaving 2 slots for the oldest r07 greens
+# truth; dsir_incremental_scores — batch scoring against the
+# persisted frozen ratio table; all parity-tested at sf0.001+sf0.01,
+# budgets pre-recorded, x10-audited); promote the SIX
+# r10-staged entries total, then refresh oldest-evidence-first — the
+# remaining 35 r06-only greens (clean_corpus_stats was last in this
+# window's alphabetical cut; continue from customers_without_orders):
+# 8 + 6 + 35 = 49, leaving 1 slot for the oldest r07 green
 # (alphabetical). Rows-only names (near_dedup_simhash,
 # rolling_active_users_approx, events_approx_users, near_dedup_*,
 # fuzzy_entity_join, near_dup_clusters, multimodal_decode/embed_topk)

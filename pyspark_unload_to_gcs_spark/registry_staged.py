@@ -3278,7 +3278,9 @@ def versioned_cdf_merge_stream_replay_q(spark: SparkSession, sf_dir: str) -> Dat
 _DSIR_BUCKETS = 4096
 _DSIR_K = 100
 
-_DSIR_SQL = f"""
+# shared CTE spine for every DSIR oracle: words -> bigrams -> md5
+# buckets -> counts -> quantized log-ratio table -> per-doc weights
+_DSIR_CTES = f"""
 WITH w AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -3313,11 +3315,15 @@ WITH w AS (
          CAST(SUM(lr_micro) AS BIGINT) AS w_micro
   FROM feats JOIN ratios USING (bucket) GROUP BY doc_id
 )
+"""
+
+_DSIR_SQL = f"""{_DSIR_CTES}
 SELECT doc_id, n_bigrams, w_micro,
-       round(CAST(w_micro AS DOUBLE) / n_bigrams, 9) AS avg_lr
+       CAST(floor(CAST(w_micro AS DOUBLE) * 1000000 / n_bigrams) AS BIGINT)
+         AS avg_lr_micro
 FROM per_doc
 WHERE n_bigrams > 0
-ORDER BY avg_lr DESC, doc_id
+ORDER BY avg_lr_micro DESC, doc_id
 LIMIT {_DSIR_K}
 """
 
@@ -3473,4 +3479,52 @@ def scan_prune_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_min",
         "key_max",
         "keep",
+    )
+
+
+_DSIR_INCR_SQL = f"""{_DSIR_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.w_micro, 0) AS BIGINT) AS w_micro,
+       CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+            THEN CAST(floor(CAST(p.w_micro AS DOUBLE) * 1000000 / p.n_bigrams)
+                      AS BIGINT) END AS avg_lr_micro
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % 10 = 7
+"""
+
+_DSIR_INCR_MEMO: dict = {}
+
+
+@register_staged("dsir_incremental_scores", oracle=_DSIR_INCR_SQL)
+def dsir_incremental_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR scoring against a PERSISTED importance model
+    (operators/dsir.py ``dsir_ratio_write``/``dsir_score_batch``): the
+    corpus-wide ratio table is estimated and written once; a new batch
+    (doc_id % 10 == 7) then featurizes ALONE and broadcast-joins the
+    frozen table — the corpus is never rescanned, the same increment
+    economics as the semantic/PQ index families. The oracle scores the
+    same documents through the full-corpus pipeline, so the increment
+    path must reproduce the batch's weights bit-for-bit (exact BIGINT
+    micro-units; the one avg division rounds identically)."""
+    from pyspark_unload_to_gcs_spark.operators.dsir import (
+        dsir_ratio_write,
+        dsir_score_batch,
+    )
+
+    key = (session_token(spark), sf_dir)
+    if key not in _DSIR_INCR_MEMO:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dsir_ratio_") + "/t"
+        dsir_ratio_write(
+            _t(spark, sf_dir, "documents"),
+            F.col("lang") == "fr",
+            path,
+            num_buckets=_DSIR_BUCKETS,
+        )
+        _DSIR_INCR_MEMO[key] = path
+    batch = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7)
+    return dsir_score_batch(
+        spark, batch, _DSIR_INCR_MEMO[key], num_buckets=_DSIR_BUCKETS
     )

@@ -132,3 +132,38 @@ def test_gap_fill_daily_exact(spark):
         (1, 13): (1, False),
         (2, 20): (1, False),
     }
+
+
+def test_incremental_scoring_bit_identical(spark, sf_dir, tmp_path):
+    """A batch scored against the persisted ratio table must reproduce
+    the full-corpus pass's weights bit-for-bit (the frozen-model
+    increment contract), and unseen-vocabulary documents score 0."""
+    from pyspark_unload_to_gcs_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "fr"
+    path = str(tmp_path / "ratio")
+    dsir.dsir_ratio_write(docs, tgt, path, num_buckets=4096)
+
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    inc = {
+        r["doc_id"]: (r["n_bigrams"], r["w_micro"], r["avg_lr_micro"])
+        for r in dsir.dsir_score_batch(
+            spark, batch, path, num_buckets=4096
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_bigrams"], r["w_micro"])
+        for r in dsir.dsir_weights(docs, tgt, num_buckets=4096).collect()
+        if r["doc_id"] % 7 == 3
+    }
+    assert set(inc) == set(full)
+    for d, (n, w) in full.items():
+        assert inc[d][:2] == (n, w), d
+
+    # vocabulary unseen by the model scores 0 (conservative neutral)
+    alien = spark.createDataFrame(
+        [(999999, "zzqx wwvu zzqx wwvu", "xx")], "doc_id long, text string, lang string"
+    )
+    row = dsir.dsir_score_batch(spark, alien, path, num_buckets=4096).first()
+    assert row["n_bigrams"] == 3 and row["w_micro"] == 0
