@@ -504,13 +504,13 @@ def _load_extensions() -> None:
 # gap_fill_daily_activity — date-spine zero-fill;
 # scan_prune_preflight — footer-stats keep/skip decisions vs data
 # truth; dsir_incremental_scores — batch scoring against the
-# persisted frozen ratio table; all parity-tested at sf0.001+sf0.01,
-# budgets pre-recorded, x10-audited); promote the SIX
-# r10-staged entries total, then refresh oldest-evidence-first — the
-# remaining 35 r06-only greens (clean_corpus_stats was last in this
-# window's alphabetical cut; continue from customers_without_orders):
-# 8 + 6 + 35 = 49, leaving 1 slot for the oldest r07 green
-# (alphabetical). Rows-only names (near_dedup_simhash,
+# persisted frozen ratio table; margin_align_mining — LASER-style
+# ratio-margin bitext/alignment mining, full value oracle; all
+# parity-tested at sf0.001+sf0.01, budgets pre-recorded, x10-audited);
+# promote the SEVEN r10-staged entries total, then refresh
+# oldest-evidence-first — the remaining 35 r06-only greens
+# (clean_corpus_stats was last in this window's alphabetical cut;
+# continue from customers_without_orders): 8 + 7 + 35 = 50 exactly. Rows-only names (near_dedup_simhash,
 # rolling_active_users_approx, events_approx_users, near_dedup_*,
 # fuzzy_entity_join, near_dup_clusters, multimodal_decode/embed_topk)
 # stay OUT of _PRIORITY — each family's value evidence is its

@@ -3528,3 +3528,102 @@ def dsir_incremental_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score_batch(
         spark, batch, _DSIR_INCR_MEMO[key], num_buckets=_DSIR_BUCKETS
     )
+
+
+_ALIGN_K = 4
+_ALIGN_CELLS = 8
+_ALIGN_THRESH = "1.1"
+
+
+def _align_oracle() -> str:
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings ORDER BY vec_id ASC LIMIT {_ALIGN_CELLS}
+), centn AS (
+  SELECT cell, c,
+         CASE WHEN sqrt({_SS.format(a="c")}) = 0 THEN 1.0
+              ELSE sqrt({_SS.format(a="c")}) END AS n
+  FROM cent
+), centu AS (
+  SELECT cell, list_transform(c, x -> x / n) AS u FROM centn
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, vn, cell FROM (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           sqrt({_SS.format(a="CAST(e.embedding AS DOUBLE[])")}) AS vn,
+           cu.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="cu.u")} DESC,
+                      cu.cell DESC
+           ) AS rn
+    FROM embeddings e, centu cu
+  ) WHERE rn = 1
+), pairs AS MATERIALIZED (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         CASE WHEN s.vn * t.vn > 0
+              THEN {_DOT.format(a="s.v", b="t.v")} / (s.vn * t.vn)
+              ELSE 0.0 END AS cos
+  FROM assigned s JOIN assigned t USING (cell)
+  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+), a AS (
+  SELECT src_id,
+         list_reduce(list_slice(list_sort(list(cos), 'DESC'), 1, {_ALIGN_K}),
+                     (x, y) -> x + y)
+           / len(list_slice(list_sort(list(cos), 'DESC'), 1, {_ALIGN_K})) AS ax
+  FROM pairs GROUP BY src_id
+), b AS (
+  SELECT tgt_id,
+         list_reduce(list_slice(list_sort(list(cos), 'DESC'), 1, {_ALIGN_K}),
+                     (x, y) -> x + y)
+           / len(list_slice(list_sort(list(cos), 'DESC'), 1, {_ALIGN_K})) AS by
+  FROM pairs GROUP BY tgt_id
+), scored AS (
+  SELECT p.src_id, p.tgt_id, p.cos,
+         p.cos / ((a.ax + b.by) / 2.0) AS margin
+  FROM pairs p JOIN a USING (src_id) JOIN b USING (tgt_id)
+), best AS (
+  SELECT src_id, tgt_id, cos, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY src_id ORDER BY margin DESC, tgt_id DESC
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+)
+SELECT src_id, tgt_id, round(cos, 6) AS cos_r, round(margin, 6) AS margin_r
+FROM best WHERE margin > {_ALIGN_THRESH}
+"""
+
+
+@register_staged("margin_align_mining", oracle=_align_oracle())
+def margin_align_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based alignment mining (operators/align.py, the
+    LASER/CCMatrix bitext recipe): even-id embeddings as the source
+    corpus, odd-id as the target, IVF-cell candidate pairs, ratio
+    margin cos / mean-of-kNN-cosines, each source's best target above
+    the 1.1 margin threshold. FULL value oracle — centroid selection,
+    fold argmax assignment, pair cosines, the sorted-slice kNN
+    averages, the margin division, the best-pair tiebreak, and the
+    threshold all replay bit-for-bit in DuckDB (every float is either
+    a deterministic left fold or one IEEE division). The FIXED 8-cell
+    quantizer is the oracle operating point (pair mass ~n²/8);
+    production scales n_centroids ~ sqrt(n) — the operator takes the
+    quantizer from the caller, so the plan is unchanged
+    (SCALE_AUDIT.md r10)."""
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_from_sample(emb, n_centroids=_ALIGN_CELLS)
+    return margin_align_pairs(
+        emb,
+        F.col("vec_id") % 2 == 0,
+        F.col("vec_id") % 2 == 1,
+        centroids=cents,
+        k=_ALIGN_K,
+        margin_threshold=1.1,
+    )

@@ -167,3 +167,54 @@ def test_incremental_scoring_bit_identical(spark, sf_dir, tmp_path):
     )
     row = dsir.dsir_score_batch(spark, alien, path, num_buckets=4096).first()
     assert row["n_bigrams"] == 3 and row["w_micro"] == 0
+
+
+def test_margin_align_planted_pair_and_hub_suppression(spark):
+    """A planted near-duplicate across the two sides must be mined
+    with the top margin, while a HUB target (moderately similar to
+    every source) must not win any source whose true partner exists —
+    the ratio margin exists precisely to suppress hubs that raw
+    cosine retrieval would pick."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(6)]
+    rows = []
+    # sources 0,2,4,...: base vectors; targets = tiny perturbations
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, unit([x + 0.01 * rng.gauss(0, 1) for x in v])))
+    # hub target: the normalized mean — similar to everything
+    hub = unit([sum(v[d] for v in base) for d in range(dim)])
+    rows.append((99, hub))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids_from_sample(df, n_centroids=1)  # one cell: all pairs
+    out = {
+        r["src_id"]: (r["tgt_id"], r["margin_r"])
+        for r in margin_align_pairs(
+            df,
+            F.col("vec_id") % 2 == 0,
+            F.col("vec_id") % 2 == 1,
+            centroids=cents,
+            k=3,
+            margin_threshold=1.0,
+        ).collect()
+    }
+    for i in range(6):
+        tgt, margin = out[2 * i]
+        assert tgt == 2 * i + 1, f"src {2*i} mined {tgt}, not its partner"
+        assert margin > 1.0
