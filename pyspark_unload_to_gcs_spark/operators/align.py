@@ -99,6 +99,11 @@ def margin_align_pairs(
             .otherwise(F.lit(0.0))
             .alias("cos"),
         )
+        # the pair-dot folds are the dominant cost and THREE branches
+        # consume this frame (both kNN aggregates + the scored join) —
+        # persist so the n²/cells candidate pass runs once, the Spark
+        # analogue of the oracle's `pairs AS MATERIALIZED`
+        .persist()
     )
     a = pairs.groupBy("src_id").agg(
         _topk_avg(F.collect_list("cos"), k).alias("__ax")
@@ -106,6 +111,11 @@ def margin_align_pairs(
     b = pairs.groupBy("tgt_id").agg(
         _topk_avg(F.collect_list("cos"), k).alias("__by")
     )
+    # degenerate guard: a cell whose candidates are ALL mutually
+    # orthogonal has zero kNN averages (and zero cos) — margin is
+    # 0/0 there; define it as 0 (below any threshold) instead of
+    # letting ANSI mode fail the job on the double division
+    mdenom = (F.col("__ax") + F.col("__by")) / 2.0
     scored = (
         pairs.join(a, "src_id")
         .join(b, "tgt_id")
@@ -113,9 +123,9 @@ def margin_align_pairs(
             "src_id",
             "tgt_id",
             "cos",
-            (F.col("cos") / ((F.col("__ax") + F.col("__by")) / 2.0)).alias(
-                "margin"
-            ),
+            F.when(mdenom != 0, F.col("cos") / mdenom)
+            .otherwise(F.lit(0.0))
+            .alias("margin"),
         )
     )
     best = (

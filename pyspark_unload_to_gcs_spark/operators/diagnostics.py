@@ -325,11 +325,29 @@ def scan_prune_plan(
             "stats_ok",
         )
     else:
+        import re as _re
+
+        # anchor at a path-segment start and escape the name: an
+        # unanchored 'bkt=' would match inside 'region_bkt=1' and
+        # silently merge distinct partitions (review finding)
+        pattern = rf"(?:^|/){_re.escape(partition_column)}=([^/]+)"
         grouped = (
             per_file.withColumn(
                 "unit",
-                _F.regexp_extract(
-                    "path", f"{partition_column}=([^/]+)", 1
+                _F.regexp_extract("path", pattern, 1),
+            )
+            .withColumn(
+                "unit",
+                _F.when(_F.col("unit") != "", _F.col("unit")).otherwise(
+                    _F.raise_error(
+                        _F.concat(
+                            _F.lit(
+                                f"scan_prune_plan: no '{partition_column}=' "
+                                "segment in file path "
+                            ),
+                            _F.col("path"),
+                        )
+                    )
                 ),
             )
             .groupBy("unit")

@@ -325,9 +325,17 @@ def dsir_ratio_write(
     continuous-ingestion pipeline scores every new batch against.
     Same economics as the IVF-PQ index family: the corpus-wide
     estimation pass runs once; increments never rescan it."""
-    dsir_log_ratio_table(
-        df, target, num_buckets=num_buckets, text_column=text_column
-    ).write.mode("overwrite").parquet(path)
+    (
+        dsir_log_ratio_table(
+            df, target, num_buckets=num_buckets, text_column=text_column
+        )
+        # persist the model parameter WITH the model: scoring with a
+        # different bucket count silently mis-hashes every feature, so
+        # dsir_score_batch verifies this column and fails fast instead
+        .withColumn("num_buckets", F.lit(int(num_buckets)))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def dsir_score_batch(
@@ -340,21 +348,34 @@ def dsir_score_batch(
     id_column: str = "doc_id",
 ) -> DataFrame:
     """Score ONLY a new batch against the persisted ratio table:
-    (id, n_bigrams, w_micro, avg_lr) with the identical exact-BIGINT
-    accumulation as ``dsir_weights`` — a batch scored incrementally
-    gets bit-identical weights to the same documents scored in the
-    original corpus pass (pinned by test and by the staged oracle).
-    The batch featurizes alone; the ratio table is a broadcast-size
-    read; the corpus is never rescanned — the same increment
-    economics as ``semantic_match_against_index`` / ``pq_index_append``.
+    (id, n_bigrams, w_micro, avg_lr_micro) with the identical
+    exact-BIGINT accumulation as ``dsir_weights`` — a batch scored
+    incrementally gets bit-identical weights to the same documents
+    scored in the original corpus pass (pinned by test and by the
+    staged oracle). The batch featurizes alone; the ratio table is a
+    broadcast-size read; the corpus is never rescanned — the same
+    increment economics as ``semantic_match_against_index`` /
+    ``pq_index_append``.
 
     ``num_buckets`` must be the value the table was built with (the
     frozen-quantizer contract PQ appends follow: re-deriving the model
-    is a rebuild, not an increment). A batch bigram hashing to a
-    bucket absent from the table never occurred in the estimation
-    corpus; it scores 0 via the left-join coalesce — the neutral
-    conservative choice, stated rather than hidden."""
-    ratios = spark.read.parquet(ratio_path).select("bucket", "lr_micro")
+    is a rebuild, not an increment); it is verified against the
+    ``num_buckets`` column the table carries and a mismatch RAISES —
+    a silent mismatch would mis-hash every feature. A batch bigram
+    hashing to a bucket absent from the table never occurred in the
+    estimation corpus; it scores 0 via the left-join coalesce — the
+    neutral conservative choice, stated rather than hidden."""
+    table = spark.read.parquet(ratio_path)
+    if "num_buckets" in table.columns:
+        built_with = table.select("num_buckets").first()[0]
+        if int(built_with) != int(num_buckets):
+            raise ValueError(
+                f"dsir_score_batch: table at {ratio_path!r} was built "
+                f"with num_buckets={built_with}, scoring requested "
+                f"{num_buckets} — the frozen-model contract requires "
+                "the same bucket count (rebuild, don't re-parameterize)"
+            )
+    ratios = table.select("bucket", "lr_micro")
     stream = hashed_bigram_stream(
         batch, num_buckets=num_buckets, text_column=text_column, keep=(id_column,)
     )

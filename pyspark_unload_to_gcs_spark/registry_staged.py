@@ -3336,7 +3336,7 @@ def dsir_selected_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit log-ratio weights, per-bigram normalization, top-k
     selection. FULL value oracle — the md5 feature hash, the quantized
     log-ratio table, the BIGINT accumulation, and the deterministic
-    (avg_lr, doc_id) ranking all replay bit-for-bit in DuckDB, so the
+    (avg_lr_micro, doc_id) ranking all replay bit-for-bit in DuckDB, so the
     entire selection pipeline sits under the driver hash. Measured
     behavior at fixture scale: the selected set is 63-72% target-
     domain docs vs a 13-16% base rate."""
@@ -3583,7 +3583,9 @@ WITH cent AS (
   FROM pairs GROUP BY tgt_id
 ), scored AS (
   SELECT p.src_id, p.tgt_id, p.cos,
-         p.cos / ((a.ax + b.by) / 2.0) AS margin
+         CASE WHEN (a.ax + b.by) / 2.0 != 0
+              THEN p.cos / ((a.ax + b.by) / 2.0)
+              ELSE 0.0 END AS margin
   FROM pairs p JOIN a USING (src_id) JOIN b USING (tgt_id)
 ), best AS (
   SELECT src_id, tgt_id, cos, margin FROM (

@@ -218,3 +218,18 @@ def test_margin_align_planted_pair_and_hub_suppression(spark):
         tgt, margin = out[2 * i]
         assert tgt == 2 * i + 1, f"src {2*i} mined {tgt}, not its partner"
         assert margin > 1.0
+
+
+def test_score_batch_bucket_count_mismatch_raises(spark, sf_dir, tmp_path):
+    """The persisted model carries its bucket count; scoring with a
+    different one would silently mis-hash every feature — it must
+    raise instead (the frozen-model contract)."""
+    import pytest
+
+    from pyspark_unload_to_gcs_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents").limit(20)
+    path = str(tmp_path / "ratio")
+    dsir.dsir_ratio_write(docs, F.col("lang") == "fr", path, num_buckets=256)
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir.dsir_score_batch(spark, docs, path, num_buckets=512)
