@@ -50,6 +50,7 @@ def margin_align_pairs(
     centroids: list[tuple[int, list[float]]],
     k: int = 4,
     margin_threshold: float = 1.0,
+    mutual: bool = False,
     vec_column: str = "embedding",
     id_column: str = "vec_id",
 ) -> DataFrame:
@@ -60,7 +61,9 @@ def margin_align_pairs(
     where ``avg_k`` is the mean cosine of the row's k nearest
     within-cell candidates on the OTHER side. Emits each source's
     best-margin target (ties -> larger target id) with
-    ``margin > margin_threshold``:
+    ``margin > margin_threshold``; ``mutual=True`` additionally
+    requires the pair to be the target's best source too (CCMatrix's
+    high-precision max-margin-mutual mode):
 
         (src_id, tgt_id, cos_r, margin_r)   -- rounded to 6 for output
 
@@ -139,6 +142,18 @@ def margin_align_pairs(
             F.col("__b.margin").alias("__m"),
         )
     )
+    if mutual:
+        # CCMatrix max-margin MUTUAL criterion: keep (x, y) only when
+        # x is also y's best-margin source (ties -> larger src id) —
+        # the high-precision mode for mining into training data. One
+        # extra aggregate over the scored pairs + a semi join on the
+        # (<= |src|)-row best frame.
+        best_of_tgt = (
+            scored.groupBy("tgt_id")
+            .agg(F.max(F.struct("margin", "src_id")).alias("__t"))
+            .select("tgt_id", F.col("__t.src_id").alias("src_id"))
+        )
+        best = best.join(best_of_tgt, ["src_id", "tgt_id"], "left_semi")
     return best.filter(F.col("__m") > F.lit(float(margin_threshold))).drop("__m")
 
 

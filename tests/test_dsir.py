@@ -233,3 +233,36 @@ def test_score_batch_bucket_count_mismatch_raises(spark, sf_dir, tmp_path):
     dsir.dsir_ratio_write(docs, F.col("lang") == "fr", path, num_buckets=256)
     with pytest.raises(ValueError, match="num_buckets"):
         dsir.dsir_score_batch(spark, docs, path, num_buckets=512)
+
+
+def test_margin_align_mutual_mode(spark, sf_dir):
+    """mutual=True keeps only pairs that are each other's best — a
+    strict subset of the forward mining, and every surviving pair's
+    source must be its target's argmax-margin source."""
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    from pyspark_unload_to_gcs_spark.registry import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_from_sample(emb, n_centroids=8)
+    kw = dict(centroids=cents, k=4, margin_threshold=1.0)
+    fwd = {
+        (r["src_id"], r["tgt_id"])
+        for r in margin_align_pairs(
+            emb, F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1, **kw
+        ).collect()
+    }
+    mut = {
+        (r["src_id"], r["tgt_id"])
+        for r in margin_align_pairs(
+            emb, F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1, mutual=True, **kw
+        ).collect()
+    }
+    assert mut <= fwd
+    assert 0 < len(mut) < len(fwd)
+    # mutuality: no target appears for two different sources in mut
+    tgts = [t for _s, t in mut]
+    assert len(tgts) == len(set(tgts))
