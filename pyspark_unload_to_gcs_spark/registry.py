@@ -496,8 +496,9 @@ def _load_extensions() -> None:
 # alphabetically-first r06-only greens. 8 + 7 + 28 + 7 = 50; every
 # window row is oracle-bearing (zero rows-only slots).
 #
-# R11 ROTATION PLAN (execute next round): keep the core eight;
-# promote the r10-staged entries first
+# R11 ROTATION — EXECUTED THIS ROUND (the plan pinned here in r10,
+# verbatim): core eight kept; the SEVEN r10-staged entries promoted
+# to live ``@register`` in registry_staged.py
 # (versioned_cdf_merge_stream_replay — the CDC loop as one streaming
 # query; dsir_selected_docs — DSIR importance resampling under a full
 # value oracle; dsir_shift_accuracy — its KL-shift semantic pin;
@@ -507,14 +508,19 @@ def _load_extensions() -> None:
 # persisted frozen ratio table; margin_align_mining — LASER-style
 # ratio-margin bitext/alignment mining, full value oracle; all
 # parity-tested at sf0.001+sf0.01, budgets pre-recorded, x10-audited);
-# promote the SEVEN r10-staged entries total, then refresh
-# oldest-evidence-first — the remaining 35 r06-only greens
-# (clean_corpus_stats was last in this window's alphabetical cut;
-# continue from customers_without_orders): 8 + 7 + 35 = 50 exactly. Rows-only names (near_dedup_simhash,
-# rolling_active_users_approx, events_approx_users, near_dedup_*,
-# fuzzy_entity_join, near_dup_clusters, multimodal_decode/embed_topk)
-# stay OUT of _PRIORITY — each family's value evidence is its
-# in-rotation recall/accuracy pin. After promoting staged names run
+# refresh slots = the remaining 35 r06-only greens
+# (clean_corpus_stats was last in r10's alphabetical cut; continue
+# from customers_without_orders): 8 + 7 + 35 = 50 exactly.
+# Rows-only names (near_dedup_simhash, rolling_active_users_approx,
+# events_approx_users, near_dedup_*, fuzzy_entity_join,
+# near_dup_clusters, multimodal_decode/embed_topk) stay OUT of
+# _PRIORITY permanently — each family's value evidence is its
+# in-rotation recall/accuracy pin.
+#
+# R12 ROTATION PLAN (execute next round): keep the core eight;
+# promote any r11-staged entries first (see registry_staged.py
+# bottom), then refresh oldest-evidence-first — the r07-only greens
+# (alphabetical). After promoting staged names run
 # `python tools/plan_digest.py --budgets` merged to preserve
 # existing ceilings.
 # Steady state: every query re-checked at least every third round.
@@ -528,55 +534,54 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r09 staged cohort (live as of
-    #    r10) — versioned-parquet S2-S4 family, incremental IVF-PQ
-    #    index, image aHash dedup, footer-stats pre-flight
-    "versioned_snapshot_at",
-    "versioned_change_feed",
-    "versioned_datasource_snapshot",
-    "versioned_stream_replay",
-    "pq_index_incremental_topk",
-    "image_ahash_dup_pairs",
-    "footer_stats_profile",
-    # 3. evidence refresh: the 28 r05-only greens (full r05 cohort
-    #    minus rows-only near_dedup_simhash — covered by its recall
-    #    pin below)
-    "big_orders",
-    "grouping_sets_revenue",
-    "hot_users",
-    "json_props_extract",
-    "lang_id_heuristic",
-    "near_dedup_minhash_recall",
-    "near_dedup_ngram_recall",
-    "normalized_dedup",
-    "orders_with_returns",
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "quality_score",
-    "regional_revenue",
-    "rolling_user_value",
-    "rollup_pricing",
-    "salted_user_activity",
-    "scd_latest_order_maxby",
-    "token_budget_stream_replay",
-    "token_count",
-    "top_orders_per_customer",
-    "top_parts_by_revenue",
-    "user_activity",
-    "value_histogram",
-    "value_percentiles",
-    "value_percentiles_approx",
-    # 4. evidence refresh: the 7 alphabetically-first r06-only greens
-    "asof_latest_click",
-    "balanced_corpus_sample",
-    "benchmark_contamination",
-    "bm25_search",
-    "bpe_ish_token_count",
-    "cdc_apply_changes",
-    "clean_corpus_stats",
+    # 2. never-checked: the promoted r10 staged cohort (live as of
+    #    r11) — CDF-merge streaming CDC loop, DSIR family, date-spine
+    #    gap fill, scan-prune pre-flight, margin alignment mining
+    "versioned_cdf_merge_stream_replay",
+    "dsir_selected_docs",
+    "dsir_shift_accuracy",
+    "dsir_incremental_scores",
+    "gap_fill_daily_activity",
+    "scan_prune_preflight",
+    "margin_align_mining",
+    # 3. evidence refresh: the remaining 35 r06-only greens
+    #    (alphabetical, continuing from r10's cut at
+    #    clean_corpus_stats)
+    "customers_without_orders",
+    "document_chunks",
+    "export_roundtrip_hash",
+    "funnel_view_click_purchase",
+    "growth_accounting",
+    "incremental_rollup_merge",
+    "incremental_topk_merge",
+    "merge_stream_replay",
+    "multimodal_meta",
+    "nations_customers_not_suppliers",
+    "near_dedup_simhash_recall",
+    "pii_redaction",
+    "q12_priority_by_linestatus",
+    "q16_part_supplier_counts",
+    "q2_min_price_supplier",
+    "q7_nation_pair_revenue",
+    "range_join_attribution",
+    "repetition_stats",
+    "retention_cohorts",
+    "rolling_active_users",
+    "rollup_stream_replay",
+    "sequence_packing",
+    "session_funnel",
+    "sessionization",
+    "sliding_window_events",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_event_paths",
+    "train_test_split",
+    "training_corpus_pipeline",
+    "tumbling_daily_events",
+    "user_event_gaps",
+    "vector_topk",
+    "weighted_source_mix",
+    "winsorized_value_stats",
 )
 
 

@@ -3223,7 +3223,7 @@ WHERE o_orderkey % 7 != 0
 """
 
 
-@register_staged("versioned_cdf_merge_stream_replay", oracle=_VERSIONED_CDF_MERGE_SQL)
+@register("versioned_cdf_merge_stream_replay", oracle=_VERSIONED_CDF_MERGE_SQL)
 def versioned_cdf_merge_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CDC loop (export.py:115-128) end to end AS A
     STREAM (streaming/cdc_stream.py): the 3-commit versioned orders
@@ -3328,7 +3328,7 @@ LIMIT {_DSIR_K}
 """
 
 
-@register_staged("dsir_selected_docs", oracle=_DSIR_SQL)
+@register("dsir_selected_docs", oracle=_DSIR_SQL)
 def dsir_selected_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward a target domain
     (operators/dsir.py, Xie et al. 2023): hashed-bigram bag models for
@@ -3356,7 +3356,7 @@ SELECT TRUE AS kl_improved, CAST({_DSIR_K} AS BIGINT) AS n_selected
 """
 
 
-@register_staged("dsir_shift_accuracy", oracle=_DSIR_SHIFT_SQL)
+@register("dsir_shift_accuracy", oracle=_DSIR_SHIFT_SQL)
 def dsir_shift_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic pin for the DSIR selection (the accuracy-pin pattern):
     KL(target || selected) must be SMALLER than KL(target || raw) over
@@ -3394,7 +3394,7 @@ WHERE s.user_id % 5 = 0
 """
 
 
-@register_staged("gap_fill_daily_activity", oracle=_GAP_FILL_SQL)
+@register("gap_fill_daily_activity", oracle=_GAP_FILL_SQL)
 def gap_fill_daily_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine gap fill (operators/product.py::gap_fill_daily): one
     row per user per day across each user's active span, zero-filled
@@ -3425,7 +3425,7 @@ GROUP BY bkt
 _SCAN_PRUNE_MEMO: dict = {}
 
 
-@register_staged("scan_prune_preflight", oracle=_SCAN_PRUNE_SQL)
+@register("scan_prune_preflight", oracle=_SCAN_PRUNE_SQL)
 def scan_prune_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruning DECISION verified against data truth
     (operators/diagnostics.py ``scan_prune_plan``): orders laid out as
@@ -3496,7 +3496,7 @@ WHERE d.doc_id % 10 = 7
 _DSIR_INCR_MEMO: dict = {}
 
 
-@register_staged("dsir_incremental_scores", oracle=_DSIR_INCR_SQL)
+@register("dsir_incremental_scores", oracle=_DSIR_INCR_SQL)
 def dsir_incremental_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DSIR scoring against a PERSISTED importance model
     (operators/dsir.py ``dsir_ratio_write``/``dsir_score_batch``): the
@@ -3599,7 +3599,7 @@ FROM best WHERE margin > {_ALIGN_THRESH}
 """
 
 
-@register_staged("margin_align_mining", oracle=_align_oracle())
+@register("margin_align_mining", oracle=_align_oracle())
 def margin_align_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based alignment mining (operators/align.py, the
     LASER/CCMatrix bitext recipe): even-id embeddings as the source
