@@ -104,9 +104,17 @@ def margin_align_pairs(
         )
         # the pair-dot folds are the dominant cost and THREE branches
         # consume this frame (both kNN aggregates + the scored join) —
-        # persist so the n²/cells candidate pass runs once, the Spark
-        # analogue of the oracle's `pairs AS MATERIALIZED`
-        .persist()
+        # materialize so the n²/cells candidate pass runs once, the
+        # Spark analogue of the oracle's `pairs AS MATERIALIZED`.
+        # localCheckpoint, not persist(): a persisted frame stays in
+        # the session cacheManager until an explicit unpersist nobody
+        # here can issue (the consuming action is the caller's), which
+        # leaked one cached candidate frame per call in long-running
+        # services (ADVICE r10); checkpoint blocks free with the frame
+        # via the ContextCleaner. Caveat (same as dsir_shift_report):
+        # truncated lineage means an executor loss fails the query
+        # instead of recomputing — acceptable for a mining batch job.
+        .localCheckpoint(eager=True)
     )
     a = pairs.groupBy("src_id").agg(
         _topk_avg(F.collect_list("cos"), k).alias("__ax")

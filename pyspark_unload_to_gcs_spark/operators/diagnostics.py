@@ -370,7 +370,16 @@ def scan_prune_plan(
         "key_min",
         "key_max",
         _F.when(
-            ~_F.col("stats_ok"), _F.lit(True)  # unknown -> never skip
+            # unknown -> never skip. NULL bounds with stats_ok=True
+            # happen too: a zero-row-group parquet file is legal and
+            # carries no min/max — without this clause the range test
+            # evaluates to NULL (neither kept nor skipped) and a
+            # consumer filtering on keep silently drops the row
+            # (ADVICE r10); keep must be a TOTAL boolean
+            ~_F.col("stats_ok")
+            | _F.col("key_min").isNull()
+            | _F.col("key_max").isNull(),
+            _F.lit(True),
         )
         .otherwise(
             ~((_F.col("key_max") < _F.lit(int(lower)))

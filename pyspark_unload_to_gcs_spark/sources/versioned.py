@@ -157,13 +157,52 @@ def _replace_text_atomic(path: str, text: str) -> None:
     fc.rename(tmp, dst, opts)
 
 
+def _is_already_exists_error(e: Exception) -> bool:
+    """True when a py4j-wrapped create(path, overwrite=False) failure
+    means the file already exists. Primary detection walks the Java
+    cause chain by CLASS (``*FileAlreadyExistsException`` — both the
+    hadoop.fs and java.nio spellings end that way); the message
+    substring stays only as a fallback for FS clients that surface the
+    condition as a bare IOException (RawLocalFileSystem historically
+    did), per ADVICE r10 — an unrelated error message can no longer be
+    mistaken for lock contention once the class walk says otherwise."""
+    jexc = getattr(e, "java_exception", None)
+    walked = False
+    seen = 0
+    while jexc is not None and seen < 8:
+        try:
+            name = str(jexc.getClass().getName())
+            msg = str(jexc.getMessage() or "")
+        except Exception:
+            break
+        walked = True
+        if name.endswith("FileAlreadyExistsException"):
+            return True
+        if name.endswith("IOException") and "already exists" in msg:
+            # RawLocalFileSystem historically surfaces the condition as
+            # a bare IOException("... already exists")
+            return True
+        try:
+            jexc = jexc.getCause()
+            seen += 1
+        except Exception:
+            break
+    if walked:
+        # a definite Java cause chain with no exists-signal anywhere:
+        # don't fall through to the stringly match on the traceback
+        return False
+    return "FileAlreadyExistsException" in str(e) or "already exists" in str(e)
+
+
 def _acquire_commit_lock(path: str, op: str):
     """Create-if-absent CAS on ``_commits.lock`` — the loser of a
     concurrent-commit race raises ConcurrentCommitError immediately
     (no blocking, no retry: serialize writers externally for the fast
     path; the lock only turns a silent lost-commit into a loud error).
     A crashed writer leaves the lock behind — recovery is deleting the
-    lockfile once no writer is alive, stated in the error.
+    lockfile once no writer is alive; to make that diagnosable the
+    winner writes owner metadata (op/pid/host/acquired-at) INTO the
+    lockfile after the CAS, and the loser's error echoes it.
 
     Atomicity is the filesystem's create-no-overwrite guarantee:
     exact on local/HDFS (namespace op) and GCS (precondition PUT);
@@ -171,18 +210,41 @@ def _acquire_commit_lock(path: str, op: str):
     but does not close the race window — keep the single-writer
     deployment there. Returns (jvm, fs, lock) so callers reuse the
     resolved handles instead of re-walking py4j."""
+    import datetime
+    import socket
+
     jvm, _gw, fs, _root = _require_jfs(path, op)
     lock = jvm.org.apache.hadoop.fs.Path(_sub(path, _LOCK_FILE))
     try:
         out = fs.create(lock, False)
-        out.close()
-    except Exception as e:  # py4j wraps FileAlreadyExistsException
-        if "FileAlreadyExistsException" in str(e) or "already exists" in str(e):
+        try:
+            # owner metadata for the manual-recovery path; written
+            # AFTER the atomic create, so the CAS itself is unchanged
+            owner = json.dumps(
+                {
+                    "op": op,
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                    "acquired_utc": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                }
+            )
+            out.write(owner.encode("utf-8"))
+        finally:
+            out.close()
+    except Exception as e:
+        if _is_already_exists_error(e):
+            try:
+                holder = _read_text(_sub(path, _LOCK_FILE)) or "<no metadata>"
+            except Exception:
+                holder = "<unreadable>"
             raise ConcurrentCommitError(
                 f"versioned.{op}: another writer holds {_sub(path, _LOCK_FILE)} "
-                "— concurrent commits to a versioned table are serialized "
-                "by this lock. If the previous writer crashed, delete the "
-                "lockfile manually once no writer is alive."
+                f"(holder: {holder.strip()}) — concurrent commits to a "
+                "versioned table are serialized by this lock. If that writer "
+                "crashed, delete the lockfile manually once no writer is "
+                "alive."
             ) from None
         raise
     return jvm, fs, lock

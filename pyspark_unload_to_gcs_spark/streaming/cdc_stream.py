@@ -107,7 +107,10 @@ def cdf_merge_batch(
     otherwise vanish, silently losing its DELETEs while the checkpoint
     advanced (review finding). An in-range ledger version with no
     batch rows IS such an empty snapshot; its diff against the
-    previous state emits the truncation.
+    previous state emits the truncation. When the batch itself is
+    rowless there IS no batch evidence — only versions verified
+    zero-row on disk apply, and the first version with data defers to
+    the batch that carries its rows (see the ``hi`` derivation).
 
     Version numbers are dense by construction, so a GAP in the ledger
     means vacuum outran this consumer — that raises (the Delta CDF
@@ -119,7 +122,10 @@ def cdf_merge_batch(
     checkpoint must live and die together (deleting one without the
     other resets the watermark but not the offsets, the same contract
     as every versioned-state fold in streaming/)."""
-    from pyspark_unload_to_gcs_spark.sources.versioned import table_history
+    from pyspark_unload_to_gcs_spark.sources.versioned import (
+        _read_version,
+        table_history,
+    )
 
     spark = batch_df.sparkSession
     # several passes over the batch below (a stamps collect + one
@@ -137,7 +143,28 @@ def cdf_merge_batch(
         ledger = sorted(
             (e["version"], e["commit_ms"]) for e in table_history(table_path)
         )
-        hi = max(in_batch) if in_batch else (ledger[-1][0] if ledger else -1)
+        if in_batch:
+            hi = max(in_batch)
+        else:
+            # A rowless batch evidences NO versions, and the ledger read
+            # above happens at foreachBatch time — it can already contain
+            # a DATA commit that landed after this batch's offset was
+            # planned. Inferring "empty commit" from the ledger alone
+            # would diff that commit as an empty snapshot (fabricated
+            # truncation DELETEs) and the advanced watermark would make
+            # the next batch skip its real rows — silent, permanent loss
+            # (ADVICE r10). So a version is only applied from a rowless
+            # batch if its snapshot is verifiably zero-row ON DISK;
+            # apply stops at the first version with data (dense-order
+            # contract), deferring it to the batch that carries its rows.
+            hi = -1
+            for v, _ms in ledger:
+                if v <= prev_applied:
+                    continue
+                if _read_version(spark, table_path, v).isEmpty():
+                    hi = v
+                else:
+                    break
         todo = [(v, ms) for v, ms in ledger if prev_applied < v <= hi]
         if not todo:
             return

@@ -1161,3 +1161,17 @@ def test_scan_prune_plan_decisions_and_conservatism(spark, tmp_path):
     )
     rows = scan_prune_plan(spark, nostats, "k", lower=9999, upper=99999).collect()
     assert len(rows) == 1 and rows[0]["keep"] is True and rows[0]["key_min"] is None
+
+    # a ZERO-row-group file (legal empty parquet) has stats_ok=True but
+    # NULL bounds — keep must still be a total boolean (True), never
+    # NULL, or a consumer filtering on keep drops the row (ADVICE r10)
+    empty_dir = str(tmp_path / "emptyfile")
+    os.makedirs(empty_dir)
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")})),
+        os.path.join(empty_dir, "part-0.parquet"),
+    )
+    rows = scan_prune_plan(spark, empty_dir, "k", lower=0, upper=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["keep"] is True, "empty file yielded NULL/False keep"
+    assert rows[0]["n_rows"] == 0

@@ -502,7 +502,9 @@ def test_concurrent_commit_loser_raises(spark, tmp_path):
     # simulate a concurrent writer mid-commit: its CAS lock is present
     lockfile = tmp_path / "race" / "_commits.lock"
     lockfile.write_text("writer-2")
-    with pytest.raises(ConcurrentCommitError, match="_commits.lock"):
+    # the loser's error echoes the holder's lockfile metadata so a
+    # crashed-writer cleanup is diagnosable (ADVICE r10)
+    with pytest.raises(ConcurrentCommitError, match="writer-2"):
         commit_version(mk([(2, 20.0)]), path, 200)
     with pytest.raises(ConcurrentCommitError, match="_commits.lock"):
         vacuum(path, keep_last=1)
@@ -742,3 +744,103 @@ def test_versioned_cdf_merge_stream_vacuum_gap_raises(spark, tmp_path):
     assert q.awaitTermination(120)
     snap = read_snapshot(spark, str(tmp_path / "s2"))
     assert {(r["k"], r["v"]) for r in snap.collect()} == {(2, 20.0)}
+
+
+def test_cdf_merge_rowless_batch_defers_concurrent_data_commit(spark, tmp_path):
+    """ADVICE r10 (medium): the ledger is re-read at foreachBatch time,
+    so a rowless micro-batch can observe a DATA commit that landed
+    AFTER the batch's offset was planned. Applying it as an 'empty
+    snapshot' would fabricate truncation DELETEs and the advanced
+    watermark would make the next batch skip its real rows — silent
+    loss. A rowless batch must apply only versions verifiably
+    zero-row on disk and DEFER the data commit to the batch that
+    carries its rows."""
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import cdf_merge_batch
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k int, v double, _commit_version long, _commit_timestamp long"
+    )
+    exported: list[set] = []
+
+    def export(changes, _bid):
+        exported.append(
+            {
+                (r["_mp_change_type"], r["k"], r["v"], r["_commit_version"])
+                for r in changes.collect()
+            }
+        )
+
+    # batch 0 delivers v0 normally
+    commit_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        table,
+        100,
+    )
+    cdf_merge_batch(
+        mk([(1, 10.0, 0, 100), (2, 20.0, 0, 100)]),
+        0,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+        on_changes=export,
+    )
+    assert exported[-1] == {("INSERT", 1, 10.0, 0), ("INSERT", 2, 20.0, 0)}
+
+    # v1 (data) lands AFTER batch 1's offsets were planned; batch 1
+    # arrives rowless. It must NOT apply v1 as an empty snapshot.
+    commit_version(
+        spark.createDataFrame([(1, 11.0), (2, 20.0)], "k int, v double"),
+        table,
+        200,
+    )
+    n_exports = len(exported)
+    cdf_merge_batch(
+        mk([]),
+        1,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+        on_changes=export,
+    )
+    assert len(exported) == n_exports, "rowless batch fabricated changes"
+    snap = read_snapshot(spark, state)
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, 10.0), (2, 20.0)}
+
+    # batch 2 carries v1's real rows — the deferred commit applies now,
+    # with its true diff (no truncation ever happened)
+    cdf_merge_batch(
+        mk([(1, 11.0, 1, 200), (2, 20.0, 1, 200)]),
+        2,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+        on_changes=export,
+    )
+    assert exported[-1] == {
+        ("DELETE", 1, 10.0, 1),
+        ("INSERT", 1, 11.0, 1),
+    }
+    snap = read_snapshot(spark, state)
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, 11.0), (2, 20.0)}
+
+    # control: a genuinely EMPTY commit (zero-row on disk) still
+    # applies from a rowless batch as the truncation it is
+    commit_version(
+        spark.createDataFrame([], "k int, v double"), table, 300
+    )
+    cdf_merge_batch(
+        mk([]),
+        3,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+        on_changes=export,
+    )
+    assert exported[-1] == {
+        ("DELETE", 1, 11.0, 2),
+        ("DELETE", 2, 20.0, 2),
+    }
+    assert read_snapshot(spark, state).count() == 0
