@@ -844,3 +844,78 @@ def test_cdf_merge_rowless_batch_defers_concurrent_data_commit(spark, tmp_path):
         ("DELETE", 2, 20.0, 2),
     }
     assert read_snapshot(spark, state).count() == 0
+
+
+def test_cdf_merge_stream_races_concurrent_committer(spark, tmp_path):
+    """VERDICT r10 #5 — the CAS commit lock composed with the streaming
+    consumer. A writer that lands a commit WHILE foreachBatch is
+    mid-batch must (a) succeed — the consumer holds no lock — without
+    the in-flight batch applying or fabricating it, and the next drain
+    must pick it up exactly once with its true diff; (b) if a second
+    writer holds the lock at that moment, lose loudly with
+    ConcurrentCommitError, leaving ledger and stream state untouched."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import (
+        ConcurrentCommitError,
+    )
+    from pyspark_unload_to_gcs_spark.sources.versioned_stream import (
+        VersionedCommitsDataSource,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import (
+        start_versioned_cdf_merge,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    spark.dataSource.register(VersionedCommitsDataSource)
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 10.0), (2, 20.0)]), table, 100)
+
+    exported: list[set] = []
+    lockfile = tmp_path / "t" / "_commits.lock"
+
+    def racing_export(changes, _bid):
+        exported.append(
+            {
+                (r["_mp_change_type"], r["k"], r["_commit_version"])
+                for r in changes.collect()
+            }
+        )
+        if len(exported) == 1:
+            # mid-batch, first drain only: a free writer lands v1 ...
+            commit_version(mk([(1, 11.0), (2, 20.0)]), table, 200)
+            # ... and a writer racing a HELD lock loses loudly, with
+            # the ledger left exactly as the winner wrote it
+            lockfile.write_text("other-writer")
+            with pytest.raises(ConcurrentCommitError, match="other-writer"):
+                commit_version(mk([(9, 90.0)]), table, 300)
+            lockfile.unlink()
+            assert [e["version"] for e in table_history(table)] == [1, 0]
+
+    def run():
+        q = start_versioned_cdf_merge(
+            spark,
+            table,
+            key_columns=["k"],
+            state_path=state,
+            checkpoint_dir=ckpt,
+            on_changes=racing_export,
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    # the in-flight batch applied ONLY v0 — the mid-batch commit was
+    # neither applied early nor fabricated as a truncation
+    assert exported[0] == {("INSERT", 1, 0), ("INSERT", 2, 0)}
+    assert {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }
+    # the next drain delivers the racing commit exactly once, true diff
+    run()
+    assert exported[-1] == {("DELETE", 1, 1), ("INSERT", 1, 1)}
+    assert {(r["k"], r["v"]) for r in read_snapshot(spark, state).collect()} == {
+        (1, 11.0),
+        (2, 20.0),
+    }
