@@ -53,6 +53,7 @@ def margin_align_pairs(
     mutual: bool = False,
     vec_column: str = "embedding",
     id_column: str = "vec_id",
+    assign_method: str = "fold",
 ) -> DataFrame:
     """Mine aligned (source, target) pairs by ratio margin:
 
@@ -67,18 +68,20 @@ def margin_align_pairs(
 
         (src_id, tgt_id, cos_r, margin_r)   -- rounded to 6 for output
 
-    Plan: one narrow IVF assignment (fold arm — oracle-replayable),
-    one cell equi-join forming candidates, two small per-id aggregates
-    (collect + sorted fold — one row per source/target id), broadcast
-    back onto the pairs, one max_by per source. No cartesian product
-    anywhere; candidate volume is sum over cells of |src_cell| x
-    |tgt_cell|."""
+    Plan: one narrow IVF assignment (``assign_method``: "fold" is the
+    oracle-replayable default; "arrow" is the production matmul arm —
+    same argmax tie rule, fixture-equivalence pinned in tests, the
+    ivf_assign twin contract), one cell equi-join forming candidates,
+    two small per-id aggregates (collect + sorted fold — one row per
+    source/target id), broadcast back onto the pairs, one max_by per
+    source. No cartesian product anywhere; candidate volume is sum
+    over cells of |src_cell| x |tgt_cell|."""
     vec = F.col(vec_column).cast("array<double>")
     assigned = ivf_assign(
         df.select(F.col(id_column), vec.alias(vec_column)),
         centroids,
         vec_column=vec_column,
-        method="fold",
+        method=assign_method,
     ).withColumn("__n", norm(F.col(vec_column)))
     src = assigned.filter(source).select(
         F.col(id_column).alias("src_id"),

@@ -3535,15 +3535,37 @@ _ALIGN_CELLS = 8
 _ALIGN_THRESH = "1.1"
 
 
-def _align_oracle() -> str:
+def _align_oracle(cells: int | str = _ALIGN_CELLS) -> str:
+    """DuckDB replay of margin_align_pairs. ``cells``: an int pins the
+    fixed-cell oracle operating point; ``"auto"`` replays the
+    production rule k = max(8, isqrt(n)) from the corpus count — the
+    same expression the Spark side evaluates (float sqrt == isqrt for
+    every n these tables reach; both engines floor the same IEEE
+    double)."""
     from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
 
-    return f"""
+    if cells == "auto":
+        cent_cte = """
+WITH kk AS (
+  SELECT GREATEST(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM embeddings
+), cent AS (
+  SELECT cell, c FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+           CAST(embedding AS DOUBLE[]) AS c
+    FROM embeddings
+  ), kk WHERE cell < kk.k
+)"""
+    else:
+        cent_cte = f"""
 WITH cent AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell,
          CAST(embedding AS DOUBLE[]) AS c
-  FROM embeddings ORDER BY vec_id ASC LIMIT {_ALIGN_CELLS}
-), centn AS (
+  FROM embeddings ORDER BY vec_id ASC LIMIT {int(cells)}
+)"""
+
+    return f"""
+{cent_cte}, centn AS (
   SELECT cell, c,
          CASE WHEN sqrt({_SS.format(a="c")}) = 0 THEN 1.0
               ELSE sqrt({_SS.format(a="c")}) END AS n
@@ -3629,3 +3651,51 @@ def margin_align_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ALIGN_K,
         margin_threshold=1.1,
     )
+
+
+# --------------------------------------------------------------------------
+# Entries staged for r12 promotion (parity-tested at sf0.001 + sf0.01,
+# budgets pre-recorded, x10-audited; see registry.py rotation plan)
+# --------------------------------------------------------------------------
+
+
+def margin_align_auto_with_method(
+    spark: SparkSession, sf_dir: str, *, assign_method: str = "arrow"
+) -> DataFrame:
+    """The margin_align_auto pipeline with a selectable assignment arm
+    (equivalence-pinned in tests/test_dsir.py)."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_cells = max(8, math.isqrt(emb.count()))
+    cents = ivf_centroids_from_sample(emb, n_centroids=n_cells)
+    return margin_align_pairs(
+        emb,
+        F.col("vec_id") % 2 == 0,
+        F.col("vec_id") % 2 == 1,
+        centroids=cents,
+        k=_ALIGN_K,
+        margin_threshold=1.1,
+        assign_method=assign_method,
+    )
+
+
+@register_staged("margin_align_auto", oracle=_align_oracle("auto"))
+def margin_align_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin alignment mining in its PRODUCTION posture (VERDICT r10
+    #2): n_centroids = max(8, isqrt(n)) so within-cell candidate mass
+    grows as n^1.5 instead of the fixed-cell n², and the Arrow matmul
+    assignment arm — the configuration that ships at 100 TB, now the
+    benched one, so the fixed-8-cell `margin_align_mining` row can't
+    be mistaken for the shipped plan (the semantic_dedup_auto
+    precedent). FULL value oracle: the auto-k rule replays in SQL from
+    count(*), and the arrow arm is fixture-equivalence-pinned to the
+    fold arm the oracle derives
+    (tests/test_dsir.py::test_margin_align_auto_arrow_matches_fold),
+    so the same DuckDB replay stays exact for both arms."""
+    return margin_align_auto_with_method(spark, sf_dir, assign_method="arrow")

@@ -266,3 +266,27 @@ def test_margin_align_mutual_mode(spark, sf_dir):
     # mutuality: no target appears for two different sources in mut
     tgts = [t for _s, t in mut]
     assert len(tgts) == len(set(tgts))
+
+
+def test_margin_align_auto_arrow_matches_fold(spark, sf_dir):
+    """The benched margin_align_auto row runs the Arrow matmul
+    assignment; the DuckDB oracle derives from the fold arm. This pin
+    makes the two arms' OUTPUT equality a test invariant at the
+    auto-k operating point (the ivf_assign twin contract) — if the
+    argmax ever flips on an exact centroid-score tie, this fails
+    before the driver row does."""
+    from pyspark_unload_to_gcs_spark.registry_staged import (
+        margin_align_auto_with_method,
+    )
+
+    def rows(method):
+        return {
+            (r["src_id"], r["tgt_id"], r["cos_r"], r["margin_r"])
+            for r in margin_align_auto_with_method(
+                spark, sf_dir, assign_method=method
+            ).collect()
+        }
+
+    arrow = rows("arrow")
+    assert arrow == rows("fold")
+    assert len(arrow) > 0
