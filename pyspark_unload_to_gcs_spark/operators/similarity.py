@@ -702,6 +702,7 @@ def rrf_fuse(
     rank_column: str = "rank",
     k: int = 60,
     top_k: int = 10,
+    query_column: str | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009
     — public) of two ranked candidate lists: score(id) = sum over lists
@@ -717,18 +718,39 @@ def rrf_fuse(
     ranks) with a fixed two-term addition order — reproducible across
     engines bit-for-bit.
 
-    Output: (id, rank_left, rank_right, rrf) top_k by (rrf desc, id)."""
-    l = left.select(F.col(id_column), F.col(rank_column).cast("long").alias("rank_left"))
-    r = right.select(F.col(id_column), F.col(rank_column).cast("long").alias("rank_right"))
-    fused = l.join(r, id_column, "full_outer")
+    Output: (id, rank_left, rank_right, rrf) top_k by (rrf desc, id).
+
+    ``query_column`` switches to BATCHED fusion — ``left``/``right``
+    carry per-query ranked lists keyed by (query, id), ranks assigned
+    within each query — and the fusion joins on both keys with the
+    top_k cut taken PER QUERY (shuffle partitioned by the query key,
+    each group bounded by the two top-N inputs, never a global sort).
+    Output gains the query column. This is the retrieval-evaluation
+    shape: M mined/labeled queries fused in one plan instead of M
+    driver-looped single-query fusions."""
+    keys = [id_column] if query_column is None else [query_column, id_column]
+    l = left.select(*keys, F.col(rank_column).cast("long").alias("rank_left"))
+    r = right.select(*keys, F.col(rank_column).cast("long").alias("rank_right"))
+    fused = l.join(r, keys, "full_outer")
     contrib = F.coalesce(
         F.lit(1.0) / (F.lit(float(k)) + F.col("rank_left")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("rank_right")), F.lit(0.0))
+    scored = fused.withColumn("rrf", contrib)
+    if query_column is None:
+        return (
+            scored.orderBy(F.col("rrf").desc(), F.col(id_column).asc())
+            .limit(top_k)
+            .select(id_column, "rank_left", "rank_right", "rrf")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_column).orderBy(
+        F.col("rrf").desc(), F.col(id_column).asc()
+    )
     return (
-        fused.withColumn("rrf", contrib)
-        .orderBy(F.col("rrf").desc(), F.col(id_column).asc())
-        .limit(top_k)
-        .select(id_column, "rank_left", "rank_right", "rrf")
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .select(query_column, id_column, "rank_left", "rank_right", "rrf")
     )
 
 

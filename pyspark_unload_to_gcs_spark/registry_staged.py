@@ -3535,8 +3535,11 @@ _ALIGN_CELLS = 8
 _ALIGN_THRESH = "1.1"
 
 
-def _align_oracle(cells: int | str = _ALIGN_CELLS) -> str:
-    """DuckDB replay of margin_align_pairs. ``cells``: an int pins the
+def _align_spine_sql(cells: int | str = _ALIGN_CELLS) -> str:
+    """The alignment-mining WITH clause through ``best`` (no final
+    SELECT) — f-string-shared between the margin_align oracles and the
+    mined-pairs retrieval-eval oracle so the mining constants can
+    never desync between replays. ``cells``: an int pins the
     fixed-cell oracle operating point; ``"auto"`` replays the
     production rule k = max(8, isqrt(n)) from the corpus count — the
     same expression the Spark side evaluates (float sqrt == isqrt for
@@ -3564,6 +3567,9 @@ WITH cent AS (
   FROM embeddings ORDER BY vec_id ASC LIMIT {int(cells)}
 )"""
 
+    # the WITH-clause spine through `best` is shared verbatim with the
+    # mined-pairs retrieval-eval oracle (_retrieval_eval_oracle) so the
+    # mining constants can never desync between the two replays
     return f"""
 {cent_cte}, centn AS (
   SELECT cell, c,
@@ -3615,7 +3621,14 @@ WITH cent AS (
       PARTITION BY src_id ORDER BY margin DESC, tgt_id DESC
     ) AS rn FROM scored
   ) WHERE rn = 1
-)
+)"""
+
+
+def _align_oracle(cells: int | str = _ALIGN_CELLS) -> str:
+    """DuckDB replay of margin_align_pairs: the shared spine plus the
+    thresholded best-pair projection."""
+    return f"""
+{_align_spine_sql(cells)}
 SELECT src_id, tgt_id, round(cos, 6) AS cos_r, round(margin, 6) AS margin_r
 FROM best WHERE margin > {_ALIGN_THRESH}
 """
@@ -3699,3 +3712,250 @@ def margin_align_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dsir.py::test_margin_align_auto_arrow_matches_fold),
     so the same DuckDB replay stays exact for both arms."""
     return margin_align_auto_with_method(spark, sf_dir, assign_method="arrow")
+
+
+_REVAL_M = 10       # mined pairs evaluated as retrieval queries
+_REVAL_TOPN = 20    # per-arm candidate depth
+_REVAL_TOPK = 10    # fused depth the gold rank is measured within
+
+
+def _retrieval_eval_oracle() -> str:
+    """DuckDB replay of mined_pairs_retrieval_eval: the alignment
+    spine's mined pairs (shared verbatim via _align_spine_sql) become
+    gold labels; each of the top-{_REVAL_M} mined sources runs hybrid
+    retrieval over the odd-id corpus — a cosine vector arm and a
+    distinct-bigram Jaccard lexical arm, both rounded to 9 before
+    ranking so last-ulp libm drift can't flip a cut — fused by
+    two-term fixed-order RRF, and the gold target's fused rank is the
+    output. Every float is a deterministic left fold, one IEEE
+    division, or an exact-rational 1/(60+rank) term."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    words = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    return f"""
+{_align_spine_sql(_ALIGN_CELLS)}, gold AS (
+  SELECT src_id, tgt_id FROM best WHERE margin > {_ALIGN_THRESH}
+  ORDER BY round(margin, 6) DESC, src_id ASC LIMIT {_REVAL_M}
+), qvec AS (
+  SELECT g.src_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+         sqrt({_SS.format(a="CAST(e.embedding AS DOUBLE[])")}) AS qn
+  FROM gold g JOIN embeddings e ON e.vec_id = g.src_id
+), vcand AS (
+  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv,
+         sqrt({_SS.format(a="CAST(embedding AS DOUBLE[])")}) AS cn
+  FROM embeddings WHERE vec_id % 2 = 1
+), vscored AS (
+  SELECT q.src_id, c.doc_id,
+         round(CASE WHEN q.qn * c.cn > 0
+                    THEN {_DOT.format(a="q.qv", b="c.cv")} / (q.qn * c.cn)
+                    ELSE 0.0 END, 9) AS cos_r
+  FROM qvec q, vcand c
+), vrank AS (
+  SELECT src_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src_id ORDER BY cos_r DESC, doc_id ASC
+         ) AS BIGINT) AS rnk
+  FROM vscored QUALIFY rnk <= {_REVAL_TOPN}
+), qtok AS (
+  SELECT g.src_id, {words} AS t
+  FROM gold g JOIN documents d ON d.doc_id = g.src_id
+), qlex AS (
+  SELECT src_id,
+         list_distinct(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) END) AS qg
+  FROM qtok
+), ctok AS (
+  SELECT doc_id, {words} AS t FROM documents WHERE doc_id % 2 = 1
+), lcand AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) END) AS cg
+  FROM ctok
+), lscored AS (
+  SELECT q.src_id, c.doc_id,
+         round(CASE WHEN len(q.qg) + len(c.cg)
+                         - len(list_filter(c.cg, x -> list_contains(q.qg, x))) > 0
+                    THEN CAST(len(list_filter(c.cg, x -> list_contains(q.qg, x))) AS DOUBLE)
+                         / (len(q.qg) + len(c.cg)
+                            - len(list_filter(c.cg, x -> list_contains(q.qg, x))))
+                    ELSE 0.0 END, 9) AS jac_r
+  FROM qlex q, lcand c
+), lrank AS (
+  SELECT src_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src_id ORDER BY jac_r DESC, doc_id ASC
+         ) AS BIGINT) AS rnk
+  FROM lscored QUALIFY rnk <= {_REVAL_TOPN}
+), fused AS (
+  SELECT COALESCE(l.src_id, v.src_id) AS src_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.rnk AS DOUBLE),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + v.rnk AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lrank l FULL OUTER JOIN vrank v
+    ON l.src_id = v.src_id AND l.doc_id = v.doc_id
+), topfused AS (
+  SELECT src_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src_id ORDER BY rrf DESC, doc_id ASC
+         ) AS BIGINT) AS fr
+  FROM fused QUALIFY fr <= {_REVAL_TOPK}
+)
+SELECT g.src_id, g.tgt_id,
+       COALESCE(t.fr, CAST(0 AS BIGINT)) AS gold_rank,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / t.fr, CAST(0.0 AS DOUBLE)), 9) AS rr_r
+FROM gold g LEFT JOIN topfused t
+  ON t.src_id = g.src_id AND t.doc_id = g.tgt_id
+"""
+
+
+@register_staged("mined_pairs_retrieval_eval", oracle=_retrieval_eval_oracle())
+def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined-pairs -> retrieval-eval composition (VERDICT r10 #7, the
+    last §2l family with no end-to-end composition row): the margin
+    alignment miner's output becomes relevance supervision for the
+    hybrid retrieval stack. The top-{_REVAL_M} mined (src, tgt) pairs
+    by margin are treated as labeled queries; each source runs BOTH
+    retrieval arms over the odd-id corpus — exact cosine (vector) and
+    distinct-bigram Jaccard (lexical), each cut to top-{_REVAL_TOPN}
+    per query — fused per query by batched Reciprocal Rank Fusion
+    (operators/similarity.py::rrf_fuse ``query_column`` mode), and the
+    gold target's rank inside the fused top-{_REVAL_TOPK} is emitted
+    (0 = miss) with its reciprocal-rank contribution. This is the
+    standard mined-supervision retrieval evaluation loop (CCMatrix
+    mining -> retrieval QA) run as ONE plan: M bounded query rows
+    broadcast against the corpus, per-query windows partitioned by
+    query id — no driver loop, no global sort, corpus scanned once
+    per arm. FULL value oracle sharing the mining spine f-string."""
+    from pyspark.sql import Window
+
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        _pair_dot,
+        ivf_centroids_from_sample,
+        norm,
+        rrf_fuse,
+    )
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    cents = ivf_centroids_from_sample(emb, n_centroids=_ALIGN_CELLS)
+    gold = (
+        margin_align_pairs(
+            emb,
+            F.col("vec_id") % 2 == 0,
+            F.col("vec_id") % 2 == 1,
+            centroids=cents,
+            k=_ALIGN_K,
+            margin_threshold=1.1,
+        )
+        .orderBy(F.col("margin_r").desc(), F.col("src_id").asc())
+        .limit(_REVAL_M)
+        .select("src_id", "tgt_id")
+    )
+
+    # vector arm: M broadcast query vectors against the odd-id corpus
+    qvec = gold.join(emb, gold["src_id"] == emb["vec_id"]).select(
+        "src_id",
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    qvec = qvec.withColumn("__qn", norm(F.col("__qv")))
+    vcand = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    vdenom = F.col("__qn") * F.col("__cn")
+    vscored = vcand.join(F.broadcast(qvec)).select(
+        "src_id",
+        "doc_id",
+        F.round(
+            F.when(vdenom > 0, _pair_dot("__qv", "__cv") / vdenom).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        ).alias("cos_r"),
+    )
+    wv = Window.partitionBy("src_id").orderBy(
+        F.col("cos_r").desc(), F.col("doc_id").asc()
+    )
+    vrank = (
+        vscored.withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= _REVAL_TOPN)
+        .select("src_id", "doc_id", "rank")
+    )
+
+    # lexical arm: distinct-bigram Jaccard of the M query docs against
+    # the odd-id corpus (tokens staged per the word_ngrams contract)
+    qtok = (
+        gold.join(docs, gold["src_id"] == docs["doc_id"])
+        .select("src_id", words_col(F.col("text")).alias("__t"))
+        .select(
+            "src_id",
+            F.array_distinct(word_ngrams_zip(F.col("__t"), 2)).alias("__qg"),
+        )
+    )
+    ctok = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", words_col(F.col("text")).alias("__t"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams_zip(F.col("__t"), 2)).alias("__cg"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__cg"), F.col("__qg")))
+    union = F.size(F.col("__qg")) + F.size(F.col("__cg")) - inter
+    lscored = ctok.join(F.broadcast(qtok)).select(
+        "src_id",
+        "doc_id",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+            9,
+        ).alias("jac_r"),
+    )
+    wl = Window.partitionBy("src_id").orderBy(
+        F.col("jac_r").desc(), F.col("doc_id").asc()
+    )
+    lrank = (
+        lscored.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= _REVAL_TOPN)
+        .select("src_id", "doc_id", "rank")
+    )
+
+    fused = rrf_fuse(
+        lrank,
+        vrank,
+        id_column="doc_id",
+        query_column="src_id",
+        k=60,
+        top_k=_REVAL_TOPK,
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    ranked = fused.withColumn("fr", F.row_number().over(wf)).select(
+        "src_id", "doc_id", "fr"
+    )
+    return gold.join(
+        ranked,
+        (gold["src_id"] == ranked["src_id"]) & (gold["tgt_id"] == ranked["doc_id"]),
+        "left",
+    ).select(
+        gold["src_id"],
+        gold["tgt_id"],
+        F.coalesce(ranked["fr"].cast("long"), F.lit(0).cast("long")).alias(
+            "gold_rank"
+        ),
+        F.round(
+            F.when(
+                ranked["fr"].isNotNull(), F.lit(1.0) / ranked["fr"].cast("double")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("rr_r"),
+    )

@@ -469,6 +469,39 @@ def test_rrf_fuse_missing_side_and_ties(spark):
     assert top2 == [2, 1]
 
 
+def test_rrf_fuse_batched_per_query_cut(spark):
+    """query_column mode: fusion joins on (query, id), the top_k cut is
+    PER QUERY, and each query's fusion matches what the single-query
+    mode computes on its slice."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import rrf_fuse
+
+    left = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q2", 7, 1), ("q2", 8, 2), ("q2", 9, 3)],
+        "q string, id bigint, rank int",
+    )
+    right = spark.createDataFrame(
+        [("q1", 2, 1), ("q1", 3, 2), ("q2", 9, 1)],
+        "q string, id bigint, rank int",
+    )
+    fused = rrf_fuse(
+        left, right, id_column="id", query_column="q", k=60, top_k=2
+    ).collect()
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r.q, []).append((r.id, r.rrf))
+    # per-query top-2 (not a global cut): both queries keep 2 rows
+    assert {q: len(v) for q, v in by_q.items()} == {"q1": 2, "q2": 2}
+    for qn in ("q1", "q2"):
+        single = rrf_fuse(
+            left.filter(F.col("q") == qn),
+            right.filter(F.col("q") == qn),
+            id_column="id",
+            k=60,
+            top_k=2,
+        ).collect()
+        assert by_q[qn] == [(r.id, r.rrf) for r in single]
+
+
 # --- apply_changes (MERGE, write-side CDC) ----------------------------------
 
 
