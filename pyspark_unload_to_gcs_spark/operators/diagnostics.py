@@ -387,3 +387,75 @@ def scan_prune_plan(
         )
         .alias("keep"),
     )
+
+
+def cm_key_counts(
+    df, key_column: str, *, rows: int = 4, width: int = 2048
+):
+    """Count-min sketch of a join key's multiset as a (r, b, c) frame —
+    ``rows`` independent md5-salted hash rows of ``width`` buckets,
+    built with one narrow explode + one bounded groupBy (at most
+    rows x width output rows regardless of input size). NULL keys are
+    dropped (they never join, which is the only consumer). The md5
+    bucketing (operators/classifier.token_bucket spelling) makes the
+    sketch bit-identical across engines, so estimates built on it sit
+    under full value oracles."""
+    from pyspark.sql import functions as _F
+
+    from pyspark_unload_to_gcs_spark.operators.classifier import token_bucket
+
+    staged = df.filter(_F.col(key_column).isNotNull()).select(
+        _F.col(key_column).cast("string").alias("__ks")
+    )
+    pairs = _F.array(
+        *[
+            _F.struct(
+                _F.lit(r).cast("int").alias("r"),
+                token_bucket(
+                    _F.concat(_F.lit(f"{r}:"), _F.col("__ks")), width
+                ).alias("b"),
+            )
+            for r in range(rows)
+        ]
+    )
+    return (
+        staged.select(_F.explode(pairs).alias("p"))
+        .groupBy(_F.col("p.r").alias("r"), _F.col("p.b").alias("b"))
+        .agg(_F.count(_F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cm_join_size_estimate(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    rows: int = 4,
+    width: int = 2048,
+):
+    """Equi-join output-size pre-flight WITHOUT running the join: the
+    count-min inner-product estimator (Cormode & Muthukrishnan 2005) —
+    |A join B| = sum_k a_k*b_k is estimated per sketch row as
+    sum_b cmA[r][b]*cmB[r][b] and the MINIMUM over rows is returned.
+    Since every count is non-negative, each row's estimate equals the
+    truth plus collision cross-terms, so the estimate NEVER
+    UNDERESTIMATES — the safe direction for the question this answers
+    at 100 TB ("do I dare run this join / must I pre-aggregate?").
+    Cost: one narrow pass + one bounded (rows x width) aggregate per
+    side — no shuffle of either table by the join key.
+
+    Returns one row: (join_size_est BIGINT)."""
+    from pyspark.sql import functions as _F
+
+    ca = cm_key_counts(left, left_key, rows=rows, width=width)
+    cb = (
+        cm_key_counts(right, right_key, rows=rows, width=width)
+        .withColumnRenamed("c", "c_b")
+    )
+    per_row = (
+        ca.join(cb, ["r", "b"])
+        .groupBy("r")
+        .agg(_F.sum(_F.col("c") * _F.col("c_b")).cast("long").alias("s"))
+    )
+    return per_row.agg(_F.min("s").cast("long").alias("join_size_est"))

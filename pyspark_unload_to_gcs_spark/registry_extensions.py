@@ -1199,17 +1199,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, id_column="doc_id").select("doc_id", "cluster_id")
 
 
-@register(
-    "near_dup_clusters_exact",
-    # Single-link closure replayed in DuckDB: the exact >=0.8 pair set
-    # (all-pairs, viable oracle-side at toy scale) made symmetric, then
-    # a recursive-CTE transitive closure; cluster_id = min reachable id,
-    # own id when unpaired — mirroring operators/graph.py exactly. The
-    # iterative-algorithm path (previously rows-only "by design" per
-    # the r01-r03 verdicts) is deterministic given an exact pair set,
-    # so it CAN carry a value oracle.
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
+# Single-link closure replayed in DuckDB: the exact >=0.8 pair set
+# (all-pairs, viable oracle-side at toy scale) made symmetric, then a
+# recursive-CTE transitive closure; cluster_id = min reachable id, own
+# id when unpaired — mirroring operators/graph.py exactly. F-string-
+# shared by near_dup_clusters_exact and the leakage-safe split oracle
+# (registry_staged) so the closure can never desync between them.
+_CLUSTERS_CTE = f"""RECURSIVE {_SHINGLE_CTE},
     pairs AS (
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1222,8 +1218,20 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
-    )
-    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )"""
+
+
+@register(
+    "near_dup_clusters_exact",
+    # the iterative-algorithm path (previously rows-only "by design"
+    # per the r01-r03 verdicts) is deterministic given an exact pair
+    # set, so it CAN carry a value oracle (see _CLUSTERS_CTE above)
+    oracle=f"""
+    WITH {_CLUSTERS_CTE}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

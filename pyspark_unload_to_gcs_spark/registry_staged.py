@@ -3959,3 +3959,204 @@ def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rr_r"),
     )
+
+
+def _leakage_split_oracle() -> str:
+    from pyspark_unload_to_gcs_spark.registry_extensions import _CLUSTERS_CTE
+
+    return f"""
+    WITH {_CLUSTERS_CTE}
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'test' END AS split
+    FROM clusters
+    """
+
+
+@register_staged("leakage_safe_split", oracle=_leakage_split_oracle())
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/test split: the deterministic md5 80/20 split
+    keyed by the NEAR-DUP CLUSTER id instead of the document id, so a
+    document and its near-duplicates can never straddle the split —
+    the contamination channel a plain per-doc split leaves open (a
+    test doc's near-copy in train is leakage a dedup pass ran too late
+    to catch). Composition: the exact >=0.8 single-link clusters
+    (operators/graph.py dedup_clusters over the shared banded pair
+    frame) -> deterministic_split on cluster_id (operators/sampling).
+    Zero leakage holds BY CONSTRUCTION (split is a pure function of
+    the cluster id); the full value oracle replays shingling, the
+    exact pair set, the recursive closure (f-string-shared
+    _CLUSTERS_CTE), and the md5 threshold per document. Scale: one
+    banded-pair closure (the near_dup_clusters plan) plus a narrow
+    md5 map — no new shuffle beyond the cluster build."""
+    from pyspark_unload_to_gcs_spark.operators.graph import dedup_clusters
+    from pyspark_unload_to_gcs_spark.operators.sampling import deterministic_split
+    from pyspark_unload_to_gcs_spark.registry_extensions import _shared_exact_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, _shared_exact_pairs(spark, sf_dir), id_column="doc_id"
+    ).select("doc_id", "cluster_id")
+    return deterministic_split(clusters, "cluster_id", train_fraction=0.8)
+
+
+_BLOOM_B = 4096
+
+
+def _bloom_oracle() -> str:
+    bkt = _duckdb_token_bucket("CAST({key} AS VARCHAR)", _BLOOM_B)
+    return f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+), bkts AS (
+  SELECT DISTINCT {bkt.format(key="c_custkey")} AS b FROM build
+), probe AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey IS NOT NULL
+), pruned AS (
+  SELECT p.* FROM probe p
+  WHERE {bkt.format(key="p.o_custkey")} IN (SELECT b FROM bkts)
+), joined AS (
+  SELECT p.o_totalprice FROM pruned p JOIN build b ON p.o_custkey = b.c_custkey
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM probe)  AS n_probe,
+  (SELECT CAST(count(*) AS BIGINT) FROM pruned) AS n_pruned,
+  (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_joined,
+  (SELECT CAST(count(*) AS BIGINT) FROM pruned)
+    - (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_false_kept,
+  (SELECT CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+               AS BIGINT) FROM joined) AS revenue_cents
+"""
+
+
+@register_staged("bloom_prune_join", oracle=_bloom_oracle())
+def bloom_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join (operators/joins.py
+    ``bucket_bloom_prune`` — the manual, plan-guaranteed analogue of
+    Spark's runtime bloom-filter pushdown, SPARK-32268): a selective
+    customer cohort (acctbal > 9000) is the build side; orders is the
+    probe. The build side's distinct key-bucket set (≤ {_BLOOM_B}
+    longs) broadcasts and LEFT SEMI-prunes the probe BEFORE the exact
+    join — at 100 TB this is the difference between shuffling the full
+    fact table and shuffling ~the matching slice (no false negatives
+    by construction; false positives ~|build|/{_BLOOM_B} are removed
+    by the exact join and COUNTED here). One output row: probe size,
+    post-prune size, joined size, false-kept rows (the bloom leakage,
+    pinned so a hashing regression is a value failure, not a silent
+    slowdown), and the joined revenue in exact cents. The md5 bucket
+    arm replays in DuckDB; production uses the xxhash64 arm (same
+    operator, same plan shape)."""
+    from pyspark_unload_to_gcs_spark.operators.joins import bucket_bloom_prune
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    probe = orders.select("o_custkey", "o_totalprice").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    pruned = bucket_bloom_prune(
+        probe,
+        build,
+        probe_key="o_custkey",
+        build_key="c_custkey",
+        num_buckets=_BLOOM_B,
+        method="md5",
+    )
+    joined = pruned.join(
+        F.broadcast(build), pruned["o_custkey"] == build["c_custkey"]
+    )
+    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_pruned = pruned.agg(F.count(F.lit(1)).cast("long").alias("n_pruned"))
+    jstats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return (
+        n_probe.crossJoin(F.broadcast(n_pruned))
+        .crossJoin(F.broadcast(jstats))
+        .select(
+            "n_probe",
+            "n_pruned",
+            "n_joined",
+            (F.col("n_pruned") - F.col("n_joined")).cast("long").alias("n_false_kept"),
+            "revenue_cents",
+        )
+    )
+
+
+_CM_ROWS = 4
+_CM_WIDTH = 2048
+
+
+def _cm_preflight_oracle() -> str:
+    bkt = _duckdb_token_bucket(
+        "CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)", _CM_WIDTH
+    )
+    return f"""
+WITH keys AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+), cm AS (
+  SELECT r, {bkt} AS b, CAST(count(*) AS BIGINT) AS c
+  FROM keys CROSS JOIN generate_series(0, {_CM_ROWS - 1}) AS t(r)
+  GROUP BY 1, 2
+), per_row AS (
+  SELECT r, CAST(sum(c * c) AS BIGINT) AS s FROM cm GROUP BY r
+), est AS (
+  SELECT CAST(min(s) AS BIGINT) AS f2_est FROM per_row
+), truth AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2_truth
+  FROM (SELECT user_id, count(*) AS c FROM keys GROUP BY user_id)
+)
+SELECT e.f2_est, t.f2_truth,
+       e.f2_est >= t.f2_truth AS never_underestimates,
+       round((CAST(e.f2_est AS DOUBLE) - CAST(t.f2_truth AS DOUBLE))
+             / CAST(t.f2_truth AS DOUBLE), 9) AS rel_err_r
+FROM est e, truth t
+"""
+
+
+@register_staged("join_size_preflight", oracle=_cm_preflight_oracle())
+def join_size_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size pre-flight (operators/diagnostics.py
+    ``cm_join_size_estimate``): the count-min inner-product estimator
+    (Cormode & Muthukrishnan 2005) predicts the events-on-user_id
+    SELF-join size (the F2 moment — the classic skew/fan-out red
+    flag) from two bounded ({_CM_ROWS} x {_CM_WIDTH}) sketches, no
+    shuffle of the table by the key. This is the sketch upgrade path
+    ``join_cardinality_profile`` documents for extreme key
+    cardinality: the exact profiler shuffles per-key count frames
+    (n_keys rows); this one's state is constant. The estimate NEVER
+    underestimates (collision terms are non-negative) — the safe
+    direction for "do I dare run this join?" — and the row emits the
+    estimate, the exact truth, the guaranteed-direction boolean, and
+    the relative error, all under a full value oracle (md5-salted
+    buckets, BIGINT sums, one IEEE division)."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        cm_join_size_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = cm_join_size_estimate(
+        ev, ev, left_key="user_id", right_key="user_id",
+        rows=_CM_ROWS, width=_CM_WIDTH,
+    ).select(F.col("join_size_est").alias("f2_est"))
+    truth = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_truth"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "f2_est",
+        "f2_truth",
+        (F.col("f2_est") >= F.col("f2_truth")).alias("never_underestimates"),
+        F.round(
+            (F.col("f2_est").cast("double") - F.col("f2_truth").cast("double"))
+            / F.col("f2_truth").cast("double"),
+            9,
+        ).alias("rel_err_r"),
+    )

@@ -290,3 +290,21 @@ def test_margin_align_auto_arrow_matches_fold(spark, sf_dir):
     arrow = rows("arrow")
     assert arrow == rows("fold")
     assert len(arrow) > 0
+
+
+def test_leakage_safe_split_members_share_split(spark, sf_dir):
+    """The property the row exists for: every near-dup cluster's
+    members land in the SAME split (zero leakage), and both splits are
+    non-empty on the fixture."""
+    from pyspark_unload_to_gcs_spark.registry_staged import leakage_safe_split_q
+
+    out = leakage_safe_split_q(spark, sf_dir)
+    leaky = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaky == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "test"}

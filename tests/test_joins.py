@@ -1,0 +1,89 @@
+"""Bucket-bloom join pruning (operators/joins.py) and the count-min
+join-size estimator (operators/diagnostics.py)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+    cm_join_size_estimate,
+)
+from pyspark_unload_to_gcs_spark.operators.joins import bucket_bloom_prune
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_bloom_prune_no_false_negatives_and_bounded_leakage(spark, method):
+    """Every probe row that would join survives the prune (the Bloom
+    no-false-negative contract) under BOTH hash arms; false positives
+    exist but are a strict subset of the non-matching rows."""
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    build = spark.createDataFrame([(7,), (42,), (1999,)], "bk long")
+    pruned = bucket_bloom_prune(
+        probe, build, probe_key="k", build_key="bk", num_buckets=256, method=method
+    )
+    kept = {r.k for r in pruned.collect()}
+    assert {7, 42, 1999} <= kept, "false negative: a joinable row was pruned"
+    # the prune did something: with 3 build buckets of 256, expected
+    # leakage ~ 3/256 of the probe — assert well under half survives
+    assert len(kept) < 1000
+    # exact-join-after-prune == exact-join-without-prune
+    direct = probe.join(build, probe["k"] == build["bk"]).count()
+    after = pruned.join(build, pruned["k"] == build["bk"]).count()
+    assert direct == after == 3
+
+
+def test_bloom_prune_drops_null_probe_keys(spark):
+    probe = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    build = spark.createDataFrame([(1,), (2,)], "bk long")
+    kept = {
+        r.k
+        for r in bucket_bloom_prune(
+            probe, build, probe_key="k", build_key="bk", num_buckets=64
+        ).collect()
+    }
+    assert kept == {1, 2}
+
+
+def test_bloom_prune_bad_method_raises(spark):
+    probe = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unknown method"):
+        bucket_bloom_prune(
+            probe, probe, probe_key="k", build_key="k", method="sha1"
+        ).collect()
+
+
+def test_cm_join_size_never_underestimates_and_tight_when_sparse(spark):
+    """The CM inner-product estimate is truth + non-negative collision
+    terms, so est >= truth ALWAYS; with far fewer keys than buckets,
+    collisions are (deterministically, given the fixed md5 hash)
+    absent and the estimate is exact."""
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3] * 4], "k long"
+    )
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    truth = (
+        left.groupBy("k")
+        .count()
+        .join(right.groupBy("k").count().withColumnRenamed("count", "c2"), "k")
+        .agg(F.sum(F.col("count") * F.col("c2")))
+        .collect()[0][0]
+    )
+    est = cm_join_size_estimate(
+        left, right, left_key="k", right_key="k", rows=4, width=2048
+    ).collect()[0]["join_size_est"]
+    assert truth == 12 + 16  # 3 lefts x 1 right for k=1... (12*1? see below)
+    assert est >= truth
+    assert est == truth  # 4 distinct keys in 2048 buckets: no collision
+
+
+def test_cm_join_size_null_keys_excluded(spark):
+    left = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    right = spark.createDataFrame([(1,), (None,)], "k long")
+    est = cm_join_size_estimate(
+        left, right, left_key="k", right_key="k"
+    ).collect()[0]["join_size_est"]
+    assert est == 2  # NULLs never join and never enter the sketch
