@@ -222,3 +222,78 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= F.lit(budget))
         .drop("__q", "__offset")
     )
+
+
+def quota_temperature_mix(
+    df: DataFrame,
+    stratum_column: str,
+    id_column: str,
+    *,
+    budget: int | None = None,
+    tau: float = 0.5,
+) -> DataFrame:
+    """EXACT-QUOTA temperature mixing — the deterministic-count
+    companion to rate-based ``temperature_mix`` above: where that one
+    converts weights to per-row keep-RATES (hash-prefix membership —
+    counts land within hash-quantization noise of the target, rows
+    keep/drop independently), this one hands each stratum s a hard
+    quota floor(B * n_s^tau / Σ_t n_t^tau) and takes EXACTLY that many
+    rows (or all of a smaller stratum) by md5(id) rank — the shape a
+    fixed-size training-mix manifest needs (quota_s rows, not
+    "≈quota_s whp").
+
+    ``budget`` B defaults to half the input rows (computed in-plan, so
+    the operator is scale-invariant). tau=0.5 is the cross-engine-
+    exact configuration — IEEE sqrt is correctly rounded, and the
+    weight sum folds LEFT-TO-RIGHT over strata in ascending order, so
+    quotas replay bit-for-bit in a SQL oracle; other tau values run
+    through pow(), whose last ulp is libm-dependent (fine in
+    production, not oracle-pinned — quota boundaries could flip).
+
+    Plan shape: one bounded groupBy(stratum) count, a one-row stats
+    frame broadcast onto the quota table (|strata| rows, broadcast),
+    and one rank-within-stratum window over the data — the same single
+    data shuffle a plain stratified sample costs."""
+    from pyspark.sql import Window
+
+    wfn = (
+        (lambda c: F.sqrt(c))
+        if tau == 0.5
+        else (lambda c: F.pow(c, F.lit(float(tau))))
+    )
+    counts = df.groupBy(stratum_column).agg(F.count(F.lit(1)).alias("__n"))
+    stats = counts.agg(
+        F.sum("__n").cast("long").alias("__total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(stratum_column, "__n"))),
+            F.lit(0.0),
+            lambda acc, s: acc + wfn(s["__n"].cast("double")),
+        ).alias("__W"),
+    )
+    budget_col = (
+        F.lit(int(budget)).cast("long")
+        if budget is not None
+        else F.expr("__total div 2")
+    )
+    quotas = (
+        counts.join(F.broadcast(stats))
+        .select(
+            stratum_column,
+            F.floor(
+                budget_col.cast("double")
+                * wfn(F.col("__n").cast("double"))
+                / F.col("__W")
+            )
+            .cast("long")
+            .alias("__quota"),
+        )
+    )
+    w = Window.partitionBy(stratum_column).orderBy(
+        F.md5(F.col(id_column).cast("string")).asc(), F.col(id_column).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), stratum_column)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

@@ -4160,3 +4160,53 @@ def join_size_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rel_err_r"),
     )
+
+
+@register_staged(
+    "temperature_mix_sample",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         list_reduce(
+           list_transform(list(n ORDER BY lang ASC),
+                          x -> sqrt(CAST(x AS DOUBLE))),
+           (a, b) -> a + b) AS W
+  FROM c
+), q AS (
+  SELECT lang,
+         CAST(floor(CAST(total // 2 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / W)
+              AS BIGINT) AS quota
+  FROM c, s
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+""",
+)
+def temperature_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota temperature language mixing (operators/sampling.py
+    ``quota_temperature_mix``, tau=0.5 — the multilingual data-recipe
+    primitive: sampling ∝ n_lang^0.5 flattens English dominance so
+    tail languages up-weight, the standard alternative to natural or
+    uniform sampling when assembling a training mix): half the corpus
+    selected with per-language quotas floor(B·√n_l / Σ√n), members
+    picked by md5 order within each language. tau=0.5 is the
+    oracle-exact configuration (IEEE sqrt is correctly rounded; the
+    weight sum folds left-to-right over languages ascending), so
+    quota arithmetic and the md5 rank cut replay bit-for-bit.
+    Complements the rate-based temperature_mix family
+    (temperature_mix_weights row) with hard per-stratum counts — the
+    fixed-size training-mix manifest shape."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        quota_temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_temperature_mix(docs, "lang", "doc_id", tau=0.5)

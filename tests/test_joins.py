@@ -75,7 +75,7 @@ def test_cm_join_size_never_underestimates_and_tight_when_sparse(spark):
     est = cm_join_size_estimate(
         left, right, left_key="k", right_key="k", rows=4, width=2048
     ).collect()[0]["join_size_est"]
-    assert truth == 12 + 16  # 3 lefts x 1 right for k=1... (12*1? see below)
+    assert truth == 12 * 1 + 8 * 2  # k=1: 12x1, k=2: 8x2, k=3/9 unmatched
     assert est >= truth
     assert est == truth  # 4 distinct keys in 2048 buckets: no collision
 
@@ -87,3 +87,35 @@ def test_cm_join_size_null_keys_excluded(spark):
         left, right, left_key="k", right_key="k"
     ).collect()[0]["join_size_est"]
     assert est == 2  # NULLs never join and never enter the sketch
+
+
+def test_temperature_mix_quotas_flatten_head_stratum(spark):
+    """tau=0.5 quotas are floor(B*sqrt(n_s)/W): the head stratum's
+    share of the selection is LOWER than its natural share, tail
+    strata's higher, totals never exceed the budget, and selection is
+    deterministic (md5 order)."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        quota_temperature_mix as temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mix(df, "src", "id", budget=500, tau=0.5)
+    got = {r.src: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.src] = got.get(r.src, 0) + 1
+    w = math.sqrt(900) + math.sqrt(100)
+    assert got["big"] == math.floor(500 * math.sqrt(900) / w)  # 375
+    # quota 125 exceeds the stratum's 100 rows: selection caps at n_s
+    # (a quota is a ceiling, not a guarantee — tiny strata can't be
+    # upsampled by selection alone)
+    assert got["small"] == 100
+    # flattening: natural share of 'big' is 90%; sqrt share is 75%
+    assert got["big"] / (got["big"] + got["small"]) < 0.9
+    # deterministic: same call, same rows
+    again = {(r.id, r.src) for r in temperature_mix(df, "src", "id", budget=500).collect()}
+    assert again == {(r.id, r.src) for r in out.collect()}
