@@ -78,4 +78,48 @@ def bucket_bloom_prune(
     )
 
 
-__all__ = ["key_bucket", "bucket_bloom_prune"]
+
+
+
+def bucket_bloom_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 1 << 20,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """``left`` rows with NO match in ``right`` (exactly
+    ``left.join(right, key, "left_anti")``), bloom-accelerated: a left
+    row whose key bucket is ABSENT from the right side's bucket set is
+    PROVABLY unmatched (no false negatives), so it passes through the
+    narrow bucket semi/anti pair without ever reaching the exact
+    anti-join — only the bucket-hit slice (matches + the ~|right
+    buckets|/num_buckets false-positive band) pays it. The 100 TB
+    shape this serves is deletion-list propagation (right-to-be-
+    forgotten): the deletion cohort is small, the table enormous, and
+    the non-affected majority should cross ONE broadcast hash join,
+    not a shuffle.
+
+    NULL left keys never match in SQL anti-join semantics and are kept
+    — their NULL bucket misses the set and they ride the pass-through
+    branch."""
+    buckets = (
+        right.select(
+            key_bucket(F.col(right_key), num_buckets, method=method).alias("__bkt")
+        )
+        .filter(F.col("__bkt").isNotNull())
+        .distinct()
+    )
+    tagged = left.withColumn(
+        "__bkt", key_bucket(F.col(left_key), num_buckets, method=method)
+    )
+    misses = tagged.join(F.broadcast(buckets), "__bkt", "left_anti")
+    hits = tagged.join(F.broadcast(buckets), "__bkt", "left_semi")
+    survivors = hits.join(
+        right, F.col(left_key) == F.col(right_key), "left_anti"
+    )
+    return misses.unionByName(survivors).drop("__bkt")
+
+__all__ = ["key_bucket", "bucket_bloom_prune", "bucket_bloom_anti_join"]

@@ -4210,3 +4210,80 @@ def temperature_mix_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return quota_temperature_mix(docs, "lang", "doc_id", tau=0.5)
+
+
+_RTBF_MEMO: dict = {}
+_RTBF_BAL = -700
+
+
+def _rtbf_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit right-to-be-forgotten fixture (memoized per session):
+    v0 @ ms 1000 = the full orders projection; v1 @ ms 2000 = v0 with
+    every order of the deletion cohort (customers with
+    c_acctbal < {_RTBF_BAL}) removed via the bloom-accelerated
+    anti-join (operators/joins.py bucket_bloom_anti_join — the md5 arm,
+    so the surviving set is engine-replayable). Deterministic clock and
+    cohort, so the tombstone feed replays in closed form."""
+    from pyspark_unload_to_gcs_spark.operators.joins import bucket_bloom_anti_join
+    from pyspark_unload_to_gcs_spark.sources.versioned import commit_version
+
+    key = (session_token(spark), sf_dir)
+    if key not in _RTBF_MEMO:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="rtbf_orders_") + "/t"
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        cohort = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") < _RTBF_BAL)
+            .select("c_custkey")
+        )
+        survivors = bucket_bloom_anti_join(
+            base,
+            cohort,
+            left_key="o_custkey",
+            right_key="c_custkey",
+            num_buckets=_BLOOM_B,
+            method="md5",
+        )
+        commit_version(base, path, 1000)
+        commit_version(survivors, path, 2000)
+        _RTBF_MEMO[key] = path
+    return _RTBF_MEMO[key]
+
+
+_RTBF_SQL = f"""
+SELECT 'DELETE' AS _mp_change_type,
+       o.o_orderkey, o.o_custkey,
+       CAST(o.o_totalprice AS DOUBLE) AS price,
+       CAST(1 AS BIGINT) AS _commit_version,
+       CAST(2000 AS BIGINT) AS _commit_timestamp
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal < {_RTBF_BAL}
+)
+"""
+
+
+@register_staged("rtbf_delete_propagation", oracle=_RTBF_SQL)
+def rtbf_delete_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation as a versioned-table commit
+    plus an auditable tombstone feed: a deletion cohort (customers
+    with c_acctbal < {_RTBF_BAL}) is removed from the maintained
+    orders table via the bloom-accelerated anti-join — at 100 TB the
+    unaffected majority crosses ONE broadcast bucket join; only the
+    bucket-hit slice pays the exact anti-join — committed atomically
+    (CAS-locked ledger, sources/versioned.py), and the registered
+    output is the CDF window of the deletion commit: the DELETE
+    tombstones downstream consumers (exports, caches, feature stores)
+    need to forget the same users. The oracle replays the cohort and
+    tombstone set in closed form; the commit-stamp columns pin the
+    exactly-once version/clock contract."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import change_feed
+
+    path = _rtbf_table(spark, sf_dir)
+    return change_feed(spark, path, 2000, 2000, key_columns=["o_orderkey"])

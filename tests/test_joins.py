@@ -119,3 +119,27 @@ def test_temperature_mix_quotas_flatten_head_stratum(spark):
     # deterministic: same call, same rows
     again = {(r.id, r.src) for r in temperature_mix(df, "src", "id", budget=500).collect()}
     assert again == {(r.id, r.src) for r in out.collect()}
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_bloom_anti_join_equals_plain_left_anti(spark, method):
+    """bucket_bloom_anti_join == left_anti exactly, including NULL left
+    keys (kept) and keys sharing a bucket with a deleted key but not
+    equal to it (the false-positive band must survive via the exact
+    branch)."""
+    from pyspark_unload_to_gcs_spark.operators.joins import bucket_bloom_anti_join
+
+    left = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)], "k long"
+    )
+    right = spark.createDataFrame([(3,), (250,), (499,)], "dk long")
+    got = {
+        r.k
+        for r in bucket_bloom_anti_join(
+            left, right, left_key="k", right_key="dk",
+            num_buckets=64, method=method,
+        ).collect()
+    }
+    want = {r.k for r in left.join(right, left["k"] == right["dk"], "left_anti").collect()}
+    assert got == want
+    assert None in got and 3 not in got and 250 not in got
