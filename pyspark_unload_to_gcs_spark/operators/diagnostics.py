@@ -453,9 +453,37 @@ def cm_join_size_estimate(
         cm_key_counts(right, right_key, rows=rows, width=width)
         .withColumnRenamed("c", "c_b")
     )
+    # products/sums in DECIMAL(38,0): long arithmetic would silently
+    # WRAP around 9.2e18 (reachable at the table sizes this pre-flight
+    # is for), voiding the never-underestimates guarantee (review r11)
     per_row = (
         ca.join(cb, ["r", "b"])
         .groupBy("r")
-        .agg(_F.sum(_F.col("c") * _F.col("c_b")).cast("long").alias("s"))
+        .agg(
+            _F.sum(
+                _F.col("c").cast("decimal(19,0)")
+                * _F.col("c_b").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("s")
+        )
     )
-    return per_row.agg(_F.min("s").cast("long").alias("join_size_est"))
+    long_max = (1 << 63) - 1
+    m = _F.min("s")
+    return per_row.agg(
+        _F.when(
+            m > _F.lit(long_max).cast("decimal(38,0)"),
+            _F.raise_error(
+                _F.lit(
+                    "cm_join_size_estimate: estimate exceeds BIGINT — the "
+                    "join is too large to size in long units; read the "
+                    "decimal directly via cm_key_counts"
+                )
+            ).cast("long"),
+        )
+        # no shared (r,b) bucket (disjoint key sets / empty input) means
+        # no key can match — the estimate is an exact 0, not NULL
+        # (review r11: min over an empty aggregate is NULL)
+        .otherwise(_F.coalesce(m.cast("long"), _F.lit(0).cast("long")))
+        .alias("join_size_est")
+    )

@@ -96,15 +96,22 @@ def bucket_bloom_anti_join(
     PROVABLY unmatched (no false negatives), so it passes through the
     narrow bucket semi/anti pair without ever reaching the exact
     anti-join — only the bucket-hit slice (matches + the ~|right
-    buckets|/num_buckets false-positive band) pays it. The 100 TB
-    shape this serves is deletion-list propagation (right-to-be-
-    forgotten): the deletion cohort is small, the table enormous, and
-    the non-affected majority should cross ONE broadcast hash join,
-    not a shuffle.
+    buckets|/num_buckets false-positive band) pays it.
+
+    Cost model, stated precisely (review r11): the union's two
+    branches each scan the probe once (Spark does not share subplans
+    across union branches), so this is TWO NARROW PROBE SCANS and a
+    shuffle of only the small bucket-hit slice. When ``right`` fits a
+    plain broadcast, a direct ``left_anti`` (one scan, zero shuffle)
+    is strictly cheaper — use this operator for the 100 TB
+    deletion-propagation shape where ``right`` is too big to broadcast
+    but its BUCKET SET is not: the alternative there shuffles the
+    entire probe, and two scans beat one full-table shuffle.
 
     NULL left keys never match in SQL anti-join semantics and are kept
     — their NULL bucket misses the set and they ride the pass-through
-    branch."""
+    branch. ``right``'s key is projected before the exact join, so
+    ``left_key == right_key`` (the common shape) is not ambiguous."""
     buckets = (
         right.select(
             key_bucket(F.col(right_key), num_buckets, method=method).alias("__bkt")
@@ -117,8 +124,13 @@ def bucket_bloom_anti_join(
     )
     misses = tagged.join(F.broadcast(buckets), "__bkt", "left_anti")
     hits = tagged.join(F.broadcast(buckets), "__bkt", "left_semi")
+    # project + rename the right key so the equality below is
+    # dataframe-qualified even when left_key == right_key (review r11:
+    # the unprojected form raised AMBIGUOUS_REFERENCE on the canonical
+    # same-name anti-join)
+    right_keys = right.select(F.col(right_key).alias("__rk"))
     survivors = hits.join(
-        right, F.col(left_key) == F.col(right_key), "left_anti"
+        right_keys, hits[left_key] == right_keys["__rk"], "left_anti"
     )
     return misses.unionByName(survivors).drop("__bkt")
 

@@ -725,9 +725,12 @@ def rrf_fuse(
     within each query — and the fusion joins on both keys with the
     top_k cut taken PER QUERY (shuffle partitioned by the query key,
     each group bounded by the two top-N inputs, never a global sort).
-    Output gains the query column. This is the retrieval-evaluation
-    shape: M mined/labeled queries fused in one plan instead of M
-    driver-looped single-query fusions."""
+    Output gains the query column AND a ``fused_rank`` column (the
+    1-based position inside the per-query cut — the window that takes
+    the cut already computed it, so consumers must not re-derive it
+    with a second identical window; review r11). This is the
+    retrieval-evaluation shape: M mined/labeled queries fused in one
+    plan instead of M driver-looped single-query fusions."""
     keys = [id_column] if query_column is None else [query_column, id_column]
     l = left.select(*keys, F.col(rank_column).cast("long").alias("rank_left"))
     r = right.select(*keys, F.col(rank_column).cast("long").alias("rank_right"))
@@ -748,9 +751,11 @@ def rrf_fuse(
         F.col("rrf").desc(), F.col(id_column).asc()
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= top_k)
-        .select(query_column, id_column, "rank_left", "rank_right", "rrf")
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            query_column, id_column, "rank_left", "rank_right", "rrf", "fused_rank"
+        )
     )
 
 

@@ -3936,12 +3936,10 @@ def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=60,
         top_k=_REVAL_TOPK,
     )
-    wf = Window.partitionBy("src_id").orderBy(
-        F.col("rrf").desc(), F.col("doc_id").asc()
-    )
-    ranked = fused.withColumn("fr", F.row_number().over(wf)).select(
-        "src_id", "doc_id", "fr"
-    )
+    # fused_rank comes FROM rrf_fuse's own cut window — re-deriving it
+    # with a second identical window duplicated the sort and forked the
+    # tie rule (review r11)
+    ranked = fused.select("src_id", "doc_id", F.col("fused_rank").alias("fr"))
     return gold.join(
         ranked,
         (gold["src_id"] == ranked["src_id"]) & (gold["tgt_id"] == ranked["doc_id"]),

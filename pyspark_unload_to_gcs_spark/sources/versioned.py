@@ -217,9 +217,14 @@ def _acquire_commit_lock(path: str, op: str):
     lock = jvm.org.apache.hadoop.fs.Path(_sub(path, _LOCK_FILE))
     try:
         out = fs.create(lock, False)
+        # owner metadata for the manual-recovery path; written AFTER
+        # the atomic create, so the CAS itself is unchanged — and
+        # BEST-EFFORT: a failure here (disk full, interrupt) must not
+        # propagate as an opaque error that leaves the just-created
+        # lock stranded with no one ever releasing it (review r11); an
+        # empty lockfile is still a valid held lock, just less
+        # diagnosable
         try:
-            # owner metadata for the manual-recovery path; written
-            # AFTER the atomic create, so the CAS itself is unchanged
             owner = json.dumps(
                 {
                     "op": op,
@@ -230,9 +235,12 @@ def _acquire_commit_lock(path: str, op: str):
                     ).isoformat(timespec="seconds"),
                 }
             )
-            out.write(owner.encode("utf-8"))
-        finally:
-            out.close()
+            try:
+                out.write(owner.encode("utf-8"))
+            finally:
+                out.close()
+        except Exception:
+            pass
     except Exception as e:
         if _is_already_exists_error(e):
             try:

@@ -89,6 +89,18 @@ def test_cm_join_size_null_keys_excluded(spark):
     assert est == 2  # NULLs never join and never enter the sketch
 
 
+def test_cm_join_size_disjoint_keys_is_zero_not_null(spark):
+    """Disjoint key sets (or an empty side) leave the sketches with no
+    shared (r,b) bucket; the estimate must be an exact 0, never NULL
+    (review r11: min over an empty aggregate)."""
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([], "k long")
+    row = cm_join_size_estimate(
+        left, right, left_key="k", right_key="k"
+    ).collect()[0]
+    assert row["join_size_est"] == 0
+
+
 def test_temperature_mix_quotas_flatten_head_stratum(spark):
     """tau=0.5 quotas are floor(B*sqrt(n_s)/W): the head stratum's
     share of the selection is LOWER than its natural share, tail
@@ -143,3 +155,15 @@ def test_bloom_anti_join_equals_plain_left_anti(spark, method):
     want = {r.k for r in left.join(right, left["k"] == right["dk"], "left_anti").collect()}
     assert got == want
     assert None in got and 3 not in got and 250 not in got
+    # the canonical same-name-key shape must not raise
+    # AMBIGUOUS_REFERENCE (review r11)
+    same = spark.createDataFrame([(3,), (250,)], "k long")
+    got2 = {
+        r.k
+        for r in bucket_bloom_anti_join(
+            left, same, left_key="k", right_key="k",
+            num_buckets=64, method=method,
+        ).collect()
+    }
+    assert 3 not in got2 and 250 not in got2 and 499 in got2 and None in got2
+    assert len(got2) == 501 - 2
