@@ -22,9 +22,16 @@ from pathlib import Path
 
 import pytest
 
-from pyspark_unload_to_gcs_spark import registry
+from pyspark_unload_to_gcs_spark import registry, registry_staged
 
-QUERY_NAMES = sorted(registry.queries().keys())
+# staged queries are next round's window — lint them under the same
+# no-cartesian/no-BatchEvalPython/budget rules BEFORE they go live, so
+# a scale problem surfaces a round early (r11; the scale audit already
+# included them, the lint did not)
+_ALL = dict(registry.queries())
+for _n, _f in registry_staged.staged_queries().items():
+    _ALL.setdefault(_n, _f)
+QUERY_NAMES = sorted(_ALL.keys())
 _BUDGET_PATH = Path(__file__).resolve().parent / "plan_budgets.json"
 BUDGETS = json.loads(_BUDGET_PATH.read_text()) if _BUDGET_PATH.exists() else {}
 
@@ -42,7 +49,7 @@ def _plan(df) -> str:
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_plan_lint_and_budget(spark, sf_dir, name):
-    plan = _plan(registry.queries()[name](spark, sf_dir))
+    plan = _plan(_ALL[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
 
