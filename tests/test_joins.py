@@ -167,3 +167,53 @@ def test_bloom_anti_join_equals_plain_left_anti(spark, method):
     }
     assert 3 not in got2 and 250 not in got2 and 499 in got2 and None in got2
     assert len(got2) == 501 - 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lk=st.lists(st.one_of(st.integers(0, 40), st.none()), min_size=0, max_size=30),
+    rk=st.lists(st.integers(0, 40), min_size=0, max_size=10),
+    buckets=st.sampled_from([4, 16, 256]),
+)
+def test_bloom_join_family_model_fuzz(spark, lk, rk, buckets):
+    """Model-based fuzz under adversarial bucket collisions (down to 4
+    buckets — heavy false-positive pressure): prune keeps a superset of
+    the matching rows and the exact join after it equals the direct
+    join; anti equals plain left_anti exactly."""
+    from pyspark_unload_to_gcs_spark.operators.joins import (
+        bucket_bloom_anti_join,
+        bucket_bloom_prune,
+    )
+
+    left = spark.createDataFrame([(k,) for k in lk] or [(None,)], "k long")
+    if not lk:
+        left = left.limit(0)
+    right = spark.createDataFrame([(k,) for k in rk] or [(0,)], "rk long")
+    if not rk:
+        right = right.limit(0)
+
+    rset = set(rk)
+    pruned = {
+        r.k
+        for r in bucket_bloom_prune(
+            left, right, probe_key="k", build_key="rk",
+            num_buckets=buckets, method="md5",
+        ).collect()
+    }
+    matching = {k for k in lk if k is not None and k in rset}
+    assert matching <= pruned  # no false negatives, ever
+    assert pruned <= {k for k in lk if k is not None}  # subset of probe
+
+    anti = sorted(
+        (r.k if r.k is not None else -1)
+        for r in bucket_bloom_anti_join(
+            left, right, left_key="k", right_key="rk",
+            num_buckets=buckets, method="md5",
+        ).collect()
+    )
+    want = sorted((k if k is not None else -1) for k in lk if k is None or k not in rset)
+    assert anti == want
