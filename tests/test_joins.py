@@ -217,3 +217,28 @@ def test_bloom_join_family_model_fuzz(spark, lk, rk, buckets):
     )
     want = sorted((k if k is not None else -1) for k in lk if k is None or k not in rset)
     assert anti == want
+
+
+def test_temperature_mix_tau_extremes(spark):
+    """tau=1 reproduces natural proportions (quota_s = B*n_s/N); tau=0
+    gives equal quotas regardless of stratum size (uniform mixing)."""
+    rows = [(i, "big") for i in range(800)] + [
+        (i + 1000, "small") for i in range(200)
+    ]
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        quota_temperature_mix,
+    )
+
+    df = spark.createDataFrame(rows, "id long, src string")
+    nat = {r.src for r in df.select("src").distinct().collect()}
+    assert nat == {"big", "small"}
+
+    got1: dict = {}
+    for r in quota_temperature_mix(df, "src", "id", budget=500, tau=1.0).collect():
+        got1[r.src] = got1.get(r.src, 0) + 1
+    assert got1 == {"big": 400, "small": 100}  # floor(500 * n_s / 1000)
+
+    got0: dict = {}
+    for r in quota_temperature_mix(df, "src", "id", budget=100, tau=0.0).collect():
+        got0[r.src] = got0.get(r.src, 0) + 1
+    assert got0 == {"big": 50, "small": 50}  # n^0 = 1: equal quotas
