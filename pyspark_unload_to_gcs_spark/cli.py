@@ -129,7 +129,7 @@ def run_query_mode(argv: list[str]) -> int:
     lines (bounded by ``--limit``), or the full result is written as
     gzip JSON-lines when ``--output_uri`` is given (no driver collect on
     the full-result path)."""
-    from pyspark_unload_to_gcs_spark import registry
+    from pyspark_unload_to_gcs_spark import registry, registry_staged
 
     p = argparse.ArgumentParser(description="registered-query runner")
     p.add_argument("--run_query", default="")
@@ -140,11 +140,19 @@ def run_query_mode(argv: list[str]) -> int:
     p.add_argument("--explain", action="store_true")
     args = p.parse_args(argv)
 
-    queries = registry.queries()
+    # staged (next-window) queries are finished capabilities — expose
+    # them to users too; live names win a collision (there are none:
+    # tests/test_staged_queries.py pins that)
+    queries = dict(registry.queries())
+    staged = registry_staged.staged_queries()
+    for name, fn in staged.items():
+        queries.setdefault(name, fn)
     if args.list_queries:
-        oracles = registry.oracle_sql()
+        oracles = {**registry_staged.staged_oracle_sql(), **registry.oracle_sql()}
         for name in sorted(queries):
-            print(f"{name}{' *' if name in oracles else ''}")
+            mark = " *" if name in oracles else ""
+            mark += " (staged)" if name in staged and name not in registry.queries() else ""
+            print(f"{name}{mark}")
         return 0
     if args.run_query not in queries:
         close = [n for n in sorted(queries) if args.run_query in n]
