@@ -1114,3 +1114,81 @@ def pq_index_append(
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     fs.delete(hpath, True)
     return len(touched)
+
+
+def ivf_drift_report(
+    df: DataFrame,
+    old_centroids: list[tuple[int, list[float]]],
+    new_centroids: list[tuple[int, list[float]]],
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    method: str = "fold",
+) -> DataFrame:
+    """Index-rebuild pre-flight for the IVF/IVF-PQ family: how STALE is
+    a cell-partitioned index built with ``old_centroids`` relative to a
+    candidate quantizer ``new_centroids``? One row:
+
+      (n_vectors, n_moved, moved_ppm, max_cell_share_ppm_old,
+       max_cell_share_ppm_new)
+
+    ``n_moved`` counts vectors whose argmax cell differs between the
+    two quantizers — the fraction of the index a rebuild would
+    physically rewrite AND the recall-decay proxy (a probe targets
+    cells chosen by the new geometry; vectors filed under the old one
+    are the ones it misses). The max-cell occupancy shares (parts per
+    million, exact integers) expose quantizer skew — a hot cell is a
+    hot partition at serve time. Plan: two narrow assignment maps over
+    one scan of the vectors, one bounded (<= cells) aggregate, no
+    data shuffle beyond it; all-integer output so the report is
+    value-oracle-able cross-engine."""
+    both = ivf_assign(
+        df.select(F.col(id_column), F.col(vec_column).cast("array<double>").alias(vec_column)),
+        old_centroids,
+        vec_column=vec_column,
+        cell_column="__old_cell",
+        method=method,
+    )
+    both = ivf_assign(
+        both,
+        new_centroids,
+        vec_column=vec_column,
+        cell_column="__new_cell",
+        method=method,
+    )
+    cells = both.select("__old_cell", "__new_cell")
+    counts = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("__old_cell") != F.col("__new_cell"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    occ_old = (
+        cells.groupBy("__old_cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").cast("long").alias("__mx_old"))
+    )
+    occ_new = (
+        cells.groupBy("__new_cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").cast("long").alias("__mx_new"))
+    )
+    return (
+        counts.join(F.broadcast(occ_old))
+        .join(F.broadcast(occ_new))
+        .select(
+            "n_vectors",
+            "n_moved",
+            F.floor(F.col("n_moved") * 1_000_000 / F.col("n_vectors"))
+            .cast("long")
+            .alias("moved_ppm"),
+            F.floor(F.col("__mx_old") * 1_000_000 / F.col("n_vectors"))
+            .cast("long")
+            .alias("max_cell_share_ppm_old"),
+            F.floor(F.col("__mx_new") * 1_000_000 / F.col("n_vectors"))
+            .cast("long")
+            .alias("max_cell_share_ppm_new"),
+        )
+    )

@@ -518,7 +518,7 @@ def _load_extensions() -> None:
 # in-rotation recall/accuracy pin.
 #
 # R12 ROTATION PLAN (execute next round): keep the core eight;
-# promote the SEVEN r11-staged entries first
+# promote the EIGHT r11-staged entries first
 # (margin_align_auto — alignment mining in its production posture,
 # auto-k + Arrow arm under the auto-k value oracle;
 # mined_pairs_retrieval_eval — mined pairs as relevance labels for
@@ -528,13 +528,16 @@ def _load_extensions() -> None:
 # join_size_preflight — count-min inner-product join-size estimate vs
 # exact F2 truth; temperature_mix_sample — exact-quota tau=0.5
 # language mixing; rtbf_delete_propagation — right-to-be-forgotten as
-# a CAS-locked versioned commit + CDF tombstone feed; all
-# parity-tested at sf0.001+sf0.01, budgets recorded, x10-audited);
-# then refresh oldest-evidence-first — the 35 alphabetically-first of
-# the 42 r08-only greens (bmp_decode_stats .. theta_users_daily;
-# the 7 sliding to r13: token_budget_select, unigram_logprob_quality,
-# vector_topk_ivf/ivfpq/pq, wav_decode_stats, zorder_layout — all
-# family siblings of fresher in-window evidence). 8 + 7 + 35 = 50.
+# a CAS-locked versioned commit + CDF tombstone feed;
+# ivf_index_drift — index-rebuild pre-flight, argmax-move fraction +
+# occupancy-skew ppm between two quantizers; all parity-tested at
+# sf0.001+sf0.01, budgets recorded, x10-audited);
+# then refresh oldest-evidence-first — the 34 alphabetically-first of
+# the 42 r08-only greens (bmp_decode_stats .. theta_user_day_overlap;
+# the 8 sliding to r13: theta_users_daily, token_budget_select,
+# unigram_logprob_quality, vector_topk_ivf/ivfpq/pq, wav_decode_stats,
+# zorder_layout — all family siblings of fresher in-window evidence).
+# 8 + 8 + 34 = 50.
 # After promoting staged names run
 # `python tools/plan_digest.py --budgets` and max-merge with the
 # committed budgets to preserve existing ceilings.

@@ -4285,3 +4285,90 @@ def rtbf_delete_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _rtbf_table(spark, sf_dir)
     return change_feed(spark, path, 2000, 2000, key_columns=["o_orderkey"])
+
+
+_DRIFT_CELLS = 8
+
+
+def _drift_oracle() -> str:
+    """Two fold-exact argmax assignments (the _align_spine_sql CTE
+    pattern) against two deterministic quantizers — old = the 8
+    smallest-id vectors, new = the 8 smallest ODD-id vectors — folded
+    to the all-integer drift report."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    def assigned(tag: str, where: str) -> str:
+        return f"""cent_{tag} AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings {where} ORDER BY vec_id ASC LIMIT {_DRIFT_CELLS}
+), centu_{tag} AS (
+  SELECT cell,
+         list_transform(c, x -> x / (CASE WHEN sqrt({_SS.format(a="c")}) = 0
+                                          THEN 1.0
+                                          ELSE sqrt({_SS.format(a="c")}) END)) AS u
+  FROM cent_{tag}
+), assigned_{tag} AS (
+  SELECT vec_id, cell AS cell_{tag} FROM (
+    SELECT e.vec_id, cu.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a="CAST(e.embedding AS DOUBLE[])", b="cu.u")} DESC,
+                      cu.cell DESC
+           ) AS rn
+    FROM embeddings e, centu_{tag} cu
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH {assigned("old", "")}, {assigned("new", "WHERE vec_id % 2 = 1")},
+cells AS (
+  SELECT o.cell_old, n.cell_new
+  FROM assigned_old o JOIN assigned_new n USING (vec_id)
+), counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CASE WHEN cell_old != cell_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM cells
+), occ AS (
+  SELECT
+    (SELECT CAST(max(c) AS BIGINT) FROM
+      (SELECT count(*) AS c FROM cells GROUP BY cell_old)) AS mx_old,
+    (SELECT CAST(max(c) AS BIGINT) FROM
+      (SELECT count(*) AS c FROM cells GROUP BY cell_new)) AS mx_new
+)
+SELECT n_vectors, n_moved,
+       CAST(floor(n_moved * 1000000.0 / n_vectors) AS BIGINT) AS moved_ppm,
+       CAST(floor(mx_old * 1000000.0 / n_vectors) AS BIGINT)
+         AS max_cell_share_ppm_old,
+       CAST(floor(mx_new * 1000000.0 / n_vectors) AS BIGINT)
+         AS max_cell_share_ppm_new
+FROM counts, occ
+"""
+
+
+@register_staged("ivf_index_drift", oracle=_drift_oracle())
+def ivf_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-rebuild pre-flight (operators/similarity.py
+    ``ivf_drift_report``): how stale is a cell-partitioned IVF/IVF-PQ
+    index under a candidate re-quantization? The report counts vectors
+    whose argmax cell moves between the deployed quantizer (the 8
+    smallest-id vectors) and a candidate one (the 8 smallest odd-id
+    vectors) — the fraction a rebuild physically rewrites and the
+    recall-decay proxy — plus max-cell occupancy shares in exact ppm
+    (quantizer skew = hot serve-time partitions). Completes the index
+    lifecycle the incremental IVF-PQ rows started: build -> append ->
+    compact -> DRIFT-MONITOR -> rebuild decision. Two narrow
+    assignment maps over one vector scan, bounded aggregates,
+    all-integer output under a full value oracle."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+        ivf_drift_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = ivf_centroids_from_sample(emb, n_centroids=_DRIFT_CELLS)
+    new = ivf_centroids_from_sample(
+        emb.filter(F.col("vec_id") % 2 == 1), n_centroids=_DRIFT_CELLS
+    )
+    return ivf_drift_report(emb, old, new)
