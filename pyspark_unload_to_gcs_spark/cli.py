@@ -141,17 +141,15 @@ def run_query_mode(argv: list[str]) -> int:
     args = p.parse_args(argv)
 
     # staged (next-window) queries are finished capabilities — expose
-    # them to users too; live names win a collision (there are none:
-    # tests/test_staged_queries.py pins that)
-    queries = dict(registry.queries())
-    staged = registry_staged.staged_queries()
-    for name, fn in staged.items():
-        queries.setdefault(name, fn)
+    # them to users too (registry_staged.all_queries: live wins a
+    # collision, of which there are none by test)
+    queries = registry_staged.all_queries()
     if args.list_queries:
+        live = set(registry.queries())
         oracles = {**registry_staged.staged_oracle_sql(), **registry.oracle_sql()}
         for name in sorted(queries):
             mark = " *" if name in oracles else ""
-            mark += " (staged)" if name in staged and name not in registry.queries() else ""
+            mark += "" if name in live else " (staged)"
             print(f"{name}{mark}")
         return 0
     if args.run_query not in queries:

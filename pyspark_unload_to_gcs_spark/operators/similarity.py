@@ -1121,7 +1121,6 @@ def ivf_drift_report(
     old_centroids: list[tuple[int, list[float]]],
     new_centroids: list[tuple[int, list[float]]],
     *,
-    id_column: str = "vec_id",
     vec_column: str = "embedding",
     method: str = "fold",
 ) -> DataFrame:
@@ -1139,11 +1138,13 @@ def ivf_drift_report(
     are the ones it misses). The max-cell occupancy shares (parts per
     million, exact integers) expose quantizer skew — a hot cell is a
     hot partition at serve time. Plan: two narrow assignment maps over
-    one scan of the vectors, one bounded (<= cells) aggregate, no
-    data shuffle beyond it; all-integer output so the report is
+    one scan of the vectors (ONLY the vector column rides through
+    them), one bounded (<= cells) aggregate, no data shuffle beyond
+    it; all-integer output — an empty input yields an all-zero row,
+    never NULLs or a division error (review r11) — so the report is
     value-oracle-able cross-engine."""
     both = ivf_assign(
-        df.select(F.col(id_column), F.col(vec_column).cast("array<double>").alias(vec_column)),
+        df.select(F.col(vec_column).cast("array<double>").alias(vec_column)),
         old_centroids,
         vec_column=vec_column,
         cell_column="__old_cell",
@@ -1159,8 +1160,11 @@ def ivf_drift_report(
     cells = both.select("__old_cell", "__new_cell")
     counts = cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.sum(
-            F.when(F.col("__old_cell") != F.col("__new_cell"), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__old_cell") != F.col("__new_cell"), 1).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_moved"),
@@ -1168,27 +1172,32 @@ def ivf_drift_report(
     occ_old = (
         cells.groupBy("__old_cell")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").cast("long").alias("__mx_old"))
+        .agg(F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("__mx_old"))
     )
     occ_new = (
         cells.groupBy("__new_cell")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").cast("long").alias("__mx_new"))
+        .agg(F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("__mx_new"))
     )
+
+    def _ppm(num):
+        return (
+            F.when(
+                F.col("n_vectors") > 0,
+                F.floor(num * 1_000_000 / F.col("n_vectors")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
     return (
         counts.join(F.broadcast(occ_old))
         .join(F.broadcast(occ_new))
         .select(
             "n_vectors",
             "n_moved",
-            F.floor(F.col("n_moved") * 1_000_000 / F.col("n_vectors"))
-            .cast("long")
-            .alias("moved_ppm"),
-            F.floor(F.col("__mx_old") * 1_000_000 / F.col("n_vectors"))
-            .cast("long")
-            .alias("max_cell_share_ppm_old"),
-            F.floor(F.col("__mx_new") * 1_000_000 / F.col("n_vectors"))
-            .cast("long")
-            .alias("max_cell_share_ppm_new"),
+            _ppm(F.col("n_moved")).alias("moved_ppm"),
+            _ppm(F.col("__mx_old")).alias("max_cell_share_ppm_old"),
+            _ppm(F.col("__mx_new")).alias("max_cell_share_ppm_new"),
         )
     )

@@ -58,6 +58,20 @@ def staged_oracle_sql() -> dict[str, str]:
     return dict(_STAGED_ORACLES)
 
 
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Live + staged queries in ONE view, live winning a name collision
+    (there are none — tests/test_staged_queries.py pins that). The one
+    maintained spelling of the merge rule, shared by the CLI runner and
+    the plan-lint suite (review r11: the rule had drifted into two
+    copies)."""
+    from pyspark_unload_to_gcs_spark import registry
+
+    merged = dict(registry.queries())
+    for name, fn in _STAGED.items():
+        merged.setdefault(name, fn)
+    return merged
+
+
 # --------------------------------------------------------------------------
 # Gopher document-quality profile
 # --------------------------------------------------------------------------

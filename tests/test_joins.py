@@ -242,3 +242,21 @@ def test_temperature_mix_tau_extremes(spark):
     for r in quota_temperature_mix(df, "src", "id", budget=100, tau=0.0).collect():
         got0[r.src] = got0.get(r.src, 0) + 1
     assert got0 == {"big": 50, "small": 50}  # n^0 = 1: equal quotas
+
+
+def test_ivf_drift_report_empty_input_all_zero(spark):
+    """An empty vector frame (a not-yet-populated index is a valid
+    pre-flight input) yields an all-zero integer row — never NULLs or a
+    division error (review r11)."""
+    from pyspark_unload_to_gcs_spark.operators.similarity import ivf_drift_report
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    row = ivf_drift_report(empty, cents, cents).collect()[0]
+    assert (
+        row["n_vectors"],
+        row["n_moved"],
+        row["moved_ppm"],
+        row["max_cell_share_ppm_old"],
+        row["max_cell_share_ppm_new"],
+    ) == (0, 0, 0, 0, 0)

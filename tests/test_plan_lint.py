@@ -28,9 +28,7 @@ from pyspark_unload_to_gcs_spark import registry, registry_staged
 # no-cartesian/no-BatchEvalPython/budget rules BEFORE they go live, so
 # a scale problem surfaces a round early (r11; the scale audit already
 # included them, the lint did not)
-_ALL = dict(registry.queries())
-for _n, _f in registry_staged.staged_queries().items():
-    _ALL.setdefault(_n, _f)
+_ALL = registry_staged.all_queries()
 QUERY_NAMES = sorted(_ALL.keys())
 _BUDGET_PATH = Path(__file__).resolve().parent / "plan_budgets.json"
 BUDGETS = json.loads(_BUDGET_PATH.read_text()) if _BUDGET_PATH.exists() else {}
