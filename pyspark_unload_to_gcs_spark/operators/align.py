@@ -114,10 +114,15 @@ def margin_align_pairs(
         # here can issue (the consuming action is the caller's), which
         # leaked one cached candidate frame per call in long-running
         # services (ADVICE r10); checkpoint blocks free with the frame
-        # via the ContextCleaner. Caveat (same as dsir_shift_report):
-        # truncated lineage means an executor loss fails the query
-        # instead of recomputing — acceptable for a mining batch job.
-        .localCheckpoint(eager=True)
+        # via the ContextCleaner. eager=False so merely BUILDING the
+        # DataFrame (CLI --explain, plan lint, any plan-only consumer)
+        # doesn't execute the full candidate-pair job — the blocks
+        # materialize at the caller's first action and are shared by
+        # all three branches from then on (ADVICE r11). Caveat (same
+        # as dsir_shift_report): truncated lineage means an executor
+        # loss fails the query instead of recomputing — acceptable for
+        # a mining batch job.
+        .localCheckpoint(eager=False)
     )
     a = pairs.groupBy("src_id").agg(
         _topk_avg(F.collect_list("cos"), k).alias("__ax")

@@ -456,7 +456,7 @@ def cm_join_size_estimate(
     # products/sums in DECIMAL(38,0): long arithmetic would silently
     # WRAP around 9.2e18 (reachable at the table sizes this pre-flight
     # is for), voiding the never-underestimates guarantee (review r11)
-    per_row = (
+    shared = (
         ca.join(cb, ["r", "b"])
         .groupBy("r")
         .agg(
@@ -467,6 +467,18 @@ def cm_join_size_estimate(
             .cast("decimal(38,0)")
             .alias("s")
         )
+    )
+    # a sketch row with NO shared (r,b) buckets has inner product 0 —
+    # the inner join above drops it, and min() over the survivors would
+    # report a positive estimate where the row-minimum is exactly 0
+    # (disjoint key multisets + collisions elsewhere; ADVICE r11). Keep
+    # every row on a 0..rows-1 spine and coalesce the missing sums to 0.
+    spine = left.sparkSession.range(rows).select(
+        _F.col("id").cast("int").alias("r")
+    )
+    per_row = spine.join(shared, "r", "left").select(
+        "r",
+        _F.coalesce(_F.col("s"), _F.lit(0).cast("decimal(38,0)")).alias("s"),
     )
     long_max = (1 << 63) - 1
     m = _F.min("s")

@@ -39,9 +39,17 @@ def key_bucket(key: Column, num_buckets: int, *, method: str = "xxhash64") -> Co
       path (cheapest per row; sign-safe via pmod).
     - ``"md5"``: first 32 md5 bits of the key's string form, the
       cross-engine-replayable path (operators/classifier.token_bucket
-      spelling — one maintained DuckDB twin)."""
+      spelling — one maintained DuckDB twin).
+
+    NULL key -> NULL bucket under BOTH methods. xxhash64 alone would
+    hash NULL to the seed's hash (a real, shareable bucket — ADVICE
+    r11: NULL left keys leaked into the anti-join's hit branch and a
+    NULL right key planted a permanent false-positive bucket), so the
+    NULL case is guarded explicitly; md5(NULL) is already NULL."""
     if method == "xxhash64":
-        return F.pmod(F.xxhash64(key), F.lit(num_buckets))
+        return F.when(
+            key.isNotNull(), F.pmod(F.xxhash64(key), F.lit(num_buckets))
+        )
     if method == "md5":
         from pyspark_unload_to_gcs_spark.operators.classifier import token_bucket
 

@@ -517,7 +517,8 @@ def _load_extensions() -> None:
 # _PRIORITY permanently — each family's value evidence is its
 # in-rotation recall/accuracy pin.
 #
-# R12 ROTATION PLAN (execute next round): keep the core eight;
+# R12 ROTATION — EXECUTED THIS ROUND (the plan pinned here in r11,
+# verbatim): keep the core eight;
 # promote the EIGHT r11-staged entries first
 # (margin_align_auto — alignment mining in its production posture,
 # auto-k + Arrow arm under the auto-k value oracle;
@@ -541,6 +542,16 @@ def _load_extensions() -> None:
 # After promoting staged names run
 # `python tools/plan_digest.py --budgets` and max-merge with the
 # committed budgets to preserve existing ceilings.
+#
+# R13 ROTATION PLAN (execute next round): keep the core eight;
+# promote whatever r12-staged cohort exists (registry_staged.py
+# bottom — candidates per VERDICT r11 #4: a streaming twin for
+# quota_temperature_mix and a bloom-prune→exact-join composition
+# row); then refresh oldest-evidence-first — the 8 r08-only greens
+# deferred from r12 (theta_users_daily, token_budget_select,
+# unigram_logprob_quality, vector_topk_ivf, vector_topk_ivfpq,
+# vector_topk_pq, wav_decode_stats, zorder_layout) and then the
+# alphabetically-first r09-only greens until the window holds 50.
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
@@ -552,54 +563,56 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r10 staged cohort (live as of
-    #    r11) — CDF-merge streaming CDC loop, DSIR family, date-spine
-    #    gap fill, scan-prune pre-flight, margin alignment mining
-    "versioned_cdf_merge_stream_replay",
-    "dsir_selected_docs",
-    "dsir_shift_accuracy",
-    "dsir_incremental_scores",
-    "gap_fill_daily_activity",
-    "scan_prune_preflight",
-    "margin_align_mining",
-    # 3. evidence refresh: the remaining 35 r06-only greens
-    #    (alphabetical, continuing from r10's cut at
-    #    clean_corpus_stats)
-    "customers_without_orders",
-    "document_chunks",
-    "export_roundtrip_hash",
-    "funnel_view_click_purchase",
-    "growth_accounting",
-    "incremental_rollup_merge",
-    "incremental_topk_merge",
-    "merge_stream_replay",
-    "multimodal_meta",
-    "nations_customers_not_suppliers",
-    "near_dedup_simhash_recall",
-    "pii_redaction",
-    "q12_priority_by_linestatus",
-    "q16_part_supplier_counts",
-    "q2_min_price_supplier",
-    "q7_nation_pair_revenue",
-    "range_join_attribution",
-    "repetition_stats",
-    "retention_cohorts",
-    "rolling_active_users",
-    "rollup_stream_replay",
-    "sequence_packing",
-    "session_funnel",
-    "sessionization",
-    "sliding_window_events",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_event_paths",
-    "train_test_split",
-    "training_corpus_pipeline",
-    "tumbling_daily_events",
-    "user_event_gaps",
-    "vector_topk",
-    "weighted_source_mix",
-    "winsorized_value_stats",
+    # 2. never-checked: the promoted r11 staged cohort (live as of
+    #    r12) — production-posture alignment mining + its retrieval
+    #    eval, leakage-safe splitting, bloom join pruning, count-min
+    #    join-size pre-flight, exact-quota temperature mixing, RTBF
+    #    versioned-delete propagation, IVF index-drift pre-flight
+    "margin_align_auto",
+    "mined_pairs_retrieval_eval",
+    "leakage_safe_split",
+    "bloom_prune_join",
+    "join_size_preflight",
+    "temperature_mix_sample",
+    "rtbf_delete_propagation",
+    "ivf_index_drift",
+    # 3. evidence refresh: the 34 alphabetically-first of the 42
+    #    r08-only greens (bmp_decode_stats .. theta_user_day_overlap;
+    #    the 8 sliding to r13 are family siblings of fresher evidence)
+    "bmp_decode_stats",
+    "bpe_pair_stats",
+    "bpe_tokenize_counts",
+    "bpe_train_merges",
+    "bucketed_colocated_join",
+    "chunk_dedup_clean",
+    "embedding_near_dedup",
+    "fuzzy_entity_join_exact",
+    "hybrid_search_rrf",
+    "incremental_ann_match",
+    "incremental_near_dedup",
+    "incremental_semantic_match",
+    "k_anonymity_profile",
+    "kll_value_quantiles_rollup",
+    "l_diversity_profile",
+    "length_bucketed_batches",
+    "multimodal_decode_stats",
+    "nations_with_customers_and_suppliers",
+    "near_dedup_pairs_exact",
+    "near_dup_clusters_exact",
+    "ngram_diversity",
+    "ngram_diversity_approx_accuracy",
+    "pagerank_ship_graph",
+    "pivot_returnflag_status",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "quality_classifier_margin",
+    "repeated_span_dedup",
+    "retention_stream_replay",
+    "scd2_history",
+    "semantic_dedup",
+    "sessionize_stream_replay",
+    "temperature_mix_weights",
+    "theta_user_day_overlap",
 )
 
 

@@ -3226,7 +3226,10 @@ def versioned_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_VERSIONED_MEMO[key])
 
 
-# --- r11 STAGED cohort -------------------------------------------------
+# --- r11 cohort (staged in r11, PROMOTED to live ``@register`` in r12:
+#     margin_align_auto, mined_pairs_retrieval_eval, leakage_safe_split,
+#     bloom_prune_join, join_size_preflight, temperature_mix_sample,
+#     rtbf_delete_propagation, ivf_index_drift) --------------------------
 
 _VERSIONED_CDF_MERGE_SQL = """
 SELECT o_orderkey, o_custkey,
@@ -3712,7 +3715,7 @@ def margin_align_auto_with_method(
     )
 
 
-@register_staged("margin_align_auto", oracle=_align_oracle("auto"))
+@register("margin_align_auto", oracle=_align_oracle("auto"))
 def margin_align_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin alignment mining in its PRODUCTION posture (VERDICT r10
     #2): n_centroids = max(8, isqrt(n)) so within-cell candidate mass
@@ -3826,7 +3829,7 @@ FROM gold g LEFT JOIN topfused t
 """
 
 
-@register_staged("mined_pairs_retrieval_eval", oracle=_retrieval_eval_oracle())
+@register("mined_pairs_retrieval_eval", oracle=_retrieval_eval_oracle())
 def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mined-pairs -> retrieval-eval composition (VERDICT r10 #7, the
     last §2l family with no end-to-end composition row): the margin
@@ -3985,7 +3988,7 @@ def _leakage_split_oracle() -> str:
     """
 
 
-@register_staged("leakage_safe_split", oracle=_leakage_split_oracle())
+@register("leakage_safe_split", oracle=_leakage_split_oracle())
 def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/test split: the deterministic md5 80/20 split
     keyed by the NEAR-DUP CLUSTER id instead of the document id, so a
@@ -4041,7 +4044,7 @@ SELECT
 """
 
 
-@register_staged("bloom_prune_join", oracle=_bloom_oracle())
+@register("bloom_prune_join", oracle=_bloom_oracle())
 def bloom_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned selective join (operators/joins.py
     ``bucket_bloom_prune`` — the manual, plan-guaranteed analogue of
@@ -4131,7 +4134,7 @@ FROM est e, truth t
 """
 
 
-@register_staged("join_size_preflight", oracle=_cm_preflight_oracle())
+@register("join_size_preflight", oracle=_cm_preflight_oracle())
 def join_size_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join-size pre-flight (operators/diagnostics.py
     ``cm_join_size_estimate``): the count-min inner-product estimator
@@ -4174,7 +4177,7 @@ def join_size_preflight_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_staged(
+@register(
     "temperature_mix_sample",
     oracle="""
 WITH c AS (
@@ -4281,7 +4284,7 @@ WHERE o.o_custkey IN (
 """
 
 
-@register_staged("rtbf_delete_propagation", oracle=_RTBF_SQL)
+@register("rtbf_delete_propagation", oracle=_RTBF_SQL)
 def rtbf_delete_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation as a versioned-table commit
     plus an auditable tombstone feed: a deletion cohort (customers
@@ -4361,7 +4364,7 @@ FROM counts, occ
 """
 
 
-@register_staged("ivf_index_drift", oracle=_drift_oracle())
+@register("ivf_index_drift", oracle=_drift_oracle())
 def ivf_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-rebuild pre-flight (operators/similarity.py
     ``ivf_drift_report``): how stale is a cell-partitioned IVF/IVF-PQ

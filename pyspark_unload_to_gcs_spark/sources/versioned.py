@@ -324,10 +324,24 @@ def commit_version(df: DataFrame, path: str, commit_ms: int) -> int:
                 "non-decreasing"
             )
         version = history[0]["version"] + 1 if history else 0
-        df.write.mode("overwrite").parquet(_sub(path, f"v={version}"))
+        out_dir = _sub(path, f"v={version}")
+        df.write.mode("overwrite").parquet(out_dir)
+        # row count from the WRITTEN files (footer-cheap column-less
+        # scan — never a recompute of df's lineage), recorded in the
+        # ledger so stream consumers can classify empty commits without
+        # launching one isEmpty() job per pending version on every
+        # rowless micro-batch (ADVICE r11). Older ledgers lack the
+        # field; readers treat it as optional.
+        n_rows = int(df.sparkSession.read.parquet(out_dir).count())
         ledger = sorted(
-            [{"version": e["version"], "commit_ms": e["commit_ms"]} for e in history]
-            + [{"version": version, "commit_ms": int(commit_ms)}],
+            [dict(e) for e in history]
+            + [
+                {
+                    "version": version,
+                    "commit_ms": int(commit_ms),
+                    "n_rows": n_rows,
+                }
+            ],
             key=lambda e: e["version"],
         )
         _replace_text_atomic(_sub(path, _COMMITS_FILE), json.dumps(ledger))
@@ -479,11 +493,9 @@ def vacuum(path: str, *, keep_last: int) -> list[int]:
         if not drop:
             return []
         ledger = sorted(
-            (
-                {"version": e["version"], "commit_ms": e["commit_ms"]}
-                for e in history
-                if e["version"] in keep
-            ),
+            # dict(e), not a field whitelist: surviving entries keep
+            # their optional n_rows stat (ADVICE r11)
+            (dict(e) for e in history if e["version"] in keep),
             key=lambda e: e["version"],
         )
         _replace_text_atomic(_sub(path, _COMMITS_FILE), json.dumps(ledger))

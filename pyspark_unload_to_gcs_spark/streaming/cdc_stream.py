@@ -140,9 +140,11 @@ def cdf_merge_batch(
             for r in batch_df.select(*_STAMPS).distinct().collect()
         }
         prev_applied = _applied_watermark(state_path, batch_id)
-        ledger = sorted(
-            (e["version"], e["commit_ms"]) for e in table_history(table_path)
-        )
+        history = table_history(table_path)
+        ledger = sorted((e["version"], e["commit_ms"]) for e in history)
+        # commit-time row counts (ledger stat, recorded by
+        # commit_version since r12); None for legacy entries
+        n_rows_by_v = {e["version"]: e.get("n_rows") for e in history}
         if in_batch:
             hi = max(in_batch)
         else:
@@ -156,12 +158,24 @@ def cdf_merge_batch(
             # (ADVICE r10). So a version is only applied from a rowless
             # batch if its snapshot is verifiably zero-row ON DISK;
             # apply stops at the first version with data (dense-order
-            # contract), deferring it to the batch that carries its rows.
+            # contract), deferring it to the batch that carries its
+            # rows. The check reads the ledger's commit-time n_rows
+            # stat — ZERO Spark jobs on a rowless micro-batch, however
+            # long the empty-commit backlog (ADVICE r11: the previous
+            # per-version isEmpty() loop serialized one job per pending
+            # version inside foreachBatch); only legacy ledger entries
+            # written before the stat existed fall back to isEmpty().
             hi = -1
             for v, _ms in ledger:
                 if v <= prev_applied:
                     continue
-                if _read_version(spark, table_path, v).isEmpty():
+                n = n_rows_by_v.get(v)
+                empty_on_disk = (
+                    n == 0
+                    if n is not None
+                    else _read_version(spark, table_path, v).isEmpty()
+                )
+                if empty_on_disk:
                     hi = v
                 else:
                     break

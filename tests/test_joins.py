@@ -101,6 +101,21 @@ def test_cm_join_size_disjoint_keys_is_zero_not_null(spark):
     assert row["join_size_est"] == 0
 
 
+def test_cm_join_size_zero_shared_bucket_rows_count_toward_min(spark):
+    """A sketch row with NO shared (r,b) buckets has inner product 0
+    and must participate in the row-minimum (ADVICE r11: the inner
+    join dropped it, so disjoint multisets whose keys collide in SOME
+    rows returned a positive estimate where the documented estimator
+    says 0). Keys "0" and "2" at width=8 collide in row 0's bucket but
+    in none of rows 1-3 (fixed md5 hash), so the min must be 0."""
+    left = spark.createDataFrame([("0",)], "k string")
+    right = spark.createDataFrame([("2",)], "k string")
+    row = cm_join_size_estimate(
+        left, right, left_key="k", right_key="k", rows=4, width=8
+    ).collect()[0]
+    assert row["join_size_est"] == 0
+
+
 def test_temperature_mix_quotas_flatten_head_stratum(spark):
     """tau=0.5 quotas are floor(B*sqrt(n_s)/W): the head stratum's
     share of the selection is LOWER than its natural share, tail
@@ -167,6 +182,34 @@ def test_bloom_anti_join_equals_plain_left_anti(spark, method):
     }
     assert 3 not in got2 and 250 not in got2 and 499 in got2 and None in got2
     assert len(got2) == 501 - 2
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_key_bucket_null_key_is_null_bucket(spark, method):
+    """NULL key -> NULL bucket under BOTH hash arms (ADVICE r11: raw
+    xxhash64(NULL) returns the seed's hash, a real shareable bucket —
+    a NULL-keyed build row then plants a permanent false-positive
+    bucket). Pinned end-to-end: an all-NULL build side prunes
+    EVERYTHING, because NULL keys contribute no buckets."""
+    from pyspark_unload_to_gcs_spark.operators.joins import (
+        bucket_bloom_prune,
+        key_bucket,
+    )
+
+    one = spark.range(1).select(
+        key_bucket(F.lit(None).cast("long"), 64, method=method).alias("b")
+    )
+    assert one.collect()[0]["b"] is None
+
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    build = spark.createDataFrame([(None,), (None,)], "dk long")
+    assert (
+        bucket_bloom_prune(
+            probe, build, probe_key="k", build_key="dk",
+            num_buckets=64, method=method,
+        ).count()
+        == 0
+    )
 
 
 from hypothesis import given, settings

@@ -846,6 +846,85 @@ def test_cdf_merge_rowless_batch_defers_concurrent_data_commit(spark, tmp_path):
     assert read_snapshot(spark, state).count() == 0
 
 
+def test_ledger_n_rows_stat_recorded_and_survives_vacuum(spark, tmp_path):
+    """commit_version records the written snapshot's row count in the
+    ledger (ADVICE r11: stream consumers classify empty commits from
+    the stat instead of one isEmpty() Spark job per pending version),
+    and vacuum's ledger rewrite preserves it."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import vacuum
+
+    path = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v double")  # noqa: E731
+    commit_version(mk([(1, 1.0), (2, 2.0)]), path, 100)
+    commit_version(mk([]), path, 200)
+    commit_version(mk([(3, 3.0)]), path, 300)
+    by_v = {e["version"]: e["n_rows"] for e in table_history(path)}
+    assert by_v == {0: 2, 1: 0, 2: 1}
+    vacuum(path, keep_last=2)
+    by_v = {e["version"]: e["n_rows"] for e in table_history(path)}
+    assert by_v == {1: 0, 2: 1}
+
+
+def test_rowless_batch_uses_ledger_stat_not_per_version_jobs(
+    spark, tmp_path, monkeypatch
+):
+    """When every pending ledger entry carries n_rows, a rowless
+    micro-batch's empty-commit classification must launch ZERO
+    snapshot reads (ADVICE r11: the fallback isEmpty() loop serialized
+    one Spark job per pending version inside foreachBatch)."""
+    from pyspark_unload_to_gcs_spark.sources import versioned as V
+    from pyspark_unload_to_gcs_spark.streaming.cdc_stream import cdf_merge_batch
+    from pyspark_unload_to_gcs_spark.streaming.merge import read_snapshot
+
+    table = str(tmp_path / "t")
+    state = str(tmp_path / "state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k int, v double, _commit_version long, _commit_timestamp long"
+    )
+    commit_version(
+        spark.createDataFrame([(1, 10.0)], "k int, v double"), table, 100
+    )
+    cdf_merge_batch(
+        mk([(1, 10.0, 0, 100)]),
+        0,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+    )
+    # a backlog of empty commits, then one data commit (must defer)
+    commit_version(spark.createDataFrame([], "k int, v double"), table, 200)
+    commit_version(spark.createDataFrame([], "k int, v double"), table, 300)
+    commit_version(
+        spark.createDataFrame([(1, 11.0)], "k int, v double"), table, 400
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "rowless batch read a snapshot despite ledger n_rows stats"
+        )
+
+    monkeypatch.setattr(V, "_read_version", _boom)
+    cdf_merge_batch(
+        mk([]),
+        1,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+    )
+    monkeypatch.undo()
+    # the two empty commits applied (truncation), v3 deferred
+    assert read_snapshot(spark, state).count() == 0
+    cdf_merge_batch(
+        mk([(1, 11.0, 3, 400)]),
+        2,
+        table_path=table,
+        key_columns=["k"],
+        state_path=state,
+    )
+    snap = read_snapshot(spark, state)
+    assert {(r["k"], r["v"]) for r in snap.collect()} == {(1, 11.0)}
+
+
 def test_cdf_merge_stream_races_concurrent_committer(spark, tmp_path):
     """VERDICT r10 #5 — the CAS commit lock composed with the streaming
     consumer. A writer that lands a commit WHILE foreachBatch is
