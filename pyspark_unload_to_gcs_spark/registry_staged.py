@@ -3745,12 +3745,15 @@ def _retrieval_eval_oracle() -> str:
     ranking so last-ulp libm drift can't flip a cut — fused by
     two-term fixed-order RRF, and the gold target's fused rank is the
     output. Every float is a deterministic left fold, one IEEE
-    division, or an exact-rational 1/(60+rank) term."""
+    division, or an exact-rational 1/(60+rank) term. The label spine
+    replays the AUTO-K quantizer (k = max(8, isqrt(n))) — the same
+    production posture margin_align_auto benches — so no live row
+    carries the fixed-cell n²/8 pair-mass curve (VERDICT r11 #2)."""
     from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
 
     words = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
     return f"""
-{_align_spine_sql(_ALIGN_CELLS)}, gold AS (
+{_align_spine_sql("auto")}, gold AS (
   SELECT src_id, tgt_id FROM best WHERE margin > {_ALIGN_THRESH}
   ORDER BY round(margin, 6) DESC, src_id ASC LIMIT {_REVAL_M}
 ), qvec AS (
@@ -3846,13 +3849,14 @@ def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining -> retrieval QA) run as ONE plan: M bounded query rows
     broadcast against the corpus, per-query windows partitioned by
     query id — no driver loop, no global sort, corpus scanned once
-    per arm. FULL value oracle sharing the mining spine f-string."""
+    per arm. FULL value oracle sharing the mining spine f-string.
+    The gold labels mine on the AUTO-K quantizer + Arrow assignment
+    (the margin_align_auto production posture, n^1.5 pair mass) so no
+    live row carries the fixed-cell n²/8 curve (VERDICT r11 #2)."""
     from pyspark.sql import Window
 
-    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
     from pyspark_unload_to_gcs_spark.operators.similarity import (
         _pair_dot,
-        ivf_centroids_from_sample,
         norm,
         rrf_fuse,
     )
@@ -3863,16 +3867,8 @@ def mined_pairs_retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents")
-    cents = ivf_centroids_from_sample(emb, n_centroids=_ALIGN_CELLS)
     gold = (
-        margin_align_pairs(
-            emb,
-            F.col("vec_id") % 2 == 0,
-            F.col("vec_id") % 2 == 1,
-            centroids=cents,
-            k=_ALIGN_K,
-            margin_threshold=1.1,
-        )
+        margin_align_auto_with_method(spark, sf_dir, assign_method="arrow")
         .orderBy(F.col("margin_r").desc(), F.col("src_id").asc())
         .limit(_REVAL_M)
         .select("src_id", "tgt_id")

@@ -63,6 +63,29 @@ def test_no_query_escapes_driver_verification():
     )
 
 
+def test_coverage_json_not_stale_vs_newest_correctness_artifact():
+    """The checked-in COVERAGE.json must be regenerated after every
+    driver drop (VERDICT r11 #3: it listed names green in
+    CORRECTNESS_r11.json as never-checked for a round). Staleness
+    test: no name with a row in the NEWEST correctness artifact may
+    appear in COVERAGE.json's never_driver_checked list."""
+    import glob
+    import json
+
+    repo = Path(__file__).resolve().parents[1]
+    artifacts = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
+    assert artifacts, "no CORRECTNESS artifacts checked in"
+    with open(artifacts[-1]) as f:
+        newest = set(json.load(f))
+    with open(repo / "COVERAGE.json") as f:
+        ledger = json.load(f)
+    stale = sorted(newest & set(ledger["never_driver_checked"]))
+    assert not stale, (
+        "COVERAGE.json predates the newest driver drop — regenerate with "
+        f"`python tools/coverage_ledger.py` (stale names: {stale})"
+    )
+
+
 def test_never_checked_queries_are_front_of_window():
     """Anything never driver-checked must be in the window NOW — waiting
     another round is exactly the failure mode the ledger exists to
