@@ -499,3 +499,59 @@ def cm_join_size_estimate(
         .otherwise(_F.coalesce(m.cast("long"), _F.lit(0).cast("long")))
         .alias("join_size_est")
     )
+
+
+def categorical_drift_psi(
+    df,
+    category_column: str,
+    baseline,
+):
+    """Dataset-drift monitor between two slices of one frame: the
+    Population Stability Index of a categorical column, computed in a
+    SINGLE scan (the classic two-snapshot drift gate a 100 TB ingest
+    pipeline runs before accepting a new crawl: PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 block-and-investigate).
+
+    ``baseline`` is a boolean Column splitting the frame into the
+    baseline slice (A, true) and the current slice (B, false). Returns
+    one row per category: (category, n_a, n_b, psi_term_r) with
+
+        psi_term = (p - q) * ln(p / q),
+        p = (n_a + 1) / (N_a + K),  q = (n_b + 1) / (N_b + K)
+
+    — add-one (Laplace) smoothed over the K categories observed in
+    EITHER slice, so a category absent from one side contributes a
+    finite, well-defined term instead of an infinite ratio; total PSI
+    is the caller's SUM. Every count is exact; each probability is one
+    IEEE division of integers; the single ``ln`` keeps the replay
+    cross-engine (psi_term rounded to 6, the repo's ln-bearing-oracle
+    convention).
+
+    Plan shape: one conditional groupBy over the category (the only
+    data shuffle — identical to counting either slice alone), a
+    one-row totals frame broadcast back on, and bounded-by-K output.
+    No second scan, no join of two snapshots.
+    """
+    from pyspark.sql import functions as _F
+
+    counts = df.groupBy(category_column).agg(
+        _F.sum(_F.when(baseline, 1).otherwise(0)).cast("long").alias("n_a"),
+        _F.sum(_F.when(baseline, 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    totals = counts.agg(
+        _F.sum("n_a").cast("long").alias("__na"),
+        _F.sum("n_b").cast("long").alias("__nb"),
+        _F.count(_F.lit(1)).cast("long").alias("__k"),
+    )
+    p = (_F.col("n_a") + 1).cast("double") / (
+        (_F.col("__na") + _F.col("__k")).cast("double")
+    )
+    q = (_F.col("n_b") + 1).cast("double") / (
+        (_F.col("__nb") + _F.col("__k")).cast("double")
+    )
+    return counts.join(_F.broadcast(totals)).select(
+        category_column,
+        "n_a",
+        "n_b",
+        _F.round((p - q) * _F.log(p / q), 6).alias("psi_term_r"),
+    )

@@ -4385,3 +4385,314 @@ def ivf_index_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1), n_centroids=_DRIFT_CELLS
     )
     return ivf_drift_report(emb, old, new)
+
+
+# --------------------------------------------------------------------------
+# Entries staged for r13 promotion (see registry.py rotation plan):
+# the quota-mix streaming twin and the bloom-prune->exact-join
+# composition named in VERDICT r11 #4, plus a categorical-PSI dataset
+# drift monitor and contrastive hard-negative mining.
+# --------------------------------------------------------------------------
+
+_BPEJ_SQL = """
+SELECT o.o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000 AND c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_custkey
+"""
+
+
+@register_staged("bloom_prune_exact_join", oracle=_BPEJ_SQL)
+def bloom_prune_exact_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prune -> exact-join COMPOSITION on the PRODUCTION hash arm
+    (VERDICT r11 #4; operators/joins.py ``bucket_bloom_prune`` with
+    method="xxhash64"): the prune's no-false-negatives guarantee means
+    the exact join's result is invariant to it, so — unlike the
+    diagnostics row ``bloom_prune_join``, which pins leakage counts on
+    the md5 replay arm — this row can run the cheap JVM xxhash64 path
+    the 100 TB deployment uses and STILL sit under a full value oracle
+    (the plain join; reference capability anchor: the CDC anti-join
+    shape, export.py:121-126). End-to-end output: per-customer order
+    count and exact-cents revenue for a selective cohort (BUILDING
+    segment, acctbal > 9000), the probe never shuffling before the
+    prune cuts it to ~the matching slice."""
+    from pyspark_unload_to_gcs_spark.operators.joins import bucket_bloom_prune
+
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.filter(
+        (F.col("c_acctbal") > 9000) & (F.col("c_mktsegment") == "BUILDING")
+    ).select("c_custkey")
+    probe = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pruned = bucket_bloom_prune(
+        probe,
+        build,
+        probe_key="o_custkey",
+        build_key="c_custkey",
+        num_buckets=_BLOOM_B,
+        method="xxhash64",
+    )
+    joined = pruned.join(
+        F.broadcast(build), pruned["o_custkey"] == build["c_custkey"]
+    )
+    return joined.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+_PSI_CUT_MS = 1705363200000  # 2024-01-16T00:00:00Z — mid-fixture cut
+
+_PSI_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_ms(ts) < {_PSI_CUT_MS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN epoch_ms(ts) < {_PSI_CUT_MS} THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM c
+)
+SELECT c.event_type, c.n_a, c.n_b,
+       round((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
+              - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
+             * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
+                  / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
+             6) AS psi_term_r
+FROM c, t
+"""
+
+
+@register_staged("event_drift_psi", oracle=_PSI_SQL)
+def event_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-drift gate (operators/diagnostics.py
+    ``categorical_drift_psi``): the Population Stability Index of the
+    event_type mix between the fixture's first half (ts before
+    Jan 16) and its second half — the accept/inspect/block number a
+    100 TB ingest runs on every new crawl snapshot before it enters
+    the training corpus, computed in ONE conditional-aggregation scan
+    (no second pass, no snapshot self-join). Laplace-smoothed over the
+    categories observed in either slice so one-sided categories stay
+    finite; counts exact BIGINT, each probability one IEEE division,
+    the single ln rounded to 6 (the repo's ln-bearing-oracle
+    convention — TF-IDF/BM25 precedent). Completes the drift family
+    ivf_index_drift started: that row watches the INDEX, this one
+    watches the DATA."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return categorical_drift_psi(
+        ev, "event_type", epoch_ms_col(ev, "ts") < _PSI_CUT_MS
+    )
+
+
+_QMIX_MEMO: dict = {}
+_QMIX_BATCHES = 3
+
+
+def _qmix_oracle() -> str:
+    """DuckDB replay of the growing-corpus quota-mix manifests: for
+    each batch b, the cumulative corpus is doc_id % 3 <= b; the budget
+    is FROZEN at bootstrap (half the batch-0 corpus); quotas and the
+    md5-rank selection replay the temperature_mix_sample spelling."""
+    parts = []
+    for b in range(_QMIX_BATCHES):
+        parts.append(f"""
+c{b} AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE doc_id % {_QMIX_BATCHES} <= {b} GROUP BY lang
+), s{b} AS (
+  SELECT list_reduce(
+           list_transform(list(n ORDER BY lang ASC),
+                          x -> sqrt(CAST(x AS DOUBLE))),
+           (a, b) -> a + b) AS W
+  FROM c{b}
+), q{b} AS (
+  SELECT lang,
+         CAST(floor(CAST(B AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / W)
+              AS BIGINT) AS quota
+  FROM c{b}, s{b}, bud
+), r{b} AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents WHERE doc_id % {_QMIX_BATCHES} <= {b}
+), m{b} AS (
+  SELECT CAST({b} AS BIGINT) AS batch_id, c.lang, c.n AS n_docs,
+         CAST(coalesce(x.ns, 0) AS BIGINT) AS n_selected,
+         CAST(coalesce(x.ss, 0) AS BIGINT) AS sel_id_sum
+  FROM c{b} c LEFT JOIN (
+    SELECT r.lang, count(*) AS ns, sum(r.doc_id) AS ss
+    FROM r{b} r JOIN q{b} q USING (lang)
+    WHERE r.rn <= q.quota GROUP BY r.lang
+  ) x USING (lang)
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{b}" for b in range(_QMIX_BATCHES)
+    )
+    return (
+        "WITH bud AS (\n"
+        "  SELECT CAST(count(*) // 2 AS BIGINT) AS B FROM documents "
+        f"WHERE doc_id % {_QMIX_BATCHES} = 0\n), "
+        + ",".join(parts)
+        + "\n"
+        + union
+    )
+
+
+@register_staged("quota_mix_stream_replay", oracle=_qmix_oracle())
+def quota_mix_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size training-mix manifests over a GROWING corpus
+    (streaming/manifest.py; the streaming twin VERDICT r11 #4 asked
+    for): three ingest micro-batches (doc_id % 3) fold into versioned
+    corpus state; each batch re-balances the SAME bootstrap-frozen
+    budget (half the batch-0 corpus) across the shifting language
+    counts with the exact-quota tau=0.5 operator the batch row
+    temperature_mix_sample pins. Output: one manifest row per
+    (batch, lang) with corpus count, selected count, and the md5-rank
+    selection fingerprinted by its exact id sum — head languages lose
+    manifest share as the corpus grows, tail languages gain, and every
+    number replays bit-for-bit (sqrt-fold quotas, md5 rank, BIGINT
+    sums)."""
+    from pyspark_unload_to_gcs_spark.streaming.manifest import (
+        quota_mix_batch,
+        read_manifests,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    batches = tuple(
+        docs.filter(F.col("doc_id") % _QMIX_BATCHES == b)
+        for b in range(_QMIX_BATCHES)
+    )
+    return replay_batches(
+        _QMIX_MEMO,
+        (session_token(spark), sf_dir),
+        batches,
+        lambda frame, b, state: quota_mix_batch(
+            frame,
+            b,
+            stratum_column="lang",
+            id_column="doc_id",
+            state_path=state,
+            tau=0.5,
+        ),
+        lambda state: read_manifests(spark, state),
+        prefix="quota_mix_replay_",
+    )
+
+
+_HNEG_K = 5
+
+
+def _hneg_oracle() -> str:
+    """DuckDB replay of hard_negative_mining: the auto-k mining spine's
+    top-{_REVAL_M} gold pairs, each source's cosine top-{_HNEG_K}
+    NON-GOLD candidates over the odd-id corpus."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import _DOT, _SS
+
+    return f"""
+{_align_spine_sql("auto")}, gold AS (
+  SELECT src_id, tgt_id FROM best WHERE margin > {_ALIGN_THRESH}
+  ORDER BY round(margin, 6) DESC, src_id ASC LIMIT {_REVAL_M}
+), qvec AS (
+  SELECT g.src_id, g.tgt_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+         sqrt({_SS.format(a="CAST(e.embedding AS DOUBLE[])")}) AS qn
+  FROM gold g JOIN embeddings e ON e.vec_id = g.src_id
+), vcand AS (
+  SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS cv,
+         sqrt({_SS.format(a="CAST(embedding AS DOUBLE[])")}) AS cn
+  FROM embeddings WHERE vec_id % 2 = 1
+), vscored AS (
+  SELECT q.src_id, q.tgt_id, c.neg_id,
+         round(CASE WHEN q.qn * c.cn > 0
+                    THEN {_DOT.format(a="q.qv", b="c.cv")} / (q.qn * c.cn)
+                    ELSE 0.0 END, 9) AS cos_r
+  FROM qvec q, vcand c WHERE c.neg_id != q.tgt_id
+)
+SELECT src_id, tgt_id, neg_id, cos_r, CAST(rnk AS BIGINT) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY src_id ORDER BY cos_r DESC, neg_id ASC
+  ) AS rnk
+  FROM vscored
+) WHERE rnk <= {_HNEG_K}
+"""
+
+
+@register_staged("hard_negative_mining", oracle=_hneg_oracle())
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining — the training-data half of
+    the mined-supervision loop (mined_pairs_retrieval_eval is the QA
+    half): each of the top-{_REVAL_M} auto-k mined gold pairs becomes
+    an anchor, and its {_HNEG_K} highest-cosine NON-GOLD candidates
+    from the odd-id corpus are emitted as (anchor, positive, negative,
+    score, rank) triplet rows — the standard in-batch-negatives
+    upgrade for embedding fine-tuning (DPR/Sentence-BERT recipe:
+    negatives that nearly outrank the positive carry the gradient).
+    Plan: the bounded gold frame broadcasts onto one corpus scan; the
+    per-anchor top-k is a window partitioned by anchor — no driver
+    loop, no global sort, and the spine is the production auto-k
+    quantizer (n^1.5), never the fixed-cell oracle posture."""
+    from pyspark.sql import Window
+
+    from pyspark_unload_to_gcs_spark.operators.similarity import _pair_dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    gold = (
+        margin_align_auto_with_method(spark, sf_dir, assign_method="arrow")
+        .orderBy(F.col("margin_r").desc(), F.col("src_id").asc())
+        .limit(_REVAL_M)
+        .select("src_id", "tgt_id")
+    )
+    qvec = gold.join(emb, gold["src_id"] == emb["vec_id"]).select(
+        "src_id",
+        "tgt_id",
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    qvec = qvec.withColumn("__qn", norm(F.col("__qv")))
+    vcand = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("embedding").cast("array<double>").alias("__cv"),
+        )
+        .withColumn("__cn", norm(F.col("__cv")))
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        vcand.join(F.broadcast(qvec))
+        .filter(F.col("neg_id") != F.col("tgt_id"))
+        .select(
+            "src_id",
+            "tgt_id",
+            "neg_id",
+            F.round(
+                F.when(denom > 0, _pair_dot("__qv", "__cv") / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                9,
+            ).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cos_r").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= _HNEG_K)
+    )

@@ -1,0 +1,111 @@
+"""Fixed-size training-mix manifests over a GROWING corpus.
+
+The batch operator ``operators/sampling.quota_temperature_mix`` hands
+each stratum a hard quota floor(B * n_s^tau / Σ n_t^tau) of a budget B.
+In a pipeline the corpus is not static — new crawl snapshots append —
+but the training-mix manifest size B is PROVISIONED once (cluster
+hours, token budget) and stays fixed while the corpus grows, so each
+ingest re-balances the same B across the shifting stratum counts (tail
+strata gain share as the head grows; md5-rank membership makes each
+batch's manifest a deterministic function of the cumulative corpus, so
+two manifests for the same corpus state are identical regardless of
+batch boundaries).
+
+This module is that loop as a foreachBatch fold, the same exactly-once
+posture as streaming/merge.py and streaming/dedup.py:
+
+- every micro-batch appends its rows as ``corpus/v=<batch_id>`` and
+  (re)writes ``manifest/b=<batch_id>`` — both idempotent overwrites, so
+  a retried batch rewrites byte-identical state;
+- the budget B is frozen at bootstrap (half the batch-0 corpus, read
+  back from the WRITTEN files so a retry recomputes the identical
+  number) and persisted next to the state;
+- per batch the manifest is recomputed from the cumulative corpus
+  (``v <= batch_id`` — a crashed later write can never leak into an
+  earlier batch's view) with the SAME quota operator the batch path
+  uses, so stream and batch can never drift.
+
+At 100 TB the corpus re-read per batch is the honest cost of an exact
+global quota (quotas couple every stratum through Σ n_t^tau); the scan
+is column-pruned to (id, stratum) and the manifest itself is bounded by
+|strata|. Pipelines that can tolerate approximate quotas should use the
+rate-based ``temperature_mix`` instead — that one folds incrementally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def quota_mix_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    stratum_column: str,
+    id_column: str,
+    state_path: str,
+    tau: float = 0.5,
+) -> None:
+    """Fold one micro-batch of corpus rows and (re)write this batch's
+    mix manifest: (batch_id, <stratum>, n_docs, n_selected,
+    sel_id_sum) — one row per stratum in the cumulative corpus, with
+    the md5-rank selection fingerprinted by its exact id sum so a
+    selection regression is a value failure, not a count wobble."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        quota_temperature_mix,
+    )
+
+    spark = batch_df.sparkSession
+    corpus_root = os.path.join(state_path, "corpus")
+    batch_df.select(id_column, stratum_column).write.mode("overwrite").parquet(
+        os.path.join(corpus_root, f"v={batch_id}")
+    )
+    budget_path = os.path.join(state_path, "budget.txt")
+    if batch_id == 0 or not os.path.exists(budget_path):
+        # bootstrap provision: half the batch-0 corpus, counted from
+        # the WRITTEN files (a retry recomputes the identical B)
+        bootstrap = spark.read.parquet(os.path.join(corpus_root, "v=0"))
+        with open(budget_path, "w") as f:
+            f.write(str(bootstrap.count() // 2))
+    with open(budget_path) as f:
+        budget = int(f.read())
+    corpus = (
+        spark.read.parquet(corpus_root)
+        .filter(F.col("v") <= batch_id)
+        .drop("v")
+    )
+    selected = quota_temperature_mix(
+        corpus, stratum_column, id_column, budget=budget, tau=tau
+    )
+    per_stratum = selected.groupBy(stratum_column).agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum(F.col(id_column)).cast("long").alias("sel_id_sum"),
+    )
+    manifest = (
+        corpus.groupBy(stratum_column)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(per_stratum, stratum_column, "left")
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            stratum_column,
+            "n_docs",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias(
+                "n_selected"
+            ),
+            F.coalesce(F.col("sel_id_sum"), F.lit(0)).cast("long").alias(
+                "sel_id_sum"
+            ),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(state_path, "manifest", f"b={batch_id}")
+    )
+
+
+def read_manifests(spark: SparkSession, state_path: str) -> DataFrame:
+    """All batches' manifests as one frame (batch_id is a data column;
+    the ``b=`` partition directory is dropped)."""
+    return spark.read.parquet(os.path.join(state_path, "manifest")).drop("b")

@@ -1208,3 +1208,87 @@ def test_scan_prune_plan_decisions_and_conservatism(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["keep"] is True, "empty file yielded NULL/False keep"
     assert rows[0]["n_rows"] == 0
+
+
+def test_categorical_psi_identical_slices_is_zero(spark):
+    """Identical category mixes on both sides => every PSI term is
+    exactly 0 when the slice SIZES match (p_i == q_i termwise)."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+
+    rows = [(c, s) for s in (True, False) for c in "aabbbc"]
+    df = spark.createDataFrame(rows, "cat string, base boolean")
+    out = categorical_drift_psi(df, "cat", F.col("base")).collect()
+    assert {r["cat"] for r in out} == {"a", "b", "c"}
+    assert all(r["psi_term_r"] == 0.0 for r in out)
+    assert {(r["cat"], r["n_a"], r["n_b"]) for r in out} == {
+        ("a", 2, 2), ("b", 3, 3), ("c", 1, 1)
+    }
+
+
+def test_categorical_psi_one_sided_category_is_finite_and_positive(spark):
+    """A category present in only one slice must contribute a FINITE
+    positive term (Laplace smoothing) — the raw ratio would be an
+    infinite ln. Drifted mixes sum to a positive PSI."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+
+    rows = [("a", True)] * 9 + [("b", True)] + [("b", False)] * 9 + [("c", False)]
+    df = spark.createDataFrame(rows, "cat string, base boolean")
+    out = {r["cat"]: r for r in categorical_drift_psi(df, "cat", F.col("base")).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["c"]["n_a"] == 0 and out["c"]["n_b"] == 1
+    for r in out.values():
+        assert math.isfinite(r["psi_term_r"])
+    # every term of this fully-drifted mix is positive ((p-q), ln(p/q)
+    # always share sign), and the total crosses the 0.25 alarm line
+    assert all(r["psi_term_r"] > 0 for r in out.values())
+    assert sum(r["psi_term_r"] for r in out.values()) > 0.25
+
+
+def test_quota_mix_batch_budget_frozen_and_idempotent(spark, tmp_path):
+    """The manifest budget is provisioned at bootstrap (half the
+    batch-0 corpus) and stays FIXED as the corpus grows: total selected
+    never exceeds it in any later batch, head-stratum share shrinks as
+    the head grows, and a retried batch rewrites identical state."""
+    from pyspark_unload_to_gcs_spark.streaming.manifest import (
+        quota_mix_batch,
+        read_manifests,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(40)], "id long, s string"
+    )
+    # batch 1 adds ONLY head-stratum rows — quotas must rebalance
+    b1 = spark.createDataFrame(
+        [(100 + i, "en") for i in range(160)], "id long, s string"
+    )
+    kw = dict(stratum_column="s", id_column="id", state_path=state)
+    quota_mix_batch(b0, 0, **kw)
+    with open(str(tmp_path / "state" / "budget.txt")) as f:
+        assert int(f.read()) == 20  # half the bootstrap corpus, frozen
+    quota_mix_batch(b1, 1, **kw)
+    man = {(r["batch_id"], r["s"]): r for r in read_manifests(spark, state).collect()}
+    assert man[(0, "en")]["n_docs"] == 20 and man[(1, "en")]["n_docs"] == 180
+    for b in (0, 1):
+        assert sum(man[(b, s)]["n_selected"] for s in ("en", "de")) <= 20
+    # the head stratum grew 9x; the tail's ABSOLUTE quota shrinks (the
+    # sqrt weight sum grew under a fixed B) but its share of the
+    # manifest stays flattened ABOVE its corpus share — the point of
+    # temperature mixing
+    sel1 = sum(man[(1, s)]["n_selected"] for s in ("en", "de"))
+    docs1 = sum(man[(1, s)]["n_docs"] for s in ("en", "de"))
+    assert (
+        man[(1, "de")]["n_selected"] / sel1
+        > man[(1, "de")]["n_docs"] / docs1
+    )
+    # retry idempotence: refolding batch 1 reproduces identical rows
+    quota_mix_batch(b1, 1, **kw)
+    man2 = {(r["batch_id"], r["s"]): (r["n_docs"], r["n_selected"], r["sel_id_sum"])
+            for r in read_manifests(spark, state).collect()}
+    assert man2 == {k: (v["n_docs"], v["n_selected"], v["sel_id_sum"]) for k, v in man.items()}
