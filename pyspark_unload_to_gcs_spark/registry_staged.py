@@ -3692,6 +3692,35 @@ def margin_align_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALIGN_AUTO_MEMO: dict = {}
 
 
+def _margin_align_auto_raw(
+    spark: SparkSession, sf_dir: str, assign_method: str
+) -> DataFrame:
+    """The UN-checkpointed auto-k mining frame — the plan that actually
+    runs the mine. Plan lint/digest screen THIS (via PLAN_TWINS below);
+    the memoizing wrapper's localCheckpoint renders as an opaque
+    'Scan ExistingRDD' that would hide the whole mining plan from the
+    anti-pattern screens (review r12)."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
+    from pyspark_unload_to_gcs_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_cells = max(8, math.isqrt(emb.count()))
+    cents = ivf_centroids_from_sample(emb, n_centroids=n_cells)
+    return margin_align_pairs(
+        emb,
+        F.col("vec_id") % 2 == 0,
+        F.col("vec_id") % 2 == 1,
+        centroids=cents,
+        k=_ALIGN_K,
+        margin_threshold=1.1,
+        assign_method=assign_method,
+    )
+
+
 def margin_align_auto_with_method(
     spark: SparkSession, sf_dir: str, *, assign_method: str = "arrow"
 ) -> DataFrame:
@@ -3705,28 +3734,24 @@ def margin_align_auto_with_method(
     pays the mine once, the others read the (small, above-threshold)
     pair frame back — the _shared_signatures precedent, with the build
     cost landing honestly inside the first consumer's bench row."""
-    import math
-
-    from pyspark_unload_to_gcs_spark.operators.align import margin_align_pairs
-    from pyspark_unload_to_gcs_spark.operators.similarity import (
-        ivf_centroids_from_sample,
-    )
-
     key = (session_token(spark), sf_dir, assign_method)
     if key not in _ALIGN_AUTO_MEMO:
-        emb = _t(spark, sf_dir, "embeddings")
-        n_cells = max(8, math.isqrt(emb.count()))
-        cents = ivf_centroids_from_sample(emb, n_centroids=n_cells)
-        _ALIGN_AUTO_MEMO[key] = margin_align_pairs(
-            emb,
-            F.col("vec_id") % 2 == 0,
-            F.col("vec_id") % 2 == 1,
-            centroids=cents,
-            k=_ALIGN_K,
-            margin_threshold=1.1,
-            assign_method=assign_method,
+        _ALIGN_AUTO_MEMO[key] = _margin_align_auto_raw(
+            spark, sf_dir, assign_method
         ).localCheckpoint(eager=False)
     return _ALIGN_AUTO_MEMO[key]
+
+
+# Plan twins: for a registered query whose frame is memoized behind a
+# localCheckpoint (plan = 'Scan ExistingRDD'), the twin builds the REAL
+# plan so tests/test_plan_lint.py and tools/plan_digest.py screen the
+# mining stages for BatchEvalPython/CartesianProduct and budget drift.
+# The downstream consumers (mined_pairs_retrieval_eval,
+# hard_negative_mining) keep their own post-spine plans visible, so
+# every stage is linted exactly once.
+PLAN_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "margin_align_auto": lambda s, d: _margin_align_auto_raw(s, d, "arrow"),
+}
 
 
 @register("margin_align_auto", oracle=_align_oracle("auto"))

@@ -34,8 +34,6 @@ rate-based ``temperature_mix`` instead — that one folds incrementally.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,20 +56,38 @@ def quota_mix_batch(
         quota_temperature_mix,
     )
 
-    spark = batch_df.sparkSession
-    corpus_root = os.path.join(state_path, "corpus")
-    batch_df.select(id_column, stratum_column).write.mode("overwrite").parquet(
-        os.path.join(corpus_root, f"v={batch_id}")
+    # budget/corpus layout I/O through the same Hadoop-FS text helpers
+    # the versioned ledger uses, so state_path works on any URI scheme
+    # the cluster can write (file:/hdfs:/gs:/s3a:) and the budget file
+    # is replaced ATOMICALLY — a crash mid-write can never be read back
+    # as a silently wrong budget (review r12)
+    from pyspark_unload_to_gcs_spark.sources.versioned import (
+        _read_text,
+        _replace_text_atomic,
+        _sub,
     )
-    budget_path = os.path.join(state_path, "budget.txt")
-    if batch_id == 0 or not os.path.exists(budget_path):
+
+    spark = batch_df.sparkSession
+    corpus_root = _sub(state_path, "corpus")
+    batch_df.select(id_column, stratum_column).write.mode("overwrite").parquet(
+        _sub(corpus_root, f"v={batch_id}")
+    )
+    budget_path = _sub(state_path, "budget.txt")
+    if batch_id == 0 or _read_text(budget_path) is None:
         # bootstrap provision: half the batch-0 corpus, counted from
         # the WRITTEN files (a retry recomputes the identical B)
-        bootstrap = spark.read.parquet(os.path.join(corpus_root, "v=0"))
-        with open(budget_path, "w") as f:
-            f.write(str(bootstrap.count() // 2))
-    with open(budget_path) as f:
-        budget = int(f.read())
+        n0 = spark.read.parquet(_sub(corpus_root, "v=0")).count()
+        if n0 == 0:
+            # a rowless bootstrap would freeze B=0 permanently: every
+            # later manifest selects nothing while looking computed —
+            # refuse loudly instead (review r12)
+            raise ValueError(
+                "quota_mix_batch: bootstrap batch is empty — cannot "
+                "provision a manifest budget; start the stream once "
+                "the corpus has data"
+            )
+        _replace_text_atomic(budget_path, str(n0 // 2))
+    budget = int(_read_text(budget_path))
     corpus = (
         spark.read.parquet(corpus_root)
         .filter(F.col("v") <= batch_id)
@@ -101,11 +117,13 @@ def quota_mix_batch(
         )
     )
     manifest.write.mode("overwrite").parquet(
-        os.path.join(state_path, "manifest", f"b={batch_id}")
+        _sub(_sub(state_path, "manifest"), f"b={batch_id}")
     )
 
 
 def read_manifests(spark: SparkSession, state_path: str) -> DataFrame:
     """All batches' manifests as one frame (batch_id is a data column;
     the ``b=`` partition directory is dropped)."""
-    return spark.read.parquet(os.path.join(state_path, "manifest")).drop("b")
+    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+
+    return spark.read.parquet(_sub(state_path, "manifest")).drop("b")

@@ -72,8 +72,15 @@ def test_coverage_json_not_stale_vs_newest_correctness_artifact():
     import glob
     import json
 
+    import re
+
     repo = Path(__file__).resolve().parents[1]
-    artifacts = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
+    # sort on the round NUMBER — lexicographic order would rank r99
+    # above r100 once rounds reach three digits (review r12)
+    artifacts = sorted(
+        glob.glob(str(repo / "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1)),
+    )
     assert artifacts, "no CORRECTNESS artifacts checked in"
     with open(artifacts[-1]) as f:
         newest = set(json.load(f))

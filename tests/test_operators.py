@@ -1292,3 +1292,19 @@ def test_quota_mix_batch_budget_frozen_and_idempotent(spark, tmp_path):
     man2 = {(r["batch_id"], r["s"]): (r["n_docs"], r["n_selected"], r["sel_id_sum"])
             for r in read_manifests(spark, state).collect()}
     assert man2 == {k: (v["n_docs"], v["n_selected"], v["sel_id_sum"]) for k, v in man.items()}
+
+
+def test_quota_mix_batch_refuses_empty_bootstrap(spark, tmp_path):
+    """A rowless bootstrap batch would freeze B=0 permanently (every
+    later manifest selects nothing while looking computed) — the fold
+    must refuse loudly (review r12)."""
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.streaming.manifest import quota_mix_batch
+
+    empty = spark.createDataFrame([], "id long, s string")
+    with _pytest.raises(ValueError, match="bootstrap batch is empty"):
+        quota_mix_batch(
+            empty, 0, stratum_column="s", id_column="id",
+            state_path=str(tmp_path / "state"),
+        )
