@@ -538,6 +538,20 @@ def categorical_drift_psi(
         _F.sum(_F.when(baseline, 1).otherwise(0)).cast("long").alias("n_a"),
         _F.sum(_F.when(baseline, 0).otherwise(1)).cast("long").alias("n_b"),
     )
+    return drift_psi_from_counts(counts, category_column)
+
+
+def drift_psi_from_counts(counts, category_column: str):
+    """The PSI arithmetic over a PRE-COUNTED frame (category, n_a
+    BIGINT, n_b BIGINT) — the shared core of ``categorical_drift_psi``
+    (one-scan batch path) and the streaming drift monitor
+    (streaming/drift.py, which joins a frozen baseline count table to
+    each micro-batch's counts). Same smoothing, same single-ln
+    round(6) contract; K is the category count of ``counts`` itself,
+    so callers must include every category observed on EITHER side
+    (zero-filled), exactly what a full-outer count join produces."""
+    from pyspark.sql import functions as _F
+
     totals = counts.agg(
         _F.sum("n_a").cast("long").alias("__na"),
         _F.sum("n_b").cast("long").alias("__nb"),

@@ -4735,3 +4735,89 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= _HNEG_K)
     )
+
+
+_DRIFT_REPLAY_MEMO: dict = {}
+_DRIFT_DAY0 = 19723  # floor(1704067200000 / 86400000): 2024-01-01
+
+
+def _drift_replay_oracle() -> str:
+    """DuckDB replay of drift_stream_replay: three day-sliced batches
+    of events; the baseline is batch 0's event_type counts; each
+    batch's per-category PSI terms replay the categorical_drift_psi
+    arithmetic over the zero-filled category union (batch 0 compares
+    to itself — all terms exactly 0)."""
+    day = f"(epoch_ms(ts) // 86400000) - {_DRIFT_DAY0}"
+    slices = [f"{day} < 10", f"{day} >= 10 AND {day} < 20", f"{day} >= 20"]
+    parts = [f"""
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+  FROM events WHERE {slices[0]} GROUP BY event_type
+)"""]
+    outs = []
+    for b, pred in enumerate(slices):
+        parts.append(f"""
+cb{b} AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_b
+  FROM events WHERE {pred} GROUP BY event_type
+), j{b} AS (
+  SELECT coalesce(a.event_type, x.event_type) AS event_type,
+         CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(x.n_b, 0) AS BIGINT) AS n_b
+  FROM base a FULL OUTER JOIN cb{b} x ON a.event_type = x.event_type
+), t{b} AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM j{b}
+), o{b} AS (
+  SELECT CAST({b} AS BIGINT) AS batch_id, j.event_type, j.n_a, j.n_b,
+         round((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
+                - CAST(j.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
+               * ln((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
+                    / (CAST(j.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
+               6) AS psi_term_r
+  FROM j{b} j, t{b} t
+)""")
+        outs.append(f"SELECT * FROM o{b}")
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register_staged("drift_stream_replay", oracle=_drift_replay_oracle())
+def drift_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling drift monitor (streaming/drift.py — the streaming twin
+    of event_drift_psi): three day-sliced ingest micro-batches, the
+    event_type distribution of batch 0 frozen as the BASELINE, every
+    batch's per-category PSI terms emitted against it — drift measured
+    against what the pipeline was tuned on, never against the previous
+    batch (slow drift would ratchet invisibly). Batch 0's rows are the
+    self-comparison (every term exactly 0.0 — a free sanity pin
+    inside the value oracle); later batches zero-fill the category
+    union so appearing/disappearing categories contribute finite
+    smoothed terms. Per-batch cost: one groupBy of the batch + a
+    K-bounded broadcast join, independent of corpus history."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.drift import (
+        drift_batch,
+        read_drift,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    day = F.floor(epoch_ms_col(ev, "ts") / 86_400_000) - _DRIFT_DAY0
+    batches = (
+        ev.filter(day < 10),
+        ev.filter((day >= 10) & (day < 20)),
+        ev.filter(day >= 20),
+    )
+    return replay_batches(
+        _DRIFT_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        batches,
+        lambda frame, b, state: drift_batch(
+            frame, b, category_column="event_type", state_path=state
+        ),
+        lambda state: read_drift(spark, state),
+        prefix="drift_replay_",
+    )

@@ -1308,3 +1308,32 @@ def test_quota_mix_batch_refuses_empty_bootstrap(spark, tmp_path):
             empty, 0, stratum_column="s", id_column="id",
             state_path=str(tmp_path / "state"),
         )
+
+
+def test_categorical_psi_properties_nonneg_and_symmetric(spark):
+    """Model properties of the PSI arithmetic under random mixes:
+    every term is >= 0 ((p - q) and ln(p / q) always share sign), and
+    swapping the two sides reproduces the identical terms (PSI is
+    symmetric). Run over a grid of adversarial mixes including
+    one-sided and singleton categories."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+
+    mixes = [
+        {"a": (5, 5), "b": (3, 3)},
+        {"a": (10, 0), "b": (0, 10)},
+        {"a": (1, 0)},
+        {"a": (100, 1), "b": (1, 100), "c": (50, 50), "d": (0, 7)},
+    ]
+    for mix in mixes:
+        rows = []
+        for cat, (na, nb) in mix.items():
+            rows += [(cat, True)] * na + [(cat, False)] * nb
+        df = spark.createDataFrame(rows, "cat string, base boolean")
+        fwd = {r["cat"]: r["psi_term_r"]
+               for r in categorical_drift_psi(df, "cat", F.col("base")).collect()}
+        rev = {r["cat"]: r["psi_term_r"]
+               for r in categorical_drift_psi(df, "cat", ~F.col("base")).collect()}
+        assert all(v >= 0 for v in fwd.values()), (mix, fwd)
+        assert fwd == rev, (mix, fwd, rev)
