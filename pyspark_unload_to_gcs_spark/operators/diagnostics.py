@@ -569,3 +569,92 @@ def drift_psi_from_counts(counts, category_column: str):
         "n_b",
         _F.round((p - q) * _F.log(p / q), 6).alias("psi_term_r"),
     )
+
+
+def numeric_drift_psi(
+    df,
+    value_column: str,
+    baseline,
+    *,
+    n_bins: int = 10,
+):
+    """Dataset-drift monitor for a NUMERIC column — the binned PSI that
+    completes ``categorical_drift_psi``: bin edges are the baseline
+    slice's exact quantiles (so the baseline fills its bins ~evenly and
+    every drift term reads as "mass that left its home decile"), both
+    slices are histogrammed against those edges, and the per-bin terms
+    run through the shared smoothed-PSI arithmetic.
+
+    Exactness: the i-th edge is the value AT rank ceil(n*i/n_bins) of
+    the baseline's non-NULL values — computed in pure BIGINT on the
+    per-VALUE count frame (groupBy(value) + one cumulative window over
+    the distinct-value frame, the ``key_skew_profile`` pattern — never
+    a global sort of the data). Bin membership is
+    |{edges < value}| — identical parquet doubles compare identically
+    cross-engine, so the whole profile sits under a full value oracle.
+    NULL values are excluded from both slices (they are a categorical
+    fact, not a numeric one — count them separately). Duplicate edges
+    (heavily tied values) leave legal empty bins; the 0..n_bins-1 spine
+    keeps them in the smoothing mass on both engines.
+
+    Cost: two passes — one over the baseline slice for edges (shuffle
+    carries distinct values only), one over the frame for binned
+    conditional counts. At extreme scale swap the exact edge pass for
+    a KLL sketch (operators/sketches.py) — same output schema, one
+    mergeable pass; the exact form is the oracle posture.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    v = _F.col(value_column)
+    bvals = (
+        df.filter(baseline & v.isNotNull())
+        .groupBy(value_column)
+        .agg(_F.count(_F.lit(1)).alias("__c"))
+    )
+    cum = bvals.select(
+        value_column,
+        _F.sum("__c").over(
+            Window.orderBy(value_column).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("__cum"),
+        _F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    edges = cum.agg(
+        _F.array(
+            *[
+                _F.min(
+                    _F.when(
+                        _F.col("__cum")
+                        >= _F.expr(f"(__n * {i} + {n_bins - 1}) div {n_bins}"),
+                        v,
+                    )
+                )
+                for i in range(1, n_bins)
+            ]
+        ).alias("__edges")
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(_F.broadcast(edges))
+        .select(
+            _F.size(_F.filter(_F.col("__edges"), lambda b: v > b))
+            .cast("long")
+            .alias("bin"),
+            _F.when(baseline, 1).otherwise(0).alias("__a"),
+            _F.when(baseline, 0).otherwise(1).alias("__b"),
+        )
+        .groupBy("bin")
+        .agg(
+            _F.sum("__a").cast("long").alias("n_a"),
+            _F.sum("__b").cast("long").alias("n_b"),
+        )
+    )
+    spine = df.sparkSession.range(n_bins).select(_F.col("id").alias("bin"))
+    counts = spine.join(binned, "bin", "left").select(
+        "bin",
+        _F.coalesce(_F.col("n_a"), _F.lit(0)).cast("long").alias("n_a"),
+        _F.coalesce(_F.col("n_b"), _F.lit(0)).cast("long").alias("n_b"),
+    )
+    return drift_psi_from_counts(counts, "bin")

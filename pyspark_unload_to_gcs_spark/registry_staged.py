@@ -4821,3 +4821,81 @@ def drift_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda state: read_drift(spark, state),
         prefix="drift_replay_",
     )
+
+
+def _value_psi_oracle() -> str:
+    """DuckDB replay of numeric_drift_psi on events.value: baseline
+    decile edges from the distinct-value cumulative count frame (pure
+    BIGINT rank arithmetic, `//` == Spark `div`), bin membership by
+    |edges < value|, the shared smoothed-PSI arithmetic over the
+    0..9 spine."""
+    cut = f"epoch_ms(ts) < {_PSI_CUT_MS}"
+    edges = ", ".join(
+        f"min(CASE WHEN cum >= (n * {i} + 9) // 10 THEN v END)"
+        for i in range(1, 10)
+    )
+    return f"""
+WITH bvals AS (
+  SELECT value AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE {cut} AND value IS NOT NULL GROUP BY value
+), cum AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM bvals
+), e AS (
+  SELECT [{edges}] AS edges FROM cum
+), binned AS (
+  SELECT CAST(len(list_filter(e.edges, b -> ev.value > b)) AS BIGINT) AS bin,
+         CASE WHEN {cut} THEN 1 ELSE 0 END AS a,
+         CASE WHEN {cut} THEN 0 ELSE 1 END AS b
+  FROM events ev, e WHERE ev.value IS NOT NULL
+), bc AS (
+  SELECT bin, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin
+), counts AS (
+  SELECT CAST(s.bin AS BIGINT) AS bin,
+         CAST(coalesce(bc.n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(bc.n_b, 0) AS BIGINT) AS n_b
+  FROM generate_series(0, 9) AS s(bin) LEFT JOIN bc ON s.bin = bc.bin
+), t AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS na, CAST(sum(n_b) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS k
+  FROM counts
+)
+SELECT c.bin, c.n_a, c.n_b,
+       round((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
+              - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
+             * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
+                  / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
+             6) AS psi_term_r
+FROM counts c, t
+"""
+
+
+@register_staged("value_drift_psi", oracle=_value_psi_oracle())
+def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift gate (operators/diagnostics.py
+    ``numeric_drift_psi``): the binned-PSI companion of
+    event_drift_psi — events.value histogrammed against the BASELINE
+    slice's exact deciles (rank arithmetic in pure BIGINT over the
+    distinct-value count frame, never a global data sort), both halves
+    of the fixture counted per bin, smoothed PSI terms per decile.
+    Completes the drift family: categorical mix (event_drift_psi),
+    numeric distribution (this row), rolling stream
+    (drift_stream_replay), index staleness (ivf_index_drift). Exact
+    edges are the oracle posture; the documented scale path swaps the
+    edge pass for a KLL sketch (operators/sketches.py) with the same
+    output schema."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        numeric_drift_psi,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return numeric_drift_psi(
+        ev, "value", epoch_ms_col(ev, "ts") < _PSI_CUT_MS, n_bins=10
+    )

@@ -1337,3 +1337,38 @@ def test_categorical_psi_properties_nonneg_and_symmetric(spark):
                for r in categorical_drift_psi(df, "cat", ~F.col("base")).collect()}
         assert all(v >= 0 for v in fwd.values()), (mix, fwd)
         assert fwd == rev, (mix, fwd, rev)
+
+
+def test_numeric_psi_identical_slices_zero_and_even_fill(spark):
+    """Identical numeric slices: every decile term 0; the baseline's
+    own histogram fills its deciles evenly when values are distinct."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        numeric_drift_psi,
+    )
+
+    rows = [(float(i), s) for s in (True, False) for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, base boolean")
+    out = {r["bin"]: r for r in numeric_drift_psi(df, "v", F.col("base")).collect()}
+    assert set(out) == set(range(10))
+    assert all(r["psi_term_r"] == 0.0 for r in out.values())
+    assert all(r["n_a"] == 10 for r in out.values())
+
+
+def test_numeric_psi_shift_detected_and_nulls_excluded(spark):
+    """A location shift concentrates current-slice mass in the top
+    baseline deciles -> positive total PSI; NULL values never enter
+    either histogram."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        numeric_drift_psi,
+    )
+
+    rows = (
+        [(float(i), True) for i in range(100)]
+        + [(float(i) + 80.0, False) for i in range(100)]
+        + [(None, True), (None, False)]
+    )
+    df = spark.createDataFrame(rows, "v double, base boolean")
+    out = numeric_drift_psi(df, "v", F.col("base")).collect()
+    assert sum(r["n_a"] for r in out) == 100 and sum(r["n_b"] for r in out) == 100
+    assert sum(r["psi_term_r"] for r in out) > 0.25  # alarm-line drift
+    assert all(r["psi_term_r"] >= 0 for r in out)
