@@ -606,6 +606,8 @@ def numeric_drift_psi(
     from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
+    if n_bins < 2:
+        raise ValueError(f"numeric_drift_psi: n_bins={n_bins} must be >= 2")
     v = _F.col(value_column)
     bvals = (
         df.filter(baseline & v.isNotNull())
@@ -634,6 +636,28 @@ def numeric_drift_psi(
                 for i in range(1, n_bins)
             ]
         ).alias("__edges")
+    )
+    # an EMPTY baseline slice leaves every edge NULL and would bin the
+    # whole current slice into bin 0 — ten rows of smoothing-only terms
+    # that LOOK computed; raise IN-PLAN instead (a non-empty baseline
+    # always yields at least one non-NULL edge, since rank targets are
+    # <= n). The raise branch is cast to the edges' own array type so
+    # the when/otherwise unifies for any numeric value column.
+    edges_type = edges.schema["__edges"].dataType
+    edges = edges.select(
+        _F.when(
+            _F.size(_F.filter(_F.col("__edges"), lambda b: b.isNotNull())) > 0,
+            _F.col("__edges"),
+        )
+        .otherwise(
+            _F.raise_error(
+                _F.lit(
+                    "numeric_drift_psi: baseline slice has no non-NULL "
+                    "values — no quantile edges to bin against"
+                )
+            ).cast(edges_type)
+        )
+        .alias("__edges")
     )
     binned = (
         df.filter(v.isNotNull())

@@ -229,6 +229,7 @@ def dsir_shift_report(
     num_buckets: int,
     text_column: str = "text",
     id_column: str = "doc_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """One-row semantic self-check of the selection (the pin pattern):
 
@@ -244,18 +245,19 @@ def dsir_shift_report(
     # materialize the (<= k)-row selection once: it is referenced by
     # the flagged join AND the n_selected count below, and each lazy
     # reference would re-run the full two-pass weight pipeline
-    selected = (
-        dsir_select(
-            df,
-            target,
-            k=k,
-            num_buckets=num_buckets,
-            text_column=text_column,
-            id_column=id_column,
-        )
-        .select(id_column)
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint=False is the plan-twin arm (registry_staged.
+    # PLAN_TWINS): the eager checkpoint renders 'Scan ExistingRDD' and
+    # would hide the selection pipeline from the plan screens
+    selected = dsir_select(
+        df,
+        target,
+        k=k,
+        num_buckets=num_buckets,
+        text_column=text_column,
+        id_column=id_column,
+    ).select(id_column)
+    if checkpoint:
+        selected = selected.localCheckpoint(eager=True)
     flagged = df.withColumn("__is_target", target).join(
         selected.withColumn("__sel", F.lit(True)), id_column, "left"
     )

@@ -85,6 +85,27 @@ def _shared_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_EXACT_MEMO[key]
 
 
+def _exact_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact >=0.8 pair pipeline WITHOUT persist/localCheckpoint —
+    signatures built inline, nothing materialized. Exists ONLY as the
+    plan twin for the lint/digest screens (registry_staged.PLAN_TWINS):
+    the shared memoized frame renders as 'Scan ExistingRDD'/
+    'InMemoryTableScan', which would hide the whole minhash pipeline
+    from the BatchEvalPython/CartesianProduct screens (review r12)."""
+    return D.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=32,
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        signatures=D.minhash_signatures(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+        min_matching_bands=12,
+    )
+
+
 def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE candidate-pairs DataFrame per (session, sf_dir), shared by the
     minhash family (survivors / pair list / clusters). Sharing the
@@ -1660,11 +1681,24 @@ def incremental_semantic_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-joins the index on the cell id. Streaming twin:
     tests/test_streaming.py (foreachBatch over micro-batches equals
     this one-shot match)."""
+    return _incremental_semantic_match_frame(spark, sf_dir, checkpoint=True)
+
+
+def _incremental_semantic_match_frame(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool
+) -> DataFrame:
+    """checkpoint=False is the PLAN TWIN arm (registry_staged.
+    PLAN_TWINS): the eager index checkpoint renders as
+    'Scan ExistingRDD' and would hide the ivf_assign pipeline from the
+    plan screens (review r12); the registered query keeps
+    checkpoint=True (three consumers of the index frame in one plan)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     cents = S.ivf_centroids_from_sample(emb, n_centroids=16)
-    index = S.ivf_assign(emb, cents).localCheckpoint(eager=True)
+    index = S.ivf_assign(emb, cents)
+    if checkpoint:
+        index = index.localCheckpoint(eager=True)
     new = emb.filter(F.col("vec_id") % 4 == 0).select(
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
     )

@@ -3743,14 +3743,50 @@ def margin_align_auto_with_method(
 
 
 # Plan twins: for a registered query whose frame is memoized behind a
-# localCheckpoint (plan = 'Scan ExistingRDD'), the twin builds the REAL
-# plan so tests/test_plan_lint.py and tools/plan_digest.py screen the
-# mining stages for BatchEvalPython/CartesianProduct and budget drift.
-# The downstream consumers (mined_pairs_retrieval_eval,
-# hard_negative_mining) keep their own post-spine plans visible, so
-# every stage is linted exactly once.
+# localCheckpoint (plan = 'Scan ExistingRDD') or built on an eagerly
+# checkpointed intermediate, the twin builds the REAL plan so
+# tests/test_plan_lint.py and tools/plan_digest.py screen the hidden
+# stages for BatchEvalPython/CartesianProduct and budget drift. Sweep
+# of every lineage-truncating registered frame (review r12); the
+# stream replays stay out by design — their registered plan IS a state
+# read-back, and their fold plans are exercised by the streaming test
+# suite. Downstream consumers of a memoized frame
+# (mined_pairs_retrieval_eval, hard_negative_mining, the cluster-split
+# rows) keep their own post-spine plans visible, so every stage is
+# linted exactly once.
+
+
+def _exact_pairs_twin(s: SparkSession, d: str) -> DataFrame:
+    from pyspark_unload_to_gcs_spark.registry_extensions import _exact_pairs_raw
+
+    return _exact_pairs_raw(s, d)
+
+
+def _incr_semantic_twin(s: SparkSession, d: str) -> DataFrame:
+    from pyspark_unload_to_gcs_spark.registry_extensions import (
+        _incremental_semantic_match_frame,
+    )
+
+    return _incremental_semantic_match_frame(s, d, checkpoint=False)
+
+
+def _dsir_shift_twin(s: SparkSession, d: str) -> DataFrame:
+    from pyspark_unload_to_gcs_spark.operators.dsir import dsir_shift_report
+
+    return dsir_shift_report(
+        _t(s, d, "documents"),
+        F.col("lang") == "fr",
+        k=_DSIR_K,
+        num_buckets=_DSIR_BUCKETS,
+        checkpoint=False,
+    )
+
+
 PLAN_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_align_auto": lambda s, d: _margin_align_auto_raw(s, d, "arrow"),
+    "near_dedup_pairs_exact": _exact_pairs_twin,
+    "incremental_semantic_match": _incr_semantic_twin,
+    "dsir_shift_accuracy": _dsir_shift_twin,
 }
 
 
@@ -4484,6 +4520,17 @@ def bloom_prune_exact_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _psi_term_sql(n_a: str, n_b: str, na: str, nb: str, k: str) -> str:
+    """The ONE spelling of the smoothed-PSI term for every DuckDB
+    replay (event_drift_psi, drift_stream_replay, value_drift_psi) —
+    the SQL twin of operators/diagnostics.drift_psi_from_counts, so a
+    smoothing or rounding change cannot be edited into one oracle and
+    silently break parity for the others (review r12)."""
+    pp = f"(CAST({n_a} + 1 AS DOUBLE) / CAST({na} + {k} AS DOUBLE))"
+    qq = f"(CAST({n_b} + 1 AS DOUBLE) / CAST({nb} + {k} AS DOUBLE))"
+    return f"round(({pp} - {qq}) * ln({pp} / {qq}), 6)"
+
+
 _PSI_CUT_MS = 1705363200000  # 2024-01-16T00:00:00Z — mid-fixture cut
 
 _PSI_SQL = f"""
@@ -4500,11 +4547,7 @@ WITH c AS (
   FROM c
 )
 SELECT c.event_type, c.n_a, c.n_b,
-       round((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
-              - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
-             * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
-                  / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
-             6) AS psi_term_r
+       {_psi_term_sql("c.n_a", "c.n_b", "t.na", "t.nb", "t.k")} AS psi_term_r
 FROM c, t
 """
 
@@ -4771,11 +4814,7 @@ cb{b} AS (
   FROM j{b}
 ), o{b} AS (
   SELECT CAST({b} AS BIGINT) AS batch_id, j.event_type, j.n_a, j.n_b,
-         round((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
-                - CAST(j.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
-               * ln((CAST(j.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
-                    / (CAST(j.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
-               6) AS psi_term_r
+         {_psi_term_sql("j.n_a", "j.n_b", "t.na", "t.nb", "t.k")} AS psi_term_r
   FROM j{b} j, t{b} t
 )""")
         outs.append(f"SELECT * FROM o{b}")
@@ -4865,11 +4904,7 @@ WITH bvals AS (
   FROM counts
 )
 SELECT c.bin, c.n_a, c.n_b,
-       round((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE)
-              - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))
-             * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.na + t.k AS DOUBLE))
-                  / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.nb + t.k AS DOUBLE))),
-             6) AS psi_term_r
+       {_psi_term_sql("c.n_a", "c.n_b", "t.na", "t.nb", "t.k")} AS psi_term_r
 FROM counts c, t
 """
 

@@ -60,12 +60,43 @@ def drift_batch(
             baseline_dir
         )
     baseline = spark.read.parquet(baseline_dir).withColumnRenamed("n", "n_a")
-    current = _counts(batch_df, category_column).withColumnRenamed("n", "n_b")
-    joined = baseline.join(current, [category_column], "full").select(
-        category_column,
-        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
-        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
-    )
+    if batch_id == 0:
+        # an empty bootstrap would freeze an EMPTY baseline: every
+        # later batch emits finite smoothing-only terms that LOOK
+        # computed while comparing against nothing — refuse loudly,
+        # same contract as quota_mix_batch (review r12)
+        if baseline.isEmpty():
+            raise ValueError(
+                "drift_batch: bootstrap batch is empty — cannot freeze "
+                "a drift baseline; start the stream once data exists"
+            )
+        # batch 0 is the self-comparison by construction — reuse the
+        # written baseline as the current side instead of re-running
+        # the batch groupBy and a vacuous self-join (review r12)
+        joined = baseline.select(
+            category_column,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_a").cast("long").alias("n_b"),
+        )
+    else:
+        current = _counts(batch_df, category_column).withColumnRenamed(
+            "n", "n_b"
+        )
+        # NULL-safe category equality: a plain full-outer equi-join
+        # never matches NULL keys, splitting a NULL category into two
+        # one-sided rows and drifting from the batch twin, which groups
+        # NULL as ONE category (review r12)
+        joined = baseline.join(
+            current,
+            baseline[category_column].eqNullSafe(current[category_column]),
+            "full",
+        ).select(
+            F.coalesce(
+                baseline[category_column], current[category_column]
+            ).alias(category_column),
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
     out = drift_psi_from_counts(joined, category_column).select(
         F.lit(batch_id).cast("long").alias("batch_id"),
         category_column,

@@ -76,9 +76,15 @@ def test_coverage_json_not_stale_vs_newest_correctness_artifact():
 
     repo = Path(__file__).resolve().parents[1]
     # sort on the round NUMBER — lexicographic order would rank r99
-    # above r100 once rounds reach three digits (review r12)
+    # above r100 once rounds reach three digits; names the glob matches
+    # but the strict pattern doesn't (stray backups) are ignored rather
+    # than crashing the key function (review r12)
+    matches = [
+        (p, re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        for p in glob.glob(str(repo / "CORRECTNESS_r*.json"))
+    ]
     artifacts = sorted(
-        glob.glob(str(repo / "CORRECTNESS_r*.json")),
+        (p for p, m in matches if m),
         key=lambda p: int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1)),
     )
     assert artifacts, "no CORRECTNESS artifacts checked in"

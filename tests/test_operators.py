@@ -1372,3 +1372,42 @@ def test_numeric_psi_shift_detected_and_nulls_excluded(spark):
     assert sum(r["n_a"] for r in out) == 100 and sum(r["n_b"] for r in out) == 100
     assert sum(r["psi_term_r"] for r in out) > 0.25  # alarm-line drift
     assert all(r["psi_term_r"] >= 0 for r in out)
+
+
+def test_drift_batch_refuses_empty_bootstrap_and_unions_null_category(
+    spark, tmp_path
+):
+    """The streaming drift fold must (a) refuse a rowless bootstrap —
+    a frozen EMPTY baseline would make every later PSI row
+    smoothing-only while looking computed — and (b) keep a NULL
+    category as ONE union row (plain full-outer equi-joins never match
+    NULL keys), matching the batch twin's groupBy semantics
+    (review r12)."""
+    import pytest as _pytest
+
+    from pyspark_unload_to_gcs_spark.streaming.drift import (
+        drift_batch,
+        read_drift,
+    )
+
+    with _pytest.raises(ValueError, match="bootstrap batch is empty"):
+        drift_batch(
+            spark.createDataFrame([], "cat string"),
+            0,
+            category_column="cat",
+            state_path=str(tmp_path / "s0"),
+        )
+
+    state = str(tmp_path / "s1")
+    b0 = spark.createDataFrame([("a",), ("a",), (None,)], "cat string")
+    b1 = spark.createDataFrame([("a",), (None,), (None,)], "cat string")
+    drift_batch(b0, 0, category_column="cat", state_path=state)
+    drift_batch(b1, 1, category_column="cat", state_path=state)
+    rows = read_drift(spark, state).collect()
+    by = {(r["batch_id"], r["cat"]): (r["n_a"], r["n_b"], r["psi_term_r"])
+          for r in rows}
+    # batch 0 self-comparison: identical sides, zero terms
+    assert by[(0, "a")] == (2, 2, 0.0) and by[(0, None)] == (1, 1, 0.0)
+    # batch 1: NULL category is ONE row carrying both sides' counts
+    assert by[(1, None)][:2] == (1, 2)
+    assert len([k for k in by if k[0] == 1]) == 2
