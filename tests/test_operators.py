@@ -1411,3 +1411,76 @@ def test_drift_batch_refuses_empty_bootstrap_and_unions_null_category(
     # batch 1: NULL category is ONE row carrying both sides' counts
     assert by[(1, None)][:2] == (1, 2)
     assert len([k for k in by if k[0] == 1]) == 2
+
+
+def test_drift_batch_refold_idempotent(spark, tmp_path):
+    """A retried drift batch must reproduce byte-identical rows: the
+    baseline is frozen and PSI is a deterministic function of
+    (baseline counts, batch rows) — the exactly-once contract the
+    module docstring claims."""
+    from pyspark_unload_to_gcs_spark.streaming.drift import (
+        drift_batch,
+        read_drift,
+    )
+
+    state = str(tmp_path / "s")
+    b0 = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, "cat string")
+    b1 = spark.createDataFrame([("a",)] * 1 + [("b",)] * 5, "cat string")
+    drift_batch(b0, 0, category_column="cat", state_path=state)
+    drift_batch(b1, 1, category_column="cat", state_path=state)
+    first = sorted(map(tuple, read_drift(spark, state).collect()))
+    drift_batch(b1, 1, category_column="cat", state_path=state)  # retry
+    assert sorted(map(tuple, read_drift(spark, state).collect())) == first
+
+
+def test_psi_matches_pure_python_model(spark):
+    """The smoothed-PSI arithmetic against an independent pure-Python
+    model over randomized mixes (hypothesis): counts, smoothing, and
+    the rounded term must agree exactly — the model recomputes from
+    scratch, so a Spark-side expression drift (wrong K, wrong side,
+    missing +1) breaks this even where the DuckDB oracle (which
+    mirrors the SQL spelling) would follow along."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        mix=st.dictionaries(
+            st.sampled_from("abcdef"),
+            st.tuples(st.integers(0, 20), st.integers(0, 20)),
+            min_size=1,
+            max_size=5,
+        ).filter(lambda m: any(na + nb > 0 for na, nb in m.values()))
+    )
+    def run(mix):
+        mix = {c: v for c, v in mix.items() if sum(v) > 0}
+        rows = []
+        for cat, (na, nb) in mix.items():
+            rows += [(cat, True)] * na + [(cat, False)] * nb
+        df = spark.createDataFrame(rows, "cat string, base boolean")
+        got = {r["cat"]: (r["n_a"], r["n_b"], r["psi_term_r"])
+               for r in categorical_drift_psi(df, "cat", F.col("base")).collect()}
+        k = len(mix)
+        ta = sum(v[0] for v in mix.values())
+        tb = sum(v[1] for v in mix.values())
+        # Spark's round() is HALF_UP; python's round() is HALF_EVEN —
+        # model with the same mode so a 6th-decimal tie can't flake
+        from decimal import ROUND_HALF_UP, Decimal
+
+        half_up = lambda x: float(  # noqa: E731
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        want = {}
+        for cat, (na, nb) in mix.items():
+            p = (na + 1) / (ta + k)
+            q = (nb + 1) / (tb + k)
+            want[cat] = (na, nb, half_up((p - q) * math.log(p / q)))
+        assert got == want
+
+    run()
