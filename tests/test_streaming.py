@@ -1375,3 +1375,147 @@ def test_streaming_topk_sketch_matches_batch_and_is_retry_safe(spark, sf_dir, tm
         (r["grp"], r["rank"]): r["cnt"] for r in read_topk(spark, state, k=3).collect()
     }
     assert again == want
+
+
+def test_quota_mix_manifest_under_true_foreachbatch(
+    spark, sf_dir, tmp_path_factory
+):
+    """quota_mix_batch driven by a REAL readStream -> foreachBatch
+    (availableNow) — not the replay harness: the bootstrap-frozen
+    budget must hold across Spark-assigned batch ids, and the FINAL
+    manifest must equal the one-shot batch quota mix over the full
+    corpus with that same budget (manifests are a deterministic
+    function of cumulative corpus + B, independent of batching)."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        quota_temperature_mix,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.manifest import (
+        quota_mix_batch,
+        read_manifests,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.sources import stream_parquet_dir
+
+    src = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    parts = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(parts) == 3
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    state = str(tmp_path_factory.mktemp("qmix_state"))
+    schema = spark.read.parquet(src).schema
+    stream = stream_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda frame, b: quota_mix_batch(
+                frame, b, stratum_column="lang", id_column="doc_id",
+                state_path=state,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("qmix_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    with open(f"{state}/budget.txt") as f:
+        budget = int(f.read())
+    n0 = spark.read.parquet(parts[0]).count()
+    assert budget == n0 // 2  # frozen at the FIRST micro-batch
+
+    final = {
+        r["lang"]: (r["n_docs"], r["n_selected"], r["sel_id_sum"])
+        for r in read_manifests(spark, state)
+        .filter(F.col("batch_id") == 2)
+        .collect()
+    }
+    sel = quota_temperature_mix(docs, "lang", "doc_id", budget=budget, tau=0.5)
+    expected_sel = (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ns"),
+            F.sum("doc_id").cast("long").alias("ss"),
+        )
+        .collect()
+    )
+    expected_docs = {
+        r["lang"]: r["nd"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+        .collect()
+    }
+    expected = {
+        r["lang"]: (expected_docs[r["lang"]], r["ns"], r["ss"])
+        for r in expected_sel
+    }
+    assert final == expected
+
+
+def test_drift_monitor_under_true_foreachbatch(
+    spark, events_stream_dir, events_schema, tmp_path
+):
+    """drift_batch driven by a REAL readStream -> foreachBatch: batch 0
+    is the all-zero self-comparison; a later batch's rows must equal
+    the BATCH operator run over (batch0 ∪ batchN) with baseline =
+    batch0 membership — the streaming twin and categorical_drift_psi
+    can never drift (same counts, same K, same smoothing)."""
+    import glob as _glob
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        categorical_drift_psi,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.drift import (
+        drift_batch,
+        read_drift,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.sources import stream_parquet_dir
+
+    state = str(tmp_path / "drift_state")
+    stream = stream_parquet_dir(
+        spark, events_stream_dir, events_schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda frame, b: drift_batch(
+                frame, b, category_column="event_type", state_path=state
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = read_drift(spark, state).collect()
+    assert {r["batch_id"] for r in rows} == {0, 1, 2}
+    assert all(
+        r["psi_term_r"] == 0.0 and r["n_a"] == r["n_b"]
+        for r in rows
+        if r["batch_id"] == 0
+    )
+
+    parts = sorted(_glob.glob(f"{events_stream_dir}/part-*.parquet"))
+    b0 = spark.read.parquet(parts[0]).select("event_type").withColumn(
+        "__base", F.lit(True)
+    )
+    b2 = spark.read.parquet(parts[2]).select("event_type").withColumn(
+        "__base", F.lit(False)
+    )
+    expected = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["psi_term_r"])
+        for r in categorical_drift_psi(
+            b0.unionByName(b2), "event_type", F.col("__base")
+        ).collect()
+    }
+    got = {
+        r["event_type"]: (r["n_a"], r["n_b"], r["psi_term_r"])
+        for r in rows
+        if r["batch_id"] == 2
+    }
+    assert got == expected
