@@ -1275,3 +1275,123 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (quote / excerpt / boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    shingle_n: int = 3,
+    threshold_pct: int = 80,
+    materialize_grams: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: all ordered pairs where document A's
+    distinct word n-grams are mostly CONTAINED in document B —
+    containment(A,B) = |g(A) ∩ g(B)| / |g(A)| ≥ threshold. Jaccard
+    misses this shape by construction (a 20-word quote inside a
+    2000-word page has tiny Jaccard but containment 1.0), and it is
+    exactly the excerpt/boilerplate/quotation redundancy a training
+    corpus wants surfaced.
+
+    Blocking is the PREFIX FILTER of the set-similarity-join
+    literature (Chaudhuri et al. 2006; Xiao et al. PPJoin 2008 —
+    public algorithms): with each doc's distinct grams in one global
+    total order (lexicographic here), a pair at containment ≥ θ has at
+    most floor((1-θ)·|g(A)|) of A's grams missing from B, so by
+    pigeonhole at least one of A's first floor((1-θ)·|g(A)|)+1 sorted
+    grams appears in B. Joining ONLY that prefix against B's full gram
+    postings therefore has NO false negatives — the blocking is
+    result-invariant, which is why the registered row's oracle is the
+    plain quadratic definition. The threshold gate is exact integer
+    arithmetic (100·inter ≥ pct·|g(A)|), never a float compare.
+
+    Plan shape at 100 TB: one gram build per side, the prefix explode
+    carries ~(1-θ) of A's grams, candidates meet in ONE equi-join on
+    the gram (the posting-list join), arrays re-attach to the DISTINCT
+    candidate pairs only, and the verify is an array intersect per
+    candidate. The documented lever when a shared-vocabulary corpus
+    floods candidates: order grams by ascending document frequency
+    (rarest-first prefix — canonical PPJoin) instead of
+    lexicographically; same correctness argument, far fewer postings
+    per prefix gram."""
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    if not (0 < threshold_pct <= 100):
+        raise ValueError(
+            f"containment_pairs: threshold_pct={threshold_pct} not in (0, 100]"
+        )
+    grams = df.select(
+        F.col(id_column),
+        F.array_sort(
+            F.array_distinct(
+                word_ngrams_zip(words_col(F.col(text_column)), shingle_n)
+            )
+        ).alias("__g"),
+    )
+    if materialize_grams:
+        # FOUR branches consume the gram frame (two posting explodes +
+        # two verify re-attaches) and the interpreted-HOF gram build is
+        # the dominant per-pass cost — lazily checkpoint so it runs
+        # once at the caller's first action (the margin_align_pairs
+        # rationale; blocks freed by the ContextCleaner). Plan-lint
+        # consumers screen the un-checkpointed arm via PLAN_TWINS
+        # (materialize_grams=False).
+        grams = grams.localCheckpoint(eager=False)
+    ga = grams.filter(F.size("__g") > 0)
+    prefix = F.expr(
+        f"slice(__g, 1, (size(__g) * {100 - threshold_pct}) div 100 + 1)"
+    )
+    a_post = ga.select(
+        F.col(id_column).alias("id_a"), F.explode(prefix).alias("__p")
+    )
+    b_post = grams.select(
+        F.col(id_column).alias("id_b"), F.explode(F.col("__g")).alias("__p")
+    )
+    cand = (
+        a_post.join(b_post, "__p")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            ga.select(F.col(id_column).alias("id_a"), F.col("__g").alias("__ga")),
+            "id_a",
+        )
+        .join(
+            grams.select(
+                F.col(id_column).alias("id_b"), F.col("__g").alias("__gb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__ga").cast("long").alias("n_grams_a"),
+            F.size(F.array_intersect("__ga", "__gb"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .filter(
+            F.col("n_shared") * 100 >= F.col("n_grams_a") * threshold_pct
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_grams_a",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_grams_a").cast("double"),
+            9,
+        ).alias("containment_r"),
+    )

@@ -3784,6 +3784,11 @@ def _dsir_shift_twin(s: SparkSession, d: str) -> DataFrame:
 
 PLAN_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_align_auto": lambda s, d: _margin_align_auto_raw(s, d, "arrow"),
+    # forward reference is fine: lambdas resolve module globals at
+    # CALL time, and _containment_frame is defined further down
+    "containment_dedup": lambda s, d: _containment_frame(
+        s, d, materialize_grams=False
+    ),
     "near_dedup_pairs_exact": _exact_pairs_twin,
     "incremental_semantic_match": _incr_semantic_twin,
     "dsir_shift_accuracy": _dsir_shift_twin,
@@ -4933,4 +4938,98 @@ def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return numeric_drift_psi(
         ev, "value", epoch_ms_col(ev, "ts") < _PSI_CUT_MS, n_bins=10
+    )
+
+
+def _containment_oracle() -> str:
+    """Brute-force DuckDB replay of containment_dedup: the prefix
+    blocking is result-invariant (pigeonhole no-false-negatives), so
+    the oracle is the plain quadratic containment definition over the
+    same corpus — documents plus the planted 12-word excerpts."""
+    words = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x != '')"
+    )
+    tri = (
+        "CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])"
+        " ELSE list_transform(generate_series(1, len(t) - 2),"
+        " i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END"
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, {words} AS t FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         array_to_string(t[1:12], ' ') AS text
+  FROM toks0 WHERE doc_id % 25 = 3 AND len(t) >= 15
+), toks AS (
+  SELECT doc_id, {words} AS t FROM corpus
+), g AS (
+  SELECT doc_id, list_distinct({tri}) AS gs FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.gs) AS BIGINT) AS n_grams_a,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs),
+             9) AS containment_r
+FROM g a, g b
+WHERE a.doc_id != b.doc_id AND len(a.gs) > 0
+  AND 100 * len(list_intersect(a.gs, b.gs)) >= 80 * len(a.gs)
+"""
+
+
+@register_staged("containment_dedup", oracle=_containment_oracle())
+def containment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py
+    ``containment_pairs`` — the prefix-filter set-similarity join,
+    Chaudhuri 2006 / PPJoin 2008): every ordered pair where ≥80% of
+    A's distinct word trigrams appear in B. The Jaccard family is
+    blind to this shape (a short excerpt inside a long page); this is
+    the quote/boilerplate/excerpt redundancy surface. Fixture plants
+    it: every 25th document (≥15 words) contributes a 12-word leading
+    excerpt as a new doc — each must surface against its source with
+    containment 1.0, alongside whatever natural near-threshold pairs
+    the corpus holds. FULL value oracle: blocking is result-invariant
+    (pigeonhole — at most floor(0.2·n) of A's grams may be missing, so
+    one of the first floor(0.2·n)+1 sorted grams must hit B), so
+    DuckDB replays the plain quadratic definition; the threshold gate
+    is exact integer arithmetic on both engines. Planted-id stride is
+    data-driven (max id + 1), collision-free at any audited scale."""
+    return _containment_frame(spark, sf_dir, materialize_grams=True)
+
+
+def _containment_frame(
+    spark: SparkSession, sf_dir: str, *, materialize_grams: bool
+) -> DataFrame:
+    """materialize_grams=False is the PLAN TWIN arm (PLAN_TWINS): the
+    gram checkpoint renders 'Scan ExistingRDD' and would hide the
+    gram-build/posting stages from the plan screens. The input is
+    repartitioned before the gram build — the fixture table is ONE
+    parquet file, which would serialize the dominant interpreted-HOF
+    gram pass onto a single task (measured 4 s single-task vs sub-
+    second at 32-way); real 100 TB inputs arrive multi-file and skip
+    this."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import containment_pairs
+    from pyspark_unload_to_gcs_spark.operators.text import words_col
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    w = words_col(F.col("text"))
+    excerpts = (
+        docs.filter((F.col("doc_id") % 25 == 3) & (F.size(w) >= 15))
+        .select(
+            (F.col("doc_id") + stride).alias("doc_id"),
+            F.array_join(F.slice(w, 1, 12), " ").alias("text"),
+        )
+    )
+    return containment_pairs(
+        docs.unionByName(excerpts), "doc_id", "text",
+        shingle_n=3, threshold_pct=80,
+        materialize_grams=materialize_grams,
     )

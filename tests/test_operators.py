@@ -1484,3 +1484,68 @@ def test_psi_matches_pure_python_model(spark):
         assert got == want
 
     run()
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    """Prefix-filter blocking must be RESULT-INVARIANT (the pigeonhole
+    no-false-negatives argument): the blocked operator equals a
+    brute-force crossJoin evaluation of the containment definition on
+    an adversarial corpus — an excerpt inside a long page (tiny
+    Jaccard, containment 1.0), an exactly-at-threshold pair, a
+    just-below pair, identical twins, and a sub-n-gram-length doc
+    (no grams -> excluded as A, still a valid B)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import containment_pairs
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    page = " ".join(f"w{i} w{i+1} x{i}" for i in range(40))
+    quote = " ".join(page.split()[30:42])  # contiguous excerpt
+    # 10 distinct trigrams, 8 shared with 'at' -> exactly 0.8 vs 'at8'
+    base = [f"t{i}" for i in range(12)]
+    at8 = " ".join(base)               # grams t0..t9 (10 grams)
+    other = " ".join(base[:10] + ["zz", "qq"])  # shares 8 of its own...
+    rows = [
+        (1, page),
+        (2, quote),
+        (3, at8),
+        (4, other),
+        (5, at8),          # identical twin of 3
+        (6, "too short"),  # < 3 words: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+
+    grams = df.select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams_zip(words_col(F.col("text")), 3)
+        ).alias("g"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    brute = (
+        a.crossJoin(b)
+        .filter((F.col("id_a") != F.col("id_b")) & (F.size("ga") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("ga").cast("long").alias("n_grams_a"),
+            F.size(F.array_intersect("ga", "gb")).cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") * 100 >= F.col("n_grams_a") * 80)
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
+        for r in brute.collect()
+    }
+    assert got == want
+    assert (2, 1) in {(x[0], x[1]) for x in got}  # the excerpt surfaces
+    assert (3, 5) in {(x[0], x[1]) for x in got}  # identical twins, both ways
+    assert (5, 3) in {(x[0], x[1]) for x in got}
+    assert all(x[0] != 6 for x in got)  # gramless doc never an A side
