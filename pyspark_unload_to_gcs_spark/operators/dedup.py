@@ -1325,9 +1325,14 @@ def containment_pairs(
         words_col,
     )
 
-    if not (0 < threshold_pct <= 100):
+    # integrality matters, not just range: a float would reach the
+    # interpolated `div` as a non-integral operand (cryptic plan-time
+    # AnalysisException) and turn the verify gate into the float
+    # compare the docstring promises never happens (review r12)
+    if not isinstance(threshold_pct, int) or not (0 < threshold_pct <= 100):
         raise ValueError(
-            f"containment_pairs: threshold_pct={threshold_pct} not in (0, 100]"
+            f"containment_pairs: threshold_pct={threshold_pct!r} must be "
+            "an int in (0, 100]"
         )
     grams = df.select(
         F.col(id_column),

@@ -1450,9 +1450,12 @@ def test_quota_mix_manifest_under_true_foreachbatch(
         .agg(F.count(F.lit(1)).cast("long").alias("nd"))
         .collect()
     }
+    # zero-fill like the manifest does: a stratum whose quota floors
+    # to 0 still gets a (n_docs, 0, 0) manifest row (review r12)
+    selected_by_lang = {r["lang"]: (r["ns"], r["ss"]) for r in expected_sel}
     expected = {
-        r["lang"]: (expected_docs[r["lang"]], r["ns"], r["ss"])
-        for r in expected_sel
+        lang: (nd, *selected_by_lang.get(lang, (0, 0)))
+        for lang, nd in expected_docs.items()
     }
     assert final == expected
 
