@@ -1549,3 +1549,69 @@ def test_containment_pairs_matches_brute_force(spark):
     assert (3, 5) in {(x[0], x[1]) for x in got}  # identical twins, both ways
     assert (5, 3) in {(x[0], x[1]) for x in got}
     assert all(x[0] != 6 for x in got)  # gramless doc never an A side
+
+
+def test_containment_blocking_fuzz_matches_brute_force(spark):
+    """Hypothesis fuzz of the prefix-filter pigeonhole claim: over
+    random tiny-vocab corpora (maximum gram collision pressure) and
+    random thresholds, the blocked operator must equal brute force
+    EXACTLY — any off-by-one in the prefix length shows up here as a
+    missing near-threshold pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.dedup import containment_pairs
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(
+                " ".join
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        pct=st.sampled_from([50, 67, 80, 100]),
+    )
+    def run(docs, pct):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
+            for r in containment_pairs(
+                df, "doc_id", "text", threshold_pct=pct
+            ).collect()
+        }
+        g = df.select(
+            "doc_id",
+            F.array_distinct(
+                word_ngrams_zip(words_col(F.col("text")), 3)
+            ).alias("g"),
+        )
+        brute = (
+            g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+            .crossJoin(
+                g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+            )
+            .filter((F.col("id_a") != F.col("id_b")) & (F.size("ga") > 0))
+            .select(
+                "id_a",
+                "id_b",
+                F.size("ga").cast("long").alias("n_grams_a"),
+                F.size(F.array_intersect("ga", "gb"))
+                .cast("long")
+                .alias("n_shared"),
+            )
+            .filter(F.col("n_shared") * 100 >= F.col("n_grams_a") * pct)
+        )
+        want = {
+            (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
+            for r in brute.collect()
+        }
+        assert got == want
+
+    run()
