@@ -1325,6 +1325,43 @@ def containment_pairs(
         words_col,
     )
 
+    return containment_join(
+        df,
+        df,
+        id_column,
+        id_column,
+        text_column=text_column,
+        shingle_n=shingle_n,
+        threshold_pct=threshold_pct,
+        materialize_grams=materialize_grams,
+        _exclude_equal_ids=True,
+    )
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    *,
+    text_column: str = "text",
+    shingle_n: int = 3,
+    threshold_pct: int = 80,
+    materialize_grams: bool = True,
+    _exclude_equal_ids: bool = False,
+) -> DataFrame:
+    """Cross-table containment: pairs where >= threshold of a LEFT
+    document's distinct word n-grams appear in a RIGHT document — the
+    ingest-time decontamination shape (is this new crawl doc an
+    excerpt of something already in the corpus?). Same prefix-filter
+    blocking and integer gate as ``containment_pairs`` (which
+    delegates here with left == right); output ids are aliased
+    ``id_a`` (left) / ``id_b`` (right)."""
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
     # integrality matters, not just range: a float would reach the
     # interpolated `div` as a non-integral operand (cryptic plan-time
     # AnalysisException) and turn the verify gate into the float
@@ -1334,47 +1371,52 @@ def containment_pairs(
             f"containment_pairs: threshold_pct={threshold_pct!r} must be "
             "an int in (0, 100]"
         )
-    grams = df.select(
-        F.col(id_column),
-        F.array_sort(
-            F.array_distinct(
-                word_ngrams_zip(words_col(F.col(text_column)), shingle_n)
-            )
-        ).alias("__g"),
-    )
-    if materialize_grams:
-        # FOUR branches consume the gram frame (two posting explodes +
-        # two verify re-attaches) and the interpreted-HOF gram build is
-        # the dominant per-pass cost — lazily checkpoint so it runs
-        # once at the caller's first action (the margin_align_pairs
-        # rationale; blocks freed by the ContextCleaner). Plan-lint
-        # consumers screen the un-checkpointed arm via PLAN_TWINS
-        # (materialize_grams=False).
-        grams = grams.localCheckpoint(eager=False)
-    ga = grams.filter(F.size("__g") > 0)
+
+    def _grams(frame: DataFrame, idc: str) -> DataFrame:
+        g = frame.select(
+            F.col(idc),
+            F.array_sort(
+                F.array_distinct(
+                    word_ngrams_zip(words_col(F.col(text_column)), shingle_n)
+                )
+            ).alias("__g"),
+        )
+        if materialize_grams:
+            # multiple branches consume each gram frame (posting
+            # explode + verify re-attach) and the interpreted-HOF gram
+            # build is the dominant per-pass cost — lazily checkpoint
+            # so it runs once at the caller's first action (the
+            # margin_align_pairs rationale; blocks freed by the
+            # ContextCleaner). Plan-lint consumers screen the
+            # un-checkpointed arm via PLAN_TWINS.
+            g = g.localCheckpoint(eager=False)
+        return g
+
+    same = left is right and left_id == right_id
+    lg = _grams(left, left_id)
+    rg = lg if same else _grams(right, right_id)
+    ga = lg.filter(F.size("__g") > 0)
     prefix = F.expr(
         f"slice(__g, 1, (size(__g) * {100 - threshold_pct}) div 100 + 1)"
     )
     a_post = ga.select(
-        F.col(id_column).alias("id_a"), F.explode(prefix).alias("__p")
+        F.col(left_id).alias("id_a"), F.explode(prefix).alias("__p")
     )
-    b_post = grams.select(
-        F.col(id_column).alias("id_b"), F.explode(F.col("__g")).alias("__p")
+    b_post = rg.select(
+        F.col(right_id).alias("id_b"), F.explode(F.col("__g")).alias("__p")
     )
-    cand = (
-        a_post.join(b_post, "__p")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = a_post.join(b_post, "__p")
+    if _exclude_equal_ids:
+        cand = cand.filter(F.col("id_a") != F.col("id_b"))
+    cand = cand.select("id_a", "id_b").distinct()
     verified = (
         cand.join(
-            ga.select(F.col(id_column).alias("id_a"), F.col("__g").alias("__ga")),
+            ga.select(F.col(left_id).alias("id_a"), F.col("__g").alias("__ga")),
             "id_a",
         )
         .join(
-            grams.select(
-                F.col(id_column).alias("id_b"), F.col("__g").alias("__gb")
+            rg.select(
+                F.col(right_id).alias("id_b"), F.col("__g").alias("__gb")
             ),
             "id_b",
         )

@@ -544,7 +544,7 @@ def _load_extensions() -> None:
 # committed budgets to preserve existing ceilings.
 #
 # R13 ROTATION PLAN (execute next round): keep the core eight;
-# promote the SEVEN r12-staged entries first
+# promote the EIGHT r12-staged entries first
 # (quota_mix_stream_replay — the growing-corpus quota-mix manifest
 # fold, VERDICT r11 #4's streaming twin; bloom_prune_exact_join —
 # the prune→exact-join composition on the PRODUCTION xxhash64 arm
@@ -556,14 +556,16 @@ def _load_extensions() -> None:
 # triplets off the auto-k mining spine; containment_dedup — the
 # asymmetric excerpt/boilerplate surface via the exact prefix-filter
 # set-similarity join (result-invariant blocking, quadratic-definition
-# oracle); all parity-tested at
+# oracle); incremental_containment_match — its cross-table arm, a new
+# crawl batch decontaminated against the existing corpus; all
+# parity-tested at
 # sf0.001+sf0.01, budgets recorded via the now-staged-aware
 # plan_digest, ×10-audited 0 superlinear);
 # then refresh oldest-evidence-first — the 8 r08-only greens
 # deferred from r12 (theta_users_daily, token_budget_select,
 # unigram_logprob_quality, vector_topk_ivf, vector_topk_ivfpq,
 # vector_topk_pq, wav_decode_stats, zorder_layout) and then the
-# 27 alphabetically-first r09-only greens: 8 + 7 + 8 + 27 = 50.
+# 26 alphabetically-first r09-only greens: 8 + 8 + 8 + 26 = 50.
 # Steady state: every query re-checked at least every third round.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core

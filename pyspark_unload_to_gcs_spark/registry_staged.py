@@ -3789,6 +3789,9 @@ PLAN_TWINS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup": lambda s, d: _containment_frame(
         s, d, materialize_grams=False
     ),
+    "incremental_containment_match": lambda s, d: _incr_containment_frame(
+        s, d, materialize_grams=False
+    ),
     "near_dedup_pairs_exact": _exact_pairs_twin,
     "incremental_semantic_match": _incr_semantic_twin,
     "dsir_shift_accuracy": _dsir_shift_twin,
@@ -5031,5 +5034,100 @@ def _containment_frame(
     return containment_pairs(
         docs.unionByName(excerpts), "doc_id", "text",
         shingle_n=3, threshold_pct=80,
+        materialize_grams=materialize_grams,
+    )
+
+
+def _incr_containment_oracle() -> str:
+    """Brute-force DuckDB replay of incremental_containment_match: the
+    new-batch side (every 5th doc plus the planted excerpts of INDEX
+    docs) against the index side, plain quadratic containment — the
+    prefix blocking is result-invariant."""
+    words = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x != '')"
+    )
+    tri = (
+        "CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])"
+        " ELSE list_transform(generate_series(1, len(t) - 2),"
+        " i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END"
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, {words} AS t FROM documents
+), newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         array_to_string(t[1:12], ' ') AS text
+  FROM toks0 WHERE doc_id % 25 = 3 AND len(t) >= 15
+), idx AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 4
+), gn AS (
+  SELECT doc_id, list_distinct({tri}) AS gs
+  FROM (SELECT doc_id, {words} AS t FROM newb)
+), gi AS (
+  SELECT doc_id, list_distinct({tri}) AS gs
+  FROM (SELECT doc_id, {words} AS t FROM idx)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.gs) AS BIGINT) AS n_grams_a,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs),
+             9) AS containment_r
+FROM gn a, gi b
+WHERE len(a.gs) > 0
+  AND 100 * len(list_intersect(a.gs, b.gs)) >= 80 * len(a.gs)
+"""
+
+
+@register_staged(
+    "incremental_containment_match", oracle=_incr_containment_oracle()
+)
+def incremental_containment_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time excerpt decontamination (operators/dedup.py
+    ``containment_join`` — the cross-table arm of the prefix-filter
+    containment join): a NEW crawl batch (every 5th doc, plus planted
+    12-word leading excerpts of corpus docs) is checked against the
+    EXISTING corpus for documents that are mostly contained in
+    something already held — each planted excerpt must surface against
+    its source with containment 1.0. This is the pairwise upgrade of
+    ``benchmark_contamination`` (which counts tainted grams per doc
+    but names no sources) and the asymmetric sibling of
+    ``incremental_near_dedup`` (Jaccard; blind to short-in-long).
+    FULL value oracle (result-invariant blocking, integer gate); at
+    scale the index side's gram postings persist once and each
+    increment joins only its own prefix against them."""
+    return _incr_containment_frame(spark, sf_dir, materialize_grams=True)
+
+
+def _incr_containment_frame(
+    spark: SparkSession, sf_dir: str, *, materialize_grams: bool
+) -> DataFrame:
+    """materialize_grams=False is the PLAN TWIN arm (PLAN_TWINS); the
+    input repartition compensates for the single-file fixture layout
+    (see _containment_frame)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import containment_join
+    from pyspark_unload_to_gcs_spark.operators.text import words_col
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    w = words_col(F.col("text"))
+    excerpts = (
+        docs.filter((F.col("doc_id") % 25 == 3) & (F.size(w) >= 15))
+        .select(
+            (F.col("doc_id") + stride).alias("doc_id"),
+            F.array_join(F.slice(w, 1, 12), " ").alias("text"),
+        )
+    )
+    new_batch = docs.filter(F.col("doc_id") % 5 == 4).unionByName(excerpts)
+    index = docs.filter(F.col("doc_id") % 5 != 4)
+    return containment_join(
+        new_batch, index, "doc_id", "doc_id",
+        text_column="text", shingle_n=3, threshold_pct=80,
         materialize_grams=materialize_grams,
     )
