@@ -1290,6 +1290,7 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold_pct: int = 80,
     materialize_grams: bool = True,
+    prefix_order: str = "lex",
 ) -> DataFrame:
     """ASYMMETRIC near-dup: all ordered pairs where document A's
     distinct word n-grams are mostly CONTAINED in document B —
@@ -1315,16 +1316,11 @@ def containment_pairs(
     carries ~(1-θ) of A's grams, candidates meet in ONE equi-join on
     the gram (the posting-list join), arrays re-attach to the DISTINCT
     candidate pairs only, and the verify is an array intersect per
-    candidate. The documented lever when a shared-vocabulary corpus
-    floods candidates: order grams by ascending document frequency
-    (rarest-first prefix — canonical PPJoin) instead of
-    lexicographically; same correctness argument, far fewer postings
-    per prefix gram."""
-    from pyspark_unload_to_gcs_spark.operators.text import (
-        word_ngrams_zip,
-        words_col,
-    )
-
+    candidate. The lever when a shared-vocabulary corpus floods
+    candidates: ``prefix_order="df"`` orders grams by ascending
+    document frequency (rarest-first prefix — canonical PPJoin); same
+    correctness argument, far fewer postings per prefix gram (see
+    ``containment_join`` for the cost trade)."""
     return containment_join(
         df,
         df,
@@ -1334,7 +1330,98 @@ def containment_pairs(
         shingle_n=shingle_n,
         threshold_pct=threshold_pct,
         materialize_grams=materialize_grams,
+        prefix_order=prefix_order,
         _exclude_equal_ids=True,
+    )
+
+
+def gram_sets(
+    frame: DataFrame,
+    id_column: str,
+    *,
+    text_column: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(<id_column>, __g): each document's DISTINCT word ``shingle_n``-
+    grams as a lexicographically sorted array — the shared input shape
+    of the containment family (the prefix filter slices it, the verify
+    intersects it). The interpreted-HOF gram build is the dominant
+    per-pass cost; callers that consume the frame more than once
+    should checkpoint (see ``containment_join``)."""
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    return frame.select(
+        F.col(id_column),
+        F.array_sort(
+            F.array_distinct(
+                word_ngrams_zip(words_col(F.col(text_column)), shingle_n)
+            )
+        ).alias("__g"),
+    )
+
+
+def _containment_prefix(
+    ga: DataFrame,
+    left_id: str,
+    b_post: DataFrame,
+    threshold_pct: int,
+    prefix_order: str,
+) -> DataFrame:
+    """One row per (id_a, prefix gram) for the prefix-filter join —
+    the fixed per-document subset of floor((1-θ)·|g|)+1 grams whose
+    postings the candidate join probes. Factored out so tests can
+    count candidates per ordering arm; see ``containment_join`` for
+    the ordering semantics and the result-invariance argument."""
+    miss = 100 - threshold_pct
+    if prefix_order == "lex":
+        # the gram array arrives lexicographically sorted — the prefix
+        # is a free slice, no extra shuffle
+        return ga.select(
+            F.col(left_id).alias("id_a"),
+            F.explode(
+                F.expr(f"slice(__g, 1, (size(__g) * {miss}) div 100 + 1)")
+            ).alias("__p"),
+        )
+    # rarest-first: one groupBy over the right postings builds the df
+    # table; both passes are linear in postings and neither touches
+    # the documents themselves.
+    df_tab = b_post.groupBy("__p").agg(F.count(F.lit(1)).alias("__df"))
+    return rarest_prefix(ga, left_id, df_tab, threshold_pct)
+
+
+def rarest_prefix(
+    ga: DataFrame,
+    left_id: str,
+    df_tab: DataFrame,
+    threshold_pct: int,
+) -> DataFrame:
+    """The df-ordered prefix postings of ``ga`` (one row per (id_a,
+    gram)) given a precomputed document-frequency table ``df_tab``
+    with columns (__p, __df): rank each gram by ascending df (left
+    join — a gram absent from the table has df 0 and sorts FIRST; it
+    matches no posting, so it prunes for free) and keep the
+    floor((1-θ)·|g|)+1 smallest per document via one window over the
+    exploded grams. Shared by ``containment_join(prefix_order="df")``
+    (df table from the right postings, built per call) and the
+    streaming decontamination twin (df table FROZEN at index-build
+    time — the per-batch cost is then one batch-sized window, never a
+    corpus pass)."""
+    miss = 100 - threshold_pct
+    w = Window.partitionBy("id_a").orderBy("__df", "__p")
+    return (
+        ga.select(
+            F.col(left_id).alias("id_a"),
+            F.size("__g").alias("__n"),
+            F.explode(F.col("__g")).alias("__p"),
+        )
+        .join(df_tab, "__p", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.expr(f"__rn <= (__n * {miss}) div 100 + 1"))
+        .select("id_a", "__p")
     )
 
 
@@ -1348,6 +1435,7 @@ def containment_join(
     shingle_n: int = 3,
     threshold_pct: int = 80,
     materialize_grams: bool = True,
+    prefix_order: str = "lex",
     _exclude_equal_ids: bool = False,
 ) -> DataFrame:
     """Cross-table containment: pairs where >= threshold of a LEFT
@@ -1356,12 +1444,27 @@ def containment_join(
     excerpt of something already in the corpus?). Same prefix-filter
     blocking and integer gate as ``containment_pairs`` (which
     delegates here with left == right); output ids are aliased
-    ``id_a`` (left) / ``id_b`` (right)."""
-    from pyspark_unload_to_gcs_spark.operators.text import (
-        word_ngrams_zip,
-        words_col,
-    )
+    ``id_a`` (left) / ``id_b`` (right).
 
+    ``prefix_order`` picks which fixed per-document gram subset the
+    prefix filter joins against the postings — the pigeonhole argument
+    (see ``containment_pairs``) holds for ANY deterministic subset of
+    size floor((1-θ)·|g(A)|)+1, so both arms return IDENTICAL results:
+
+    - ``"lex"`` (default): the first grams of the lexicographically
+      sorted array. Zero extra shuffles — the prefix is a ``slice`` of
+      the already-sorted gram array.
+    - ``"df"``: the grams RAREST in the right-side corpus (ascending
+      document frequency, gram as tie-break — canonical PPJoin
+      ordering, Xiao et al. 2008). Costs one groupBy over the right
+      postings (the df table) plus one window over the left postings,
+      and in exchange every prefix gram meets the SHORTEST posting
+      lists; a prefix gram absent from the right corpus entirely (df
+      0) sorts first and generates zero candidates — maximal, still
+      exact, pruning. This is the lever for shared-vocabulary /
+      Zipfian corpora where a lexicographic prefix lands on stopword
+      grams that flood the candidate join.
+    """
     # integrality matters, not just range: a float would reach the
     # interpolated `div` as a non-integral operand (cryptic plan-time
     # AnalysisException) and turn the verify gate into the float
@@ -1371,15 +1474,15 @@ def containment_join(
             f"containment_pairs: threshold_pct={threshold_pct!r} must be "
             "an int in (0, 100]"
         )
+    if prefix_order not in ("lex", "df"):
+        raise ValueError(
+            f"containment_join: prefix_order={prefix_order!r} must be "
+            "'lex' or 'df'"
+        )
 
     def _grams(frame: DataFrame, idc: str) -> DataFrame:
-        g = frame.select(
-            F.col(idc),
-            F.array_sort(
-                F.array_distinct(
-                    word_ngrams_zip(words_col(F.col(text_column)), shingle_n)
-                )
-            ).alias("__g"),
+        g = gram_sets(
+            frame, idc, text_column=text_column, shingle_n=shingle_n
         )
         if materialize_grams:
             # multiple branches consume each gram frame (posting
@@ -1396,30 +1499,40 @@ def containment_join(
     lg = _grams(left, left_id)
     rg = lg if same else _grams(right, right_id)
     ga = lg.filter(F.size("__g") > 0)
-    prefix = F.expr(
-        f"slice(__g, 1, (size(__g) * {100 - threshold_pct}) div 100 + 1)"
-    )
-    a_post = ga.select(
-        F.col(left_id).alias("id_a"), F.explode(prefix).alias("__p")
-    )
     b_post = rg.select(
         F.col(right_id).alias("id_b"), F.explode(F.col("__g")).alias("__p")
+    )
+    a_post = _containment_prefix(
+        ga, left_id, b_post, threshold_pct, prefix_order
     )
     cand = a_post.join(b_post, "__p")
     if _exclude_equal_ids:
         cand = cand.filter(F.col("id_a") != F.col("id_b"))
     cand = cand.select("id_a", "id_b").distinct()
+    return verify_containment(
+        cand,
+        ga.select(F.col(left_id).alias("id_a"), F.col("__g").alias("__ga")),
+        rg.select(F.col(right_id).alias("id_b"), F.col("__g").alias("__gb")),
+        threshold_pct,
+    )
+
+
+def verify_containment(
+    cand: DataFrame,
+    ga_arr: DataFrame,
+    gb_arr: DataFrame,
+    threshold_pct: int,
+) -> DataFrame:
+    """The exact verify stage of the containment family: re-attach the
+    full gram arrays to the DISTINCT candidate pairs, intersect, and
+    gate with exact integer arithmetic (100·inter ≥ pct·|g(A)| — never
+    a float compare). ``cand`` is (id_a, id_b); ``ga_arr`` is (id_a,
+    __ga); ``gb_arr`` is (id_b, __gb). Shared by ``containment_join``
+    and the streaming decontamination twin so the two can never drift
+    on the gate or the reported ratio."""
     verified = (
-        cand.join(
-            ga.select(F.col(left_id).alias("id_a"), F.col("__g").alias("__ga")),
-            "id_a",
-        )
-        .join(
-            rg.select(
-                F.col(right_id).alias("id_b"), F.col("__g").alias("__gb")
-            ),
-            "id_b",
-        )
+        cand.join(ga_arr, "id_a")
+        .join(gb_arr, "id_b")
         .select(
             "id_a",
             "id_b",

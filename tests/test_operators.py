@@ -1576,14 +1576,15 @@ def test_containment_blocking_fuzz_matches_brute_force(spark):
             max_size=8,
         ),
         pct=st.sampled_from([50, 67, 80, 100]),
+        order=st.sampled_from(["lex", "df"]),
     )
-    def run(docs, pct):
+    def run(docs, pct, order):
         rows = [(i, t) for i, t in enumerate(docs)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
             for r in containment_pairs(
-                df, "doc_id", "text", threshold_pct=pct
+                df, "doc_id", "text", threshold_pct=pct, prefix_order=order
             ).collect()
         }
         g = df.select(
@@ -1615,3 +1616,76 @@ def test_containment_blocking_fuzz_matches_brute_force(spark):
         assert got == want
 
     run()
+
+
+def test_containment_df_prefix_invariant_and_prunes(spark):
+    """The rarest-first (df-ordered) prefix arm: on a boilerplate-heavy
+    corpus it must return EXACTLY the lexicographic arm's pairs (the
+    pigeonhole argument holds for any fixed-size subset) while probing
+    strictly fewer posting rows — the lexicographic prefix lands on the
+    shared boilerplate grams (every doc's postings), the df prefix on
+    each doc's unique tail grams."""
+    import pyspark_unload_to_gcs_spark.operators.dedup as dd
+    from pyspark_unload_to_gcs_spark.operators.dedup import (
+        containment_join,
+        containment_pairs,
+    )
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        word_ngrams_zip,
+        words_col,
+    )
+
+    boiler = "aaa bbb ccc ddd eee"  # lexicographically-first grams
+    rows = [
+        (i, f"{boiler} tail{i}a tail{i}b tail{i}c tail{i}d tail{i}e")
+        for i in range(8)
+    ]
+    rows.append((100, boiler))  # pure-boilerplate doc: contained in all
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(order):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"])
+            for r in containment_pairs(
+                df, "doc_id", "text", threshold_pct=60, prefix_order=order
+            ).collect()
+        )
+
+    lex, dfo = pairs("lex"), pairs("df")
+    assert lex == dfo
+    assert {(a, b) for a, b, *_ in dfo} == {(100, i) for i in range(8)}
+
+    # candidate fan-out: count posting-join rows per arm
+    g = df.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(word_ngrams_zip(words_col(F.col("text")), 3))
+        ).alias("__g"),
+    )
+    ga = g.filter(F.size("__g") > 0)
+    b_post = g.select(
+        F.col("doc_id").alias("id_b"), F.explode("__g").alias("__p")
+    )
+    n = {
+        o: dd._containment_prefix(ga, "doc_id", b_post, 60, o)
+        .join(b_post, "__p")
+        .count()
+        for o in ("lex", "df")
+    }
+    assert n["df"] < n["lex"]
+
+    # the cross-table arm takes the same parameter: planted excerpt
+    # surfaces identically under both orderings
+    new_b = df.filter(F.col("doc_id") == 100)
+    idx = df.filter(F.col("doc_id") != 100)
+    for order in ("lex", "df"):
+        got = containment_join(
+            new_b, idx, "doc_id", "doc_id",
+            threshold_pct=60, prefix_order=order,
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {
+            (100, i) for i in range(8)
+        }
+
+    with pytest.raises(ValueError, match="prefix_order"):
+        containment_pairs(df, "doc_id", "text", prefix_order="rarest")
