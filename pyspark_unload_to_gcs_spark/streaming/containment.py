@@ -1,0 +1,191 @@
+"""Streaming ingest decontamination: per-micro-batch containment of
+NEW documents against an index corpus FROZEN at bootstrap.
+
+The batch operator (operators/dedup.py ``containment_join``) answers
+"which of these new docs are mostly contained in something the corpus
+already holds?" once; a continuously-crawling 100 TB pipeline wants
+that answer on EVERY arriving batch, against the SAME index, without
+re-deriving the index's gram structures per batch. So the index is
+built once (``containment_index_build``) into three reusable assets:
+
+- ``index/grams``     — (id_b, __g): each index doc's sorted distinct
+  gram array (the verify side);
+- ``index/postings``  — (__p, id_b) partitioned by a gram hash bucket
+  ``pb = pmod(xxhash64(__p), n_buckets)``: the candidate-join side.
+  Per batch, the distinct bucket set of the batch's prefix grams is
+  bounded by ``n_buckets`` — filtering on it prunes partitions, so a
+  small batch reads only the posting shards its prefix can touch
+  instead of scanning the whole index;
+- ``index/gram_df``   — (__p, __df): the document-frequency table.
+  The rarest-first prefix (``operators/dedup.py::rarest_prefix`` — the
+  PPJoin ordering, result-invariant by the pigeonhole argument) then
+  costs one BATCH-sized window per micro-batch; the corpus-wide df
+  aggregation happened once at bootstrap.
+
+Per micro-batch (``containment_match_batch``): gram-build the batch,
+pick each doc's df-ordered prefix, join it against the pruned
+postings, verify with the shared exact gate
+(``operators/dedup.py::verify_containment`` — the batch twin uses the
+same function, so the two can never drift), and (re)write
+``matches/b=<batch_id>`` idempotently — a retry recomputes identical
+rows because the index is frozen and the match set is a deterministic
+function of (index, batch rows). Matches are per-doc independent, so
+the union over batches equals the batch operator over the union of
+batches — the replay oracle's invariant.
+
+All layout I/O goes through the versioned ledger's Hadoop-FS helpers,
+so ``state_path`` works on any URI scheme the cluster can write
+(file:/gs:/s3a:).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_COLS = ("shingle_n", "n_buckets", "threshold_pct")
+
+
+def _index_dir(state_path: str, name: str) -> str:
+    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+
+    return _sub(_sub(state_path, "index"), name)
+
+
+def containment_index_build(
+    index: DataFrame,
+    id_column: str,
+    state_path: str,
+    *,
+    text_column: str = "text",
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    threshold_pct: int = 80,
+) -> None:
+    """Freeze the index corpus's gram structures (module docstring).
+    Idempotent overwrite; refuses an empty index — a stream matched
+    against nothing emits zero rows forever while LOOKING live (the
+    drift-baseline contract). The threshold is frozen WITH the index
+    because the prefix length the postings were sized for and the
+    verify gate must agree across every future batch."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import gram_sets
+
+    if not isinstance(threshold_pct, int) or not (0 < threshold_pct <= 100):
+        raise ValueError(
+            f"containment_index_build: threshold_pct={threshold_pct!r} "
+            "must be an int in (0, 100]"
+        )
+    grams = gram_sets(
+        index, id_column, text_column=text_column, shingle_n=shingle_n
+    ).select(F.col(id_column).alias("id_b"), "__g")
+    # one gram pass feeds grams + postings + df — checkpoint so the
+    # interpreted-HOF build runs once (the containment_join rationale)
+    grams = grams.localCheckpoint(eager=False)
+    if grams.isEmpty():
+        raise ValueError(
+            "containment_index_build: index corpus is empty — cannot "
+            "freeze a containment index; build once data exists"
+        )
+    grams.write.mode("overwrite").parquet(_index_dir(state_path, "grams"))
+    postings = grams.select("id_b", F.explode("__g").alias("__p")).withColumn(
+        "pb", F.pmod(F.xxhash64("__p"), F.lit(n_buckets)).cast("int")
+    )
+    postings.write.mode("overwrite").partitionBy("pb").parquet(
+        _index_dir(state_path, "postings")
+    )
+    postings.groupBy("__p").agg(
+        F.count(F.lit(1)).alias("__df")
+    ).write.mode("overwrite").parquet(_index_dir(state_path, "gram_df"))
+    spark = index.sparkSession
+    spark.createDataFrame(
+        [(shingle_n, n_buckets, threshold_pct)], list(_META_COLS)
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _index_dir(state_path, "meta")
+    )
+
+
+def containment_match_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    id_column: str,
+    state_path: str,
+    text_column: str = "text",
+) -> None:
+    """Fold one micro-batch: match its docs against the frozen index
+    and (re)write ``matches/b=<batch_id>`` (module docstring). Gram
+    parameters and the threshold come from the index meta — a fold
+    can't silently disagree with the structures it joins against."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import (
+        gram_sets,
+        rarest_prefix,
+        verify_containment,
+    )
+    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(_index_dir(state_path, "meta")).first()
+    shingle_n, n_buckets, threshold_pct = (meta[c] for c in _META_COLS)
+
+    ga = (
+        gram_sets(
+            batch_df, id_column, text_column=text_column, shingle_n=shingle_n
+        )
+        .select(F.col(id_column).alias("id_a"), "__g")
+        .filter(F.size("__g") > 0)
+        # prefix + verify both consume the batch grams; one build
+        .localCheckpoint(eager=False)
+    )
+    df_tab = spark.read.parquet(_index_dir(state_path, "gram_df"))
+    # ga's id is already aliased id_a; two consumers (bucket probe +
+    # candidate join)
+    prefix = rarest_prefix(ga, "id_a", df_tab, threshold_pct).localCheckpoint(
+        eager=False
+    )
+
+    # partition pruning: the batch's prefix can only meet postings in
+    # its own hash buckets — a bounded collect (≤ n_buckets ints, the
+    # stamps/centroids class), never the data
+    buckets = [
+        r["pb"]
+        for r in prefix.select(
+            F.pmod(F.xxhash64("__p"), F.lit(n_buckets)).cast("int").alias("pb")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(_index_dir(state_path, "postings"))
+    if len(buckets) < n_buckets:
+        postings = postings.filter(F.col("pb").isin(buckets))
+    cand = (
+        prefix.join(postings.select("id_b", "__p"), "__p")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gb_arr = spark.read.parquet(_index_dir(state_path, "grams")).select(
+        "id_b", F.col("__g").alias("__gb")
+    )
+    out = verify_containment(
+        cand,
+        ga.select("id_a", F.col("__g").alias("__ga")),
+        gb_arr,
+        threshold_pct,
+    ).select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "id_a",
+        "id_b",
+        "n_grams_a",
+        "n_shared",
+        "containment_r",
+    )
+    out.write.mode("overwrite").parquet(
+        _sub(_sub(state_path, "matches"), f"b={batch_id}")
+    )
+
+
+def read_matches(spark: SparkSession, state_path: str) -> DataFrame:
+    """All batches' match rows as one frame (batch_id is a data
+    column; the ``b=`` partition directory is dropped)."""
+    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+
+    return spark.read.parquet(_sub(state_path, "matches")).drop("b")

