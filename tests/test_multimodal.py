@@ -336,3 +336,100 @@ def test_ahash_dup_pairs_pigeonhole_exact(spark):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         ahash_dup_pairs(df, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# audio energy-contour fingerprint (afp)
+# ---------------------------------------------------------------------------
+
+
+def _afp_model(frames):
+    """Independent brute model of afp_bits_from_frames: plain python
+    loops, no reduceat — a shared indexing mistake can't cancel."""
+    n = len(frames)
+    energy = [sum(abs(int(s)) for s in row) for row in frames]
+    total = sum(energy)
+    out = 0
+    for k in range(64):
+        lo, hi = (k * n) // 64, ((k + 1) * n) // 64
+        wsum = sum(energy[lo:hi])
+        if wsum * n > (hi - lo) * total:
+            out |= 1 << k
+    return out
+
+
+def test_afp_matches_brute_model_fuzz():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        afp_bits_from_frames,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=64, max_value=300),
+        ch=st.integers(min_value=1, max_value=2),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(n, ch, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+        assert afp_bits_from_frames(frames) == _afp_model(frames.tolist())
+
+    run()
+
+
+def test_afp_amplitude_scale_invariant_and_guards():
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        afp_bits_from_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(-1024, 1024, size=(200, 2), dtype=np.int16)
+    base = afp_bits_from_frames(frames)
+    assert afp_bits_from_frames(frames * 3) == base  # exact invariance
+    assert 0 <= base < 2**64
+    with pytest.raises(ValueError, match="64-window"):
+        afp_bits_from_frames(frames[:63])
+
+
+def test_audio_fingerprint_dup_pairs_end_to_end(spark):
+    """WAV bytes -> real decode -> afp -> the SAME byte-band dup join
+    as images: every doc gets a volume-doubled twin (+1000) whose
+    fingerprint is identical (hamming 0); pairs across different docs
+    must stay out at the threshold."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    import numpy as np
+
+    rows = []
+    for d in range(12):
+        n = 64 * (4 + d % 5)
+        # per-doc seeded noise: a shared ramp would give every clip a
+        # near-flat energy contour and near-tied bits across docs
+        samples = [
+            int(s)
+            for s in np.random.default_rng(d).integers(-4096, 4096, size=n)
+        ]
+        rows.append((d, encode_wav_pcm16(samples, 8000)))
+        rows.append((d + 1000, encode_wav_pcm16([2 * s for s in samples], 8000)))
+    clips = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = audio_fingerprint(clips)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ahash_dup_pairs(
+            hashes, hi_column="afp_hi", lo_column="afp_lo", max_hamming=2
+        ).collect()
+    }
+    assert {(d, d + 1000) for d in range(12)} <= got
+    # twins are hamming-0; everything else in `got` must still be a
+    # (d, d+1000) pair — unrelated clips differ in far more than 2 bits
+    assert got == {(d, d + 1000) for d in range(12)}
