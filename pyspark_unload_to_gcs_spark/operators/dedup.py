@@ -1471,7 +1471,7 @@ def containment_join(
     # compare the docstring promises never happens (review r12)
     if not isinstance(threshold_pct, int) or not (0 < threshold_pct <= 100):
         raise ValueError(
-            f"containment_pairs: threshold_pct={threshold_pct!r} must be "
+            f"containment_join: threshold_pct={threshold_pct!r} must be "
             "an int in (0, 100]"
         )
     if prefix_order not in ("lex", "df"):

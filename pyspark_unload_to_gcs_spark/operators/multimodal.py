@@ -576,12 +576,24 @@ def ahash_bits_from_image(img) -> int:
     ych = np.diff(ys + [h])
     xch = np.diff(xs + [w])
     counts = np.outer(ych, xch).astype(np.int64)
-    total_sum = int(block.sum())
-    total_cnt = int(counts.sum())
-    bits = (block * total_cnt) > (counts * total_sum)
+    return _pack_above_mean_bits(
+        [int(x) for x in block.flatten()], [int(c) for c in counts.flatten()]
+    )
+
+
+def _pack_above_mean_bits(sums, counts) -> int:
+    """bit j = 1 iff sums[j] * total_count > counts[j] * total_sum,
+    evaluated in PYTHON ints: the cross-products overflow int64 for
+    large inputs (a ~36-minute PCM16 clip, a ~100-megapixel image) and
+    numpy would wrap SILENTLY, breaking both the exact scale-invariance
+    argument and the cross-engine replay (review r12). Shared bit-pack
+    of the division-free above-average rule for ``ahash_bits_from_image``
+    and ``afp_bits_from_frames``; ties are 0."""
+    total_sum = sum(sums)
+    total_cnt = sum(counts)
     out = 0
-    for j, bit in enumerate(bits.flatten()):
-        if bit:
+    for j, (s, c) in enumerate(zip(sums, counts)):
+        if s * total_cnt > c * total_sum:
             out |= 1 << j
     return out
 
@@ -599,25 +611,45 @@ def image_ahash(
     = bits 0..31) so downstream banding, XOR popcount, and the DuckDB
     replay all stay in signed-64 range. Streaming Arrow batches, one
     narrow map — the 100 TB shape is hash-on-ingest next to the blob."""
-    id_col, payload_col = id_column, payload_column
+    return _hash64_map(
+        df,
+        id_column,
+        payload_column,
+        lambda raw: ahash_bits_from_image(decode_bmp_bytes(raw)),
+        AHASH_SCHEMA,
+    )
+
+
+def _hash64_map(
+    df: DataFrame,
+    id_column: str,
+    payload_column: str,
+    bits_fn,
+    schema: StructType,
+) -> DataFrame:
+    """Shared mapInPandas wrapper of the 64-bit fingerprint family
+    (``image_ahash``, ``audio_fingerprint``): per payload, ``bits_fn``
+    maps raw bytes to an int in [0, 2^64), split into the schema's
+    (hi, lo) BIGINT halves."""
+    hi_name, lo_name = schema.fields[1].name, schema.fields[2].name
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for i, raw in zip(pdf[id_col], pdf[payload_col]):
-                bits = ahash_bits_from_image(decode_bmp_bytes(bytes(raw)))
+            for i, raw in zip(pdf[id_column], pdf[payload_column]):
+                bits = bits_fn(bytes(raw))
                 rows.append(
                     {
                         "doc_id": int(i),
-                        "ahash_hi": bits >> 32,
-                        "ahash_lo": bits & 0xFFFFFFFF,
+                        hi_name: bits >> 32,
+                        lo_name: bits & 0xFFFFFFFF,
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return df.select(id_column, payload_column).mapInPandas(_hash, AHASH_SCHEMA)
+    return df.select(id_column, payload_column).mapInPandas(_hash, schema)
 
 
 def ahash_dup_pairs(
@@ -736,14 +768,10 @@ def afp_bits_from_frames(frames) -> int:
     energy = np.abs(frames.astype(np.int64)).sum(axis=1)
     starts = [(k * n) // 64 for k in range(64)]
     wsum = np.add.reduceat(energy, starts)
-    wlen = np.diff(starts + [n]).astype(np.int64)
-    total = int(energy.sum())
-    bits = (wsum * n) > (wlen * total)
-    out = 0
-    for k, bit in enumerate(bits):
-        if bit:
-            out |= 1 << k
-    return out
+    wlen = np.diff(starts + [n])
+    return _pack_above_mean_bits(
+        [int(x) for x in wsum], [int(x) for x in wlen]
+    )
 
 
 def audio_fingerprint(
@@ -763,23 +791,10 @@ def audio_fingerprint(
     exact for hamming <= 7, never all-pairs). Streaming Arrow
     batches, one narrow map — the 100 TB shape is
     fingerprint-on-ingest next to the blob."""
-    id_col, payload_col = id_column, payload_column
-
-    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for i, raw in zip(pdf[id_col], pdf[payload_col]):
-                _rate, _ch, _bits, frames = decode_wav_bytes(bytes(raw))
-                bits = afp_bits_from_frames(frames)
-                rows.append(
-                    {
-                        "doc_id": int(i),
-                        "afp_hi": bits >> 32,
-                        "afp_lo": bits & 0xFFFFFFFF,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in AFP_SCHEMA.fields])
-
-    return df.select(id_column, payload_column).mapInPandas(_hash, AFP_SCHEMA)
+    return _hash64_map(
+        df,
+        id_column,
+        payload_column,
+        lambda raw: afp_bits_from_frames(decode_wav_bytes(raw)[3]),
+        AFP_SCHEMA,
+    )

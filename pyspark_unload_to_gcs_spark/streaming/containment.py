@@ -75,16 +75,39 @@ def containment_index_build(
             f"containment_index_build: threshold_pct={threshold_pct!r} "
             "must be an int in (0, 100]"
         )
-    grams = gram_sets(
-        index, id_column, text_column=text_column, shingle_n=shingle_n
-    ).select(F.col(id_column).alias("id_b"), "__g")
+    # n_buckets < 1 would make pmod() NULL on every posting — the two
+    # sides' bucket columns then never agree and the stream matches
+    # nothing forever while looking live (review r12)
+    if not isinstance(n_buckets, int) or n_buckets < 1:
+        raise ValueError(
+            f"containment_index_build: n_buckets={n_buckets!r} must be "
+            "an int >= 1"
+        )
+    if not isinstance(shingle_n, int) or shingle_n < 1:
+        raise ValueError(
+            f"containment_index_build: shingle_n={shingle_n!r} must be "
+            "an int >= 1"
+        )
+    grams = (
+        gram_sets(
+            index, id_column, text_column=text_column, shingle_n=shingle_n
+        )
+        .select(F.col(id_column).alias("id_b"), "__g")
+        # a zero-gram index doc can never hold any prefix gram — drop
+        # it here so the emptiness guard below sees GRAMS, not rows: an
+        # index whose docs all tokenize shorter than shingle_n must
+        # refuse, not freeze empty postings that match nothing forever
+        # (review r12)
+        .filter(F.size("__g") > 0)
+    )
     # one gram pass feeds grams + postings + df — checkpoint so the
     # interpreted-HOF build runs once (the containment_join rationale)
     grams = grams.localCheckpoint(eager=False)
     if grams.isEmpty():
         raise ValueError(
-            "containment_index_build: index corpus is empty — cannot "
-            "freeze a containment index; build once data exists"
+            "containment_index_build: index corpus has no documents "
+            "with at least one word n-gram — cannot freeze a "
+            "containment index; build once data exists"
         )
     grams.write.mode("overwrite").parquet(_index_dir(state_path, "grams"))
     postings = grams.select("id_b", F.explode("__g").alias("__p")).withColumn(

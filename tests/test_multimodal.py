@@ -397,6 +397,26 @@ def test_afp_amplitude_scale_invariant_and_guards():
         afp_bits_from_frames(frames[:63])
 
 
+def test_afp_exact_beyond_int64_products(rng_seed=11):
+    """The above-mean cross-products (window_sum * n vs len * total)
+    overflow int64 for long-enough clips; the bit rule must be exact
+    arithmetic, not numpy wraparound — checked with int64 frame values
+    large enough that the products exceed 2^63 at 64 frames (review
+    r12). Scale invariance is the observable: a *5 amplitude copy must
+    hash identically, which wraparound breaks."""
+    import numpy as np
+
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        afp_bits_from_frames,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    frames = rng.integers(2**40, 2**45, size=(128, 1), dtype=np.int64)
+    got = afp_bits_from_frames(frames)
+    assert got == _afp_model(frames.tolist())
+    assert afp_bits_from_frames(frames * 5) == got
+
+
 def test_audio_fingerprint_dup_pairs_end_to_end(spark):
     """WAV bytes -> real decode -> afp -> the SAME byte-band dup join
     as images: every doc gets a volume-doubled twin (+1000) whose

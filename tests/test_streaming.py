@@ -1532,9 +1532,10 @@ def test_drift_monitor_under_true_foreachbatch(
 @pytest.fixture(scope="module")
 def containment_stream_setup(spark, sf_dir, tmp_path_factory):
     """Documents split into a frozen INDEX (doc_id % 5 != 4) and a
-    2-file stream of NEW docs (doc_id % 5 == 4, range-split, plus one
-    planted 12-word leading excerpt of an index doc in EACH file so
-    every micro-batch surfaces a non-vacuous match)."""
+    2-file stream of NEW docs, each file HALF the new docs (doc_id
+    % 10 == 4 vs == 9) plus its OWN planted 12-word leading excerpts
+    of index docs (source % 20 == 3 vs == 13) — every micro-batch is
+    guaranteed a non-vacuous match, not just the stream as a whole."""
     import os
 
     from pyspark_unload_to_gcs_spark.operators.text import words_col
@@ -1555,7 +1556,14 @@ def containment_stream_setup(spark, sf_dir, tmp_path_factory):
             F.array_join(F.slice(w, 1, 12), " ").alias("text"),
         )
     )
-    new_docs = docs.filter(F.col("doc_id") % 5 == 4).unionByName(excerpts)
+    # source % 20 == 3 excerpts carry an ODD planted id (3 + stride
+    # parity aside, the mod-20 split is what matters: each file gets
+    # its own stratum, both non-empty at every fixture scale)
+    ex_f0 = excerpts.filter((F.col("doc_id") - stride) % 20 == 3)
+    ex_f1 = excerpts.filter((F.col("doc_id") - stride) % 20 == 13)
+    f0 = docs.filter(F.col("doc_id") % 10 == 4).unionByName(ex_f0)
+    f1 = docs.filter(F.col("doc_id") % 10 == 9).unionByName(ex_f1)
+    new_docs = f0.unionByName(f1)
 
     state = str(tmp_path_factory.mktemp("containment_state"))
     containment_index_build(
@@ -1563,14 +1571,15 @@ def containment_stream_setup(spark, sf_dir, tmp_path_factory):
     )
 
     stream_dir = str(tmp_path_factory.mktemp("new_docs_stream"))
-    new_docs.repartitionByRange(2, "doc_id").write.mode("overwrite").parquet(
-        stream_dir
-    )
-    parts = sorted(glob.glob(f"{stream_dir}/part-*.parquet"))
-    assert len(parts) == 2
-    base = os.path.getmtime(parts[0])
-    for i, p in enumerate(parts):
-        os.utime(p, (base + i, base + i))
+    f0.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    first = set(glob.glob(f"{stream_dir}/part-*.parquet"))
+    assert len(first) == 1
+    f1.coalesce(1).write.mode("append").parquet(stream_dir)
+    second = set(glob.glob(f"{stream_dir}/part-*.parquet")) - first
+    assert len(second) == 1
+    base = os.path.getmtime(next(iter(first)))
+    os.utime(next(iter(first)), (base, base))
+    os.utime(next(iter(second)), (base + 1, base + 1))
     return state, stream_dir, index, new_docs
 
 
@@ -1607,6 +1616,12 @@ def test_containment_stream_matches_batch_operator(
 
     rows = read_matches(spark, state).collect()
     assert {r["batch_id"] for r in rows} == {0, 1}
+    # each file carries its own planted excerpts — every micro-batch
+    # must surface at least one full-containment match
+    for b in (0, 1):
+        assert any(
+            r["containment_r"] == 1.0 for r in rows if r["batch_id"] == b
+        )
     got = {
         (r["id_a"], r["id_b"], r["n_grams_a"], r["n_shared"], r["containment_r"])
         for r in rows
@@ -1634,11 +1649,17 @@ def test_containment_stream_retry_idempotent(spark, containment_stream_setup):
         read_matches,
     )
 
+    import os
+
     state, stream_dir, _index, _new = containment_stream_setup
     before = sorted(
         tuple(r) for r in read_matches(spark, state).collect()
     )
-    parts = sorted(glob.glob(f"{stream_dir}/part-*.parquet"))
+    # append-mode part names don't sort chronologically — batch order
+    # is mtime order (what the file source used)
+    parts = sorted(
+        glob.glob(f"{stream_dir}/part-*.parquet"), key=os.path.getmtime
+    )
     replay = spark.read.parquet(parts[1]).select("doc_id", "text")
     containment_match_batch(replay, 1, id_column="doc_id", state_path=state)
     after = sorted(tuple(r) for r in read_matches(spark, state).collect())
@@ -1651,9 +1672,25 @@ def test_containment_index_build_refuses_empty(spark, tmp_path):
     )
 
     empty = spark.createDataFrame([], "doc_id long, text string")
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="no documents"):
         containment_index_build(empty, "doc_id", str(tmp_path / "cs"))
+    # zero-GRAM is as dead as zero-row: docs shorter than shingle_n
+    # can never hold a prefix gram, so the frozen postings would match
+    # nothing forever while looking live (review r12)
+    short = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no documents"):
+        containment_index_build(short, "doc_id", str(tmp_path / "cs1"))
     with pytest.raises(ValueError, match="threshold_pct"):
         containment_index_build(
             empty, "doc_id", str(tmp_path / "cs2"), threshold_pct=0
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        containment_index_build(
+            empty, "doc_id", str(tmp_path / "cs3"), n_buckets=0
+        )
+    with pytest.raises(ValueError, match="shingle_n"):
+        containment_index_build(
+            empty, "doc_id", str(tmp_path / "cs4"), shingle_n=0
         )
