@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,4 +119,112 @@ def zorder_file_stats(
             F.min(b).alias(f"min_{b}"),
             F.max(b).alias(f"max_{b}"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# balanced training-shard assignment (export-stage bin packing)
+# ---------------------------------------------------------------------------
+
+
+def balanced_shards(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    weight_column: str = "n_tokens",
+    id_column: str = "doc_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Assign every row a ``shard`` in [0, n_shards) so per-shard
+    ``weight_column`` sums come out near-balanced — the export step
+    that turns a curated corpus into fixed-count training shards whose
+    sizes a data loader can prefetch uniformly.
+
+    True LPT bin packing is inherently sequential; the scalable
+    deterministic stand-in is STRIPED round-robin within weight-
+    magnitude buckets:
+
+    1. bucket ``__b = floor(log2(max(weight, 1)))`` — weights inside a
+       bucket are within 2x of each other, so count-balanced implies
+       sum-balanced to a 2x-per-bucket factor; ~40 buckets cover the
+       BIGINT range;
+    2. sub-stratify each bucket by a hash salt ``__s`` (``pmod(
+       xxhash64(id), salt_buckets)``) so the windows below stay
+       parallel even when one magnitude class holds most of the corpus
+       (the token_budget_select lesson: a window keyed by a low-
+       cardinality column alone collapses to few partitions);
+    3. ``row_number`` within (bucket, salt) ordered by id, offset by
+       the cumulative count of all PRECEDING (bucket, salt) groups —
+       a tiny groups frame, broadcast back — and take ``% n_shards``.
+       Striping continues across group boundaries instead of
+       restarting at shard 0, so per-shard COUNTS differ by at most 1
+       per group and the whole assignment replays exactly in SQL
+       (deterministic in (id, weight) — retries, engines, and the
+       oracle all agree).
+
+    Weights must be non-negative (token counts); weight 0/NULL rows
+    land in bucket 0 and cost nothing. Output: the input rows plus
+    ``shard`` (INT). Balance quality: per-shard sums differ by at most
+    one max-weight per (bucket, salt) group — measure with
+    ``shard_load_stats`` and raise ``salt_buckets`` if the corpus is
+    tiny relative to the group grid."""
+    if not isinstance(n_shards, int) or n_shards < 1:
+        raise ValueError(
+            f"balanced_shards: n_shards={n_shards!r} must be an int >= 1"
+        )
+    w = F.coalesce(F.col(weight_column).cast("long"), F.lit(0))
+    b = F.floor(F.log2(F.greatest(w, F.lit(1)))).cast("int")
+    s = F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)).cast("int")
+    rows = df.withColumn("__b", b).withColumn("__s", s)
+    groups = (
+        rows.groupBy("__b", "__s")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.sum("__n")
+            .over(Window.orderBy(F.col("__b").asc(), F.col("__s").asc()))
+            .cast("long")
+            - F.col("__n"),
+        )
+        .select("__b", "__s", "__offset")
+    )
+    wn = Window.partitionBy("__b", "__s").orderBy(F.col(id_column).asc())
+    return (
+        rows.join(F.broadcast(groups), ["__b", "__s"])
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.col("__offset") + F.row_number().over(wn) - 1,
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .drop("__b", "__s", "__offset")
+    )
+
+
+def shard_load_stats(
+    df: DataFrame,
+    *,
+    shard_column: str = "shard",
+    weight_column: str = "n_tokens",
+) -> DataFrame:
+    """One row per shard: row count and weight sum, plus the global
+    max/min shard-sum ratio replicated on every row (ppm, BIGINT — the
+    balance figure a pipeline asserts on before shipping shards)."""
+    per = df.groupBy(shard_column).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col(weight_column), F.lit(0)))
+        .cast("long")
+        .alias("weight_sum"),
+    )
+    stats = per.agg(
+        F.max("weight_sum").alias("__mx"), F.min("weight_sum").alias("__mn")
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        shard_column,
+        "n_rows",
+        "weight_sum",
+        (F.col("__mx") * 1_000_000 / F.greatest(F.col("__mn"), F.lit(1)))
+        .cast("long")
+        .alias("imbalance_ppm"),
     )

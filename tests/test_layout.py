@@ -127,3 +127,76 @@ def test_zorder_file_stats_matches_slicing_arithmetic(spark):
         # is a 16x16 aligned quadrant: BOTH dims bounded
         assert r["max_x"] - r["min_x"] <= 15
         assert r["max_y"] - r["min_y"] <= 15
+
+
+# ---------------------------------------------------------------------------
+# balanced training-shard assignment
+# ---------------------------------------------------------------------------
+
+
+def _shards_model(rows, n_shards, salt_hashes, salt_buckets=64):
+    """Independent python model of balanced_shards: same bucket/salt/
+    stripe arithmetic, plain loops (salt hashes supplied by Spark —
+    xxhash64 has no cheap python twin; everything downstream of the
+    hash is re-derived here)."""
+    import math
+
+    tagged = []
+    for doc_id, weight in rows:
+        w = max(int(weight or 0), 1)
+        b = int(math.floor(math.log2(w)))
+        s = salt_hashes[doc_id] % salt_buckets
+        tagged.append((b, s, doc_id, weight))
+    groups = sorted({(b, s) for b, s, *_ in tagged})
+    counts = {
+        g: sum(1 for b, s, *_ in tagged if (b, s) == g) for g in groups
+    }
+    offsets, acc = {}, 0
+    for g in groups:
+        offsets[g] = acc
+        acc += counts[g]
+    out = {}
+    for g in groups:
+        members = sorted(d for b, s, d, _w in tagged if (b, s) == g)
+        for rn, d in enumerate(members, start=1):
+            out[d] = (offsets[g] + rn - 1) % n_shards
+    return out
+
+
+def test_balanced_shards_matches_model_and_balances(spark):
+    from pyspark_unload_to_gcs_spark.operators.layout import (
+        balanced_shards,
+        shard_load_stats,
+    )
+
+    rows = [(d, (d * 37) % 1000 + (4000 if d % 7 == 0 else 1)) for d in range(500)]
+    rows += [(500, 0), (501, None)]  # zero/NULL weights cost nothing
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = balanced_shards(df, n_shards=8, weight_column="n_tokens")
+    out = {r["doc_id"]: r["shard"] for r in got.collect()}
+
+    salt = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("h")
+        ).collect()
+    }
+    want = _shards_model(rows, 8, salt)
+    assert out == want
+    assert set(out.values()) <= set(range(8))
+    assert len(out) == len(rows)  # every row assigned exactly once
+
+    stats = {
+        r["shard"]: (r["n_rows"], r["weight_sum"], r["imbalance_ppm"])
+        for r in shard_load_stats(got).collect()
+    }
+    assert len(stats) == 8
+    ppm = next(iter(stats.values()))[2]
+    # striped magnitude-bucket assignment: shard sums within 25% on
+    # this adversarial mix (nulls, zeros, 4000-token spikes every 7th)
+    assert ppm < 1_250_000
+    total = sum(v[1] for v in stats.values())
+    assert total == sum(w or 0 for _d, w in rows)
+
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(df, n_shards=0)
