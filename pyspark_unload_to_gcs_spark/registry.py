@@ -567,6 +567,17 @@ def _load_extensions() -> None:
 # vector_topk_pq, wav_decode_stats, zorder_layout) and then the
 # 26 alphabetically-first r09-only greens: 8 + 8 + 8 + 26 = 50.
 # Steady state: every query re-checked at least every third round.
+#
+# R14 STAGING CANDIDATES (library code + tests landed in r12; write
+# the registered rows + oracles when the r13 cohort promotes):
+# containment_stream_replay (streaming/containment.py — per-batch
+# decontamination against the frozen gram index, replay union ==
+# batch operator); audio_dup_pairs (operators/multimodal.py
+# ``audio_fingerprint`` — WAV decode → 64-window energy-contour hash
+# → the ahash byte-band join; closed-form synthesis gives a full
+# value oracle like image_ahash_dup_pairs); shard_balance_profile
+# (operators/layout.py ``balanced_shards``/``shard_load_stats`` —
+# deterministic striped assignment, exactly SQL-replayable).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
