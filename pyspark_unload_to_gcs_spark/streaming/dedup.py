@@ -26,11 +26,14 @@ contracts:
      with overwrite, so a retried batch rewrites the identical state
      instead of re-admitting rows.
 
-   State is the accumulated deduped output itself (simple, and what
-   the replay oracle reads back). At 100 TB the versioned rewrite is
-   the documented swap point: keep only the KEY INDEX as versioned
-   state and append accepted rows to an insert-only table/Delta sink —
-   the collapse/anti-join algebra is unchanged.
+   Two state layouts share the collapse/anti-join algebra:
+   ``dedup_batch`` keeps the accumulated deduped output itself as the
+   versioned state (simple, and what the replay oracle reads back;
+   O(corpus) rewrite per batch — fine while the accepted set is
+   small); ``dedup_batch_indexed`` is the 100 TB posture — versioned
+   state holds only the KEY INDEX and accepted rows append to an
+   insert-only table (``read_accepted``), so the payload is written
+   once and never rewritten.
 """
 
 from __future__ import annotations
@@ -94,20 +97,32 @@ def dedup_batch(
     """Fold one micro-batch: admit only first-seen keys (module
     docstring, contract 2). Deterministic in (state@<batch_id, batch
     rows)."""
-    import functools
+    spark = batch_df.sparkSession
+    collapsed = _collapse_batch(batch_df, key_columns, sequence_column)
+    prev = read_deduped(spark, state_path, before=batch_id)
+    if prev is None:
+        nxt = collapsed
+    else:
+        nxt = prev.unionByName(
+            _first_seen_rows(collapsed, prev, key_columns)
+        )
+    nxt.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
 
+
+def _collapse_batch(
+    batch_df: DataFrame, key_columns: Sequence[str], sequence_column: str
+) -> DataFrame:
+    """Deterministic within-batch collapse to the lowest-sequence row
+    per key (review finding): sequence alone leaves equal-(key, seq)
+    rows to shuffle order, so a foreachBatch RETRY could rewrite state
+    with a DIFFERENT winner — order by every remaining column after
+    the sequence (NULL seqs last: an untagged row must not beat
+    seq 0). Map-typed payloads are not orderable (AnalysisException at
+    plan time, r08 review finding): those columns tiebreak on
+    xxhash64(to_json(col)) instead — still deterministic per row
+    content, while orderable columns keep the min-row contract."""
     from pyspark.sql import Window
 
-    spark = batch_df.sparkSession
-    # deterministic within-batch collapse (review finding): sequence
-    # alone leaves equal-(key, seq) rows to shuffle order, so a
-    # foreachBatch RETRY could rewrite v=batch_id with a DIFFERENT
-    # winner — order by every remaining column after the sequence
-    # (NULL seqs last: an untagged row must not beat seq 0).
-    # Map-typed payloads are not orderable (AnalysisException at plan
-    # time, r08 review finding): those columns tiebreak on
-    # xxhash64(to_json(col)) instead — still deterministic per row
-    # content, while orderable columns keep the min-row contract.
     tiebreak = [
         F.col(f.name)
         if _orderable(f.dataType)
@@ -118,31 +133,31 @@ def dedup_batch(
     w = Window.partitionBy(*key_columns).orderBy(
         F.col(sequence_column).asc_nulls_last(), *tiebreak
     )
-    collapsed = (
+    return (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", sequence_column)
     )
-    prev = read_deduped(spark, state_path, before=batch_id)
-    if prev is None:
-        nxt = collapsed
-    else:
-        # NULL-SAFE anti-join (review finding): a plain equality anti-
-        # join lets NULL-key rows through in EVERY batch (NULL = NULL
-        # is NULL), re-admitting them forever while the window collapse
-        # above groups NULLs — eqNullSafe makes NULL a first-class key.
-        prev_keys = prev.select(
-            *[F.col(k).alias(f"__pk_{k}") for k in key_columns]
-        )
-        cond = functools.reduce(
-            lambda a, b: a & b,
-            [
-                collapsed[k].eqNullSafe(prev_keys[f"__pk_{k}"])
-                for k in key_columns
-            ],
-        )
-        nxt = prev.unionByName(collapsed.join(prev_keys, cond, "left_anti"))
-    nxt.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+
+
+def _first_seen_rows(
+    collapsed: DataFrame, prev_keys: DataFrame, key_columns: Sequence[str]
+) -> DataFrame:
+    """The collapsed rows whose keys are NOT in ``prev_keys`` —
+    NULL-SAFE anti-join (review finding): a plain equality anti-join
+    lets NULL-key rows through in EVERY batch (NULL = NULL is NULL),
+    re-admitting them forever while the window collapse groups NULLs —
+    eqNullSafe makes NULL a first-class key."""
+    import functools
+
+    pk = prev_keys.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in key_columns]
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [collapsed[k].eqNullSafe(pk[f"__pk_{k}"]) for k in key_columns],
+    )
+    return collapsed.join(pk, cond, "left_anti")
 
 
 def start_streaming_dedup(
@@ -168,3 +183,74 @@ def start_streaming_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# key-index mode: the 100 TB posture of contract 2
+# ---------------------------------------------------------------------------
+
+
+def dedup_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    key_columns: Sequence[str],
+    sequence_column: str,
+    state_path: str,
+) -> None:
+    """``dedup_batch`` with the module docstring's documented swap
+    point made real: versioned state holds ONLY the key index
+    (``<state>/keys/v=<b>`` — the narrow columns the anti-join needs),
+    and accepted rows land in an append-only table
+    (``<state>/accepted/b=<b>``, one idempotent overwrite per batch).
+    Per-batch cost is O(keys rewrite + batch) — the PAYLOAD is written
+    once and never rewritten, which is the difference between a
+    maintainable 100 TB corpus and rewriting the corpus every
+    micro-batch (``dedup_batch`` rewrites the full accumulated output,
+    fine while the accepted set is small, ruinous at scale).
+
+    Exactly-once across retries, same protocol: both writes derive
+    only from (keys@<batch_id, batch rows), so a retried batch
+    rewrites the identical accepted slice and the identical key
+    version — whichever of the two writes the crash interrupted."""
+    spark = batch_df.sparkSession
+    collapsed = _collapse_batch(batch_df, key_columns, sequence_column)
+    prev_keys = read_state(spark, os.path.join(state_path, "keys"), before=batch_id)
+    admitted = (
+        collapsed
+        if prev_keys is None
+        else _first_seen_rows(collapsed, prev_keys, key_columns)
+    )
+    # two consumers (accepted write + key-version write) — one compute
+    admitted = admitted.localCheckpoint(eager=False)
+    admitted.write.mode("overwrite").parquet(
+        os.path.join(state_path, "accepted", f"b={batch_id}")
+    )
+    nxt_keys = admitted.select(*key_columns)
+    if prev_keys is not None:
+        nxt_keys = prev_keys.unionByName(nxt_keys)
+    nxt_keys.write.mode("overwrite").parquet(
+        os.path.join(state_path, "keys", f"v={batch_id}")
+    )
+
+
+def read_accepted(
+    spark: SparkSession, state_path: str
+) -> DataFrame | None:
+    """The accepted (deduped) rows of the key-index mode: the union of
+    every COMMITTED ``accepted/b=<b>`` slice (the _SUCCESS gate of
+    rollup._versions — a torn write must not surface). Returns None
+    before any batch committed."""
+    import glob as _glob
+    import re as _re
+
+    pat = _re.compile(r"b=(\d+)$")
+    dirs = sorted(
+        (int(m.group(1)), d)
+        for d in _glob.glob(os.path.join(state_path, "accepted", "b=*"))
+        if (m := pat.search(d))
+        and os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*[d for _b, d in dirs])

@@ -1694,3 +1694,87 @@ def test_containment_index_build_refuses_empty(spark, tmp_path):
         containment_index_build(
             empty, "doc_id", str(tmp_path / "cs4"), shingle_n=0
         )
+
+
+def test_indexed_dedup_matches_full_mode_and_retries(spark, sf_dir, tmp_path):
+    """Key-index mode (streaming/dedup.py ``dedup_batch_indexed``):
+    the SAME poisoned 2-batch sequence must accept exactly the rows
+    the full-state mode accepts, the versioned state must hold ONLY
+    the key columns (the payload is append-only, never rewritten),
+    NULL keys stay first-class, and a retried fold leaves both the
+    accepted table and the key index identical."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch_indexed,
+        read_accepted,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.rollup import read_state
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    state = str(tmp_path / "idx_dedup_state")
+    poison = ev.withColumn("value", F.col("value") + 1000.0)
+    b0 = ev.filter(F.col("event_id") % 2 == 0).withColumn("__seq", F.lit(0))
+    b1 = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("__seq", F.lit(0))
+        .unionByName(
+            poison.filter(F.col("event_id") % 4 == 0).withColumn(
+                "__seq", F.lit(1)
+            )
+        )
+        .unionByName(
+            poison.filter(
+                (F.col("event_id") % 2 == 1) & (F.col("event_id") % 9 == 0)
+            ).withColumn("__seq", F.lit(1))
+        )
+    )
+    assert read_accepted(spark, state) is None
+    for i, b in enumerate((b0, b1)):
+        dedup_batch_indexed(
+            b, i, key_columns=["event_id"], sequence_column="__seq",
+            state_path=state,
+        )
+    got = {r["event_id"]: r["value"] for r in read_accepted(spark, state).collect()}
+    want = {r["event_id"]: r["value"] for r in ev.collect()}
+    assert got == want  # identical accept decisions to the full mode
+
+    # the versioned state is the key index alone — payload stays out
+    keys_state = read_state(spark, f"{state}/keys")
+    assert keys_state.columns == ["event_id"]
+    assert keys_state.count() == len(want)
+
+    # retry the last fold twice: accepted table and key index unchanged
+    for _ in range(2):
+        dedup_batch_indexed(
+            b1, 1, key_columns=["event_id"], sequence_column="__seq",
+            state_path=state,
+        )
+    again = {r["event_id"]: r["value"] for r in read_accepted(spark, state).collect()}
+    assert again == want
+    assert read_state(spark, f"{state}/keys").count() == len(want)
+
+
+def test_indexed_dedup_null_keys(spark, tmp_path):
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch_indexed,
+        read_accepted,
+    )
+
+    state = str(tmp_path / "idx_null_state")
+    b0 = spark.createDataFrame(
+        [(None, 1.0, 0), (5, 2.0, 0)], "k int, v double, __seq int"
+    )
+    b1 = spark.createDataFrame(
+        [(None, 101.0, 1), (7, 30.0, 0)], "k int, v double, __seq int"
+    )
+    dedup_batch_indexed(
+        b0, 0, key_columns=["k"], sequence_column="__seq", state_path=state
+    )
+    dedup_batch_indexed(
+        b1, 1, key_columns=["k"], sequence_column="__seq", state_path=state
+    )
+    got = {r["k"]: r["v"] for r in read_accepted(spark, state).collect()}
+    assert got == {None: 1.0, 5: 2.0, 7: 30.0}
