@@ -577,6 +577,8 @@ def numeric_drift_psi(
     baseline,
     *,
     n_bins: int = 10,
+    edges: str = "exact",
+    kll_k: int = 16384,
 ):
     """Dataset-drift monitor for a NUMERIC column — the binned PSI that
     completes ``categorical_drift_psi``: bin edges are the baseline
@@ -599,56 +601,93 @@ def numeric_drift_psi(
 
     Cost: two passes — one over the baseline slice for edges (shuffle
     carries distinct values only), one over the frame for binned
-    conditional counts. At extreme scale swap the exact edge pass for
-    a KLL sketch (operators/sketches.py) — same output schema, one
-    mergeable pass; the exact form is the oracle posture.
+    conditional counts. ``edges="kll"`` is the extreme-scale arm: one
+    MERGEABLE sketch aggregation replaces the distinct-value edge pass
+    (near-unique doubles at 100 TB make "distinct values only" the
+    whole corpus), same output schema; a KLL sketch is EXACT below its
+    retained-item capacity (``kll_k``), so at driver scale the two
+    arms agree and the exact form stays the oracle posture.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
     if n_bins < 2:
         raise ValueError(f"numeric_drift_psi: n_bins={n_bins} must be >= 2")
-    v = _F.col(value_column)
-    bvals = (
-        df.filter(baseline & v.isNotNull())
-        .groupBy(value_column)
-        .agg(_F.count(_F.lit(1)).alias("__c"))
-    )
-    cum = bvals.select(
-        value_column,
-        _F.sum("__c").over(
-            Window.orderBy(value_column).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ).alias("__cum"),
-        _F.sum("__c").over(Window.partitionBy()).alias("__n"),
-    )
-    edges = cum.agg(
-        _F.array(
-            *[
-                _F.min(
-                    _F.when(
-                        _F.col("__cum")
-                        >= _F.expr(f"(__n * {i} + {n_bins - 1}) div {n_bins}"),
-                        v,
-                    )
-                )
-                for i in range(1, n_bins)
-            ]
-        ).alias("__edges")
-    )
-    # an EMPTY baseline slice leaves every edge NULL and would bin the
-    # whole current slice into bin 0 — ten rows of smoothing-only terms
-    # that LOOK computed; raise IN-PLAN instead (a non-empty baseline
-    # always yields at least one non-NULL edge, since rank targets are
-    # <= n). The raise branch is cast to the edges' own array type so
-    # the when/otherwise unifies for any numeric value column.
-    edges_type = edges.schema["__edges"].dataType
-    edges = edges.select(
-        _F.when(
-            _F.size(_F.filter(_F.col("__edges"), lambda b: b.isNotNull())) > 0,
-            _F.col("__edges"),
+    if edges not in ("exact", "kll"):
+        raise ValueError(
+            f"numeric_drift_psi: edges={edges!r} must be 'exact' or 'kll'"
         )
+    v = _F.col(value_column)
+    if edges == "kll":
+        sk = (
+            df.filter(baseline & v.isNotNull())
+            .agg(
+                _F.kll_sketch_agg_double(
+                    v.cast("double"), _F.lit(kll_k)
+                ).alias("__sk")
+            )
+        )
+        # CaseWhen branches evaluate lazily — the guard must wrap the
+        # array build itself, or get_quantile on an n=0 sketch throws
+        # KLL_INVALID_INPUT before the raise_error contract below fires
+        edge_frame = sk.select(
+            _F.when(
+                _F.kll_sketch_get_n_double("__sk") > 0,
+                _F.array(
+                    *[
+                        _F.kll_sketch_get_quantile_double(
+                            _F.col("__sk"), _F.lit(i / n_bins)
+                        )
+                        for i in range(1, n_bins)
+                    ]
+                ),
+            ).alias("__edges")
+        )
+        nonempty = _F.col("__edges").isNotNull()
+    else:
+        bvals = (
+            df.filter(baseline & v.isNotNull())
+            .groupBy(value_column)
+            .agg(_F.count(_F.lit(1)).alias("__c"))
+        )
+        cum = bvals.select(
+            value_column,
+            _F.sum("__c").over(
+                Window.orderBy(value_column).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("__cum"),
+            _F.sum("__c").over(Window.partitionBy()).alias("__n"),
+        )
+        edge_frame = cum.agg(
+            _F.array(
+                *[
+                    _F.min(
+                        _F.when(
+                            _F.col("__cum")
+                            >= _F.expr(f"(__n * {i} + {n_bins - 1}) div {n_bins}"),
+                            v,
+                        )
+                    )
+                    for i in range(1, n_bins)
+                ]
+            ).alias("__edges")
+        )
+        # a non-empty baseline always yields at least one non-NULL
+        # edge, since rank targets are <= n
+        nonempty = (
+            _F.size(_F.filter(_F.col("__edges"), lambda b: b.isNotNull()))
+            > 0
+        )
+    # an EMPTY baseline slice leaves every edge NULL (exact arm) or an
+    # n=0 sketch (kll arm) and would bin the whole current slice into
+    # bin 0 — ten rows of smoothing-only terms that LOOK computed;
+    # raise IN-PLAN instead. The raise branch is cast to the edges' own
+    # array type so the when/otherwise unifies for any numeric value
+    # column.
+    edges_type = edge_frame.schema["__edges"].dataType
+    edges = edge_frame.select(
+        _F.when(nonempty, _F.col("__edges"))
         .otherwise(
             _F.raise_error(
                 _F.lit(

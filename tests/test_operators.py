@@ -1374,6 +1374,44 @@ def test_numeric_psi_shift_detected_and_nulls_excluded(spark):
     assert all(r["psi_term_r"] >= 0 for r in out)
 
 
+def test_numeric_psi_kll_arm_matches_exact_below_capacity(spark):
+    """The mergeable-sketch edge arm (edges='kll'): EXACT below the
+    sketch's retained-item capacity (the sketches-module contract), so
+    on driver-scale data the two arms must emit identical rows — and
+    the empty-baseline raise and argument validation carry over."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        numeric_drift_psi,
+    )
+
+    rows = (
+        [(float((i * 37) % 250), i % 3 == 0) for i in range(600)]
+        + [(None, True), (None, False)]
+    )
+    df = spark.createDataFrame(rows, "v double, base boolean")
+    exact = sorted(
+        tuple(r) for r in numeric_drift_psi(df, "v", F.col("base")).collect()
+    )
+    kll = sorted(
+        tuple(r)
+        for r in numeric_drift_psi(
+            df, "v", F.col("base"), edges="kll"
+        ).collect()
+    )
+    assert exact == kll
+    # a tiny capacity forces the estimating regime: still a full valid
+    # profile (10 bins, all mass accounted), just approximate edges
+    est = numeric_drift_psi(
+        df, "v", F.col("base"), edges="kll", kll_k=8
+    ).collect()
+    assert len(est) == 10
+    assert sum(r["n_a"] for r in est) == 200
+    assert sum(r["n_b"] for r in est) == 400
+    with pytest.raises(ValueError, match="edges"):
+        numeric_drift_psi(df, "v", F.col("base"), edges="sketch")
+    with pytest.raises(Exception, match="no non-NULL"):
+        numeric_drift_psi(df, "v", F.lit(False), edges="kll").collect()
+
+
 def test_drift_batch_refuses_empty_bootstrap_and_unions_null_category(
     spark, tmp_path
 ):
