@@ -168,11 +168,16 @@ def start_streaming_dedup(
     state_path: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    indexed: bool = False,
 ):
     """Continuously admit first-seen rows from a stream; returns the
-    StreamingQuery. ``read_deduped`` serves the accepted set."""
+    StreamingQuery. ``indexed=False`` folds via ``dedup_batch`` (read
+    back with ``read_deduped``); ``indexed=True`` is the key-index /
+    append-only layout (``dedup_batch_indexed`` / ``read_accepted``) —
+    the posture for corpora too large to rewrite per batch."""
+    fold = dedup_batch_indexed if indexed else dedup_batch
     writer = stream_df.writeStream.foreachBatch(
-        lambda bdf, bid: dedup_batch(
+        lambda bdf, bid: fold(
             bdf,
             bid,
             key_columns=key_columns,

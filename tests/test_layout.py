@@ -200,3 +200,40 @@ def test_balanced_shards_matches_model_and_balances(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         balanced_shards(df, n_shards=0)
+
+
+def test_balanced_shards_fuzz_matches_model(spark):
+    """Hypothesis fuzz of the stripe arithmetic: random weights
+    (including zeros and clustered magnitudes) and shard counts must
+    reproduce the python model exactly — any off-by-one in the group
+    offsets or the rn-1 stripe base shows up as a shifted assignment."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.layout import balanced_shards
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        weights=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+        ),
+        n_shards=st.integers(min_value=1, max_value=9),
+    )
+    def run(weights, n_shards):
+        rows = list(enumerate(weights))
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in balanced_shards(
+                df, n_shards=n_shards, weight_column="n_tokens"
+            ).collect()
+        }
+        salt = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("h")
+            ).collect()
+        }
+        assert got == _shards_model(rows, n_shards, salt)
+
+    run()

@@ -1778,3 +1778,40 @@ def test_indexed_dedup_null_keys(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in read_accepted(spark, state).collect()}
     assert got == {None: 1.0, 5: 2.0, 7: 30.0}
+
+
+def test_indexed_dedup_under_true_readstream(
+    spark, events_stream_dir, events_schema, tmp_path
+):
+    """start_streaming_dedup(indexed=True) under a REAL readStream:
+    the file stream redelivers nothing here, so the accepted table
+    must equal the full input — and the key index must be exactly the
+    input's key set held in narrow columns."""
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        read_accepted,
+        start_streaming_dedup,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.rollup import read_state
+    from pyspark_unload_to_gcs_spark.streaming.sources import stream_parquet_dir
+
+    state = str(tmp_path / "idx_stream_state")
+    stream = stream_parquet_dir(
+        spark, events_stream_dir, events_schema, max_files_per_trigger=1
+    ).withColumn("__seq", F.lit(0))
+    q = start_streaming_dedup(
+        stream,
+        key_columns=["event_id"],
+        sequence_column="__seq",
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "idx_stream_ckpt"),
+        indexed=True,
+    )
+    q.awaitTermination(120)
+
+    src = spark.read.parquet(events_stream_dir)
+    accepted = read_accepted(spark, state)
+    assert accepted.count() == src.count()
+    assert set(accepted.columns) == set(src.columns)
+    keys = read_state(spark, f"{state}/keys")
+    assert keys.columns == ["event_id"]
+    assert keys.count() == src.select("event_id").distinct().count()
