@@ -617,27 +617,46 @@ def numeric_drift_psi(
         raise ValueError(
             f"numeric_drift_psi: edges={edges!r} must be 'exact' or 'kll'"
         )
+    if edges == "kll" and not (8 <= kll_k <= 65535):
+        # the DataSketches parameter range — out-of-range k fails deep
+        # inside the sketch with a cryptic error
+        raise ValueError(
+            f"numeric_drift_psi: kll_k={kll_k!r} must be in [8, 65535]"
+        )
     v = _F.col(value_column)
     if edges == "kll":
-        sk = (
-            df.filter(baseline & v.isNotNull())
-            .agg(
-                _F.kll_sketch_agg_double(
-                    v.cast("double"), _F.lit(kll_k)
-                ).alias("__sk")
-            )
+        from pyspark.sql import types as _T
+
+        # integral columns ride the BIGINT sketch: the double sketch
+        # rounds values past 2^53, perturbing edges and breaking the
+        # "arms agree below capacity" contract on id-like/nanosecond
+        # columns (review r12)
+        integral = isinstance(
+            df.schema[value_column].dataType,
+            (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+        )
+        if integral:
+            agg_fn = _F.kll_sketch_agg_bigint
+            n_fn = _F.kll_sketch_get_n_bigint
+            q_fn = _F.kll_sketch_get_quantile_bigint
+            vcast = v.cast("bigint")
+        else:
+            agg_fn = _F.kll_sketch_agg_double
+            n_fn = _F.kll_sketch_get_n_double
+            q_fn = _F.kll_sketch_get_quantile_double
+            vcast = v.cast("double")
+        sk = df.filter(baseline & v.isNotNull()).agg(
+            agg_fn(vcast, _F.lit(kll_k)).alias("__sk")
         )
         # CaseWhen branches evaluate lazily — the guard must wrap the
         # array build itself, or get_quantile on an n=0 sketch throws
         # KLL_INVALID_INPUT before the raise_error contract below fires
         edge_frame = sk.select(
             _F.when(
-                _F.kll_sketch_get_n_double("__sk") > 0,
+                n_fn("__sk") > 0,
                 _F.array(
                     *[
-                        _F.kll_sketch_get_quantile_double(
-                            _F.col("__sk"), _F.lit(i / n_bins)
-                        )
+                        q_fn(_F.col("__sk"), _F.lit(i / n_bins))
                         for i in range(1, n_bins)
                     ]
                 ),

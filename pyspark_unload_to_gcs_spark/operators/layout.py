@@ -172,8 +172,20 @@ def balanced_shards(
         raise ValueError(
             f"balanced_shards: n_shards={n_shards!r} must be an int >= 1"
         )
+    if not isinstance(salt_buckets, int) or salt_buckets < 1:
+        raise ValueError(
+            f"balanced_shards: salt_buckets={salt_buckets!r} must be an "
+            "int >= 1"
+        )
     w = F.coalesce(F.col(weight_column).cast("long"), F.lit(0))
-    b = F.floor(F.log2(F.greatest(w, F.lit(1)))).cast("int")
+    # EXACT bucket = bit_length - 1 via the binary string: a float
+    # log2 misclassifies power-of-two boundaries (floor(log2(2^48-1))
+    # evaluates to 48, not 47 — review r12), which would both break
+    # the within-2x bucket invariant and diverge from integer-exact
+    # replays
+    b = (
+        F.length(F.conv(F.greatest(w, F.lit(1)), 10, 2)) - F.lit(1)
+    ).cast("int")
     s = F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)).cast("int")
     rows = df.withColumn("__b", b).withColumn("__s", s)
     groups = (
@@ -224,7 +236,14 @@ def shard_load_stats(
         shard_column,
         "n_rows",
         "weight_sum",
-        (F.col("__mx") * 1_000_000 / F.greatest(F.col("__mn"), F.lit(1)))
+        # DECIMAL(38,0) before the x1e6: a BIGINT product overflows
+        # once a shard holds ~9.2e12 weight — ANSI crash, or a silent
+        # negative ppm that passes balance gates (review r12)
+        (
+            F.col("__mx").cast("decimal(38,0)")
+            * 1_000_000
+            / F.greatest(F.col("__mn"), F.lit(1))
+        )
         .cast("long")
         .alias("imbalance_ppm"),
     )

@@ -630,7 +630,10 @@ def _hash64_map(
     """Shared mapInPandas wrapper of the 64-bit fingerprint family
     (``image_ahash``, ``audio_fingerprint``): per payload, ``bits_fn``
     maps raw bytes to an int in [0, 2^64), split into the schema's
-    (hi, lo) BIGINT halves."""
+    (hi, lo) BIGINT halves; the id lands under the schema's own first
+    field name (hardcoding it would NaN-fill a differently-named id —
+    review r12)."""
+    out_id = schema.fields[0].name
     hi_name, lo_name = schema.fields[1].name, schema.fields[2].name
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -642,7 +645,7 @@ def _hash64_map(
                 bits = bits_fn(bytes(raw))
                 rows.append(
                     {
-                        "doc_id": int(i),
+                        out_id: int(i),
                         hi_name: bits >> 32,
                         lo_name: bits & 0xFFFFFFFF,
                     }

@@ -75,9 +75,10 @@ def containment_index_build(
             f"containment_index_build: threshold_pct={threshold_pct!r} "
             "must be an int in (0, 100]"
         )
-    # n_buckets < 1 would make pmod() NULL on every posting — the two
-    # sides' bucket columns then never agree and the stream matches
-    # nothing forever while looking live (review r12)
+    # n_buckets < 1 makes pmod() throw REMAINDER_BY_ZERO at execution
+    # under ANSI (or NULL every bucket with ANSI off, where the two
+    # sides' buckets never agree and the stream silently matches
+    # nothing) — refuse with a clear error at call time (review r12)
     if not isinstance(n_buckets, int) or n_buckets < 1:
         raise ValueError(
             f"containment_index_build: n_buckets={n_buckets!r} must be "
@@ -206,9 +207,17 @@ def containment_match_batch(
     )
 
 
-def read_matches(spark: SparkSession, state_path: str) -> DataFrame:
+def read_matches(spark: SparkSession, state_path: str) -> DataFrame | None:
     """All batches' match rows as one frame (batch_id is a data
-    column; the ``b=`` partition directory is dropped)."""
-    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+    column). Only COMMITTED ``matches/b=<id>`` slices are read (the
+    shared _SUCCESS gate of rollup.committed_dirs — a torn overwrite
+    must not surface partial matches that LOOK computed, review r12);
+    None before any batch committed."""
+    import os as _os
 
-    return spark.read.parquet(_sub(state_path, "matches")).drop("b")
+    from pyspark_unload_to_gcs_spark.streaming.rollup import committed_dirs
+
+    dirs = committed_dirs(_os.path.join(state_path, "matches"), "b")
+    if not dirs:
+        return None
+    return spark.read.parquet(*[d for _b, d in dirs]).drop("b")

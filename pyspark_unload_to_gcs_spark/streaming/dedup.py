@@ -243,19 +243,12 @@ def read_accepted(
     spark: SparkSession, state_path: str
 ) -> DataFrame | None:
     """The accepted (deduped) rows of the key-index mode: the union of
-    every COMMITTED ``accepted/b=<b>`` slice (the _SUCCESS gate of
-    rollup._versions — a torn write must not surface). Returns None
-    before any batch committed."""
-    import glob as _glob
-    import re as _re
+    every COMMITTED ``accepted/b=<b>`` slice (the shared _SUCCESS gate
+    of rollup.committed_dirs — a torn write must not surface). Returns
+    None before any batch committed."""
+    from pyspark_unload_to_gcs_spark.streaming.rollup import committed_dirs
 
-    pat = _re.compile(r"b=(\d+)$")
-    dirs = sorted(
-        (int(m.group(1)), d)
-        for d in _glob.glob(os.path.join(state_path, "accepted", "b=*"))
-        if (m := pat.search(d))
-        and os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
+    dirs = committed_dirs(os.path.join(state_path, "accepted"), "b")
     if not dirs:
         return None
     return spark.read.parquet(*[d for _b, d in dirs])

@@ -32,21 +32,28 @@ from pyspark_unload_to_gcs_spark.operators.incremental import (
     merge_aggregate_states,
 )
 
-_VERSION_RE = re.compile(r"v=(\d+)$")
+def committed_dirs(state_path: str, prefix: str) -> list[tuple[int, str]]:
+    """COMMITTED ``<prefix>=<n>`` state directories under
+    ``state_path``, sorted by n. The commit marker is the _SUCCESS
+    file Spark's FileOutputCommitter writes LAST: gating on 'some
+    *.parquet exists' would count a torn multi-file write (crash
+    mid-write: some part files landed, no _SUCCESS) as committed and
+    read partial state (r06 review). A retried overwrite deletes the
+    old dir contents first, so a slice is never half-new-half-old.
+    Shared by the ``v=`` versioned-state readers here and the ``b=``
+    append-only slice readers (dedup ``read_accepted``, containment
+    ``read_matches``) so the commit-gate protocol can't fork."""
+    pat = re.compile(rf"{re.escape(prefix)}=(\d+)$")
+    return sorted(
+        (int(m.group(1)), d)
+        for d in glob.glob(os.path.join(state_path, f"{prefix}=*"))
+        if (m := pat.search(d)) and os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
 
 
 def _versions(state_path: str) -> list[int]:
-    """COMMITTED state versions. The commit marker is the _SUCCESS file
-    Spark's FileOutputCommitter writes LAST: gating on 'some *.parquet
-    exists' would count a torn multi-file write (crash mid-write: some
-    part files landed, no _SUCCESS) as committed and fold/finalize from
-    partial state (r06 review). A retried overwrite deletes the old dir
-    contents first, so a version is never half-new-half-old."""
-    return sorted(
-        int(m.group(1))
-        for d in glob.glob(os.path.join(state_path, "v=*"))
-        if (m := _VERSION_RE.search(d)) and os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
+    """COMMITTED state versions (see ``committed_dirs``)."""
+    return [n for n, _d in committed_dirs(state_path, "v")]
 
 
 def read_state(spark: SparkSession, state_path: str, *, before: int | None = None) -> DataFrame | None:

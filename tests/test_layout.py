@@ -139,12 +139,10 @@ def _shards_model(rows, n_shards, salt_hashes, salt_buckets=64):
     stripe arithmetic, plain loops (salt hashes supplied by Spark —
     xxhash64 has no cheap python twin; everything downstream of the
     hash is re-derived here)."""
-    import math
-
     tagged = []
     for doc_id, weight in rows:
         w = max(int(weight or 0), 1)
-        b = int(math.floor(math.log2(w)))
+        b = w.bit_length() - 1  # exact floor(log2(w)) — never the float
         s = salt_hashes[doc_id] % salt_buckets
         tagged.append((b, s, doc_id, weight))
     groups = sorted({(b, s) for b, s, *_ in tagged})
@@ -200,6 +198,50 @@ def test_balanced_shards_matches_model_and_balances(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         balanced_shards(df, n_shards=0)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        balanced_shards(df, n_shards=8, salt_buckets=0)
+
+
+def test_balanced_shards_boundary_weights_and_ppm_no_overflow(spark):
+    """Review r12 regressions: (a) bucket arithmetic must be the exact
+    integer bit length — float log2 misbuckets 2^48-1 into bucket 48
+    and diverges from replays; (b) imbalance_ppm must survive shard
+    sums past ~9.2e12, where a BIGINT x1e6 product overflows (ANSI
+    crash / silent negative ppm)."""
+    from pyspark_unload_to_gcs_spark.operators.layout import (
+        balanced_shards,
+        shard_load_stats,
+    )
+
+    rows = [
+        (0, 2**48 - 1),
+        (1, 2**48),
+        (2, 2**53 + 1),
+        (3, 2**53 - 1),
+        (4, 7),
+        (5, 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in balanced_shards(df, n_shards=3).collect()
+    }
+    salt = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("h")
+        ).collect()
+    }
+    assert got == _shards_model(rows, 3, salt)
+
+    big = spark.createDataFrame(
+        [(i, 10**13 + i) for i in range(4)], "doc_id long, n_tokens long"
+    )
+    stats = shard_load_stats(
+        balanced_shards(big, n_shards=2, salt_buckets=1)
+    ).collect()
+    assert sum(r["weight_sum"] for r in stats) == 4 * 10**13 + 6
+    assert all(r["imbalance_ppm"] >= 1_000_000 for r in stats)
 
 
 def test_balanced_shards_fuzz_matches_model(spark):

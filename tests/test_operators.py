@@ -1408,8 +1408,28 @@ def test_numeric_psi_kll_arm_matches_exact_below_capacity(spark):
     assert sum(r["n_b"] for r in est) == 400
     with pytest.raises(ValueError, match="edges"):
         numeric_drift_psi(df, "v", F.col("base"), edges="sketch")
+    with pytest.raises(ValueError, match="kll_k"):
+        numeric_drift_psi(df, "v", F.col("base"), edges="kll", kll_k=4)
     with pytest.raises(Exception, match="no non-NULL"):
         numeric_drift_psi(df, "v", F.lit(False), edges="kll").collect()
+
+    # integral columns past 2^53 ride the BIGINT sketch — a double
+    # sketch would round the values, perturb edges, and break the
+    # arms-agree contract (review r12)
+    big = spark.createDataFrame(
+        [(2**53 + i * 3 + 1, i % 2 == 0) for i in range(200)],
+        "v long, base boolean",
+    )
+    exact_big = sorted(
+        tuple(r) for r in numeric_drift_psi(big, "v", F.col("base")).collect()
+    )
+    kll_big = sorted(
+        tuple(r)
+        for r in numeric_drift_psi(
+            big, "v", F.col("base"), edges="kll"
+        ).collect()
+    )
+    assert exact_big == kll_big
 
 
 def test_drift_batch_refuses_empty_bootstrap_and_unions_null_category(
