@@ -75,3 +75,144 @@ def l_diversity_profile(
         )
         .withColumn("at_risk", F.col("n_distinct_sensitive") < F.lit(int(l)))
     )
+
+
+# ---------------------------------------------------------------------------
+# memorization canaries (Carlini et al. 2019 "secret sharer" — public)
+# ---------------------------------------------------------------------------
+
+_CANARY_PREFIX = "zqcanary"
+_CANARY_HEX = 12
+_CANARY_RE = f"{_CANARY_PREFIX}[0-9a-f]{{{_CANARY_HEX}}}"
+
+
+def _canary_token(id_col, secret: str):
+    """The per-document canary token: a fixed lowercase prefix (never
+    produced by natural tokenization of the fixtures or any English
+    text) + the md5 of (id, secret). Deterministic in (id, secret) —
+    retries, engines, and the survival join all regenerate it."""
+    return F.concat(
+        F.lit(_CANARY_PREFIX),
+        F.substring(
+            F.md5(F.concat(id_col.cast("string"), F.lit(":"), F.lit(secret))),
+            1,
+            _CANARY_HEX,
+        ),
+    )
+
+
+def plant_canaries(
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    rate_ppm: int,
+    secret: str,
+) -> DataFrame:
+    """Append a unique canary token to a deterministic ``rate_ppm``
+    slice of documents — the secret-sharer memorization probe (Carlini
+    et al. 2019) and, just as usefully, a PIPELINE-SURVIVAL tracer:
+    plant before cleaning/dedup/sampling, run ``canary_survival``
+    after, and every stage that should (or should not) drop planted
+    documents is measured instead of assumed.
+
+    Selection is the md5-prefix threshold of ``deterministic_split``
+    (hash of id+secret against rate_ppm/1e6), so planting is a narrow
+    map — no shuffle, stable under retries; the canary manifest is
+    re-derivable from (corpus, secret) alone via ``canary_manifest``,
+    never stored state. Documents keep their id; only the text
+    mutates."""
+    if not isinstance(rate_ppm, int) or not (0 < rate_ppm <= 1_000_000):
+        raise ValueError(
+            f"plant_canaries: rate_ppm={rate_ppm!r} must be an int in "
+            "(0, 1e6]"
+        )
+    sel = _canary_selector(F.col(id_column), rate_ppm, secret)
+    token = _canary_token(F.col(id_column), secret)
+    return df.withColumn(
+        text_column,
+        F.when(
+            sel, F.concat(F.col(text_column), F.lit(" "), token)
+        ).otherwise(F.col(text_column)),
+    )
+
+
+def _canary_selector(id_col, rate_ppm: int, secret: str):
+    """Deterministic ppm-rate selection: the first 6 hex digits of
+    md5(id|select|secret) as an integer in [0, 16^6) against the
+    ppm-scaled threshold (16^6 = 16.7M buckets — granular enough that
+    integer rounding keeps rates granular even at 1 ppm)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(id_col.cast("string"), F.lit("|select|"), F.lit(secret))
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # threshold folded in PYTHON: as column literals the product is an
+    # INT*INT that overflows 32 bits under ANSI constant folding
+    return h * 1_000_000 < F.lit(rate_ppm * 16**6)
+
+
+def canary_manifest(
+    df: DataFrame, id_column: str, *, rate_ppm: int, secret: str
+) -> DataFrame:
+    """The (id, canary) rows ``plant_canaries`` would inject for this
+    corpus — same selector, same token arithmetic (one shared code
+    path), so the manifest can be regenerated at audit time from the
+    ORIGINAL corpus and the secret without ever persisting it."""
+    sel = _canary_selector(F.col(id_column), rate_ppm, secret)
+    return df.filter(sel).select(
+        F.col(id_column),
+        _canary_token(F.col(id_column), secret).alias("canary"),
+    )
+
+
+def detect_canaries(
+    df: DataFrame, id_column: str, text_column: str
+) -> DataFrame:
+    """Every canary token found anywhere in ``text_column`` (one row
+    per (document, distinct canary)) — documents may carry FOREIGN
+    canaries after concatenation/packing stages, which is exactly the
+    leakage the probe exists to see."""
+    return (
+        df.select(
+            F.col(id_column),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.col(text_column), F.lit(_CANARY_RE), 0
+                    )
+                )
+            ).alias("canary"),
+        )
+    )
+
+
+def canary_survival(
+    processed: DataFrame,
+    manifest: DataFrame,
+    id_column: str,
+    text_column: str,
+) -> DataFrame:
+    """Per planted canary: did it survive the pipeline, and in WHICH
+    document does it now live (NULL survivor id = scrubbed). The
+    manifest side is audit-sized (rate_ppm of the corpus) — broadcast
+    left join against the detections."""
+    found = detect_canaries(processed, id_column, text_column).select(
+        F.col(id_column).alias("found_in"), "canary"
+    )
+    return (
+        F.broadcast(manifest)
+        .join(found, "canary", "left")
+        .select(
+            "canary",
+            F.col(manifest.columns[0]).alias("planted_in"),
+            "found_in",
+            F.col("found_in").isNotNull().alias("survived"),
+        )
+    )

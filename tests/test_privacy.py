@@ -59,3 +59,96 @@ def test_empty_quasi_rejected(people):
         k_anonymity_profile(people, [], k=3)
     with pytest.raises(ValueError):
         l_diversity_profile(people, [], "dx", l=2)
+
+
+# ---------------------------------------------------------------------------
+# memorization canaries
+# ---------------------------------------------------------------------------
+
+
+def test_canary_plant_detect_survival_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.privacy import (
+        canary_manifest,
+        canary_survival,
+        detect_canaries,
+        plant_canaries,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"plain text of document {i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    planted = plant_canaries(
+        docs, "doc_id", "text", rate_ppm=200_000, secret="s1"
+    )
+    manifest = canary_manifest(docs, "doc_id", rate_ppm=200_000, secret="s1")
+    m = {r["doc_id"]: r["canary"] for r in manifest.collect()}
+    assert 0 < len(m) < 400  # a real subset at 20%
+    # planting is deterministic and exactly the manifest's pairs
+    found = {
+        (r["doc_id"], r["canary"])
+        for r in detect_canaries(planted, "doc_id", "text").collect()
+    }
+    assert found == set(m.items())
+    again = {
+        (r["doc_id"], r["canary"])
+        for r in detect_canaries(
+            plant_canaries(docs, "doc_id", "text", rate_ppm=200_000, secret="s1"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert again == found
+    # a different secret plants a disjoint canary set
+    other = canary_manifest(docs, "doc_id", rate_ppm=200_000, secret="s2")
+    assert not (
+        {r["canary"] for r in other.collect()} & set(m.values())
+    )
+
+    # full survival before any processing
+    surv = canary_survival(planted, manifest, "doc_id", "text").collect()
+    assert all(r["survived"] and r["found_in"] == r["planted_in"] for r in surv)
+    assert len(surv) == len(m)
+
+    # a scrubbing stage kills every canary; a doc-dropping stage kills
+    # exactly the dropped ones
+    scrubbed = planted.withColumn(
+        "text", F.regexp_replace("text", "zqcanary[0-9a-f]{12}", "")
+    )
+    assert all(
+        not r["survived"]
+        for r in canary_survival(scrubbed, manifest, "doc_id", "text").collect()
+    )
+    halved = planted.filter(F.col("doc_id") % 2 == 0)
+    surv2 = {
+        r["planted_in"]: r["survived"]
+        for r in canary_survival(halved, manifest, "doc_id", "text").collect()
+    }
+    assert surv2 == {d: d % 2 == 0 for d in m}
+
+    # packing/concatenation leaks a FOREIGN canary into another doc —
+    # the detector must attribute it to where it now lives
+    victim = min(m)
+    packed = planted.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 399,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.lit(m[victim]),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    hits = {
+        (r["doc_id"], r["canary"])
+        for r in detect_canaries(packed, "doc_id", "text").collect()
+    }
+    assert (399, m[victim]) in hits
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate_ppm"):
+        plant_canaries(docs, "doc_id", "text", rate_ppm=0, secret="s")
