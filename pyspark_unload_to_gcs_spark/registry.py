@@ -577,7 +577,12 @@ def _load_extensions() -> None:
 # → the ahash byte-band join; closed-form synthesis gives a full
 # value oracle like image_ahash_dup_pairs); shard_balance_profile
 # (operators/layout.py ``balanced_shards``/``shard_load_stats`` —
-# deterministic striped assignment, exactly SQL-replayable).
+# deterministic striped assignment, exactly SQL-replayable);
+# canary_survival_audit (operators/privacy.py ``plant_canaries`` —
+# plant → clean/dedup → survival report, md5 arithmetic is fully
+# SQL-replayable); indexed_dedup_stream_replay (streaming/dedup.py
+# ``dedup_batch_indexed`` — the key-index/append-only twin of
+# dedup_stream_replay under the same poisoned-replay oracle).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
