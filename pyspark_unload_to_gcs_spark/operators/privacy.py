@@ -116,18 +116,18 @@ def plant_canaries(
     after, and every stage that should (or should not) drop planted
     documents is measured instead of assumed.
 
-    Selection is the md5-prefix threshold of ``deterministic_split``
-    (hash of id+secret against rate_ppm/1e6), so planting is a narrow
-    map — no shuffle, stable under retries; the canary manifest is
-    re-derivable from (corpus, secret) alone via ``canary_manifest``,
-    never stored state. Documents keep their id; only the text
-    mutates."""
-    if not isinstance(rate_ppm, int) or not (0 < rate_ppm <= 1_000_000):
-        raise ValueError(
-            f"plant_canaries: rate_ppm={rate_ppm!r} must be an int in "
-            "(0, 1e6]"
-        )
-    sel = _canary_selector(F.col(id_column), rate_ppm, secret)
+    Selection is the md5-prefix string threshold of
+    ``deterministic_split`` (6 hex digits — ppm-granular), so planting
+    is a narrow map — no shuffle, stable under retries; the canary
+    manifest is re-derivable from (corpus, secret) alone via
+    ``canary_manifest``, never stored state. Documents keep their id;
+    only the text mutates. NULL-text documents are never selected
+    (``concat`` would swallow the token and the manifest would claim a
+    canary that was never planted — review r12), which is why the
+    selector takes the text column too."""
+    sel = _canary_selector(
+        F.col(id_column), F.col(text_column), rate_ppm, secret
+    )
     token = _canary_token(F.col(id_column), secret)
     return df.withColumn(
         text_column,
@@ -137,35 +137,51 @@ def plant_canaries(
     )
 
 
-def _canary_selector(id_col, rate_ppm: int, secret: str):
-    """Deterministic ppm-rate selection: the first 6 hex digits of
-    md5(id|select|secret) as an integer in [0, 16^6) against the
-    ppm-scaled threshold (16^6 = 16.7M buckets — granular enough that
-    integer rounding keeps rates granular even at 1 ppm)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(id_col.cast("string"), F.lit("|select|"), F.lit(secret))
-            ),
-            1,
-            6,
+def _canary_selector(id_col, text_col, rate_ppm: int, secret: str):
+    """Deterministic ppm-rate selection shared by planting and the
+    manifest: the first 6 hex digits of md5(id|select|secret) against
+    the ``split_threshold_hex`` string threshold (the
+    ``deterministic_split`` mechanism — lowercase-hex string order is
+    numeric order, no integer arithmetic at all; 1/16^6 granularity
+    covers 1 ppm). NULL text is never selected (see
+    ``plant_canaries``). Validation lives here so every consumer of
+    the shared path gets it."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+
+    if not isinstance(rate_ppm, int) or not (0 < rate_ppm <= 1_000_000):
+        raise ValueError(
+            f"canary selection: rate_ppm={rate_ppm!r} must be an int in "
+            "(0, 1e6]"
+        )
+    prefix = F.substring(
+        F.md5(
+            F.concat(id_col.cast("string"), F.lit("|select|"), F.lit(secret))
         ),
-        16,
-        10,
-    ).cast("long")
-    # threshold folded in PYTHON: as column literals the product is an
-    # INT*INT that overflows 32 bits under ANSI constant folding
-    return h * 1_000_000 < F.lit(rate_ppm * 16**6)
+        1,
+        6,
+    )
+    thresh = split_threshold_hex(rate_ppm / 1_000_000, 6)
+    return (prefix < thresh) & text_col.isNotNull()
 
 
 def canary_manifest(
-    df: DataFrame, id_column: str, *, rate_ppm: int, secret: str
+    df: DataFrame,
+    id_column: str,
+    text_column: str,
+    *,
+    rate_ppm: int,
+    secret: str,
 ) -> DataFrame:
     """The (id, canary) rows ``plant_canaries`` would inject for this
-    corpus — same selector, same token arithmetic (one shared code
-    path), so the manifest can be regenerated at audit time from the
-    ORIGINAL corpus and the secret without ever persisting it."""
-    sel = _canary_selector(F.col(id_column), rate_ppm, secret)
+    corpus — same selector (including the NULL-text exclusion and
+    rate validation), same token arithmetic (one shared code path), so
+    the manifest can be regenerated at audit time from the ORIGINAL
+    corpus and the secret without ever persisting it."""
+    sel = _canary_selector(
+        F.col(id_column), F.col(text_column), rate_ppm, secret
+    )
     return df.filter(sel).select(
         F.col(id_column),
         _canary_token(F.col(id_column), secret).alias("canary"),
@@ -201,18 +217,23 @@ def canary_survival(
 ) -> DataFrame:
     """Per planted canary: did it survive the pipeline, and in WHICH
     document does it now live (NULL survivor id = scrubbed). The
-    manifest side is audit-sized (rate_ppm of the corpus) — broadcast
-    left join against the detections."""
+    DETECTIONS side broadcasts — it holds only canary-bearing rows
+    (≈ rate_ppm of the corpus, manifest-sized plus any leaks), and a
+    left-outer join can only build its right side (a broadcast hint on
+    the preserved manifest is silently ignored — review r12, verified
+    against the executed plan)."""
+    planted_cols = [c for c in manifest.columns if c != "canary"]
+    if len(planted_cols) != 1:
+        raise ValueError(
+            "canary_survival: manifest must have exactly (id, canary) "
+            f"columns, got {manifest.columns!r}"
+        )
     found = detect_canaries(processed, id_column, text_column).select(
         F.col(id_column).alias("found_in"), "canary"
     )
-    return (
-        F.broadcast(manifest)
-        .join(found, "canary", "left")
-        .select(
-            "canary",
-            F.col(manifest.columns[0]).alias("planted_in"),
-            "found_in",
-            F.col("found_in").isNotNull().alias("survived"),
-        )
+    return manifest.join(F.broadcast(found), "canary", "left").select(
+        "canary",
+        F.col(planted_cols[0]).alias("planted_in"),
+        "found_in",
+        F.col("found_in").isNotNull().alias("survived"),
     )

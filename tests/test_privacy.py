@@ -83,7 +83,7 @@ def test_canary_plant_detect_survival_roundtrip(spark):
     planted = plant_canaries(
         docs, "doc_id", "text", rate_ppm=200_000, secret="s1"
     )
-    manifest = canary_manifest(docs, "doc_id", rate_ppm=200_000, secret="s1")
+    manifest = canary_manifest(docs, "doc_id", "text", rate_ppm=200_000, secret="s1")
     m = {r["doc_id"]: r["canary"] for r in manifest.collect()}
     assert 0 < len(m) < 400  # a real subset at 20%
     # planting is deterministic and exactly the manifest's pairs
@@ -102,7 +102,7 @@ def test_canary_plant_detect_survival_roundtrip(spark):
     }
     assert again == found
     # a different secret plants a disjoint canary set
-    other = canary_manifest(docs, "doc_id", rate_ppm=200_000, secret="s2")
+    other = canary_manifest(docs, "doc_id", "text", rate_ppm=200_000, secret="s2")
     assert not (
         {r["canary"] for r in other.collect()} & set(m.values())
     )
@@ -148,7 +148,21 @@ def test_canary_plant_detect_survival_roundtrip(spark):
     }
     assert (399, m[victim]) in hits
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="rate_ppm"):
+    with pytest.raises(ValueError, match="rate_ppm"):
         plant_canaries(docs, "doc_id", "text", rate_ppm=0, secret="s")
+    with pytest.raises(ValueError, match="rate_ppm"):
+        canary_manifest(docs, "doc_id", "text", rate_ppm=0, secret="s")
+
+    # NULL-text documents are never selected: planting can't silently
+    # swallow the token while the manifest claims it (review r12)
+    withnull = docs.unionByName(
+        spark.createDataFrame([(9000 + i, None) for i in range(50)],
+                              "doc_id long, text string")
+    )
+    mn = canary_manifest(withnull, "doc_id", "text",
+                         rate_ppm=500_000, secret="s3")
+    assert mn.filter(F.col("doc_id") >= 9000).count() == 0
+    pn = plant_canaries(withnull, "doc_id", "text",
+                        rate_ppm=500_000, secret="s3")
+    sv = canary_survival(pn, mn, "doc_id", "text").collect()
+    assert sv and all(r["survived"] for r in sv)  # no false scrubbed verdicts
