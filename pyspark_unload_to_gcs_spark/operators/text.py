@@ -516,6 +516,97 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    train,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-shaped LM quality filter (Wenzek et al. 2020 — public):
+    train a bigram model with STUPID BACKOFF (Brants et al. 2007) on a
+    reference slice (``train`` — a boolean Column; CCNet uses
+    Wikipedia), score EVERY document's mean transition log-probability
+    under it. Low scores = text unlike the reference (gibberish,
+    boilerplate, wrong language); the distributed-friendly stand-in
+    for the KenLM 5-gram perplexity stage of that pipeline.
+
+    Per transition (w_prev -> w):
+      seen bigram:    lp = ln(c(w_prev,w)) - ln(c(w_prev))
+      backoff:        lp = ln(alpha) + ln(c(w))  - ln(total)
+      OOV word:       lp = ln(alpha) + ln(1)     - ln(total)
+    Each lp rounds to 6 places and accumulates as exact DECIMAL (the
+    ``unigram_logprob`` float discipline: per-doc sums order-free, one
+    IEEE division at the end). Documents with < 2 tokens have no
+    transitions and drop out.
+
+    Shape at scale: one explode over the TRAIN slice builds the bigram
+    and unigram count tables (the bigram table is |bigram vocab| rows
+    — a hash JOIN key, deliberately not broadcast; the unigram table
+    broadcasts), one explode over the scored corpus joins both. The
+    train tables are localCheckpointed so the two consumers read one
+    materialization (lore #7)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"bigram_logprob: alpha={alpha!r} must be in (0, 1]")
+    toks = df.select(
+        F.col(id_column),
+        train.alias("__train"),
+        tokens_col(F.col(text_column)).alias("__toks"),
+    )
+    bigrams = lambda t: F.zip_with(  # noqa: E731
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+    )
+    train_toks = toks.filter(F.col("__train"))
+    uni = (
+        train_toks.select(F.explode("__toks").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cw"))
+        .localCheckpoint(eager=True)
+    )
+    bg = (
+        train_toks.select(F.explode(bigrams(F.col("__toks"))).alias("__b"))
+        .groupBy(F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("__cbg"))
+    )
+    total = uni.agg(F.sum("__cw").cast("double").alias("__total"))
+    prev = uni.select(F.col("__w").alias("__p"), F.col("__cw").alias("__cp"))
+    pairs = toks.select(
+        id_column, F.explode(bigrams(F.col("__toks"))).alias("__b")
+    ).select(
+        id_column,
+        F.col("__b.p").alias("__p"),
+        F.col("__b.w").alias("__w"),
+    )
+    ln_alpha = F.log(F.lit(float(alpha)))
+    lp = F.round(
+        F.when(
+            F.col("__cbg").isNotNull(),
+            F.log(F.col("__cbg")) - F.log(F.col("__cp")),
+        ).otherwise(
+            ln_alpha
+            + F.log(F.coalesce(F.col("__cw"), F.lit(1)).cast("double"))
+            - F.log(F.col("__total"))
+        ),
+        6,
+    ).cast("decimal(28,12)")
+    scored = (
+        pairs.join(bg, ["__p", "__w"], "left")
+        .join(F.broadcast(prev), "__p", "left")
+        .join(F.broadcast(uni), "__w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(id_column, lp.alias("__lp"))
+    )
+    return scored.groupBy(id_column).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

@@ -1747,3 +1747,68 @@ def test_containment_df_prefix_invariant_and_prunes(spark):
 
     with pytest.raises(ValueError, match="prefix_order"):
         containment_pairs(df, "doc_id", "text", prefix_order="rarest")
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    """Stupid-backoff bigram LM (operators/text.py ``bigram_logprob``)
+    vs an independent python reimplementation: counts from the TRAIN
+    slice only, seen-bigram conditional vs alpha-discounted unigram
+    backoff vs OOV floor — and the in-distribution doc must outscore
+    the shuffled-gibberish doc."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.text import bigram_logprob
+
+    train_docs = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the rug",
+        2: "a cat and a dog sat here",
+    }
+    score_docs = {
+        3: "the cat sat on the rug",   # in-distribution
+        4: "rug the on sat cat the",   # shuffled: rare transitions
+        5: "zz qq vv ww",              # all OOV
+        6: "single",                   # no transitions -> drops out
+    }
+    rows = [(d, t, True) for d, t in train_docs.items()] + [
+        (d, t, False) for d, t in score_docs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_train boolean")
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["avg_logprob"])
+        for r in bigram_logprob(
+            df, train=F.col("is_train"), alpha=0.4
+        ).collect()
+    }
+
+    # python model
+    uni, bg = {}, {}
+    for t in train_docs.values():
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p, w in zip(ws, ws[1:]):
+            bg[(p, w)] = bg.get((p, w), 0) + 1
+    total = sum(uni.values())
+
+    def lp(p, w):
+        if (p, w) in bg:
+            v = math.log(bg[(p, w)]) - math.log(uni[p])
+        else:
+            v = math.log(0.4) + math.log(uni.get(w, 1)) - math.log(total)
+        return round(v, 6)
+
+    for d, t in {**train_docs, **score_docs}.items():
+        ws = t.split()
+        if len(ws) < 2:
+            assert d not in got
+            continue
+        lps = [lp(p, w) for p, w in zip(ws, ws[1:])]
+        n, avg = got[d]
+        assert n == len(lps)
+        assert abs(avg - sum(lps) / len(lps)) < 1e-9, (d, avg)
+
+    assert got[3][1] > got[4][1] > got[5][1]  # natural > shuffled > OOV
+
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_logprob(df, train=F.col("is_train"), alpha=0.0)
