@@ -582,7 +582,11 @@ def _load_extensions() -> None:
 # plant → clean/dedup → survival report, md5 arithmetic is fully
 # SQL-replayable); indexed_dedup_stream_replay (streaming/dedup.py
 # ``dedup_batch_indexed`` — the key-index/append-only twin of
-# dedup_stream_replay under the same poisoned-replay oracle).
+# dedup_stream_replay under the same poisoned-replay oracle);
+# bigram_lm_quality (operators/text.py ``bigram_logprob`` — CCNet
+# perplexity stage, stupid backoff, round-6+DECIMAL => full value
+# oracle). Six candidates for <= 8 r14 slots; pick by user value at
+# staging time.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
