@@ -228,12 +228,16 @@ def canary_survival(
             "canary_survival: manifest must have exactly (id, canary) "
             f"columns, got {manifest.columns!r}"
         )
+    # survival flags on a literal marker, NOT found_in's nullness: a
+    # canary detected in a NULL-id row (a repacking stage that emits
+    # id-less rows) is still PRESENT in the processed text — reporting
+    # it scrubbed is a false verdict (review r12)
     found = detect_canaries(processed, id_column, text_column).select(
-        F.col(id_column).alias("found_in"), "canary"
+        F.col(id_column).alias("found_in"), "canary", F.lit(True).alias("__hit")
     )
     return manifest.join(F.broadcast(found), "canary", "left").select(
         "canary",
         F.col(planted_cols[0]).alias("planted_in"),
         "found_in",
-        F.col("found_in").isNotNull().alias("survived"),
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("survived"),
     )

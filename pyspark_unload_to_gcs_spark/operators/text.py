@@ -541,12 +541,14 @@ def bigram_logprob(
     IEEE division at the end). Documents with < 2 tokens have no
     transitions and drop out.
 
-    Shape at scale: one explode over the TRAIN slice builds the bigram
-    and unigram count tables (the bigram table is |bigram vocab| rows
-    — a hash JOIN key, deliberately not broadcast; the unigram table
-    broadcasts), one explode over the scored corpus joins both. The
-    train tables are localCheckpointed so the two consumers read one
-    materialization (lore #7)."""
+    Shape at scale: the train slice tokenizes ONCE (localCheckpoint —
+    the unigram and bigram count builds both read the materialization,
+    lore #7; the bigram table is |bigram vocab| rows — a hash JOIN
+    key, deliberately not broadcast; the unigram table broadcasts),
+    one explode over the scored corpus joins both. An EMPTY train
+    slice raises in-plan (every backoff term would otherwise come back
+    NULL and a downstream ``avg_logprob > cutoff`` gate would silently
+    drop the whole corpus — NULL never compares true)."""
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"bigram_logprob: alpha={alpha!r} must be in (0, 1]")
     toks = df.select(
@@ -554,12 +556,9 @@ def bigram_logprob(
         train.alias("__train"),
         tokens_col(F.col(text_column)).alias("__toks"),
     )
-    bigrams = lambda t: F.zip_with(  # noqa: E731
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
-    )
-    train_toks = toks.filter(F.col("__train"))
+    # adjacent_pairs is the ONE pair construction in the engine (BPE
+    # statistics share it); fields are (a=prev, b=word)
+    train_toks = toks.filter(F.col("__train")).localCheckpoint(eager=False)
     uni = (
         train_toks.select(F.explode("__toks").alias("__w"))
         .groupBy("__w")
@@ -567,18 +566,31 @@ def bigram_logprob(
         .localCheckpoint(eager=True)
     )
     bg = (
-        train_toks.select(F.explode(bigrams(F.col("__toks"))).alias("__b"))
-        .groupBy(F.col("__b.p").alias("__p"), F.col("__b.w").alias("__w"))
+        train_toks.select(
+            F.explode(adjacent_pairs(F.col("__toks"))).alias("__b")
+        )
+        .groupBy(F.col("__b.a").alias("__p"), F.col("__b.b").alias("__w"))
         .agg(F.count(F.lit(1)).alias("__cbg"))
     )
-    total = uni.agg(F.sum("__cw").cast("double").alias("__total"))
+    total = uni.agg(F.sum("__cw").cast("double").alias("__t")).select(
+        F.when(F.col("__t") > 0, F.col("__t"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bigram_logprob: train slice has no tokens — no "
+                    "language model to score against"
+                )
+            ).cast("double")
+        )
+        .alias("__total")
+    )
     prev = uni.select(F.col("__w").alias("__p"), F.col("__cw").alias("__cp"))
     pairs = toks.select(
-        id_column, F.explode(bigrams(F.col("__toks"))).alias("__b")
+        id_column, F.explode(adjacent_pairs(F.col("__toks"))).alias("__b")
     ).select(
         id_column,
-        F.col("__b.p").alias("__p"),
-        F.col("__b.w").alias("__w"),
+        F.col("__b.a").alias("__p"),
+        F.col("__b.b").alias("__w"),
     )
     ln_alpha = F.log(F.lit(float(alpha)))
     lp = F.round(

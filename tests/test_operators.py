@@ -1812,3 +1812,16 @@ def test_bigram_logprob_matches_python_model(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         bigram_logprob(df, train=F.col("is_train"), alpha=0.0)
+
+
+def test_bigram_logprob_refuses_empty_train_slice(spark):
+    """An empty train slice must raise in-plan, never emit NULL scores
+    a downstream threshold gate would silently drop (review r12)."""
+    from pyspark_unload_to_gcs_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "some words here", False), (2, "more words", False)],
+        "doc_id long, text string, is_train boolean",
+    )
+    with pytest.raises(Exception, match="train slice has no tokens"):
+        bigram_logprob(df, train=F.col("is_train")).collect()

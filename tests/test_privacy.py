@@ -166,3 +166,25 @@ def test_canary_plant_detect_survival_roundtrip(spark):
                         rate_ppm=500_000, secret="s3")
     sv = canary_survival(pn, mn, "doc_id", "text").collect()
     assert sv and all(r["survived"] for r in sv)  # no false scrubbed verdicts
+
+
+def test_canary_survival_null_id_rows_still_count(spark):
+    """A canary living in a NULL-id row (repacking stages emit id-less
+    rows) is PRESENT — survived must flag on detection, not on the
+    survivor id's nullness (review r12)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.privacy import (
+        canary_manifest,
+        canary_survival,
+        plant_canaries,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    planted = plant_canaries(docs, "doc_id", "text", rate_ppm=500_000, secret="n")
+    manifest = canary_manifest(docs, "doc_id", "text", rate_ppm=500_000, secret="n")
+    nulled = planted.withColumn("doc_id", F.lit(None).cast("long"))
+    surv = canary_survival(nulled, manifest, "doc_id", "text").collect()
+    assert surv and all(r["survived"] and r["found_in"] is None for r in surv)
