@@ -153,14 +153,21 @@ def balanced_shards(
        parallel even when one magnitude class holds most of the corpus
        (the token_budget_select lesson: a window keyed by a low-
        cardinality column alone collapses to few partitions);
-    3. ``row_number`` within (bucket, salt) ordered by id, offset by
-       the cumulative count of all PRECEDING (bucket, salt) groups —
-       a tiny groups frame, broadcast back — and take ``% n_shards``.
-       Striping continues across group boundaries instead of
-       restarting at shard 0, so per-shard COUNTS differ by at most 1
-       per group and the whole assignment replays exactly in SQL
-       (deterministic in (id, weight) — retries, engines, and the
-       oracle all agree).
+    3. ``row_number`` within (bucket, salt) ordered by id — then, so
+       duplicate ids with differing payloads cannot be left to shuffle
+       order (ADVICE r12), by the weight and a deterministic content
+       tie-break over every remaining column (orderable columns
+       directly, map-typed ones via ``xxhash64(to_json)``, the
+       ``_collapse_batch`` pattern) — offset by the cumulative count
+       of all PRECEDING (bucket, salt) groups — a tiny groups frame,
+       broadcast back — and take ``% n_shards``. Striping continues
+       across group boundaries instead of restarting at shard 0, so
+       per-shard COUNTS differ by at most 1 per group and the whole
+       assignment replays exactly in SQL when ``id_column`` is unique
+       (deterministic in (id, weight); with duplicate ids it is
+       deterministic in full row content, and an engine-portable
+       replay additionally needs the xxhash64 tie-break only for rows
+       whose (id, weight, orderable columns) fully collide).
 
     Weights must be non-negative (token counts); weight 0/NULL rows
     land in bucket 0 and cost nothing. Output: the input rows plus
@@ -200,7 +207,18 @@ def balanced_shards(
         )
         .select("__b", "__s", "__offset")
     )
-    wn = Window.partitionBy("__b", "__s").orderBy(F.col(id_column).asc())
+    from pyspark_unload_to_gcs_spark.streaming.dedup import _orderable
+
+    tiebreak = [
+        F.col(f.name).asc()
+        if _orderable(f.dataType)
+        else F.xxhash64(F.to_json(F.col(f.name))).asc()
+        for f in df.schema.fields
+        if f.name != id_column
+    ]
+    wn = Window.partitionBy("__b", "__s").orderBy(
+        F.col(id_column).asc(), w.asc(), *tiebreak
+    )
     return (
         rows.join(F.broadcast(groups), ["__b", "__s"])
         .withColumn(

@@ -543,7 +543,8 @@ def _load_extensions() -> None:
 # `python tools/plan_digest.py --budgets` and max-merge with the
 # committed budgets to preserve existing ceilings.
 #
-# R13 ROTATION PLAN (execute next round): keep the core eight;
+# R13 ROTATION — EXECUTED THIS ROUND (the plan pinned here in r12,
+# verbatim): keep the core eight;
 # promote the EIGHT r12-staged entries first
 # (quota_mix_stream_replay — the growing-corpus quota-mix manifest
 # fold, VERDICT r11 #4's streaming twin; bloom_prune_exact_join —
@@ -597,56 +598,58 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r11 staged cohort (live as of
-    #    r12) — production-posture alignment mining + its retrieval
-    #    eval, leakage-safe splitting, bloom join pruning, count-min
-    #    join-size pre-flight, exact-quota temperature mixing, RTBF
-    #    versioned-delete propagation, IVF index-drift pre-flight
-    "margin_align_auto",
-    "mined_pairs_retrieval_eval",
-    "leakage_safe_split",
-    "bloom_prune_join",
-    "join_size_preflight",
-    "temperature_mix_sample",
-    "rtbf_delete_propagation",
-    "ivf_index_drift",
-    # 3. evidence refresh: the 34 alphabetically-first of the 42
-    #    r08-only greens (bmp_decode_stats .. theta_user_day_overlap;
-    #    the 8 sliding to r13 are family siblings of fresher evidence)
-    "bmp_decode_stats",
-    "bpe_pair_stats",
-    "bpe_tokenize_counts",
-    "bpe_train_merges",
-    "bucketed_colocated_join",
-    "chunk_dedup_clean",
-    "embedding_near_dedup",
-    "fuzzy_entity_join_exact",
-    "hybrid_search_rrf",
-    "incremental_ann_match",
-    "incremental_near_dedup",
-    "incremental_semantic_match",
-    "k_anonymity_profile",
-    "kll_value_quantiles_rollup",
-    "l_diversity_profile",
-    "length_bucketed_batches",
-    "multimodal_decode_stats",
-    "nations_with_customers_and_suppliers",
-    "near_dedup_pairs_exact",
-    "near_dup_clusters_exact",
-    "ngram_diversity",
-    "ngram_diversity_approx_accuracy",
-    "pagerank_ship_graph",
-    "pivot_returnflag_status",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "quality_classifier_margin",
-    "repeated_span_dedup",
-    "retention_stream_replay",
-    "scd2_history",
-    "semantic_dedup",
-    "sessionize_stream_replay",
-    "temperature_mix_weights",
-    "theta_user_day_overlap",
+    # 2. never-checked: the promoted r12 staged cohort (live as of
+    #    r13) — asymmetric containment dedup + its cross-table
+    #    decontamination arm, categorical/numeric/streaming PSI drift
+    #    gates, the quota-mix manifest stream, hard-negative mining
+    #    off the auto-k spine, and bloom-prune→exact-join composition
+    "quota_mix_stream_replay",
+    "bloom_prune_exact_join",
+    "event_drift_psi",
+    "drift_stream_replay",
+    "value_drift_psi",
+    "hard_negative_mining",
+    "containment_dedup",
+    "incremental_containment_match",
+    # 3a. evidence refresh: the 8 r08-only greens deferred from r12
+    #    (family siblings of fresher in-window evidence at the time)
+    "theta_users_daily",
+    "token_budget_select",
+    "unigram_logprob_quality",
+    "vector_topk_ivf",
+    "vector_topk_ivfpq",
+    "vector_topk_pq",
+    "wav_decode_stats",
+    "zorder_layout",
+    # 3b. evidence refresh: the 26 alphabetically-first of the 41
+    #    r09-only greens (activity_window_overlap .. q11_important_parts;
+    #    the remaining 15 — q14.. xml_ingest_roundtrip — slide to r14)
+    "activity_window_overlap",
+    "asof_forward_tolerance",
+    "asof_nearest_click",
+    "binaryfile_wav_ingest",
+    "c4_page_clean_stats",
+    "constraint_profile_orders",
+    "cube_order_stats",
+    "customer_order_distribution",
+    "dedup_keep_best_exact",
+    "dedup_stream_replay",
+    "doc_fingerprint",
+    "events_approx_users_accuracy",
+    "exact_dedup",
+    "export_manifest_roundtrip",
+    "fuzzy_entity_join_recall",
+    "gopher_quality_profile",
+    "gopher_repetition",
+    "heavy_hitters_daily",
+    "heavy_hitters_stream_replay",
+    "join_cardinality_profile",
+    "join_key_skew_profile",
+    "k_anonymity_suppression",
+    "name_typo_pairs",
+    "orc_ingest_roundtrip",
+    "q10_returned_revenue",
+    "q11_important_parts",
 )
 
 

@@ -4488,7 +4488,7 @@ GROUP BY o.o_custkey
 """
 
 
-@register_staged("bloom_prune_exact_join", oracle=_BPEJ_SQL)
+@register("bloom_prune_exact_join", oracle=_BPEJ_SQL)
 def bloom_prune_exact_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prune -> exact-join COMPOSITION on the PRODUCTION hash arm
     (VERDICT r11 #4; operators/joins.py ``bucket_bloom_prune`` with
@@ -4560,7 +4560,7 @@ FROM c, t
 """
 
 
-@register_staged("event_drift_psi", oracle=_PSI_SQL)
+@register("event_drift_psi", oracle=_PSI_SQL)
 def event_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-drift gate (operators/diagnostics.py
     ``categorical_drift_psi``): the Population Stability Index of the
@@ -4644,7 +4644,7 @@ c{b} AS (
     )
 
 
-@register_staged("quota_mix_stream_replay", oracle=_qmix_oracle())
+@register("quota_mix_stream_replay", oracle=_qmix_oracle())
 def quota_mix_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size training-mix manifests over a GROWING corpus
     (streaming/manifest.py; the streaming twin VERDICT r11 #4 asked
@@ -4724,7 +4724,7 @@ FROM (
 """
 
 
-@register_staged("hard_negative_mining", oracle=_hneg_oracle())
+@register("hard_negative_mining", oracle=_hneg_oracle())
 def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining — the training-data half of
     the mined-supervision loop (mined_pairs_retrieval_eval is the QA
@@ -4829,7 +4829,7 @@ cb{b} AS (
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
 
 
-@register_staged("drift_stream_replay", oracle=_drift_replay_oracle())
+@register("drift_stream_replay", oracle=_drift_replay_oracle())
 def drift_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling drift monitor (streaming/drift.py — the streaming twin
     of event_drift_psi): three day-sliced ingest micro-batches, the
@@ -4917,7 +4917,7 @@ FROM counts c, t
 """
 
 
-@register_staged("value_drift_psi", oracle=_value_psi_oracle())
+@register("value_drift_psi", oracle=_value_psi_oracle())
 def value_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric drift gate (operators/diagnostics.py
     ``numeric_drift_psi``): the binned-PSI companion of
@@ -4983,7 +4983,7 @@ WHERE a.doc_id != b.doc_id AND len(a.gs) > 0
 """
 
 
-@register_staged("containment_dedup", oracle=_containment_oracle())
+@register("containment_dedup", oracle=_containment_oracle())
 def containment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (operators/dedup.py
     ``containment_pairs`` — the prefix-filter set-similarity join,
@@ -5081,7 +5081,7 @@ WHERE len(a.gs) > 0
 """
 
 
-@register_staged(
+@register(
     "incremental_containment_match", oracle=_incr_containment_oracle()
 )
 def incremental_containment_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:

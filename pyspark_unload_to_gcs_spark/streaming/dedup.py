@@ -34,15 +34,24 @@ contracts:
    state holds only the KEY INDEX and accepted rows append to an
    insert-only table (``read_accepted``), so the payload is written
    once and never rewritten.
+
+``state_path`` works on any URI scheme the cluster's Hadoop conf can
+serve (file:/gs:/s3a:/hdfs:): writes go through the Spark parquet
+writer and the commit-gated readbacks (``read_deduped`` /
+``read_accepted``) list state through the Hadoop-FS-backed
+``rollup.committed_dirs`` (ADVICE r12: the earlier glob-based listing
+silently returned None on non-POSIX schemes while committed state
+existed).
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pyspark_unload_to_gcs_spark.sources.versioned import _sub
 
 from pyspark_unload_to_gcs_spark.streaming.rollup import read_state
 
@@ -106,7 +115,7 @@ def dedup_batch(
         nxt = prev.unionByName(
             _first_seen_rows(collapsed, prev, key_columns)
         )
-    nxt.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+    nxt.write.mode("overwrite").parquet(_sub(state_path, f"v={batch_id}"))
 
 
 def _collapse_batch(
@@ -220,7 +229,7 @@ def dedup_batch_indexed(
     version — whichever of the two writes the crash interrupted."""
     spark = batch_df.sparkSession
     collapsed = _collapse_batch(batch_df, key_columns, sequence_column)
-    prev_keys = read_state(spark, os.path.join(state_path, "keys"), before=batch_id)
+    prev_keys = read_state(spark, _sub(state_path, "keys"), before=batch_id)
     admitted = (
         collapsed
         if prev_keys is None
@@ -229,13 +238,13 @@ def dedup_batch_indexed(
     # two consumers (accepted write + key-version write) — one compute
     admitted = admitted.localCheckpoint(eager=False)
     admitted.write.mode("overwrite").parquet(
-        os.path.join(state_path, "accepted", f"b={batch_id}")
+        _sub(_sub(state_path, "accepted"), f"b={batch_id}")
     )
     nxt_keys = admitted.select(*key_columns)
     if prev_keys is not None:
         nxt_keys = prev_keys.unionByName(nxt_keys)
     nxt_keys.write.mode("overwrite").parquet(
-        os.path.join(state_path, "keys", f"v={batch_id}")
+        _sub(_sub(state_path, "keys"), f"v={batch_id}")
     )
 
 
@@ -248,7 +257,7 @@ def read_accepted(
     None before any batch committed."""
     from pyspark_unload_to_gcs_spark.streaming.rollup import committed_dirs
 
-    dirs = committed_dirs(os.path.join(state_path, "accepted"), "b")
+    dirs = committed_dirs(_sub(state_path, "accepted"), "b")
     if not dirs:
         return None
     return spark.read.parquet(*[d for _b, d in dirs])

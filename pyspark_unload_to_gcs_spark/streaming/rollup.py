@@ -42,13 +42,41 @@ def committed_dirs(state_path: str, prefix: str) -> list[tuple[int, str]]:
     old dir contents first, so a slice is never half-new-half-old.
     Shared by the ``v=`` versioned-state readers here and the ``b=``
     append-only slice readers (dedup ``read_accepted``, containment
-    ``read_matches``) so the commit-gate protocol can't fork."""
+    ``read_matches``) so the commit-gate protocol can't fork.
+
+    Listing goes through the JVM Hadoop FileSystem API (same handle as
+    sources/versioned.py) so state on ANY configured scheme — file:,
+    gs://, s3a://, hdfs:// — reads back; the writers were already
+    scheme-agnostic (Spark parquet writer), and a glob.glob readback
+    silently returned [] on non-POSIX paths while committed state
+    existed (ADVICE r12). Falls back to local glob only in a
+    py4j-less process (no active SparkSession), where POSIX paths are
+    the only kind that can occur."""
     pat = re.compile(rf"{re.escape(prefix)}=(\d+)$")
-    return sorted(
-        (int(m.group(1)), d)
-        for d in glob.glob(os.path.join(state_path, f"{prefix}=*"))
-        if (m := pat.search(d)) and os.path.exists(os.path.join(d, "_SUCCESS"))
+    from pyspark_unload_to_gcs_spark.sources.versioned import _jfs, _sub
+
+    handle = _jfs(state_path)
+    if handle is None:
+        return sorted(
+            (int(m.group(1)), d)
+            for d in glob.glob(os.path.join(state_path, f"{prefix}=*"))
+            if (m := pat.search(d)) and os.path.exists(os.path.join(d, "_SUCCESS"))
+        )
+    jvm, _gw, fs, _root = handle
+    stats = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(_sub(state_path, f"{prefix}=*"))
     )
+    out: list[tuple[int, str]] = []
+    for st in stats or []:
+        d = st.getPath().toString()
+        m = pat.search(d)
+        if (
+            m
+            and st.isDirectory()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(_sub(d, "_SUCCESS")))
+        ):
+            out.append((int(m.group(1)), d))
+    return sorted(out)
 
 
 def _versions(state_path: str) -> list[int]:
@@ -59,10 +87,14 @@ def _versions(state_path: str) -> list[int]:
 def read_state(spark: SparkSession, state_path: str, *, before: int | None = None) -> DataFrame | None:
     """Latest committed state (optionally: latest strictly before a
     batch id, which is what a retrying batch must fold onto)."""
-    versions = [v for v in _versions(state_path) if before is None or v < before]
-    if not versions:
+    dirs = [
+        (v, d)
+        for v, d in committed_dirs(state_path, "v")
+        if before is None or v < before
+    ]
+    if not dirs:
         return None
-    return spark.read.parquet(os.path.join(state_path, f"v={versions[-1]}"))
+    return spark.read.parquet(dirs[-1][1])
 
 
 def fold_batch(
@@ -82,7 +114,9 @@ def fold_batch(
     merged = (
         merge_aggregate_states([prev, batch_state], keys) if prev is not None else batch_state
     )
-    merged.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
+    from pyspark_unload_to_gcs_spark.sources.versioned import _sub
+
+    merged.write.mode("overwrite").parquet(_sub(state_path, f"v={batch_id}"))
 
 
 def start_incremental_rollup(

@@ -279,3 +279,48 @@ def test_balanced_shards_fuzz_matches_model(spark):
         assert got == _shards_model(rows, n_shards, salt)
 
     run()
+
+
+def test_balanced_shards_duplicate_ids_deterministic(spark):
+    """ADVICE r12: row_number ordered by id alone left duplicate ids
+    with differing payloads to shuffle order — a retry or input
+    permutation could hand the two rows different shards. The content
+    tie-break (weight, then every remaining column; map-typed columns
+    via xxhash64(to_json)) must make the per-row assignment a pure
+    function of row content, independent of input order and
+    partitioning."""
+    from pyspark_unload_to_gcs_spark.operators.layout import balanced_shards
+
+    rows = [(d % 5, (d % 5) * 100 + 1, f"payload-{d}") for d in range(20)]
+    rows += [(3, 301, "payload-dup"), (3, 301, "payload-dup2")]
+    schema = "doc_id long, n_tokens long, text string"
+
+    def assign(df):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["text"], r["shard"])
+            for r in balanced_shards(df, n_shards=4).collect()
+        )
+
+    base = assign(spark.createDataFrame(rows, schema))
+    permuted = assign(
+        spark.createDataFrame(list(reversed(rows)), schema).repartition(7)
+    )
+    assert base == permuted
+    # same doc_id, different payload: both assigned, deterministically
+    dup = [t for t in base if t[0] == 3 and t[2].startswith("payload-dup")]
+    assert len(dup) == 2
+
+
+def test_balanced_shards_map_column_tiebreak_plans(spark):
+    """A map-typed payload column is not orderable — the tie-break must
+    swap it for xxhash64(to_json) instead of throwing
+    AnalysisException at plan time (the _collapse_batch r08 lesson)."""
+    from pyspark_unload_to_gcs_spark.operators.layout import balanced_shards
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": "x"}), (1, 10, {"a": "y"}), (2, 20, {"b": "z"})],
+        "doc_id long, n_tokens long, props map<string,string>",
+    )
+    out = balanced_shards(df, n_shards=2).collect()
+    assert len(out) == 3
+    assert {r["shard"] for r in out} <= {0, 1}

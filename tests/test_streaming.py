@@ -1815,3 +1815,64 @@ def test_indexed_dedup_under_true_readstream(
     keys = read_state(spark, f"{state}/keys")
     assert keys.columns == ["event_id"]
     assert keys.count() == src.select("event_id").distinct().count()
+
+
+def test_committed_dirs_serves_uri_scheme_paths(spark, tmp_path):
+    """ADVICE r12: committed_dirs was glob.glob/os.path-based, so on
+    any non-plain-POSIX path (file:, gs://, s3a://) writes succeeded
+    but the commit-gated readback silently returned nothing while
+    committed state existed. The Hadoop-FS-backed listing must serve a
+    file:-scheme state_path end-to-end — fold, read_state, and the
+    dedup/containment slice readers all route through it."""
+    from pyspark_unload_to_gcs_spark.operators.incremental import finalize_state
+    from pyspark_unload_to_gcs_spark.streaming.rollup import (
+        committed_dirs,
+        fold_batch,
+        read_state,
+    )
+
+    state = "file:" + str(tmp_path / "uri_state")
+    batch = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "event_type string, value long"
+    )
+    fold_batch(batch, 0, keys=["event_type"], value_column="value", state_path=state)
+    dirs = committed_dirs(state, "v")
+    assert [b for b, _d in dirs] == [0]
+    got = {
+        tuple(r)
+        for r in finalize_state(read_state(spark, state), ["event_type"]).collect()
+    }
+    assert {t[0] for t in got} == {"a", "b"}
+
+    # torn write (no _SUCCESS) stays invisible through the same gate
+    import os
+
+    torn = tmp_path / "uri_state" / "v=1"
+    torn.mkdir()
+    (torn / "part-0.parquet").write_bytes(b"torn")
+    assert [b for b, _d in committed_dirs(state, "v")] == [0]
+    assert os.path.exists(str(tmp_path / "uri_state" / "v=0" / "_SUCCESS"))
+
+
+def test_indexed_dedup_readback_on_uri_scheme_path(spark, tmp_path):
+    """The append-only key-index layout (the 100 TB posture) must read
+    back from a file:-scheme state_path — accepted slices are listed
+    via the Hadoop-FS committed_dirs, not glob (ADVICE r12)."""
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch_indexed,
+        read_accepted,
+    )
+
+    state = "file:" + str(tmp_path / "dedup_state")
+    b0 = spark.createDataFrame(
+        [(1, 0, "first"), (2, 0, "two")], "event_id long, seq long, payload string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 1, "mutated-dup"), (3, 0, "three")],
+        "event_id long, seq long, payload string",
+    )
+    kw = dict(key_columns=["event_id"], sequence_column="seq", state_path=state)
+    dedup_batch_indexed(b0, 0, **kw)
+    dedup_batch_indexed(b1, 1, **kw)
+    got = {r["event_id"]: r["payload"] for r in read_accepted(spark, state).collect()}
+    assert got == {1: "first", 2: "two", 3: "three"}
