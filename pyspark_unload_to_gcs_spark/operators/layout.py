@@ -134,6 +134,7 @@ def balanced_shards(
     weight_column: str = "n_tokens",
     id_column: str = "doc_id",
     salt_buckets: int = 64,
+    salt_method: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a ``shard`` in [0, n_shards) so per-shard
     ``weight_column`` sums come out near-balanced — the export step
@@ -174,7 +175,14 @@ def balanced_shards(
     ``shard`` (INT). Balance quality: per-shard sums differ by at most
     one max-weight per (bucket, salt) group — measure with
     ``shard_load_stats`` and raise ``salt_buckets`` if the corpus is
-    tiny relative to the group grid."""
+    tiny relative to the group grid.
+
+    ``salt_method``: "xxhash64" (production — fastest JVM hash) or
+    "md5" (first 32 bits of md5, base-16-parsed — the classifier
+    hashing-trick arithmetic, bit-replayable in DuckDB/Python, which
+    is what puts the whole assignment under a cross-engine value
+    oracle; same bloom_prune precedent of a production arm + an
+    oracle arm over one shared plan)."""
     if not isinstance(n_shards, int) or n_shards < 1:
         raise ValueError(
             f"balanced_shards: n_shards={n_shards!r} must be an int >= 1"
@@ -193,7 +201,24 @@ def balanced_shards(
     b = (
         F.length(F.conv(F.greatest(w, F.lit(1)), 10, 2)) - F.lit(1)
     ).cast("int")
-    s = F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)).cast("int")
+    if salt_method == "xxhash64":
+        s = F.pmod(F.xxhash64(F.col(id_column)), F.lit(salt_buckets)).cast(
+            "int"
+        )
+    elif salt_method == "md5":
+        s = (
+            F.conv(
+                F.substring(F.md5(F.col(id_column).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % salt_buckets
+        ).cast("int")
+    else:
+        raise ValueError(
+            f"balanced_shards: salt_method={salt_method!r} must be "
+            "'xxhash64' or 'md5'"
+        )
     rows = df.withColumn("__b", b).withColumn("__s", s)
     groups = (
         rows.groupBy("__b", "__s")
@@ -256,12 +281,14 @@ def shard_load_stats(
         "weight_sum",
         # DECIMAL(38,0) before the x1e6: a BIGINT product overflows
         # once a shard holds ~9.2e12 weight — ANSI crash, or a silent
-        # negative ppm that passes balance gates (review r12)
-        (
-            F.col("__mx").cast("decimal(38,0)")
-            * 1_000_000
-            / F.greatest(F.col("__mn"), F.lit(1))
-        )
-        .cast("long")
-        .alias("imbalance_ppm"),
+        # negative ppm that passes balance gates (review r12). DIV,
+        # not /-then-cast: exact integer floor division is the one
+        # quotient every engine agrees on bit-for-bit (decimal true
+        # division rounds HALF_UP at an engine-chosen scale before the
+        # long cast truncates — a cross-engine coin flip at .999999+
+        # fractions)
+        F.expr(
+            "CAST((CAST(__mx AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(__mn, 1) AS BIGINT)"
+        ).alias("imbalance_ppm"),
     )

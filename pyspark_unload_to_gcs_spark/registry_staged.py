@@ -5131,3 +5131,622 @@ def _incr_containment_frame(
         text_column="text", shingle_n=3, threshold_pct=80,
         materialize_grams=materialize_grams,
     )
+
+
+# --------------------------------------------------------------------------
+# r14 STAGED COHORT (library code + tests landed r12; rows staged r13).
+# Everything below is @register_staged: parity-tested at sf0.001+sf0.01
+# by tests/test_staged_queries.py, plan-budgeted by the staged-aware
+# plan_digest, promoted to live @register next round per the rotation
+# plan pinned in registry.py.
+# --------------------------------------------------------------------------
+
+
+# -- balanced training shards ----------------------------------------------
+
+_SHARD_N = 16
+_SHARD_SALTS = 8
+
+
+def _shard_balance_oracle() -> str:
+    """DuckDB replay of the FULL striped-shard assignment
+    (operators/layout.py ``balanced_shards`` md5 arm +
+    ``shard_load_stats``): exact bit-length magnitude bucket via
+    ``bin()``, the classifier md5-prefix salt, cumulative group
+    offsets, the % n_shards stripe, and the HUGEINT floor-division
+    imbalance — every step integer-exact, so the whole layout stage
+    sits under the driver hash."""
+    bucket = (
+        "list_sum(list_transform(generate_series(1, 8),\n"
+        "    i -> CAST(strpos('0123456789abcdef',\n"
+        "              substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1\n"
+        f"         AS BIGINT) << (4 * (8 - i)))) % {_SHARD_SALTS}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS w
+  FROM documents
+), tagged AS (
+  SELECT doc_id, w,
+         length(bin(greatest(w, 1))) - 1 AS b,
+         {bucket} AS s
+  FROM d
+), groups AS (
+  SELECT b, s, CAST(COUNT(*) AS BIGINT) AS n FROM tagged GROUP BY b, s
+), offs AS (
+  SELECT b, s, SUM(n) OVER (ORDER BY b, s) - n AS off FROM groups
+), assigned AS (
+  SELECT t.doc_id, t.w,
+         CAST((o.off + ROW_NUMBER() OVER (PARTITION BY t.b, t.s
+                                          ORDER BY t.doc_id) - 1)
+              % {_SHARD_N} AS INT) AS shard
+  FROM tagged t JOIN offs o USING (b, s)
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(w) AS BIGINT) AS weight_sum
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_rows, weight_sum,
+       CAST((CAST(MAX(weight_sum) OVER () AS HUGEINT) * 1000000)
+            // GREATEST(MIN(weight_sum) OVER (), 1) AS BIGINT)
+         AS imbalance_ppm
+FROM per
+"""
+
+
+@register_staged("shard_balance_profile", oracle=_shard_balance_oracle())
+def shard_balance_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard export (operators/layout.py
+    ``balanced_shards`` + ``shard_load_stats``): assign every document
+    a shard in [0, 16) so per-shard token sums come out near-balanced
+    — the deterministic distributed stand-in for LPT bin packing
+    (striped round-robin within weight-magnitude x salt strata; never
+    a global sort), then the per-shard load report a pipeline asserts
+    on before shipping shards. The md5 salt arm makes the ENTIRE
+    assignment — exact bit-length buckets, cumulative group offsets,
+    the stripe, the HUGEINT-safe imbalance division — a FULL value
+    oracle (the bloom_prune production-vs-oracle-arm precedent:
+    production uses xxhash64 through the identical plan). Scale: one
+    groups aggregate (tiny, broadcast back) + one window per
+    (bucket, salt) stratum; weight-magnitude bucketing bounds any
+    stratum's weight spread to 2x, so count-balance implies
+    sum-balance."""
+    from pyspark_unload_to_gcs_spark.operators.layout import (
+        balanced_shards,
+        shard_load_stats,
+    )
+    from pyspark_unload_to_gcs_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    assigned = balanced_shards(
+        docs,
+        n_shards=_SHARD_N,
+        salt_buckets=_SHARD_SALTS,
+        salt_method="md5",
+    )
+    return shard_load_stats(assigned)
+
+
+# -- exactly-once ingestion dedup, key-index/append-only arm ----------------
+
+_IDX_DEDUP_REPLAY_MEMO: dict = {}
+
+
+@register_staged("indexed_dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
+def indexed_dedup_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_stream_replay``'s key-index/append-only twin
+    (streaming/dedup.py ``dedup_batch_indexed`` / ``read_accepted``):
+    the same three poisoned at-least-once micro-batches, the same
+    first-write-wins contract, but versioned state holds ONLY the key
+    index and accepted payloads land in an append-only table — the
+    payload is written once and never rewritten, which is the 100 TB
+    ingestion posture (``dedup_batch`` rewrites the full accumulated
+    corpus every micro-batch; measured 2.33 s vs 3.91 s at 2M rows
+    and the gap grows with corpus size). Same oracle: the accepted
+    union must equal the ORIGINAL events table exactly — an admitted
+    duplicate, a kept poisoned payload, or a dropped first occurrence
+    flips the value hash."""
+    from pyspark_unload_to_gcs_spark.functions.timestamps import (
+        epoch_ms as epoch_ms_col,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch_indexed,
+        read_accepted,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        epoch_ms_col(ev, "ts").alias("ts_ms"),
+    )
+    day = F.floor(F.col("ts_ms") / 86_400_000) - F.floor(
+        F.lit(1_704_067_200_000) / 86_400_000
+    )
+    tag = lambda df, s: df.withColumn("__seq", F.lit(s))  # noqa: E731
+    poison = lambda df: df.withColumn("value", F.col("value") + 1000.0)  # noqa: E731
+
+    b0_rows = base.filter(day < 10)
+    b1_rows = base.filter((day >= 10) & (day < 20))
+    b2_rows = base.filter(day >= 20)
+    b0 = tag(b0_rows, 0)
+    b1 = (
+        tag(b1_rows, 0)
+        .unionByName(tag(poison(b0_rows.filter(F.col("event_id") % 4 == 0)), 1))
+        .unionByName(tag(poison(b1_rows.filter(F.col("event_id") % 9 == 0)), 1))
+    )
+    b2 = tag(b2_rows, 0).unionByName(
+        tag(poison(b1_rows.filter(F.col("event_id") % 5 == 0)), 1)
+    )
+    return replay_batches(
+        _IDX_DEDUP_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        (b0, b1, b2),
+        lambda frame, i, state: dedup_batch_indexed(
+            frame,
+            i,
+            key_columns=["event_id"],
+            sequence_column="__seq",
+            state_path=state,
+        ),
+        lambda state: read_accepted(spark, state),
+        prefix="indexed_dedup_stream_replay_",
+    )
+
+
+# -- streaming ingest decontamination against a frozen gram index -----------
+
+_CONTAIN_REPLAY_MEMO: dict = {}
+
+
+def _containment_replay_oracle() -> str:
+    """The incremental_containment_match oracle + batch_id: matches
+    are per-doc independent and the index is frozen, so the per-batch
+    union equals the batch operator and each row's batch is the
+    deterministic id split (doc_id % 2)."""
+    words = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x != '')"
+    )
+    tri = (
+        "CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])"
+        " ELSE list_transform(generate_series(1, len(t) - 2),"
+        " i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END"
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT doc_id, {words} AS t FROM documents
+), newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         array_to_string(t[1:12], ' ') AS text
+  FROM toks0 WHERE doc_id % 25 = 3 AND len(t) >= 15
+), idx AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 4
+), gn AS (
+  SELECT doc_id, list_distinct({tri}) AS gs
+  FROM (SELECT doc_id, {words} AS t FROM newb)
+), gi AS (
+  SELECT doc_id, list_distinct({tri}) AS gs
+  FROM (SELECT doc_id, {words} AS t FROM idx)
+)
+SELECT CAST(a.doc_id % 2 AS BIGINT) AS batch_id,
+       a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(a.gs) AS BIGINT) AS n_grams_a,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs),
+             9) AS containment_r
+FROM gn a, gi b
+WHERE len(a.gs) > 0
+  AND 100 * len(list_intersect(a.gs, b.gs)) >= 80 * len(a.gs)
+"""
+
+
+@register_staged(
+    "containment_stream_replay", oracle=_containment_replay_oracle()
+)
+def containment_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_containment_match`` as a STREAM
+    (streaming/containment.py): the corpus's gram structures freeze
+    ONCE at bootstrap (``containment_index_build`` — sorted gram
+    arrays, bucket-partitioned postings, the document-frequency
+    table), then each arriving micro-batch of new crawl docs is
+    decontaminated against the frozen index
+    (``containment_match_batch`` — rarest-first PPJoin prefix over
+    bucket-pruned postings, the shared exact verify gate) and its
+    matches land in an idempotent ``matches/b=<batch_id>`` slice.
+    The same fixture as the batch row (every 5th doc + planted
+    12-word excerpts), split into two micro-batches by id parity;
+    the replayed union must equal the batch operator over the union —
+    matches are per-doc independent and the index is frozen, so any
+    drift in the frozen postings, the per-batch prefix, bucket
+    pruning, or the commit gate flips the row set. Per-batch cost at
+    scale: one batch-sized window + a bucket-pruned posting join —
+    the corpus-side gram work happened once."""
+    from pyspark_unload_to_gcs_spark.operators.text import words_col
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_index_build,
+        containment_match_batch,
+        read_matches,
+    )
+    from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    w = words_col(F.col("text"))
+    excerpts = docs.filter((F.col("doc_id") % 25 == 3) & (F.size(w) >= 15)).select(
+        (F.col("doc_id") + stride).alias("doc_id"),
+        F.array_join(F.slice(w, 1, 12), " ").alias("text"),
+    )
+    new_batch = docs.filter(F.col("doc_id") % 5 == 4).unionByName(excerpts)
+    index = docs.filter(F.col("doc_id") % 5 != 4)
+    b0 = new_batch.filter(F.col("doc_id") % 2 == 0)
+    b1 = new_batch.filter(F.col("doc_id") % 2 == 1)
+
+    def fold(frame, i, state):
+        if i == 0:
+            containment_index_build(
+                index, "doc_id", state, shingle_n=3, threshold_pct=80
+            )
+        containment_match_batch(frame, i, id_column="doc_id", state_path=state)
+
+    return replay_batches(
+        _CONTAIN_REPLAY_MEMO,
+        (session_token(spark), sf_dir),
+        (b0, b1),
+        fold,
+        lambda state: read_matches(spark, state),
+        prefix="containment_stream_replay_",
+    )
+
+
+# -- CCNet-shaped bigram LM quality gate -------------------------------------
+
+
+def _bigram_lm_oracle() -> str:
+    """Full DuckDB replay of stupid-backoff bigram scoring
+    (operators/text.py ``bigram_logprob``): train counts from the
+    reference slice only, seen-bigram conditional vs alpha-discounted
+    unigram backoff vs OOV floor, each transition ln rounded to 6 and
+    summed as exact DECIMAL (the unigram_logprob discipline — one
+    IEEE division at the end). The shuffled/OOV variants roundtrip
+    through join(' ')+re-split exactly like the Spark side so the two
+    engines tokenize identically even on pathological whitespace."""
+    toks = (
+        "CASE WHEN trim({t}) = '' THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim({t}), '\\s+') END"
+    )
+    return f"""
+WITH stride AS (SELECT MAX(doc_id) + 1 AS st FROM documents),
+base AS (
+  SELECT doc_id, {toks.format(t="text")} AS ws FROM documents
+), corpus AS (
+  SELECT doc_id AS id, ws, doc_id % 3 = 0 AS is_train FROM base
+  UNION ALL
+  SELECT doc_id + (SELECT st FROM stride) AS id,
+         {toks.format(t="array_to_string(list_reverse(ws), ' ')")} AS ws,
+         FALSE AS is_train
+  FROM base
+  UNION ALL
+  SELECT doc_id + 2 * (SELECT st FROM stride) AS id,
+         {toks.format(t="array_to_string(list_transform(ws, x -> 'qq' || x), ' ')")} AS ws,
+         FALSE AS is_train
+  FROM base
+), train_toks AS (
+  SELECT unnest(ws) AS w FROM corpus WHERE is_train
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM train_toks GROUP BY w
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM train_toks
+), bgc AS (
+  SELECT p, w, CAST(COUNT(*) AS BIGINT) AS cbg FROM (
+    SELECT ws[i] AS p, ws[i + 1] AS w
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM corpus WHERE is_train)
+  ) GROUP BY p, w
+), pairs AS (
+  SELECT id, ws[i] AS p, ws[i + 1] AS w
+  FROM (SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM corpus)
+), lps AS (
+  SELECT pr.id,
+         CAST(ROUND(
+           CASE WHEN bgc.cbg IS NOT NULL
+                THEN ln(CAST(bgc.cbg AS DOUBLE)) - ln(CAST(up.cw AS DOUBLE))
+                ELSE ln(0.4)
+                     + ln(CAST(COALESCE(uw.cw, 1) AS DOUBLE))
+                     - ln(tot.total)
+           END, 6) AS DECIMAL(28,12)) AS lp
+  FROM pairs pr
+  LEFT JOIN bgc ON bgc.p = pr.p AND bgc.w = pr.w
+  LEFT JOIN uni up ON up.w = pr.p
+  LEFT JOIN uni uw ON uw.w = pr.w
+  CROSS JOIN tot
+)
+SELECT id AS doc_id,
+       CASE WHEN id < (SELECT st FROM stride) THEN 'natural'
+            WHEN id < 2 * (SELECT st FROM stride) THEN 'shuffled'
+            ELSE 'oov' END AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM lps GROUP BY id
+"""
+
+
+@register_staged("bigram_lm_quality", oracle=_bigram_lm_oracle())
+def bigram_lm_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality gate (operators/text.py
+    ``bigram_logprob``, Wenzek et al. 2020 / Brants et al. 2007):
+    train a stupid-backoff bigram model on the reference slice
+    (doc_id % 3 == 0), score the corpus PLUS two planted control
+    variants per document — token-REVERSED (same unigrams, broken
+    transitions) and OOV (every token 'qq'-prefixed) — the
+    highest-user-value library candidate (every corpus pipeline runs
+    an LM-quality stage). FULL value oracle: round-6+DECIMAL
+    transition accumulation replays bit-for-bit, and the expected
+    natural > shuffled > OOV mean ordering is pinned by
+    tests/test_staged_queries.py on this exact frame. Scale: the
+    train slice tokenizes once; the bigram table hash-joins
+    (deliberately not broadcast — |bigram vocab| rows), unigrams
+    broadcast; one explode over the scored corpus."""
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        bigram_logprob,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    toks = tokens_col(F.col("text"))
+    natural = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 3 == 0).alias("is_train")
+    )
+    shuffled = docs.select(
+        (F.col("doc_id") + stride).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+        F.lit(False).alias("is_train"),
+    )
+    oov = docs.select(
+        (F.col("doc_id") + 2 * stride).alias("doc_id"),
+        F.array_join(
+            F.transform(toks, lambda x: F.concat(F.lit("qq"), x)), " "
+        ).alias("text"),
+        F.lit(False).alias("is_train"),
+    )
+    corpus = natural.unionByName(shuffled).unionByName(oov)
+    out = bigram_logprob(corpus, train=F.col("is_train"), alpha=0.4)
+    variant = (
+        F.when(F.col("doc_id") < stride, "natural")
+        .when(F.col("doc_id") < 2 * stride, "shuffled")
+        .otherwise("oov")
+    )
+    return out.select(
+        "doc_id", variant.alias("variant"), "n_transitions", "avg_logprob"
+    )
+
+
+# -- canary planting -> pipeline -> survival audit ---------------------------
+
+_CANARY_RATE_PPM = 50_000
+_CANARY_SECRET = "r14-audit"
+_CANARY_MIN_TOKENS = 25
+
+
+def _canary_audit_oracle() -> str:
+    """Closed-form replay of plant -> filter -> survive: the md5
+    ppm selector, the md5 token arithmetic, the mutated-text token
+    gate. Canaries are unique to their planted document (no packing
+    stage here), so detection == the planted doc passing the gate —
+    any drift in the selector threshold, the token spelling, the
+    NULL-text exclusion, or the survival join flips rows."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+
+    hex_thr = split_threshold_hex(_CANARY_RATE_PPM / 1_000_000, 6)
+    ntok = (
+        "CASE WHEN trim({t}) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+    )
+    return f"""
+WITH manifest AS (
+  SELECT doc_id,
+         'zqcanary' || substring(
+             md5(CAST(doc_id AS VARCHAR) || ':' || '{_CANARY_SECRET}'),
+             1, 12) AS canary
+  FROM documents
+  WHERE text IS NOT NULL
+    AND substring(md5(CAST(doc_id AS VARCHAR) || '|select|' ||
+                      '{_CANARY_SECRET}'), 1, 6) < '{hex_thr}'
+), planted AS (
+  SELECT d.doc_id,
+         CASE WHEN m.canary IS NOT NULL THEN d.text || ' ' || m.canary
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN manifest m USING (doc_id)
+), kept AS (
+  SELECT doc_id FROM planted
+  WHERE text IS NOT NULL
+    AND {ntok.format(t="text")} >= {_CANARY_MIN_TOKENS}
+)
+SELECT m.canary, m.doc_id AS planted_in, k.doc_id AS found_in,
+       k.doc_id IS NOT NULL AS survived
+FROM manifest m LEFT JOIN kept k ON k.doc_id = m.doc_id
+"""
+
+
+@register_staged("canary_survival_audit", oracle=_canary_audit_oracle())
+def canary_survival_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-survival canary audit (operators/privacy.py
+    ``plant_canaries`` / ``canary_manifest`` / ``canary_survival`` —
+    the secret-sharer memorization probe, Carlini et al. 2019, used
+    as a stage tracer): plant unique canary tokens into a
+    deterministic 5% md5 slice of documents, run a min-length quality
+    gate (>= 25 tokens on the MUTATED text — the kind of cleaning
+    stage that silently eats tracer docs), regenerate the manifest
+    from (corpus, secret) alone — never stored state — and report per
+    canary whether it survived and where it now lives. FULL value
+    oracle: selector threshold, token md5 arithmetic, NULL-text
+    exclusion, and the gate all replay in closed form. Scale: planting
+    is a narrow map; the detections side of the survival join holds
+    only canary-bearing rows (~rate_ppm of the corpus) and broadcasts."""
+    from pyspark_unload_to_gcs_spark.operators.privacy import (
+        canary_manifest,
+        canary_survival,
+        plant_canaries,
+    )
+    from pyspark_unload_to_gcs_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = plant_canaries(
+        docs,
+        "doc_id",
+        "text",
+        rate_ppm=_CANARY_RATE_PPM,
+        secret=_CANARY_SECRET,
+    )
+    processed = planted.filter(
+        token_count(F.col("text")) >= _CANARY_MIN_TOKENS
+    )
+    manifest = canary_manifest(
+        docs,
+        "doc_id",
+        "text",
+        rate_ppm=_CANARY_RATE_PPM,
+        secret=_CANARY_SECRET,
+    )
+    return canary_survival(processed, manifest, "doc_id", "text")
+
+
+# -- audio fingerprint near-dup join over the real WAV path ------------------
+
+
+def _audio_dup_oracle() -> str:
+    """DuckDB replay of the 64-window energy-contour fingerprint
+    (operators/multimodal.py ``afp_bits_from_frames``) over the
+    closed-form PCM synthesis: per-frame |sample| energy, 4-frame
+    windows (n=256), the division-free above-mean bit rule, (hi, lo)
+    BIGINT packing, literal all-pairs XOR popcount <= 7. The scaled
+    twin MUST land at hamming 0 (exact amplitude-scale invariance);
+    the window-boosted twin lands wherever the closed form says."""
+    sample = "((3 * d + 5 * f) % 997) - 498"
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS d FROM documents WHERE doc_id % 10 = 0
+), stride AS (SELECT MAX(doc_id) + 1 AS st FROM documents),
+univ AS (
+  SELECT d, d AS img_id, 0 AS arm FROM ids
+  UNION ALL
+  SELECT d, d + (SELECT st FROM stride) AS img_id, 1 AS arm FROM ids
+  UNION ALL
+  SELECT d, d + 2 * (SELECT st FROM stride) AS img_id, 2 AS arm FROM ids
+), frames AS (
+  SELECT img_id, d, arm, f, f // 4 AS k,
+         CASE WHEN arm = 0 THEN {sample}
+              WHEN arm = 1 THEN 2 * ({sample})
+              ELSE 2 * ({sample})
+                   + CASE WHEN f // 4 = d % 64 THEN 300 ELSE 0 END
+         END AS s
+  FROM univ, (SELECT unnest(generate_series(0, 255)) AS f)
+), wsums AS (
+  SELECT img_id, k, CAST(SUM(abs(s)) AS BIGINT) AS e
+  FROM frames GROUP BY img_id, k
+), tots AS (
+  SELECT img_id, CAST(SUM(e) AS BIGINT) AS t FROM wsums GROUP BY img_id
+), bits AS (
+  SELECT w.img_id, w.k,
+         CASE WHEN w.e * 64 > t.t THEN 1 ELSE 0 END AS bit
+  FROM wsums w JOIN tots t USING (img_id)
+), hashes AS (
+  SELECT img_id,
+         CAST(SUM(CASE WHEN bit = 1 AND k >= 32
+                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN bit = 1 AND k < 32
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM bits GROUP BY img_id
+)
+SELECT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+"""
+
+
+@register_staged("audio_dup_pairs", oracle=_audio_dup_oracle())
+def audio_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup join end to end over the REAL WAV/PCM16 path
+    (operators/multimodal.py ``audio_fingerprint`` /
+    ``ahash_dup_pairs``): every 10th document synthesizes a 256-frame
+    mono WAV from an integer closed form, plus an amplitude-DOUBLED
+    twin (+stride — the fingerprint is exactly scale-invariant, so it
+    must land at hamming 0) and a one-window-boosted twin (+2*stride —
+    hamming wherever the energy contour says). The real chunk-walking
+    WAV parser decodes the bytes, the all-integer 64-window
+    energy-contour rule produces (hi, lo) BIGINT halves, and byte-band
+    pigeonhole + XOR popcount emits every pair within hamming 7 —
+    exact for the threshold, never all-pairs (the image_ahash
+    contract, one shared join). The DuckDB oracle recomputes window
+    energies from the closed form and takes literal all-pairs
+    popcount — drift in WAV header/frame parsing, the energy rule,
+    window boundaries, tie rule, bit packing, banding recall, or
+    hamming arithmetic flips the row set. Scale: fingerprint-on-ingest
+    is one narrow Arrow map next to the blob; the join is linear
+    banding."""
+    from pyspark_unload_to_gcs_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    stride = (
+        _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] or 0
+    ) + 1
+
+    def synth(batches):
+        import pandas as pd
+
+        def wav(d: int, arm: int) -> bytes:
+            samples = []
+            for f in range(256):
+                s = ((3 * d + 5 * f) % 997) - 498
+                if arm == 0:
+                    samples.append(s)
+                elif arm == 1:
+                    samples.append(2 * s)
+                else:
+                    samples.append(2 * s + (300 if f // 4 == d % 64 else 0))
+            return encode_wav_pcm16(samples, 8000)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"].to_numpy():
+                d = int(d)
+                for arm, off in ((0, 0), (1, stride), (2, 2 * stride)):
+                    ids.append(d + off)
+                    payloads.append(wav(d, arm))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    hashes = audio_fingerprint(clips)
+    return ahash_dup_pairs(
+        hashes, hi_column="afp_hi", lo_column="afp_lo", max_hamming=7
+    )
