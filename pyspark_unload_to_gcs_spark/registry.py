@@ -569,25 +569,39 @@ def _load_extensions() -> None:
 # 26 alphabetically-first r09-only greens: 8 + 8 + 8 + 26 = 50.
 # Steady state: every query re-checked at least every third round.
 #
-# R14 STAGING CANDIDATES (library code + tests landed in r12; write
-# the registered rows + oracles when the r13 cohort promotes):
-# containment_stream_replay (streaming/containment.py — per-batch
-# decontamination against the frozen gram index, replay union ==
-# batch operator); audio_dup_pairs (operators/multimodal.py
-# ``audio_fingerprint`` — WAV decode → 64-window energy-contour hash
-# → the ahash byte-band join; closed-form synthesis gives a full
-# value oracle like image_ahash_dup_pairs); shard_balance_profile
-# (operators/layout.py ``balanced_shards``/``shard_load_stats`` —
-# deterministic striped assignment, exactly SQL-replayable);
-# canary_survival_audit (operators/privacy.py ``plant_canaries`` —
-# plant → clean/dedup → survival report, md5 arithmetic is fully
-# SQL-replayable); indexed_dedup_stream_replay (streaming/dedup.py
-# ``dedup_batch_indexed`` — the key-index/append-only twin of
-# dedup_stream_replay under the same poisoned-replay oracle);
-# bigram_lm_quality (operators/text.py ``bigram_logprob`` — CCNet
-# perplexity stage, stupid backoff, round-6+DECIMAL => full value
-# oracle). Six candidates for <= 8 r14 slots; pick by user value at
-# staging time.
+# R14 COHORT — STAGED THIS ROUND (all six r12 library candidates got
+# registered rows + FULL value oracles in registry_staged.py, parity-
+# green at sf0.001+sf0.01, plan-budgeted, sf0.1-timed in NOTES.md):
+# containment_stream_replay (frozen-gram-index per-batch
+# decontamination; replay union == batch operator; the 22.8 s sf0.1
+# sitting is dominated by the one-time index BOOTSTRAP the streaming
+# design amortizes — say so in the bench note when it promotes);
+# indexed_dedup_stream_replay (append-only key-index arm under the
+# dedup_stream_replay poisoned-replay oracle); bigram_lm_quality
+# (stupid-backoff scoring + planted reversed/OOV control variants,
+# natural > shuffled > OOV pinned); canary_survival_audit (plant →
+# ≥25-token gate → survival, closed md5 form); audio_dup_pairs (real
+# WAV parse → 64-window energy fingerprint → byte-band join; the
+# amplitude-doubled twin pins exact scale invariance at hamming 0);
+# shard_balance_profile (balanced_shards md5 salt arm +
+# shard_load_stats — exact bin()-bit-length buckets, HUGEINT
+# floor-div imbalance).
+#
+# R14 ROTATION PLAN (execute next round): keep the core eight;
+# promote the SIX r13-staged entries above; then refresh
+# oldest-evidence-first — the 15 remaining r09-only greens
+# (q14_promo_revenue_ratio, q15_top_supplier,
+# q17_small_quantity_revenue, q19_disjunctive_revenue,
+# q20_heavy_widget_suppliers, q21_sole_returning_supplier,
+# q9_product_profit, rolling_actives_approx_accuracy,
+# semantic_dedup_auto, theta_overlap_estimate_accuracy,
+# unicode_normalize_stats, variant_props_profile, vector_topk_lsh,
+# vector_topk_quantized, xml_ingest_roundtrip) and the 21
+# alphabetically-first r10-only greens (asof_latest_click ..
+# q3_order_revenue). 8 + 6 + 15 + 21 = 50. Rows-only names stay OUT
+# of _PRIORITY permanently (their value evidence is each family's
+# in-rotation recall/accuracy pin). After promoting run
+# `python tools/plan_digest.py --budgets` and max-merge.
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
