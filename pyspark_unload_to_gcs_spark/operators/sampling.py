@@ -297,3 +297,99 @@ def quota_temperature_mix(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def domain_reweight(
+    df: DataFrame,
+    domain_column: str,
+    score_column: str,
+    *,
+    eta: float = 1.0,
+    baseline: str = "counts",
+) -> DataFrame:
+    """DoReMi-flavored domain reweighting (Xie et al. 2023, public —
+    one exponentiated-gradient step): per-domain sampling weights
+    boosted by how much WORSE the domain scores than the corpus under
+    a reference quality signal (mean LM logprob from
+    ``unigram_logprob``/``bigram_logprob``, a classifier margin, any
+    higher-is-better score). DoReMi's insight is that excess loss —
+    not raw size — should set mixture weights; the full algorithm
+    iterates against a retraining proxy model, which is a training
+    loop, not a data operator. The data-side step IS this one
+    multiplicative update, applied to whatever score column the
+    caller's current proxy produced:
+
+        excess_d = corpus_mean - domain_mean        (worse => positive)
+        boost_d  = exp(eta * excess_d)
+        weight_d = base_d * boost_d / sum(base * boost)
+
+    ``baseline="counts"`` starts from natural proportions (base_d =
+    n_d, the DoReMi initialization); ``"uniform"`` starts flat
+    (base_d = 1).
+
+    Returns one row per domain: (domain, n_docs, mean_score, excess,
+    weight).
+
+    Cross-engine float discipline (the ``temperature_weights``
+    pattern): per-row scores round to 6 and accumulate as exact
+    DECIMAL (double summation is order-dependent — a shuffle would
+    change the hash); means/excess stay DECIMAL; the one exp() output
+    rounds to 6 back into DECIMAL; the single normalizing division
+    rounds to 9 before the one DOUBLE cast. The unpartitioned window
+    runs over the per-DOMAIN aggregate — a few-row frame (domains,
+    not rows), never a data-scale sort; the only data-scale operation
+    is one map-side-combined groupBy."""
+    if baseline not in ("counts", "uniform"):
+        raise ValueError(
+            f"domain_reweight: baseline={baseline!r} must be 'counts' "
+            "or 'uniform'"
+        )
+    s6 = F.round(F.col(score_column).cast("double"), 6).cast("decimal(28,12)")
+    per = df.groupBy(F.col(domain_column)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(s6).alias("__s"),
+    )
+    w = Window.partitionBy()
+    per = per.select(
+        F.col(domain_column),
+        "n_docs",
+        F.round(F.col("__s") / F.col("n_docs"), 9).alias("__m"),
+        F.round(
+            F.sum("__s").over(w) / F.sum("n_docs").over(w), 9
+        ).alias("__ref"),
+    )
+    # DECIMAL(18,6) operands, not (28,12): the (28,12)x(28,12) product
+    # needs precision 57, so Spark clips the result to scale 6 and the
+    # later normalizing division bottoms out at 6 places — the quotient
+    # would round-trip as a 6-digit weight. (18,6)x(18,6) -> (37,12)
+    # stays exact (both factors have <= 6 decimals) and the division
+    # keeps scale 13, comfortably past the round-9 contract.
+    boost = F.round(
+        F.exp(
+            F.lit(float(eta))
+            * (F.col("__ref") - F.col("__m")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    base = (
+        F.col("n_docs").cast("decimal(18,6)")
+        if baseline == "counts"
+        else F.lit(1).cast("decimal(18,6)")
+    )
+    per = per.withColumn("__u", base * boost)
+    # the normalizing division runs in DOUBLE: Spark's decimal division
+    # clamps this quotient's scale to 6 ((37,12)/(38,12) -> (38,6)),
+    # which would truncate the round-9 contract; both operands are
+    # exact decimals, so the one IEEE division is deterministic in any
+    # engine (the temperature_weights single-division discipline)
+    return per.select(
+        F.col(domain_column),
+        "n_docs",
+        F.col("__m").cast("double").alias("mean_score"),
+        (F.col("__ref") - F.col("__m")).cast("double").alias("excess"),
+        F.round(
+            F.col("__u").cast("double")
+            / F.sum("__u").over(w).cast("double"),
+            9,
+        ).alias("weight"),
+    )

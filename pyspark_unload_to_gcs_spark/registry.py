@@ -602,6 +602,20 @@ def _load_extensions() -> None:
 # of _PRIORITY permanently (their value evidence is each family's
 # in-rotation recall/accuracy pin). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
+#
+# R15 STAGING CANDIDATES (library code + tests landed r13; write the
+# registered rows + oracles when the r14 cohort promotes):
+# html_boilerplate_profile (operators/html.py ``html_text_extract`` +
+# ``synth_html`` — clean-text extraction + link-density stats, the
+# first stage of every web-corpus pipeline; pure JVM regexes in the
+# Java/RE2 common subset => the whole extraction is a narrow
+# zero-shuffle map AND fully DuckDB-replayable on the deterministic
+# synth pages, the WAV/BMP synthesis precedent; ~12k pages/s/32
+# threads measured); domain_reweight_mix (operators/sampling.py
+# ``domain_reweight`` — DoReMi-flavored exponentiated-gradient domain
+# weights from per-domain excess of an LM-quality score; compose with
+# unigram/bigram_logprob for a fully SQL-replayable row under the
+# temperature_weights DECIMAL discipline).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",

@@ -1825,3 +1825,95 @@ def test_bigram_logprob_refuses_empty_train_slice(spark):
     )
     with pytest.raises(Exception, match="train slice has no tokens"):
         bigram_logprob(df, train=F.col("is_train")).collect()
+
+
+def test_domain_reweight_matches_python_model(spark):
+    """DoReMi-style exponentiated-gradient reweighting
+    (operators/sampling.py ``domain_reweight``) vs an independent
+    python model: below-average domains get boosted, counts vs
+    uniform baselines, and the DECIMAL round-6/round-9 discipline
+    reproduces to 1e-9."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.sampling import domain_reweight
+
+    rows = [
+        *[("web", -4.0 - 0.1 * i) for i in range(10)],   # big, bad
+        *[("wiki", -2.0 - 0.05 * i) for i in range(4)],  # small, good
+        *[("code", -3.0 - 0.2 * i) for i in range(6)],   # mid
+    ]
+    df = spark.createDataFrame(
+        [(d, s) for d, s in rows], "domain string, score double"
+    )
+
+    def model(baseline):
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0.0])
+        for d, s in rows:
+            agg[d][0] += 1
+            agg[d][1] += round(s, 6)
+        ref = round(sum(v[1] for v in agg.values()) / len(rows), 9)
+        out = {}
+        for d, (n, tot) in agg.items():
+            m = round(tot / n, 9)
+            ex = ref - m
+            boost = round(math.exp(1.0 * ex), 6)
+            out[d] = (n, m, ex, (n if baseline == "counts" else 1) * boost)
+        z = sum(v[3] for v in out.values())
+        return {
+            d: (n, m, ex, round(u / z, 9)) for d, (n, m, ex, u) in out.items()
+        }
+
+    for baseline in ("counts", "uniform"):
+        got = {
+            r["domain"]: (
+                r["n_docs"], r["mean_score"], r["excess"], r["weight"]
+            )
+            for r in domain_reweight(
+                df, "domain", "score", baseline=baseline
+            ).collect()
+        }
+        want = model(baseline)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0]
+            assert abs(got[d][1] - want[d][1]) < 1e-9, (baseline, d)
+            assert abs(got[d][2] - want[d][2]) < 1e-9, (baseline, d)
+            assert abs(got[d][3] - want[d][3]) < 1e-8, (baseline, d)
+        assert abs(sum(v[3] for v in got.values()) - 1.0) < 1e-6
+    # the worst-scoring domain must gain vs its natural proportion
+    got = {
+        r["domain"]: r["weight"]
+        for r in domain_reweight(df, "domain", "score").collect()
+    }
+    assert got["web"] > 10 / 20  # boosted above natural 50%
+    assert got["wiki"] < 4 / 20  # good domain gives up share
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="baseline"):
+        domain_reweight(df, "domain", "score", baseline="nope")
+
+
+def test_domain_reweight_eta_zero_is_baseline(spark):
+    """eta=0 must reduce to the pure baseline mix (boost == 1
+    everywhere): counts -> natural proportions, uniform -> 1/K."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import domain_reweight
+
+    df = spark.createDataFrame(
+        [("a", -1.0)] * 6 + [("b", -9.0)] * 2,
+        "domain string, score double",
+    )
+    nat = {
+        r["domain"]: r["weight"]
+        for r in domain_reweight(df, "domain", "score", eta=0.0).collect()
+    }
+    assert abs(nat["a"] - 0.75) < 1e-9 and abs(nat["b"] - 0.25) < 1e-9
+    uni = {
+        r["domain"]: r["weight"]
+        for r in domain_reweight(
+            df, "domain", "score", eta=0.0, baseline="uniform"
+        ).collect()
+    }
+    assert abs(uni["a"] - 0.5) < 1e-9 and abs(uni["b"] - 0.5) < 1e-9
