@@ -740,3 +740,92 @@ def numeric_drift_psi(
         _F.coalesce(_F.col("n_b"), _F.lit(0)).cast("long").alias("n_b"),
     )
     return drift_psi_from_counts(counts, "bin")
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_column: str,
+    thresholds,
+    *,
+    weight_column: str | None = None,
+) -> DataFrame:
+    """Keep-rate curve for a quality gate: for every candidate cutoff
+    ``t``, how many documents (and optionally how much ``weight`` —
+    tokens, bytes) survive ``score >= t``. This is the stage BEFORE
+    any filter ships: pipelines pick the classifier/LM-score cutoff
+    from exactly this table ("keep 60% of tokens" => find the t whose
+    kept_weight crosses 0.6 * total), instead of guessing and
+    re-scanning per guess.
+
+    ONE scan, no shuffle beyond the single map-side-combined global
+    aggregate: each threshold is a conditional-aggregation expression
+    pair in the same agg (the ``categorical_drift_psi`` one-pass
+    pattern), and the K-row unpivot happens on the aggregated frame.
+    NULL scores never pass any cutoff (they are unkept at every t —
+    an unscored doc must not ship through a quality gate).
+
+    Output, one row per threshold: (threshold DOUBLE, kept_docs,
+    total_docs, kept_ppm, kept_weight, total_weight — weights NULL
+    when no ``weight_column``). All counts BIGINT; ppm is exact
+    integer floor (kept * 1e6 DIV total). kept_docs is monotone
+    nonincreasing in threshold by construction."""
+    ts = [float(t) for t in thresholds]
+    if not ts:
+        raise ValueError("threshold_sweep: thresholds must be non-empty")
+    if len(set(ts)) != len(ts):
+        raise ValueError("threshold_sweep: thresholds must be distinct")
+    s = F.col(score_column)
+    w = (
+        F.coalesce(F.col(weight_column).cast("long"), F.lit(0))
+        if weight_column is not None
+        else None
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if w is not None:
+        aggs.append(F.sum(w).alias("__wt"))
+    for i, t in enumerate(ts):
+        keep = s.isNotNull() & (s >= F.lit(t))
+        aggs.append(
+            F.sum(F.when(keep, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__k{i}")
+        )
+        if w is not None:
+            aggs.append(
+                F.sum(F.when(keep, w).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"__kw{i}")
+            )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"__k{i}").alias("kept_docs"),
+                (
+                    F.col(f"__kw{i}")
+                    if w is not None
+                    else F.lit(None).cast("long")
+                ).alias("kept_weight"),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    exploded = one.select(
+        F.explode(rows).alias("r"),
+        F.col("__n").cast("long").alias("total_docs"),
+        (
+            F.col("__wt") if w is not None else F.lit(None).cast("long")
+        ).alias("total_weight"),
+    )
+    return exploded.select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.kept_docs").alias("kept_docs"),
+        "total_docs",
+        F.expr(
+            "CAST((CAST(r.kept_docs AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(total_docs, 1) AS BIGINT)"
+        ).alias("kept_ppm"),
+        F.col("r.kept_weight").alias("kept_weight"),
+        "total_weight",
+    )

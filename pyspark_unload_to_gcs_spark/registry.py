@@ -615,7 +615,10 @@ def _load_extensions() -> None:
 # ``domain_reweight`` — DoReMi-flavored exponentiated-gradient domain
 # weights from per-domain excess of an LM-quality score; compose with
 # unigram/bigram_logprob for a fully SQL-replayable row under the
-# temperature_weights DECIMAL discipline).
+# temperature_weights DECIMAL discipline); threshold_sweep_profile
+# (operators/diagnostics.py ``threshold_sweep`` — the keep-rate curve
+# for a quality cutoff, K cutoffs = K conditional aggregations in ONE
+# scan; all-integer outputs => trivially full-oracle).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",

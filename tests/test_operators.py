@@ -1917,3 +1917,72 @@ def test_domain_reweight_eta_zero_is_baseline(spark):
         ).collect()
     }
     assert abs(uni["a"] - 0.5) < 1e-9 and abs(uni["b"] - 0.5) < 1e-9
+
+
+def test_threshold_sweep_matches_python_model(spark):
+    """Quality-gate keep-rate curve (operators/diagnostics.py
+    ``threshold_sweep``) vs a python model: per-cutoff kept docs and
+    kept weight, NULL scores unkept at every cutoff, exact-ppm floor,
+    monotone nonincreasing kept counts."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        threshold_sweep,
+    )
+
+    rows = [
+        (1, -3.2, 100), (2, -2.5, 50), (3, -2.5, 10), (4, -1.0, 7),
+        (5, None, 999), (6, -4.9, 3), (7, -0.1, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    ts = [-5.0, -2.5, -1.0, 0.0]
+    got = {
+        r["threshold"]: r.asDict()
+        for r in threshold_sweep(
+            df, "score", ts, weight_column="n_tokens"
+        ).collect()
+    }
+    assert set(got) == set(ts)
+    for t in ts:
+        kept = [(s, w) for _i, s, w in rows if s is not None and s >= t]
+        assert got[t]["kept_docs"] == len(kept), t
+        assert got[t]["kept_weight"] == sum(w for _s, w in kept), t
+        assert got[t]["total_docs"] == len(rows)
+        assert got[t]["total_weight"] == sum(w for *_x, w in rows)
+        assert got[t]["kept_ppm"] == (len(kept) * 1_000_000) // len(rows)
+    ks = [got[t]["kept_docs"] for t in sorted(ts)]
+    assert ks == sorted(ks, reverse=True)  # monotone in threshold
+
+    # weightless mode: weight columns NULL, counts identical
+    nw = {
+        r["threshold"]: r
+        for r in threshold_sweep(df, "score", ts).collect()
+    }
+    for t in ts:
+        assert nw[t]["kept_docs"] == got[t]["kept_docs"]
+        assert nw[t]["kept_weight"] is None
+        assert nw[t]["total_weight"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        threshold_sweep(df, "score", [])
+    with _pytest.raises(ValueError, match="distinct"):
+        threshold_sweep(df, "score", [1.0, 1.0])
+
+
+def test_threshold_sweep_plan_is_one_aggregate(spark):
+    """The sweep must cost ONE scan + one global aggregate no matter
+    how many cutoffs — K cutoffs as K conditional expressions, never a
+    data x thresholds join."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        threshold_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, score double"
+    )
+    plan = (
+        threshold_sweep(df, "score", [float(t) for t in range(20)])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ") <= 1
+    assert "Join" not in plan
