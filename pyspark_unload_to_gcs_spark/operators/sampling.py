@@ -282,7 +282,7 @@ def quota_temperature_mix(
             F.floor(
                 budget_col.cast("double")
                 * wfn(F.col("__n").cast("double"))
-                / F.col("__W")
+                / F.col("__wtot")
             )
             .cast("long")
             .alias("__quota"),
@@ -392,4 +392,209 @@ def domain_reweight(
             / F.sum("__u").over(w).cast("double"),
             9,
         ).alias("weight"),
+    )
+
+
+def repeat_epoch_schedule(
+    df: DataFrame,
+    domain_column: str,
+    token_column: str,
+    *,
+    budget: int,
+    max_epochs: int = 4,
+    weights: DataFrame | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """Data-constrained token-budget scheduling (Muennighoff et al.
+    2023, public): decide how many tokens to SERVE from each domain —
+    i.e. how many epochs to repeat it — when the training budget and
+    the per-domain availability disagree. Repeating a small
+    high-weight domain beyond ~4 epochs stops helping, so supply is
+    capped at ``avail_d * max_epochs`` and the budget water-fills
+    across domains proportionally to their target weights:
+
+        serve_d = min(cap_d, lambda * w_d)   with  sum(serve) = budget
+
+    computed as ``rounds`` exact proportional-redistribution passes
+    (each pass hands every unsaturated domain ``floor(B_left * w_d /
+    W_active)`` tokens) plus one greedy closure pass that assigns the
+    final floor-division crumbs in (weight desc, domain) order — so
+    the schedule fills the budget EXACTLY whenever supply allows
+    (total served == min(budget, sum(cap))), and every quantity is a
+    BIGINT derived by integer floor arithmetic: bit-for-bit
+    reproducible across engines, cluster sizes and retries (the
+    temperature_weights determinism contract, with no floats at all).
+
+    ``weights`` optionally supplies per-domain target weights as a
+    (domain_column, weight) frame — any non-negative BIGINT scale,
+    e.g. the ppm-rounded output of ``domain_reweight`` — and defaults
+    to availability itself (natural proportions). Domains missing
+    from ``weights`` fall back to their availability.
+
+    Returns one row per domain: (domain, avail_tokens, cap_tokens,
+    served_tokens, epochs_ppm = served * 1e6 DIV avail, share_ppm =
+    served * 1e6 DIV total_served), all BIGINT.
+
+    Scale shape (100 TB): the only data-scale operation is the one
+    map-side-combined groupBy that sums tokens per domain; everything
+    after runs on the few-row domain frame, where the unpartitioned
+    windows are the documented domain_reweight pattern (domains, not
+    rows — never a data-scale sort)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    per = df.groupBy(F.col(domain_column)).agg(
+        F.sum(F.col(token_column).cast("long")).alias("avail_tokens")
+    )
+    if weights is not None:
+        wdf = weights.select(
+            F.col(domain_column).alias("__w_dom"),
+            F.col("weight").cast("long").alias("__w_in"),
+        )
+        per = per.join(
+            wdf, per[domain_column] == wdf["__w_dom"], "left"
+        ).drop("__w_dom")
+    else:
+        per = per.withColumn("__w_in", F.lit(None).cast("long"))
+    per = (
+        per.withColumn(
+            "__w", F.coalesce(F.col("__w_in"), F.col("avail_tokens"))
+        )
+        .withColumn(
+            "cap_tokens",
+            F.expr(
+                "CAST(CAST(avail_tokens AS DECIMAL(38,0)) "
+                f"* {int(max_epochs)} AS BIGINT)"
+            ),
+        )
+        .withColumn("__served", F.lit(0).cast("long"))
+        .drop("__w_in")
+    )
+
+    w0 = Window.partitionBy()
+    for _ in range(rounds):
+        per = (
+            per.withColumn(
+                "__room", F.col("cap_tokens") - F.col("__served")
+            )
+            .withColumn(
+                "__wtot",
+                F.sum(
+                    F.when(F.col("__room") > 0, F.col("__w")).otherwise(
+                        F.lit(0)
+                    )
+                ).over(w0),
+            )
+            .withColumn(
+                "__B",
+                F.lit(int(budget)) - F.sum("__served").over(w0),
+            )
+        )
+        alloc = F.when(
+            (F.col("__room") > 0)
+            & (F.col("__wtot") > 0)
+            & (F.col("__B") > 0),
+            F.least(
+                F.col("__room"),
+                F.expr(
+                    "CAST((CAST(__B AS DECIMAL(38,0)) * __w) DIV __wtot "
+                    "AS BIGINT)"
+                ),
+            ),
+        ).otherwise(F.lit(0))
+        per = per.withColumn(
+            "__served", F.col("__served") + alloc
+        ).drop("__room", "__wtot", "__B")
+
+    # greedy closure: crumbs go to active domains in (w desc, domain)
+    # order — a cumulative-room prefix sum, exact and deterministic
+    per = per.withColumn(
+        "__room", F.col("cap_tokens") - F.col("__served")
+    ).withColumn("__L", F.lit(int(budget)) - F.sum("__served").over(w0))
+    ordw = Window.orderBy(
+        F.col("__w").desc(), F.col(domain_column)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    csum_before = F.coalesce(
+        F.sum(F.when(F.col("__room") > 0, F.col("__room"))).over(ordw),
+        F.lit(0),
+    )
+    topup = F.when(
+        (F.col("__room") > 0) & (F.col("__L") > 0),
+        F.least(
+            F.col("__room"),
+            F.greatest(F.col("__L") - csum_before, F.lit(0)),
+        ),
+    ).otherwise(F.lit(0))
+    per = per.withColumn(
+        "served_tokens", F.col("__served") + topup
+    ).drop("__room", "__L", "__served")
+
+    per = per.withColumn("__total", F.sum("served_tokens").over(w0))
+    return per.select(
+        F.col(domain_column),
+        "avail_tokens",
+        "cap_tokens",
+        "served_tokens",
+        F.expr(
+            "CAST((CAST(served_tokens AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(avail_tokens, 1) AS BIGINT)"
+        ).alias("epochs_ppm"),
+        F.expr(
+            "CAST((CAST(served_tokens AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(__total, 1) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def domain_fair_keep(
+    df: DataFrame,
+    domain_column: str,
+    score_column: str,
+    id_column: str,
+    *,
+    keep_ppm: int,
+) -> DataFrame:
+    """Domain-fair quality thresholding: keep the top ``keep_ppm``
+    fraction (parts-per-million) of rows WITHIN each domain by score,
+    instead of one global cutoff. A global threshold silently empties
+    low-scoring domains (the classic quality-filter monoculture
+    failure: boilerplate-light encyclopedic prose crowds out forums
+    and code); ranking within the domain keeps the mixture while
+    still dropping each domain's worst tail.
+
+    The keep rule is exact integer arithmetic: a row is kept iff
+
+        rank_in_domain * 1_000_000 <= keep_ppm * n_domain
+
+    with rank = row_number over (domain, score DESC NULLS LAST, id) —
+    floor semantics (a domain keeps exactly floor(keep_ppm * n / 1e6)
+    rows), deterministic under ties via the id column, bit-for-bit
+    reproducible across engines. NULL scores sort last, so they are
+    the first rows a tightening threshold drops.
+
+    Adds (domain_rank, domain_n, kept) to the input columns — one
+    shuffle (the per-domain window), no global sort."""
+    if not 0 <= keep_ppm <= 1_000_000:
+        raise ValueError(
+            f"keep_ppm must be in [0, 1e6], got {keep_ppm}"
+        )
+    w = Window.partitionBy(domain_column).orderBy(
+        F.col(score_column).desc_nulls_last(), F.col(id_column)
+    )
+    out = df.withColumn(
+        "domain_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "domain_n",
+        F.count(F.lit(1))
+        .over(Window.partitionBy(domain_column))
+        .cast("long"),
+    )
+    return out.withColumn(
+        "kept",
+        (F.col("domain_rank") * F.lit(1_000_000))
+        <= (F.lit(int(keep_ppm)) * F.col("domain_n")),
     )
