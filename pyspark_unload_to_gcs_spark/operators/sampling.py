@@ -282,7 +282,7 @@ def quota_temperature_mix(
             F.floor(
                 budget_col.cast("double")
                 * wfn(F.col("__n").cast("double"))
-                / F.col("__wtot")
+                / F.col("__W")
             )
             .cast("long")
             .alias("__quota"),

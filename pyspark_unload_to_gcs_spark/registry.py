@@ -585,10 +585,17 @@ def _load_extensions() -> None:
 # amplitude-doubled twin pins exact scale invariance at hamming 0);
 # shard_balance_profile (balanced_shards md5 salt arm +
 # shard_load_stats — exact bin()-bit-length buckets, HUGEINT
-# floor-div imbalance).
+# floor-div imbalance). The r13 CONTINUATION sitting added two more
+# staged rows (cohort now EIGHT, all parity-green sf0.001+sf0.01,
+# plan-budgeted): url_canonical_profile (operators/url.py —
+# synth_url + a collapsing surface variant -> url_normalize ->
+# per-registrable-domain collapse stats; full generic-normalization
+# DuckDB replay in the RE2 common subset) and line_dedup_boilerplate
+# (operators/paragraphs.py corpus-scope exact line dedup — the
+# C4/RefinedWeb boilerplate pass; reassembly pinned by md5).
 #
 # R14 ROTATION PLAN (execute next round): keep the core eight;
-# promote the SIX r13-staged entries above; then refresh
+# promote the EIGHT r13-staged entries above; then refresh
 # oldest-evidence-first — the 15 remaining r09-only greens
 # (q14_promo_revenue_ratio, q15_top_supplier,
 # q17_small_quantity_revenue, q19_disjunctive_revenue,
@@ -596,9 +603,10 @@ def _load_extensions() -> None:
 # q9_product_profit, rolling_actives_approx_accuracy,
 # semantic_dedup_auto, theta_overlap_estimate_accuracy,
 # unicode_normalize_stats, variant_props_profile, vector_topk_lsh,
-# vector_topk_quantized, xml_ingest_roundtrip) and the 21
-# alphabetically-first r10-only greens (asof_latest_click ..
-# q3_order_revenue). 8 + 6 + 15 + 21 = 50. Rows-only names stay OUT
+# vector_topk_quantized, xml_ingest_roundtrip) and the 19
+# alphabetically-first r10-only greens (asof_latest_click ..;
+# the last two of the previous 21-name tail slide to r15).
+# 8 + 8 + 15 + 19 = 50. Rows-only names stay OUT
 # of _PRIORITY permanently (their value evidence is each family's
 # in-rotation recall/accuracy pin). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
@@ -619,6 +627,16 @@ def _load_extensions() -> None:
 # (operators/diagnostics.py ``threshold_sweep`` — the keep-rate curve
 # for a quality cutoff, K cutoffs = K conditional aggregations in ONE
 # scan; all-integer outputs => trivially full-oracle).
+# The r13 continuation sitting added three more library candidates
+# (code + model-twin tests + fuzz + SCALE_AUDIT rows landed; rows +
+# oracles when slots open): repeat_epoch_schedule
+# (operators/sampling.py — Muennighoff data-constrained token-budget
+# water-filling across domains, epoch-capped supply, ALL-integer
+# proportional rounds + greedy closure => trivially full-oracle as
+# chained CTEs); domain_fair_keep (per-domain floor-ppm quality keep,
+# one window shuffle, exact integer keep rule); line_dedup document
+# scope (first-k intra-doc retention — the corpus scope is already
+# staged as line_dedup_boilerplate).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",

@@ -5750,3 +5750,234 @@ def audio_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_dup_pairs(
         hashes, hi_column="afp_hi", lo_column="afp_lo", max_hamming=7
     )
+
+
+# -- URL canonicalization profile (r13 continuation staging) ----------------
+
+
+def _url_profile_oracle() -> str:
+    """DuckDB replay of the FULL URL canonicalization
+    (operators/url.py ``url_normalize``): rebuild the deterministic
+    synth_url string per order key plus a second messy variant
+    (different userinfo, an extra utm param) that must collapse onto
+    the same canonical key, then replay parse -> userinfo drop ->
+    host lowercase/trailing-dot strip -> default-port drop ->
+    tracking-param filter -> bytewise param sort -> PSL-lite
+    registrable domain, all with the same regex/list primitives in
+    the RE2 common subset the Spark side uses."""
+    from pyspark_unload_to_gcs_spark.operators.url import (
+        DEFAULT_STRIP_PARAMS,
+        MULTILABEL_SUFFIXES,
+    )
+
+    strip_in = ", ".join(f"'{p}'" for p in DEFAULT_STRIP_PARAMS)
+    suffix_in = ", ".join(f"'{s}'" for s in MULTILABEL_SUFFIXES)
+    return f"""
+WITH ids AS (
+  SELECT o_orderkey AS id FROM orders
+), base AS (
+  SELECT id,
+    (CASE WHEN id % 4 = 0 THEN 'HTTP://' WHEN id % 4 = 1 THEN 'https://'
+          WHEN id % 4 = 2 THEN 'Https://' ELSE 'http://' END)
+    || 'user:pw@'
+    || (CASE WHEN id % 4 = 0
+             THEN 'WWW.Site' || CAST(id % 7 AS VARCHAR) || '.Example.COM'
+             WHEN id % 4 = 1
+             THEN 'shop' || CAST(id % 7 AS VARCHAR) || '.example.co.uk'
+             ELSE 'site' || CAST(id % 7 AS VARCHAR) || '.example.com.' END)
+    || (CASE WHEN id % 3 = 0 THEN ':80'
+             WHEN id % 3 = 1 THEN ':8080' ELSE '' END)
+    || '/Path/To/page' || CAST(id AS VARCHAR)
+    || (CASE WHEN id % 2 = 0
+             THEN '?z=last&utm_source=feed&a=' || CAST(id AS VARCHAR)
+                  || '&fbclid=XYZ&m=mid'
+             ELSE '?b=' || CAST(id AS VARCHAR) END)
+    || '#frag' AS url
+  FROM ids
+), urls AS (
+  SELECT id, url FROM base
+  UNION ALL
+  SELECT id,
+         replace(replace(url, '#frag', '&utm_y=dup#frag'),
+                 'user:pw@', 'u2@') AS url
+  FROM base
+), auth AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_replace(regexp_extract(url, '://([^/?#]*)', 1), '^.*@', '')
+      AS a,
+    regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM urls
+), hostport AS (
+  SELECT *,
+    regexp_replace(lower(split_part(a, ':', 1)), '[.]+$', '') AS host,
+    split_part(a, ':', 2) AS port
+  FROM auth
+), params AS (
+  SELECT *,
+    list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT (split_part(p, '=', 1) IN ({strip_in})
+                            OR split_part(p, '=', 1) LIKE 'utm_%')))
+      AS kept,
+    list_filter(string_split(query, '&'), p -> p <> '') AS raw
+  FROM hostport
+), norm AS (
+  SELECT id, host,
+    CASE WHEN len(string_split(host, '.')) >= 3
+              AND regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+                  IN ({suffix_in})
+         THEN regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)$', 1)
+         WHEN len(string_split(host, '.')) >= 2
+         THEN regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+         ELSE host END AS domain,
+    scheme || '://' || host
+      || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END)
+      || (CASE WHEN path = '' THEN '/' ELSE path END)
+      || (CASE WHEN len(kept) = 0 THEN ''
+               ELSE '?' || array_to_string(kept, '&') END) AS url_norm,
+    len(raw) - len(kept) AS stripped
+  FROM params
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_canonical,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(stripped) AS BIGINT) AS params_stripped
+FROM norm GROUP BY domain
+"""
+
+
+@register_staged("url_canonical_profile", oracle=_url_profile_oracle())
+def url_canonical_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-identity canonicalization profile (operators/url.py):
+    synthesize a messy URL per order key (mixed case, userinfo,
+    default/explicit ports, tracking params, fragment — the synth_url
+    closed form) PLUS a second surface variant that differs in
+    userinfo and an extra utm param, canonicalize both with
+    ``url_normalize``, and report per registrable domain how the raw
+    URL space collapses: n_urls (2x keys), n_canonical (must equal
+    distinct keys — the variant MUST collapse), n_hosts, and the
+    tracking params stripped. The whole parse->normalize->PSL-lite
+    pipeline is one narrow JVM-regex map (plan-pinned zero-exchange in
+    test_url.py); the only shuffle here is the final small groupBy.
+    Full value oracle: DuckDB rebuilds the identical synth strings and
+    replays the normalization with the same RE2-subset regexes."""
+    from pyspark_unload_to_gcs_spark.operators.url import (
+        synth_url,
+        url_normalize,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        synth_url(F.col("o_orderkey")).alias("url"),
+    )
+    variant = base.select(
+        "id",
+        F.replace(
+            F.replace(
+                F.col("url"), F.lit("#frag"), F.lit("&utm_y=dup#frag")
+            ),
+            F.lit("user:pw@"),
+            F.lit("u2@"),
+        ).alias("url"),
+    )
+    norm = url_normalize(base.unionByName(variant))
+    return norm.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("url_norm").cast("long").alias("n_canonical"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_params_stripped").cast("long").alias("params_stripped"),
+    )
+
+
+# -- corpus boilerplate line dedup (r13 continuation staging) ---------------
+
+
+def _line_dedup_oracle() -> str:
+    """DuckDB replay of the FULL corpus-scope line dedup
+    (operators/paragraphs.py ``line_dedup``): the same closed-form
+    5-line synthetic page per document (unique header, a banner shared
+    by doc_id%7, a blank structural line, a ubiquitous subscribe line,
+    a pair line whose multiplicity is scale-dependent), the same
+    normalized key (trim + whitespace-collapse + lowercase), the
+    corpus occurrence threshold, and the order-preserving reassembly
+    pinned down to the md5 of the rebuilt text."""
+    return """
+WITH docs AS (
+  SELECT doc_id AS id,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+    || chr(10) || 'BANNER GROUP ' || CAST(doc_id % 7 AS VARCHAR)
+    || chr(10)
+    || chr(10) || 'Click   here to SUBSCRIBE'
+    || chr(10) || 'pair ' || CAST(doc_id % 250 AS VARCHAR) AS text
+  FROM documents
+), split AS (
+  SELECT id, string_split(text, chr(10)) AS l FROM docs
+), lines AS (
+  SELECT id, ord, l[ord] AS line,
+    lower(trim(regexp_replace(l[ord], '[ \\t\\r]+', ' ', 'g'))) AS key
+  FROM split, LATERAL unnest(generate_series(1, len(l))) AS t(ord)
+), flags AS (
+  SELECT id, ord, line,
+    (key = '' OR COUNT(*) OVER (PARTITION BY key) <= 1) AS keep
+  FROM lines
+)
+SELECT id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_removed,
+  md5(COALESCE(string_agg(line, chr(10) ORDER BY ord)
+               FILTER (WHERE keep), '')) AS dedup_md5,
+  CAST(length(COALESCE(string_agg(line, chr(10) ORDER BY ord)
+                       FILTER (WHERE keep), '')) AS BIGINT)
+    AS dedup_chars
+FROM flags GROUP BY id
+"""
+
+
+@register_staged("line_dedup_boilerplate", oracle=_line_dedup_oracle())
+def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scope exact line dedup (operators/paragraphs.py
+    ``line_dedup`` — the C4/RefinedWeb boilerplate pass): each
+    document becomes a closed-form 5-line page (unique header line,
+    a nav banner shared across its doc_id%7 group, a blank structural
+    line, the ubiquitous subscribe line, and a 'pair' line whose
+    corpus multiplicity depends on the scale factor), then every line
+    whose normalized form occurs more than once in the corpus drops
+    from ALL documents while blank lines survive as structure. Output
+    pins the reassembly itself — md5 + length of the rebuilt text —
+    plus the per-doc line counts, so the whole explode -> hot-key
+    groupBy -> AQE-broadcast join-back -> ordered reassembly pipeline
+    sits under the driver hash. Scale: the hot-key set is the Zipf
+    head (7 banner groups + 1 subscribe line here), exactly the
+    boilerplate shape the broadcast join-back is designed for."""
+    from pyspark_unload_to_gcs_spark.operators.paragraphs import (
+        line_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\nBANNER GROUP "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n"),
+            F.lit("\nClick   here to SUBSCRIBE"),
+            F.lit("\npair "),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    out = line_dedup(docs, max_occurrences=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_lines_removed",
+        F.md5(F.col("text_dedup")).alias("dedup_md5"),
+        F.length("text_dedup").cast("long").alias("dedup_chars"),
+    )
