@@ -9,7 +9,7 @@ profile is value-oracle-able cross-engine with no float drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -828,4 +828,149 @@ def threshold_sweep(
         ).alias("kept_ppm"),
         F.col("r.kept_weight").alias("kept_weight"),
         "total_weight",
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_column: str,
+    label_column: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier reliability diagram + ECE — the calibration check a
+    pipeline runs BEFORE trusting a quality classifier's scores as
+    probabilities (``threshold_sweep`` picks a cutoff; this validates
+    that the scores MEAN what the cutoff assumes). Rows bin by
+    predicted score (equal-width over [0,1], out-of-range clamps to
+    the edge bins), and each bin compares observed positive rate
+    against mean predicted score.
+
+    Everything is exact integer arithmetic: per-row confidence is
+    round(clamp(score, 0, 1) * 1e6) as BIGINT (clamped exactly like
+    the bin, and keeping every integer non-negative sidesteps the
+    trunc-vs-floor divergence Spark DIV and DuckDB // have on
+    negatives), so bin confidence, positive rate, the per-bin |gap|,
+    and the N-weighted ECE are all BIGINT ppm by floor division —
+    bit-for-bit engine-replayable. Rows with a NULL
+    score or NULL label are excluded (an unscored or unlabeled row
+    can neither be placed in a bin nor grade one) — count them
+    upstream; this frame answers calibration only.
+
+    Output, one row per non-empty bin: (bin INT, bin_lo_ppm, n,
+    positives, pos_rate_ppm, confidence_ppm, gap_ppm, ece_ppm — the
+    last repeated on every row: sum(gap*n) DIV total, the scalar a
+    gate asserts on). ONE map-side-combined groupBy over n_bins keys;
+    the ECE window runs over the <= n_bins aggregated rows (the
+    domain_reweight few-row-frame pattern)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    score = F.col(score_column).cast("double")
+    label = F.col(label_column).cast("boolean")
+    bin_col = F.least(
+        F.greatest(
+            F.floor(score * F.lit(float(n_bins))).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    conf = F.round(
+        F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    per = (
+        df.filter(score.isNotNull() & label.isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(label.cast("long")).alias("positives"),
+            F.sum(conf).alias("__conf_sum"),
+        )
+    )
+    per = per.select(
+        "bin",
+        F.expr(
+            f"CAST((CAST(bin AS DECIMAL(38,0)) * 1000000) DIV {n_bins} "
+            "AS BIGINT)"
+        ).alias("bin_lo_ppm"),
+        "n",
+        "positives",
+        F.expr(
+            "CAST((CAST(positives AS DECIMAL(38,0)) * 1000000) DIV n "
+            "AS BIGINT)"
+        ).alias("pos_rate_ppm"),
+        F.expr("CAST(__conf_sum DIV n AS BIGINT)").alias(
+            "confidence_ppm"
+        ),
+    ).withColumn(
+        "gap_ppm", F.abs(F.col("pos_rate_ppm") - F.col("confidence_ppm"))
+    )
+    return per.withColumn(
+        "ece_ppm",
+        F.expr(
+            "CAST(SUM(CAST(gap_ppm AS DECIMAL(38,0)) * n) "
+            "OVER () DIV SUM(n) OVER () AS BIGINT)"
+        ),
+    )
+
+
+def score_auc(
+    df: DataFrame,
+    score_column: str,
+    label_column: str,
+    *,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact tie-corrected ROC AUC as a one-row frame — the ranking
+    check next to ``calibration_bins`` (AUC grades the ORDER scores
+    induce; calibration grades their VALUES).
+
+    A naive rank-based AUC needs a global sort + unpartitioned rank
+    window — the single-partition plan that dies at 100 TB. Instead
+    (the ``token_budget_select`` two-phase shape): scores round to
+    ``score_decimals`` and aggregate into per-score buckets (bounded
+    by distinct rounded scores, independent of corpus size), and the
+    tie-corrected pair count comes from a cumulative window over THAT
+    bucket frame, ordered by score:
+
+        AUC = sum_b[ pos_b * (neg_below_b + neg_b / 2) ] / (P * N)
+
+    computed in doubled integers to keep the half exact:
+    ``auc_ppm = sum(pos_b * (2*cum_neg_below + neg_b)) * 1e6 DIV
+    (2 * P * N)`` — all BIGINT/DECIMAL floor arithmetic,
+    engine-replayable. Rounding scores quantizes ties (two scores
+    equal at 6 decimals count as tied), which is the documented
+    operating point, not a float hazard. NULL scores/labels are
+    excluded; a degenerate corpus (P == 0 or N == 0) returns
+    auc_ppm NULL rather than a fake 500000.
+
+    Output: one row (n_pos, n_neg, n_score_buckets, auc_ppm)."""
+    score = F.round(
+        F.col(score_column).cast("double"), int(score_decimals)
+    )
+    label = F.col(label_column).cast("boolean")
+    buckets = (
+        df.filter(score.isNotNull() & label.isNotNull())
+        .groupBy(score.alias("__s"))
+        .agg(
+            F.sum(label.cast("long")).alias("__pos"),
+            F.sum((~label).cast("long")).alias("__neg"),
+        )
+    )
+    wcum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scored = buckets.withColumn(
+        "__neg_below", F.coalesce(F.sum("__neg").over(wcum), F.lit(0))
+    )
+    return scored.agg(
+        F.coalesce(F.sum("__pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("__neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_score_buckets"),
+        F.expr(
+            "CAST(CASE WHEN SUM(__pos) > 0 AND SUM(__neg) > 0 THEN "
+            "(SUM(CAST(__pos AS DECIMAL(38,0)) "
+            " * (2 * __neg_below + __neg)) * 1000000) "
+            "DIV (2 * CAST(SUM(__pos) AS DECIMAL(38,0)) * SUM(__neg)) "
+            "END AS BIGINT)"
+        ).alias("auc_ppm"),
     )
