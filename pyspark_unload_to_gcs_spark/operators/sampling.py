@@ -598,3 +598,81 @@ def domain_fair_keep(
         (F.col("domain_rank") * F.lit(1_000_000))
         <= (F.lit(int(keep_ppm)) * F.col("domain_n")),
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    id_column: str,
+    content_columns: list[str],
+    *,
+    train_fraction: float = 0.8,
+    normalize: bool = True,
+) -> DataFrame:
+    """Audit the promise ``deterministic_split`` makes: no CONTENT
+    appears on both sides of the train/test boundary. The split is
+    leakage-safe per id, but ids are not identities — exact and
+    near-exact copies under different ids (mirrors, reposts,
+    re-crawls) leak across any id-keyed split, and this is the check
+    a pipeline runs before shipping an eval set.
+
+    Rows get their split from ``deterministic_split`` (same
+    train_fraction => same assignment, so this audits the REAL
+    boundary), group on the md5 of the (optionally normalized)
+    content columns (the ``exact_dedup`` narrow-shuffle key), and a
+    group that contains both a train and a test row is a leak. Rows
+    whose content columns are ALL NULL key on their id instead — an
+    absent document is not a shareable content identity and must not
+    fabricate a leak group.
+
+    Returns ONE summary row, all BIGINT (+ exact floor ppm):
+    (n_rows, n_groups, n_dup_groups, n_leaked_groups, leaked_rows,
+    leaked_ppm) — leaked_rows counts EVERY row of a leaking group,
+    both sides, because the fix (drop or re-side the group) touches
+    all of them.
+
+    Scale: one narrow map for split+key (32-byte shuffle key, never
+    the document), one hash-shuffle groupBy(key), one global agg.
+    """
+    from pyspark_unload_to_gcs_spark.operators.text import (
+        normalize_text,
+    )
+
+    split = deterministic_split(
+        df, id_column, train_fraction=train_fraction,
+        split_column="__split",
+    )
+    cols = [F.col(c) for c in content_columns]
+    parts = [normalize_text(c) if normalize else c for c in cols]
+    present = cols[0].isNotNull()
+    for c in cols[1:]:
+        present = present | c.isNotNull()
+    key = F.when(
+        present,
+        F.md5(F.concat_ws("\x1f", *[p.cast("string") for p in parts])),
+    ).otherwise(
+        F.md5(F.concat(F.lit("\x00id:"), F.col(id_column).cast("string")))
+    )
+    per = split.groupBy(key.alias("__key")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(F.col("__split") == "train", 1)).alias("__tr"),
+        F.count(F.when(F.col("__split") == "test", 1)).alias("__te"),
+    )
+    leaked = (F.col("__tr") > 0) & (F.col("__te") > 0)
+    return per.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(F.col("__n") > 1, 1)).cast("long").alias(
+            "n_dup_groups"
+        ),
+        F.count(F.when(leaked, 1)).cast("long").alias(
+            "n_leaked_groups"
+        ),
+        F.coalesce(F.sum(F.when(leaked, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("leaked_rows"),
+        F.expr(
+            "CAST((CAST(COALESCE(SUM(CASE WHEN __tr > 0 AND __te > 0 "
+            "THEN __n END), 0) AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(COALESCE(SUM(__n), 0), 1) AS BIGINT)"
+        ).alias("leaked_ppm"),
+    )
