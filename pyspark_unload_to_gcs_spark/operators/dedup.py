@@ -100,6 +100,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def content_key(
+    key_columns: list[str],
+    *,
+    normalize: bool = False,
+) -> Column:
+    """NULL-safe 32-byte content identity (md5) over one or more
+    columns — the shared shuffle/join key for ``exact_dedup`` and the
+    split-leakage audit. Each part encodes as ``\\x00`` (NULL) or
+    ``\\x01`` + value BEFORE the ``\\x1f`` join: a bare ``concat_ws``
+    silently skips NULL parts, which would key ('x', NULL) and
+    (NULL, 'x') — and NULL vs '' — identically, merging rows that
+    share no content. ``normalize=True`` keys on the normalized form
+    of each (string) column instead of raw bytes."""
+    keys = []
+    for c in key_columns:
+        col = F.col(c)
+        p = normalize_text(col) if normalize else col
+        keys.append(
+            F.when(col.isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), p.cast("string"))
+            )
+        )
+    return F.md5(F.concat_ws("\x1f", *keys))
+
+
 def exact_dedup(
     df: DataFrame,
     key_columns: list[str],
@@ -119,13 +144,10 @@ def exact_dedup(
     ``F.md5``-of-key pre-projection keeps shuffle rows narrow when the
     key is a long text column.
     """
-    if normalize:
-        parts = [normalize_text(F.col(c)) for c in key_columns]
-    else:
-        parts = [F.col(c) for c in key_columns]
     # hash the (possibly long) key so the shuffle carries 32 bytes, not
-    # the full document text
-    key = F.md5(F.concat_ws("\x1f", *[p.cast("string") for p in parts]))
+    # the full document text; content_key's NULL-flag encoding keeps
+    # NULL distinct from '' and from a skipped column
+    key = content_key(key_columns, normalize=normalize)
     w = Window.partitionBy(key).orderBy(F.col(order_column).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

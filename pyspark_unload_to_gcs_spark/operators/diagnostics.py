@@ -943,6 +943,14 @@ def score_auc(
     excluded; a degenerate corpus (P == 0 or N == 0) returns
     auc_ppm NULL rather than a fake 500000.
 
+    PRECONDITION: the bucket bound holds only for scores in a BOUNDED
+    range — classifier probabilities in [0,1] give <= 10^decimals + 1
+    buckets regardless of corpus size. Unbounded scores (raw logits,
+    perplexities) make the bucket frame grow with the corpus and the
+    cumulative window regress toward the single-partition shape this
+    function exists to avoid; squash (sigmoid) or clamp such scores
+    first, or lower ``score_decimals``.
+
     Output: one row (n_pos, n_neg, n_score_buckets, auc_ppm)."""
     score = F.round(
         F.col(score_column).cast("double"), int(score_decimals)

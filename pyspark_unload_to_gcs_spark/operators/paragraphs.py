@@ -5,8 +5,9 @@ otherwise-distinct pages, and quoted/templated lines repeat inside one
 page. Both hide from whole-document hashing.
 
 ``line_dedup`` splits each document on ``\\n``, keys every line on a
-normalized form (trim, collapse ``[ \\t\\r]+`` runs, lowercase —
-``normalize=False`` keys on raw bytes), applies the scope rule, and
+normalized form (trim, collapse ``[ \\t\\r]+`` runs, lowercase), or on
+the raw line bytes with ``normalize=False`` (no trim, no collapse —
+whitespace-distinct lines stay distinct), applies the scope rule, and
 reassembles surviving lines in their original order:
 
 - ``scope="corpus"``: any key whose TOTAL occurrence count across the
@@ -17,8 +18,9 @@ reassembles surviving lines in their original order:
   ``max_occurrences`` occurrences of a key survive and later repeats
   drop (intra-doc de-repetition keeps the content, cuts the echo).
 
-Blank lines (key ``''``) are document structure, never counted and
-never dropped. NULL text stays NULL with NULL stats (an absent page is
+Blank lines (key ``''`` — whitespace-only under normalization, truly
+empty under raw keys) are document structure, never counted and never
+dropped. NULL text stays NULL with NULL stats (an absent page is
 not an empty page); a page whose every line dropped comes back as
 ``''`` — present but empty, so downstream length gates see it.
 
@@ -72,9 +74,12 @@ def line_dedup(
             "__pos", "__line"
         ),
     )
-    key = F.trim(F.regexp_replace(F.col("__line"), r"[ \t\r]+", " "))
     if normalize:
-        key = F.lower(key)
+        key = F.lower(
+            F.trim(F.regexp_replace(F.col("__line"), r"[ \t\r]+", " "))
+        )
+    else:
+        key = F.col("__line")
     ex = ex.withColumn("__key", key)
     blank = (F.col("__key") == "") | F.col("__key").isNull()
 

@@ -429,7 +429,10 @@ def repeat_epoch_schedule(
     (domain_column, weight) frame — any non-negative BIGINT scale,
     e.g. the ppm-rounded output of ``domain_reweight`` — and defaults
     to availability itself (natural proportions). Domains missing
-    from ``weights`` fall back to their availability.
+    from ``weights`` fall back to their availability; a domain listed
+    more than once collapses to its MAX weight (aggregated before the
+    join, so duplicates can never fan out the per-domain row and
+    break the exact-fill invariant).
 
     Returns one row per domain: (domain, avail_tokens, cap_tokens,
     served_tokens, epochs_ppm = served * 1e6 DIV avail, share_ppm =
@@ -451,10 +454,14 @@ def repeat_epoch_schedule(
         F.sum(F.col(token_column).cast("long")).alias("avail_tokens")
     )
     if weights is not None:
-        wdf = weights.select(
-            F.col(domain_column).alias("__w_dom"),
-            F.col("weight").cast("long").alias("__w_in"),
-        )
+        # aggregate to one row per domain BEFORE the join: a duplicate
+        # domain in the weights frame would fan the per-domain row
+        # out, double-counting it in every window sum and silently
+        # breaking the exact-fill invariant (max is the documented
+        # collapse rule)
+        wdf = weights.groupBy(
+            F.col(domain_column).alias("__w_dom")
+        ).agg(F.max(F.col("weight").cast("long")).alias("__w_in"))
         per = per.join(
             wdf, per[domain_column] == wdf["__w_dom"], "left"
         ).drop("__w_dom")
@@ -617,12 +624,15 @@ def split_leakage_audit(
 
     Rows get their split from ``deterministic_split`` (same
     train_fraction => same assignment, so this audits the REAL
-    boundary), group on the md5 of the (optionally normalized)
-    content columns (the ``exact_dedup`` narrow-shuffle key), and a
-    group that contains both a train and a test row is a leak. Rows
-    whose content columns are ALL NULL key on their id instead — an
-    absent document is not a shareable content identity and must not
-    fabricate a leak group.
+    boundary), group on the NULL-safe md5 content key shared with
+    ``exact_dedup`` (``dedup.content_key`` — a NULL column encodes a
+    flag rather than silently vanishing from the concat, so
+    ('x', NULL) and (NULL, 'x') never collide), and a group that
+    contains both a train and a test row is a leak. Rows with NO
+    content identity key on their id instead — all columns NULL, or
+    every column NULL-or-empty after normalization (punctuation-only
+    crawl noise normalizes to '') — because an absent or contentless
+    document must not fabricate a leak group.
 
     Returns ONE summary row, all BIGINT (+ exact floor ppm):
     (n_rows, n_groups, n_dup_groups, n_leaked_groups, leaked_rows,
@@ -633,6 +643,7 @@ def split_leakage_audit(
     Scale: one narrow map for split+key (32-byte shuffle key, never
     the document), one hash-shuffle groupBy(key), one global agg.
     """
+    from pyspark_unload_to_gcs_spark.operators.dedup import content_key
     from pyspark_unload_to_gcs_spark.operators.text import (
         normalize_text,
     )
@@ -643,12 +654,11 @@ def split_leakage_audit(
     )
     cols = [F.col(c) for c in content_columns]
     parts = [normalize_text(c) if normalize else c for c in cols]
-    present = cols[0].isNotNull()
-    for c in cols[1:]:
-        present = present | c.isNotNull()
+    contentless = cols[0].isNull() | (parts[0] == "")
+    for c, p in zip(cols[1:], parts[1:]):
+        contentless = contentless & (c.isNull() | (p == ""))
     key = F.when(
-        present,
-        F.md5(F.concat_ws("\x1f", *[p.cast("string") for p in parts])),
+        ~contentless, content_key(list(content_columns), normalize=normalize)
     ).otherwise(
         F.md5(F.concat(F.lit("\x00id:"), F.col(id_column).cast("string")))
     )

@@ -32,10 +32,12 @@ Java regex and RE2/DuckDB, keeping the operator fully
 value-oracle-able (string_split/list_filter/list_sort on the oracle
 side mirror split/filter/array_sort here).
 
-NULL url stays NULL everywhere; a non-absolute URL (no ``scheme://``)
-also yields NULL parts and NULL canonical form — a relative href is
-not an identity, and silently passing it through would let two
-different pages share a key.
+NULL url stays NULL everywhere; a URL the anchored grammar rejects —
+no ``scheme://``, or an embedded line terminator the fragment/query
+classes refuse to cross — also yields NULL parts and NULL canonical
+form. A relative href is not an identity, and letting a rejected URL
+degrade to empty parts would give every malformed input the same
+shared canonical key.
 
 ``synth_url`` is the deterministic fixture wrapper (the synth_html /
 WAV/BMP precedent): it builds a closed-form messy URL — upper/lower
@@ -54,7 +56,6 @@ from pyspark.sql import functions as F
 # one RFC-3986-shaped pass: scheme :// authority path ?query #fragment
 # (no backreferences/lookaround — Java regex and RE2 agree)
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
-_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 
 # click-identifier params every major pipeline strips (name equality)
 DEFAULT_STRIP_PARAMS: tuple[str, ...] = (
@@ -106,7 +107,13 @@ def url_parse(df: DataFrame, *, url_column: str = "url") -> DataFrame:
     after the closing bracket. NULL or non-absolute input yields NULL
     for every part (module docstring)."""
     url = F.col(url_column)
-    present = url.rlike(_ABS_RE)
+    # presence must gate on the SAME fully-anchored pattern the parts
+    # extract with: gating on the _ABS_RE prefix alone lets a URL that
+    # matches the prefix but fails the full match (e.g. a newline in
+    # the fragment — '.' does not cross line terminators) yield
+    # empty-string parts, and url_normalize would then collapse every
+    # such URL onto one shared ':///' canonical key
+    present = url.rlike(_URL_RE)
 
     def _gated(col: Column) -> Column:
         return F.when(present, col)

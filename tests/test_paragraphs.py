@@ -16,8 +16,9 @@ from pyspark_unload_to_gcs_spark.operators.paragraphs import (  # noqa: E402
 
 
 def _key(line, normalize):
-    k = re.sub(r"[ \t\r]+", " ", line).strip()
-    return k.lower() if normalize else k
+    if not normalize:
+        return line  # raw bytes: whitespace-distinct lines stay distinct
+    return re.sub(r"[ \t\r]+", " ", line).strip().lower()
 
 
 def _model(docs, scope="corpus", max_occurrences=1, normalize=True):

@@ -152,3 +152,40 @@ def test_leakage_audit_plan_is_two_aggregates(spark):
     assert "CartesianProduct" not in plan
     # one shuffle for the key groupBy, one for the global agg
     assert plan.count("Exchange") <= 3
+
+
+def test_multi_column_null_patterns_do_not_collide(spark):
+    """('x', NULL) vs (NULL, 'x') share no content — the NULL-flag
+    encoding in dedup.content_key must keep them distinct instead of
+    concat_ws silently skipping the NULL (code-review regression)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        split_leakage_audit as audit,
+    )
+
+    tr, te = _ids_by_side()
+    df = spark.createDataFrame(
+        [
+            (tr[0], "hello world", None),
+            (te[0], None, "hello world"),
+        ],
+        "id long, title string, body string",
+    )
+    got = audit(df, "id", ["title", "body"]).first()
+    assert got["n_leaked_groups"] == 0
+    assert got["leaked_rows"] == 0
+    assert got["n_groups"] == 2
+
+
+def test_contentless_rows_key_on_id(spark):
+    """Punctuation-only docs normalize to '' — contentless, id-keyed,
+    never one giant fabricated leak group (code-review regression);
+    same for raw-empty strings and all-NULL rows."""
+    tr, te = _ids_by_side()
+    rows = [
+        (tr[0], "!!!"), (te[0], "???"), (tr[1], ""), (te[1], None),
+    ]
+    got = _run(spark, rows)
+    assert got["n_leaked_groups"] == 0
+    assert got["leaked_rows"] == 0
+    assert got["n_groups"] == 4
+    assert got["n_dup_groups"] == 0

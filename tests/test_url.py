@@ -288,3 +288,27 @@ def test_url_fuzz_matches_model(spark):
             assert got[k] == v, (url, k, got[k], v)
 
     run()
+
+
+def test_url_rejected_by_anchored_grammar_is_null(spark):
+    """A URL whose prefix looks absolute but whose body fails the
+    anchored grammar (embedded line terminator) must be NULL — not
+    empty parts that would collapse every malformed URL onto one
+    shared ':///' canonical key (code-review regression)."""
+    rows = [
+        (1, "http://site-a.com/page#x\ny"),
+        (2, "http://site-b.org/other#p\nq"),
+        (3, "http://ok.example.com/fine"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r for r in url_normalize(df).collect()}
+    for rid in (1, 2):
+        assert got[rid]["url_norm"] is None, rid
+        assert got[rid]["host"] is None
+        assert got[rid]["domain"] is None
+    assert got[3]["url_norm"] == "http://ok.example.com/fine"
+    # and the python model agrees on all three
+    for rid, url in rows:
+        want = _norm_model(url)
+        for k, v in want.items():
+            assert got[rid][k] == v, (url, k)
