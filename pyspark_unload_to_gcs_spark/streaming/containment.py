@@ -184,8 +184,15 @@ def containment_match_batch(
     postings = spark.read.parquet(_index_dir(state_path, "postings"))
     if len(buckets) < n_buckets:
         postings = postings.filter(F.col("pb").isin(buckets))
+    # candidate join on xxhash64 of the gram (the containment_join
+    # trick): 8-byte shuffle key, collisions only add candidates and
+    # the exact verify below discards them
     cand = (
-        prefix.join(postings.select("id_b", "__p"), "__p")
+        prefix.select("id_a", F.xxhash64("__p").alias("__hp"))
+        .join(
+            postings.select("id_b", F.xxhash64("__p").alias("__hp")),
+            "__hp",
+        )
         .select("id_a", "id_b")
         .distinct()
     )
