@@ -686,3 +686,71 @@ def split_leakage_audit(
             "DIV GREATEST(COALESCE(SUM(__n), 0), 1) AS BIGINT)"
         ).alias("leaked_ppm"),
     )
+
+
+def mix_deviation_report(
+    df: DataFrame,
+    stratum_column: str,
+    targets: dict[str, int],
+    *,
+    spark=None,
+) -> DataFrame:
+    """Post-export mixture audit — the check AFTER ``weighted_mix`` /
+    ``temperature_mix`` / ``quota_temperature_mix`` ships a corpus:
+    does the delivered per-stratum composition actually match the
+    target shares? (The mixers are deterministic, but upstream filters
+    and dedup run AFTER mixing in most pipelines, and each one bends
+    the realized mixture.)
+
+    ``targets`` maps stratum -> target share in ppm (integers; they
+    need not sum to exactly 1e6 — the report audits against what the
+    caller declared). Strata present in the data but absent from
+    ``targets`` audit against 0 (contamination shows up as positive
+    deviation); target strata absent from the data emit an n_docs=0
+    row (a missing source is a deviation, not a silent omission).
+
+    Returns one row per stratum, all BIGINT: (stratum, n_docs,
+    observed_ppm = n*1e6 DIV total, target_ppm, dev_ppm = observed -
+    target, abs_dev_ppm, max_abs_dev_ppm — the last repeated on every
+    row: the scalar a shipping gate asserts on). Exact integer
+    arithmetic end to end; the only data-scale operation is one
+    map-side-combined groupBy, and the windows run over the few-row
+    stratum frame (the ``domain_reweight`` pattern)."""
+    for k, v in targets.items():
+        if not 0 <= int(v) <= 1_000_000:
+            raise ValueError(
+                f"mix_deviation_report: target ppm for {k!r} must be "
+                f"in [0, 1e6], got {v}"
+            )
+    sess = spark if spark is not None else df.sparkSession
+    tgt = sess.createDataFrame(
+        [(k, int(v)) for k, v in targets.items()],
+        f"`{stratum_column}` string, target_ppm long",
+    )
+    per = df.groupBy(F.col(stratum_column).cast("string").alias(stratum_column)).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    joined = per.join(tgt, stratum_column, "full_outer").select(
+        stratum_column,
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.col("target_ppm"), F.lit(0)).alias("target_ppm"),
+    )
+    w = Window.partitionBy()
+    joined = joined.withColumn(
+        "observed_ppm",
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000) "
+            "DIV GREATEST(SUM(n_docs) OVER (), 1) AS BIGINT)"
+        ),
+    ).withColumn(
+        "dev_ppm", F.col("observed_ppm") - F.col("target_ppm")
+    ).withColumn("abs_dev_ppm", F.abs(F.col("dev_ppm")))
+    return joined.select(
+        stratum_column,
+        "n_docs",
+        "observed_ppm",
+        "target_ppm",
+        "dev_ppm",
+        "abs_dev_ppm",
+        F.max("abs_dev_ppm").over(w).alias("max_abs_dev_ppm"),
+    )
