@@ -636,7 +636,13 @@ def _load_extensions() -> None:
 # chained CTEs); domain_fair_keep (per-domain floor-ppm quality keep,
 # one window shuffle, exact integer keep rule); line_dedup document
 # scope (first-k intra-doc retention — the corpus scope is already
-# staged as line_dedup_boilerplate).
+# staged as line_dedup_boilerplate); split_leakage_audit (content
+# identity vs the deterministic split — NULL-safe content_key,
+# contentless rows id-keyed; all-BIGINT one-row summary);
+# calibration_bins + score_auc (reliability/ECE ppm + exact bucketed
+# tie-corrected AUC — both engine-replayable integer arithmetic);
+# mix_deviation_report (delivered vs declared mixture shares, K-row
+# full-outer join, max-abs-dev gate scalar).
 _PRIORITY: tuple[str, ...] = (
     # 1. reference-parity core
     "full_sync_non_null",
