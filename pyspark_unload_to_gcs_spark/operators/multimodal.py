@@ -801,3 +801,56 @@ def audio_fingerprint(
         lambda raw: afp_bits_from_frames(decode_wav_bytes(raw)[3]),
         AFP_SCHEMA,
     )
+
+
+# published magic numbers as ((offset, bytes) conjunct-lists, mime);
+# list order matters: RIFF/WAVE and RIFF/AVI before anything that
+# would shadow them, longer magics before prefixes they contain
+_MAGIC_RULES: tuple[tuple[tuple[tuple[int, bytes], ...], str], ...] = (
+    (((1, b"RIFF"), (9, b"WAVE")), "audio/wav"),
+    (((1, b"RIFF"), (9, b"AVI ")), "video/avi"),
+    (((1, b"\x89PNG\r\n\x1a\n"),), "image/png"),
+    (((1, b"\xff\xd8\xff"),), "image/jpeg"),
+    (((1, b"GIF87a"),), "image/gif"),
+    (((1, b"GIF89a"),), "image/gif"),
+    (((1, b"BM"),), "image/bmp"),
+    (((1, b"%PDF-"),), "application/pdf"),
+    (((1, b"\x1f\x8b"),), "application/gzip"),
+    (((1, b"PK\x03\x04"),), "application/zip"),
+    (((1, b"PK\x05\x06"),), "application/zip"),
+    (((5, b"ftyp"),), "video/mp4"),
+)
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Content-type from leading magic bytes — the triage step before
+    any decode in a multimodal ingest (never trust a file extension or
+    an upstream content-type header; route by what the bytes say).
+
+    Recognizes the containers this engine's decode path and stubs deal
+    in (RIFF/WAVE + AVI, PNG, JPEG, GIF87a/89a, BMP, PDF, gzip, zip,
+    MP4 ftyp) with their published magic numbers, checked most-
+    specific-first; anything unrecognized falls through to a
+    control-byte heuristic over the first 64 bytes (no control bytes
+    besides tab/newline/CR => ``text/plain``) or
+    ``application/octet-stream``. NULL payload stays NULL (an absent
+    blob has no type); empty bytes are octet-stream.
+
+    Pure byte-compare expressions over bounded prefixes — nothing
+    reads past byte 68, so at 100 TB this is a narrow map whose cost
+    is the parquet scan of the payload prefix."""
+    text_like = (F.length(payload) > 0) & ~F.substring(
+        payload, 1, 64
+    ).cast("string").rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    expr = F.when(text_like, F.lit("text/plain")).otherwise(
+        F.lit("application/octet-stream")
+    )
+    for conjuncts, mime in reversed(_MAGIC_RULES):
+        pred = None
+        for off, magic in conjuncts:
+            c = F.substring(payload, off, len(magic)) == F.lit(magic)
+            pred = c if pred is None else (pred & c)
+        expr = F.when(pred, F.lit(mime)).otherwise(expr)
+    return F.when(payload.isNull(), F.lit(None).cast("string")).otherwise(
+        expr
+    )
