@@ -146,47 +146,59 @@ def robots_allowed(
 ) -> DataFrame:
     """RFC 9309 longest-match verdict per URL row (module docstring):
     adds ``allowed`` BOOLEAN, ``matched_rule`` STRING (NULL when no
-    rule matched), ``matched_allow`` BOOLEAN (NULL likewise). The
-    rules side joins on domain — small by nature, AQE-broadcastable;
-    the longest-match pick is one window over (url row, matched
-    rules), partition-local."""
-    u = urls.withColumn("__uid", F.monotonically_increasing_id())
-    r = rules.filter(
-        (~F.col("has_wildcard")) & (F.col("path_prefix") != "")
-    ).select(
-        F.col("domain").alias("__rdom"),
-        "allow",
-        "path_prefix",
+    rule matched), ``matched_allow`` BOOLEAN (NULL likewise).
+
+    Plan shape: the usable rules COLLAPSE to one array per domain
+    first (rules per domain are dozens, not millions), so the frontier
+    join is one broadcast hash join with NO row fan-out, and the
+    longest-match pick is an array_max over (length, allow, prefix)
+    structs — a narrow map, zero per-URL shuffles or windows. Equal-
+    length Allow/Disallow ties go to Allow (the RFC rule); a residual
+    tie between same-length same-verdict prefixes deterministically
+    reports the bytewise-largest prefix."""
+    r = (
+        rules.filter(
+            (~F.col("has_wildcard")) & (F.col("path_prefix") != "")
+        )
+        .groupBy(F.col("domain").alias("__rdom"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("path_prefix").alias("p"),
+                    F.col("allow").alias("a"),
+                )
+            ).alias("__rules")
+        )
     )
-    joined = u.join(
-        r,
-        (F.col(domain_column) == F.col("__rdom"))
-        & F.col(path_column).startswith(F.col("path_prefix")),
+    joined = urls.join(
+        F.broadcast(r),
+        F.col(domain_column) == F.col("__rdom"),
         "left",
     )
-    # longest prefix wins; equal length -> Allow wins (RFC 9309);
-    # deterministic residual tie-break on the prefix bytes
-    w = Window.partitionBy("__uid").orderBy(
-        F.length("path_prefix").desc(),
-        F.col("allow").desc(),
-        F.col("path_prefix"),
+    path = F.col(path_column)
+    matches = F.filter(
+        F.coalesce(F.col("__rules"), F.array()),
+        lambda x: path.startswith(x["p"]),
     )
-    picked = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn(
-            "allowed", F.coalesce(F.col("allow"), F.lit(True))
-        )
-        .withColumn(
-            "matched_rule",
-            F.when(F.col("allow").isNotNull(), F.col("path_prefix")),
-        )
-        .withColumn(
-            "matched_allow",
-            F.when(F.col("allow").isNotNull(), F.col("allow")),
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda x: F.struct(
+                F.length(x["p"]).alias("l"),
+                x["a"].alias("a"),
+                x["p"].alias("p"),
+            ),
         )
     )
-    return picked.drop("__rdom", "allow", "path_prefix", "__rn", "__uid")
+    return (
+        joined.withColumn("__best", best)
+        .withColumn(
+            "allowed", F.coalesce(F.col("__best.a"), F.lit(True))
+        )
+        .withColumn("matched_rule", F.col("__best.p"))
+        .withColumn("matched_allow", F.col("__best.a"))
+        .drop("__rdom", "__rules", "__best")
+    )
 
 
 def synth_robots(domain_id: Column) -> Column:

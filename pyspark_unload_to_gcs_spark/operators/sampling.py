@@ -660,7 +660,10 @@ def split_leakage_audit(
     key = F.when(
         ~contentless, content_key(list(content_columns), normalize=normalize)
     ).otherwise(
-        F.md5(F.concat(F.lit("\x00id:"), F.col(id_column).cast("string")))
+        # \x02 sentinel, not \x00: content keys start \x01, and a NUL
+        # byte would make the key un-replayable in engines that forbid
+        # embedded NUL in strings (DuckDB) — the oracle needs chr(2)
+        F.md5(F.concat(F.lit("\x02id:"), F.col(id_column).cast("string")))
     )
     per = split.groupBy(key.alias("__key")).agg(
         F.count(F.lit(1)).alias("__n"),

@@ -611,8 +611,28 @@ def _load_extensions() -> None:
 # in-rotation recall/accuracy pin). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
 #
-# R15 STAGING CANDIDATES (library code + tests landed r13; write the
-# registered rows + oracles when the r14 cohort promotes):
+# R15 COHORT — STAGED EARLY (r13 continuation sitting): ELEVEN rows
+# with FULL value oracles landed in registry_staged.py, parity-green
+# at sf0.001 + sf0.01, plan-budgeted, sf0.1-timed in NOTES.md:
+# threshold_sweep_profile, calibration_profile, classifier_auc_exact,
+# mix_deviation_profile, domain_fair_keep_profile, epoch_schedule_plan
+# (the 3-round+closure integer recurrence unrolled as oracle CTEs),
+# split_leakage_profile (split + chr(1)-flagged content key + counts
+# replay exactly), line_dedup_within_doc, domain_reweight_mix
+# (temperature_weights DECIMAL discipline; mu/ref quantized back to
+# DECIMAL(38,12) — DuckDB's '/' on DECIMAL yields DOUBLE),
+# robots_gate_profile (closed-form applicable rule set per synth arm,
+# exact longest-match replay; parser internals model+fuzz-pinned),
+# html_boilerplate_profile (FULL extraction replay, text md5-pinned).
+#
+# R15 ROTATION PLAN (execute after the r14 rotation): keep the core
+# eight; promote the ELEVEN r15-staged rows; refresh
+# oldest-evidence-first with the remaining r10-only greens and then
+# the r11 tail (11 + 8 + 31 = 50). After promoting run
+# `python tools/plan_digest.py --budgets` and max-merge.
+#
+# The original r15 candidate notes (kept for provenance — all three
+# are now staged, see above):
 # html_boilerplate_profile (operators/html.py ``html_text_extract`` +
 # ``synth_html`` — clean-text extraction + link-density stats, the
 # first stage of every web-corpus pipeline; pure JVM regexes in the

@@ -5987,3 +5987,782 @@ def line_dedup_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_dedup")).alias("dedup_md5"),
         F.length("text_dedup").cast("long").alias("dedup_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# r15 COHORT — staged EARLY in the r13 continuation sitting (library
+# code + model-twin tests landed the same sitting; rows get full value
+# oracles here and promote after the r14 cohort per the rotation pin).
+# --------------------------------------------------------------------------
+
+from pyspark_unload_to_gcs_spark.registry_extensions import (  # noqa: E402
+    _NORM_SQL,
+    _QUALITY_SQL,
+)
+
+_SWEEP_CUTS = [i / 10.0 for i in range(10)]
+_TOKCOUNT_SQL = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+)
+
+
+def _sweep_oracle() -> str:
+    """DuckDB replay of threshold_sweep over the bit-identical
+    _QUALITY_SQL score (the quality_score hash-match precedent) and
+    the token-count weight: K cutoffs as an UNNEST, conditional
+    counts, exact floor ppm."""
+    cuts = ", ".join(str(c) for c in _SWEEP_CUTS)
+    return f"""
+WITH scored AS (
+  SELECT {_QUALITY_SQL} AS q, {_TOKCOUNT_SQL} AS w FROM documents
+), cuts AS (
+  SELECT CAST(unnest([{cuts}]) AS DOUBLE) AS threshold
+)
+SELECT c.threshold,
+       CAST(COUNT(*) FILTER (WHERE s.q >= c.threshold) AS BIGINT)
+         AS kept_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST((CAST(COUNT(*) FILTER (WHERE s.q >= c.threshold) AS HUGEINT)
+             * 1000000) // GREATEST(COUNT(*), 1) AS BIGINT) AS kept_ppm,
+       CAST(COALESCE(SUM(s.w) FILTER (WHERE s.q >= c.threshold), 0)
+            AS BIGINT) AS kept_weight,
+       CAST(SUM(s.w) AS BIGINT) AS total_weight
+FROM cuts c CROSS JOIN scored s
+GROUP BY c.threshold
+"""
+
+
+@register_staged("threshold_sweep_profile", oracle=_sweep_oracle())
+def threshold_sweep_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate keep-rate curve (operators/diagnostics.py
+    ``threshold_sweep``): ten candidate cutoffs over the composite
+    quality score, doc and token-weight survival per cutoff — the
+    table a pipeline picks its classifier cutoff from. ONE scan on
+    the Spark side (K conditional aggregation pairs in a single
+    map-side-combined agg; the oracle's cuts-cross-join is the
+    DuckDB-side spelling of the same counts). Full value oracle via
+    the bit-identical _QUALITY_SQL score."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        threshold_sweep,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).cast("long").alias("w"),
+    )
+    return threshold_sweep(docs, "q", _SWEEP_CUTS, weight_column="w")
+
+
+def _calibration_oracle() -> str:
+    """DuckDB replay of calibration_bins with the quality score as the
+    'probability' and lang='en' as the outcome: clamped equal-width
+    bins, round-half-up ppm confidence, floor-div rates/gaps, the
+    N-weighted ECE repeated per row."""
+    return f"""
+WITH scored AS (
+  SELECT {_QUALITY_SQL} AS q, (lang = 'en') AS label FROM documents
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS INT), 0), 9) AS bin,
+         CAST(ROUND(LEAST(GREATEST(q, 0.0), 1.0) * 1000000) AS BIGINT)
+           AS conf,
+         label
+  FROM scored WHERE q IS NOT NULL AND label IS NOT NULL
+), per AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS positives,
+         CAST(SUM(conf) // COUNT(*) AS BIGINT) AS confidence_ppm
+  FROM binned GROUP BY bin
+), rated AS (
+  SELECT bin,
+         CAST((CAST(bin AS HUGEINT) * 1000000) // 10 AS BIGINT)
+           AS bin_lo_ppm,
+         n, positives,
+         CAST((CAST(positives AS HUGEINT) * 1000000) // n AS BIGINT)
+           AS pos_rate_ppm,
+         confidence_ppm
+  FROM per
+)
+SELECT bin, bin_lo_ppm, n, positives, pos_rate_ppm, confidence_ppm,
+       ABS(pos_rate_ppm - confidence_ppm) AS gap_ppm,
+       CAST(SUM(CAST(ABS(pos_rate_ppm - confidence_ppm) AS HUGEINT) * n)
+              OVER ()
+            // SUM(n) OVER () AS BIGINT) AS ece_ppm
+FROM rated
+"""
+
+
+@register_staged("calibration_profile", oracle=_calibration_oracle())
+def calibration_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram + ECE (operators/diagnostics.py
+    ``calibration_bins``): the composite quality score graded as a
+    probability of the document being English — per-bin observed rate
+    vs mean clamped confidence, all-BIGINT ppm, the N-weighted ECE
+    repeated per row as the gate scalar. One map-side-combined
+    groupBy; the ECE window runs over the <= 10 aggregated rows.
+    Full value oracle (exact integer arithmetic on both engines;
+    round-half-up of score*1e6 agrees bit-for-bit on the shared
+    quality doubles)."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        calibration_bins,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        T.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_bins(docs, "q", "label", n_bins=10)
+
+
+def _auc_oracle() -> str:
+    """DuckDB replay of score_auc: rounded-score buckets, cumulative
+    negatives below, doubled-integer tie correction, floor-div ppm."""
+    return f"""
+WITH scored AS (
+  SELECT ROUND({_QUALITY_SQL}, 6) AS s, (lang = 'en') AS label
+  FROM documents
+  WHERE {_QUALITY_SQL} IS NOT NULL
+), buckets AS (
+  SELECT s,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS pos,
+         CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS neg
+  FROM scored GROUP BY s
+), cum AS (
+  SELECT s, pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM buckets
+)
+SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
+       CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_score_buckets,
+       CAST(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         (SUM(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) * 1000000)
+         // (2 * CAST(SUM(pos) AS HUGEINT) * SUM(neg))
+       END AS BIGINT) AS auc_ppm
+FROM cum
+"""
+
+
+@register_staged("classifier_auc_exact", oracle=_auc_oracle())
+def classifier_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (operators/diagnostics.py
+    ``score_auc``) of the composite quality score predicting
+    lang='en' — computed WITHOUT a global rank: per-rounded-score
+    buckets (bounded by distinct 6-decimal scores), one cumulative
+    window over the bucket frame, doubled-integer half-credit. Full
+    value oracle; one row (n_pos, n_neg, n_score_buckets, auc_ppm)."""
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        score_auc,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        T.quality_score(F.col("text")).alias("q"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return score_auc(docs, "q", "label")
+
+
+_MIX_TARGETS = {
+    "en": 500_000,
+    "de": 150_000,
+    "es": 100_000,
+    "fr": 100_000,
+    "ko": 50_000,  # deliberately absent from the fixture: n=0 row
+}
+
+
+def _mix_dev_oracle() -> str:
+    """DuckDB replay of mix_deviation_report over the language
+    composition: counts full-outer-joined against the declared target
+    table ('zh' contaminates against target 0; 'ko' is declared but
+    absent), exact floor ppm, max-abs-dev repeated."""
+    vals = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGETS.items())
+    return f"""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+), tgt (lang, target_ppm) AS (
+  VALUES {vals}
+), joined AS (
+  SELECT COALESCE(p.lang, t.lang) AS lang,
+         COALESCE(p.n_docs, 0) AS n_docs,
+         CAST(COALESCE(t.target_ppm, 0) AS BIGINT) AS target_ppm
+  FROM per p FULL OUTER JOIN tgt t ON p.lang = t.lang
+), rated AS (
+  SELECT lang, n_docs, target_ppm,
+         CAST((CAST(n_docs AS HUGEINT) * 1000000)
+              // GREATEST(SUM(n_docs) OVER (), 1) AS BIGINT)
+           AS observed_ppm
+  FROM joined
+)
+SELECT lang, n_docs, observed_ppm, target_ppm,
+       observed_ppm - target_ppm AS dev_ppm,
+       ABS(observed_ppm - target_ppm) AS abs_dev_ppm,
+       MAX(ABS(observed_ppm - target_ppm)) OVER () AS max_abs_dev_ppm
+FROM rated
+"""
+
+
+@register_staged("mix_deviation_profile", oracle=_mix_dev_oracle())
+def mix_deviation_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-export mixture audit (operators/sampling.py
+    ``mix_deviation_report``): the corpus's language composition vs a
+    declared target mix — 'zh' present but undeclared (contamination,
+    audits against 0), 'ko' declared but absent (n=0 row), exact
+    BIGINT ppm deviations and the max-abs-dev shipping-gate scalar
+    repeated per row. One map-side-combined groupBy + a 5-row
+    full-outer join; full value oracle."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        mix_deviation_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang")
+    return mix_deviation_report(docs, "lang", _MIX_TARGETS)
+
+
+_FAIR_KEEP_PPM = 400_000
+
+
+@register_staged(
+    "domain_fair_keep_profile",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, {{q}} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY q DESC NULLS LAST, doc_id) AS BIGINT)
+           AS domain_rank,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS domain_n
+  FROM scored
+)
+SELECT doc_id, lang, domain_rank, domain_n,
+       domain_rank * 1000000 <= {_FAIR_KEEP_PPM} * domain_n AS kept
+FROM ranked
+""".replace("{q}", _QUALITY_SQL),
+)
+def domain_fair_keep_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-fair quality keep (operators/sampling.py
+    ``domain_fair_keep``): the top 40% of documents WITHIN each
+    language by composite quality — the fairness alternative to a
+    global cutoff that empties low-scoring languages. Exact integer
+    keep rule (rank·1e6 <= keep_ppm·n), deterministic doc_id
+    tie-break, one domain-partitioned window exchange. Full value
+    oracle via the bit-identical _QUALITY_SQL score."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        domain_fair_keep,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("q")
+    )
+    return domain_fair_keep(
+        docs, "lang", "q", "doc_id", keep_ppm=_FAIR_KEEP_PPM
+    ).select("doc_id", "lang", "domain_rank", "domain_n", "kept")
+
+
+_EPOCH_BUDGET = 50_000
+_EPOCH_MAX = 4
+
+
+def _epoch_oracle() -> str:
+    """DuckDB replay of repeat_epoch_schedule (natural weights): three
+    unrolled proportional-redistribution rounds + the greedy closure,
+    all integer floor arithmetic — the schedule is a pure function of
+    the per-language token counts."""
+    B = _EPOCH_BUDGET
+    rounds = []
+    prev = "base"
+    for i in (1, 2, 3):
+        rounds.append(f"""r{i} AS (
+  SELECT lang, avail, cap, w,
+         served + CASE WHEN cap - served > 0
+             AND SUM(CASE WHEN cap - served > 0 THEN w ELSE 0 END)
+                   OVER () > 0
+             AND {B} - SUM(served) OVER () > 0
+           THEN LEAST(cap - served,
+             CAST((CAST({B} - SUM(served) OVER () AS HUGEINT) * w)
+                  // SUM(CASE WHEN cap - served > 0 THEN w ELSE 0 END)
+                       OVER () AS BIGINT))
+           ELSE 0 END AS served
+  FROM {prev})""")
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH toks AS (
+  SELECT lang, {_TOKCOUNT_SQL} AS tok FROM documents
+), per AS (
+  SELECT lang, CAST(SUM(tok) AS BIGINT) AS avail FROM toks GROUP BY lang
+), base AS (
+  SELECT lang, avail,
+         CAST(CAST(avail AS HUGEINT) * {_EPOCH_MAX} AS BIGINT) AS cap,
+         avail AS w, CAST(0 AS BIGINT) AS served
+  FROM per
+),
+{rounds_sql},
+closure AS (
+  SELECT lang, avail, cap, w, served,
+         cap - served AS room,
+         {B} - SUM(served) OVER () AS leftover,
+         COALESCE(SUM(CASE WHEN cap - served > 0 THEN cap - served END)
+             OVER (ORDER BY w DESC, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS csum
+  FROM {prev}
+), fin AS (
+  SELECT lang, avail, cap,
+         served + CASE WHEN room > 0 AND leftover > 0
+           THEN LEAST(room, GREATEST(leftover - csum, 0)) ELSE 0 END
+           AS served_tokens
+  FROM closure
+)
+SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
+       CAST(served_tokens AS BIGINT) AS served_tokens,
+       CAST((CAST(served_tokens AS HUGEINT) * 1000000)
+            // GREATEST(avail, 1) AS BIGINT) AS epochs_ppm,
+       CAST((CAST(served_tokens AS HUGEINT) * 1000000)
+            // GREATEST(SUM(served_tokens) OVER (), 1) AS BIGINT)
+         AS share_ppm
+FROM fin
+"""
+
+
+@register_staged("epoch_schedule_plan", oracle=_epoch_oracle())
+def epoch_schedule_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained token-budget schedule (operators/sampling.py
+    ``repeat_epoch_schedule``): water-fill a fixed 50k-token budget
+    across languages with supply capped at 4 epochs of availability —
+    at sf0.001 the budget exceeds supply (every language saturates at
+    4 epochs), at sf0.01+ it water-fills proportionally, so one row
+    exercises both regimes across the driver's scales. ALL-integer
+    floor arithmetic (3 proportional rounds + greedy closure), so the
+    DuckDB oracle unrolls the identical recurrence; the only
+    data-scale op is the token-count groupBy."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        repeat_epoch_schedule,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("lang"),
+        T.token_count(F.col("text")).cast("long").alias("tok"),
+    )
+    out = repeat_epoch_schedule(
+        docs, "lang", "tok", budget=_EPOCH_BUDGET, max_epochs=_EPOCH_MAX
+    )
+    return out
+
+
+def _leakage_oracle() -> str:
+    """DuckDB replay of split_leakage_audit over the document texts:
+    the md5-prefix split, the chr(1)-flagged normalized content key
+    (chr(2) id fallback for contentless rows), and the exact one-row
+    summary."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+
+    thresh = split_threshold_hex(0.8)
+    return f"""
+WITH keyed AS (
+  SELECT CASE WHEN text IS NULL OR {_NORM_SQL} = ''
+           THEN md5(chr(2) || 'id:' || CAST(doc_id AS VARCHAR))
+           ELSE md5(chr(1) || {_NORM_SQL}) END AS key,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{thresh}'
+           THEN 'train' ELSE 'test' END AS side
+  FROM documents
+), per AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+         COUNT(*) FILTER (WHERE side = 'train') AS tr,
+         COUNT(*) FILTER (WHERE side = 'test') AS te
+  FROM keyed GROUP BY key
+)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_groups,
+       CAST(COUNT(*) FILTER (WHERE tr > 0 AND te > 0) AS BIGINT)
+         AS n_leaked_groups,
+       CAST(COALESCE(SUM(n) FILTER (WHERE tr > 0 AND te > 0), 0)
+            AS BIGINT) AS leaked_rows,
+       CAST((CAST(COALESCE(SUM(n) FILTER (WHERE tr > 0 AND te > 0), 0)
+                  AS HUGEINT) * 1000000)
+            // GREATEST(COALESCE(SUM(n), 0), 1) AS BIGINT)
+         AS leaked_ppm
+FROM per
+"""
+
+
+@register_staged("split_leakage_profile", oracle=_leakage_oracle())
+def split_leakage_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit (operators/sampling.py
+    ``split_leakage_audit``): normalized-content identity vs the
+    deterministic md5-prefix 80/20 split over the documents corpus —
+    duplicate content under different ids that straddles the boundary
+    counts every row of its group as leaked; contentless rows key on
+    their id. One narrow map + one 32-byte-key groupBy + one global
+    agg; full value oracle (the split, the content key, and every
+    count replay exactly)."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        split_leakage_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_leakage_audit(
+        docs, "doc_id", ["text"], train_fraction=0.8
+    )
+
+
+def _line_dedup_within_oracle() -> str:
+    """DuckDB replay of document-scope line_dedup over a page with a
+    planted intra-document repeat (the banner appears twice in every
+    page): first occurrence survives, the echo drops, reassembly
+    pinned by md5."""
+    return """
+WITH docs AS (
+  SELECT doc_id AS id,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 40)
+    || chr(10) || 'BANNER GROUP ' || CAST(doc_id % 7 AS VARCHAR)
+    || chr(10)
+    || chr(10) || 'banner   group ' || CAST(doc_id % 7 AS VARCHAR)
+    || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), split AS (
+  SELECT id, string_split(text, chr(10)) AS l FROM docs
+), lines AS (
+  SELECT id, ord, l[ord] AS line,
+    lower(trim(regexp_replace(l[ord], '[ \\t\\r]+', ' ', 'g'))) AS key
+  FROM split, LATERAL unnest(generate_series(1, len(l))) AS t(ord)
+), flags AS (
+  SELECT id, ord, line,
+    (key = '' OR ROW_NUMBER() OVER (PARTITION BY id, key ORDER BY ord)
+       <= 1) AS keep
+  FROM lines
+)
+SELECT id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_removed,
+  md5(COALESCE(string_agg(line, chr(10) ORDER BY ord)
+               FILTER (WHERE keep), '')) AS dedup_md5,
+  CAST(length(COALESCE(string_agg(line, chr(10) ORDER BY ord)
+                       FILTER (WHERE keep), '')) AS BIGINT)
+    AS dedup_chars
+FROM flags GROUP BY id
+"""
+
+
+@register_staged(
+    "line_dedup_within_doc", oracle=_line_dedup_within_oracle()
+)
+def line_dedup_within_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-scope exact line dedup (operators/paragraphs.py
+    ``line_dedup``, the intra-doc de-repetition arm): every synthetic
+    page carries its banner TWICE (case/whitespace variants that
+    normalize equal); the first occurrence survives in every document
+    — unlike the corpus scope, which drops boilerplate everywhere —
+    and the echo drops. Reassembly pinned by md5 + length. The window
+    is partitioned by (doc, key): partition-local, no corpus-wide
+    shuffle by content. Full value oracle."""
+    from pyspark_unload_to_gcs_spark.operators.paragraphs import (
+        line_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\nBANNER GROUP "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n"),
+            F.lit("\nbanner   group "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\ntail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = line_dedup(docs, scope="document", max_occurrences=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_lines_removed",
+        F.md5(F.col("text_dedup")).alias("dedup_md5"),
+        F.length("text_dedup").cast("long").alias("dedup_chars"),
+    )
+
+
+def _reweight_oracle() -> str:
+    """DuckDB replay of domain_reweight (eta=1, counts baseline) over
+    the quality score: the temperature_weights DECIMAL discipline —
+    round-6 DECIMAL accumulation, round-9 decimal means, ONE exp()
+    whose double input is bit-identical on both engines, round-6 back
+    to DECIMAL(18,6), exact decimal products, one final double
+    division rounded to 9."""
+    return f"""
+WITH s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(ROUND({_QUALITY_SQL}, 6) AS DECIMAL(28,12))) AS sacc
+  FROM documents GROUP BY lang
+), m AS (
+  SELECT lang, n_docs,
+         CAST(ROUND(sacc / n_docs, 9) AS DECIMAL(38,12)) AS mu,
+         CAST(ROUND(SUM(sacc) OVER () / SUM(n_docs) OVER (), 9)
+              AS DECIMAL(38,12)) AS ref
+  FROM s
+), b AS (
+  SELECT lang, n_docs, mu, ref,
+         CAST(n_docs AS DECIMAL(18,6))
+           * CAST(ROUND(EXP(CAST(ref - mu AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS u
+  FROM m
+)
+SELECT lang, n_docs,
+       CAST(mu AS DOUBLE) AS mean_score,
+       CAST(ref - mu AS DOUBLE) AS excess,
+       ROUND(CAST(u AS DOUBLE) / CAST(SUM(u) OVER () AS DOUBLE), 9)
+         AS weight
+FROM b
+"""
+
+
+@register_staged("domain_reweight_mix", oracle=_reweight_oracle())
+def domain_reweight_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain reweighting (operators/sampling.py
+    ``domain_reweight``, eta=1, counts baseline): per-language
+    sampling weights boosted by how much WORSE the language scores
+    than the corpus under the composite quality signal — the one
+    exponentiated-gradient data-side step of Xie et al. 2023. Full
+    value oracle under the temperature_weights DECIMAL discipline
+    (round-6 accumulation, round-9 means, one exp, one double
+    division); the only data-scale op is the map-side-combined
+    groupBy."""
+    from pyspark_unload_to_gcs_spark.operators.sampling import (
+        domain_reweight,
+    )
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", T.quality_score(F.col("text")).alias("q")
+    )
+    return domain_reweight(docs, "lang", "q", eta=1.0, baseline="counts")
+
+
+def _robots_gate_oracle() -> str:
+    """Closed-form DuckDB replay of the robots gate over the
+    synth_robots family (the canary/audio closed-form precedent: the
+    fixture's applicable rule set per domain arm is known exactly —
+    arm 0 serves TrainBot three prefix rules, arm 1 serves '*' one
+    usable Allow (the empty Disallow and the wildcard rule match
+    nothing), arm 2 has no applicable record) — then RFC 9309
+    longest-match with Allow tie-win and default-allow, aggregated
+    per domain. The parser internals are pinned separately by the
+    python-model + fuzz tests in test_robots.py."""
+    return """
+WITH nat AS (
+  SELECT n_nationkey AS nid, 'd' || CAST(n_nationkey AS VARCHAR) AS domain
+  FROM nation
+), rules AS (
+  SELECT n.domain, r.allow, r.path_prefix
+  FROM nat n
+  JOIN (VALUES (0, FALSE, '/private/'), (0, TRUE, '/private/ok/'),
+               (0, FALSE, '/tmp/'), (1, TRUE, '/public/'))
+       AS r(arm, allow, path_prefix)
+    ON n.nid % 3 = r.arm
+), urls AS (
+  SELECT 'd' || CAST(o_orderkey % 25 AS VARCHAR) AS domain,
+         CASE o_orderkey % 4
+           WHEN 0 THEN '/private/ok/p' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN '/private/x' || CAST(o_orderkey AS VARCHAR)
+           WHEN 2 THEN '/tmp/t' || CAST(o_orderkey AS VARCHAR)
+           ELSE '/public/o' || CAST(o_orderkey AS VARCHAR)
+         END AS path
+  FROM orders
+), matched AS (
+  SELECT u.domain, u.path, r.allow, r.path_prefix,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.domain, u.path
+           ORDER BY length(r.path_prefix) DESC NULLS LAST,
+                    r.allow DESC NULLS LAST, r.path_prefix
+         ) AS rn
+  FROM urls u
+  LEFT JOIN rules r
+    ON u.domain = r.domain AND starts_with(u.path, r.path_prefix)
+), verdicts AS (
+  SELECT domain, COALESCE(allow, TRUE) AS allowed,
+         allow IS NOT NULL AS matched
+  FROM matched WHERE rn = 1
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) FILTER (WHERE allowed) AS BIGINT) AS n_allowed,
+       CAST(COUNT(*) FILTER (WHERE NOT allowed) AS BIGINT) AS n_denied,
+       CAST(COUNT(*) FILTER (WHERE matched) AS BIGINT) AS n_rule_matched
+FROM verdicts GROUP BY domain
+"""
+
+
+@register_staged("robots_gate_profile", oracle=_robots_gate_oracle())
+def robots_gate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance gate (operators/robots.py): 25 synthetic
+    domains (one robots.txt arm each — a TrainBot record with
+    Allow-under-Disallow nesting, a '*' record with the empty-Disallow
+    idiom and a wildcard rule that must be flagged and skipped, and a
+    comments-only file), a four-arm URL frontier from the orders keys,
+    the full distributed parse (record grouping, exact-agent
+    precedence) and the RFC 9309 longest-match verdict, aggregated per
+    domain. The oracle replays the fixture's closed-form applicable
+    rule set (the parser itself is model+fuzz-pinned in
+    test_robots.py) and the exact longest-match/default-allow
+    arithmetic."""
+    from pyspark_unload_to_gcs_spark.operators.robots import (
+        robots_allowed,
+        robots_rules,
+        synth_robots,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nid")
+    )
+    robots = nat.select(
+        F.concat(F.lit("d"), F.col("nid").cast("string")).alias("domain"),
+        synth_robots(F.col("nid")).alias("robots_txt"),
+    )
+    okey = F.col("o_orderkey").cast("long")
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("d"), (okey % 25).cast("string")).alias("domain"),
+        F.when(
+            okey % 4 == 0,
+            F.concat(F.lit("/private/ok/p"), okey.cast("string")),
+        )
+        .when(okey % 4 == 1, F.concat(F.lit("/private/x"), okey.cast("string")))
+        .when(okey % 4 == 2, F.concat(F.lit("/tmp/t"), okey.cast("string")))
+        .otherwise(F.concat(F.lit("/public/o"), okey.cast("string")))
+        .alias("path"),
+    )
+    rules = robots_rules(robots, agent="trainbot")
+    verdicts = robots_allowed(urls, rules)
+    return verdicts.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count(F.when(F.col("allowed"), 1)).cast("long").alias("n_allowed"),
+        F.count(F.when(~F.col("allowed"), 1)).cast("long").alias("n_denied"),
+        F.count(F.when(F.col("matched_allow").isNotNull(), 1))
+        .cast("long")
+        .alias("n_rule_matched"),
+    )
+
+
+def _html_profile_oracle() -> str:
+    """DuckDB replay of html_text_extract over synth_html pages: the
+    identical RE2-subset regexes (content-free strips, anchor
+    extraction BEFORE tag strip, block tags to newlines, ordered
+    entity decode with &amp; last, per-line whitespace normalize) and
+    the exact link-density integer arithmetic, reassembled text pinned
+    by md5."""
+    decode = (
+        "replace(replace(replace(replace(replace(replace({x}, "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+        "'&nbsp;', ' '), '&amp;', '&')"
+    )
+    block_to_text = decode.format(
+        x="regexp_replace(regexp_replace(body, "
+        "'(?is)</?(br|p|div|li|h[1-6]|tr|ul|ol)\\b[^>]*>', "
+        "chr(10), 'g'), '(?s)<[^>]*>', '', 'g')"
+    )
+    anchor_decoded = decode.format(
+        x="regexp_replace(a, '(?s)<[^>]*>', '', 'g')"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body {{ color: red; }}</style>'
+    || '<script type="text/javascript">var x = 1 < 2; // '
+    || CAST(doc_id AS VARCHAR) || '</script></head><body>'
+    || '<!-- nav boilerplate -->'
+    || '<div class="nav"><ul><li><a href="/">Home</a></li>'
+    || '<li><a href="/a">About &amp; Contact</a></li>'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '<li><a href="/x">Extra ' || CAST(doc_id AS VARCHAR)
+             || '</a></li>' ELSE '' END)
+    || '</ul></div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+    || text
+    || '</p><div class="footer"><a href="/t">Terms &quot;of&quot; use&nbsp;'
+    || CAST(doc_id AS VARCHAR) || '</a></div></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+      '(?s)<!--.*?-->', '', 'g') AS body
+  FROM pages
+), anchored AS (
+  SELECT doc_id, body,
+    regexp_extract_all(body, '(?is)<a\\b[^>]*>(.*?)</a>', 1) AS anchors
+  FROM stripped
+), texted AS (
+  SELECT doc_id, anchors,
+    array_to_string(list_filter(list_transform(
+      string_split(
+        {block_to_text},
+        chr(10)),
+      ln -> trim(regexp_replace(ln, '[ \\t\\r]+', ' ', 'g'))),
+      ln -> ln <> ''), chr(10)) AS text
+  FROM anchored
+), stats AS (
+  SELECT doc_id,
+    CAST(len(anchors) AS BIGINT) AS n_links,
+    CAST(COALESCE(list_sum(list_transform(anchors,
+      a -> length(trim({anchor_decoded})))), 0)
+      AS BIGINT) AS anchor_chars,
+    CAST(length(text) AS BIGINT) AS clean_chars,
+    md5(text) AS text_md5
+  FROM texted
+)
+SELECT doc_id, n_links, anchor_chars, clean_chars,
+       CAST((CAST(anchor_chars AS HUGEINT) * 1000000)
+            // GREATEST(clean_chars, 1) AS BIGINT) AS link_char_ppm,
+       text_md5
+FROM stats
+"""
+
+
+@register_staged("html_boilerplate_profile", oracle=_html_profile_oracle())
+def html_boilerplate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (operators/html.py
+    ``html_text_extract`` over ``synth_html`` pages): clean text plus
+    the link-density stats boilerplate classifiers key on — anchors
+    counted BEFORE the tag strip, ordered entity decode (&amp; last),
+    block tags to newlines, per-line whitespace normalize, exact
+    integer link_char_ppm — with the reassembled text pinned by md5.
+    The whole extraction is one zero-shuffle JVM-regex map in the
+    Java/RE2 common subset (plan-pinned in test_html.py), which is
+    what makes this FULL value oracle possible."""
+    from pyspark_unload_to_gcs_spark.operators.html import (
+        html_text_extract,
+        synth_html,
+    )
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        synth_html(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    out = html_text_extract(pages)
+    return out.select(
+        "doc_id",
+        "n_links",
+        "anchor_chars",
+        "clean_chars",
+        "link_char_ppm",
+        F.md5(F.col("text")).alias("text_md5"),
+    )

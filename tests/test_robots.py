@@ -66,9 +66,9 @@ def _allowed_model(rules, path):
     ]
     if not cands:
         return True, None, None
-    allow, prefix = sorted(
-        cands, key=lambda c: (-len(c[1]), not c[0], c[1])
-    )[0]
+    # max over (length, allow, prefix): longest wins, Allow wins the
+    # length tie, bytewise-largest prefix reported on a residual tie
+    allow, prefix = max(cands, key=lambda c: (len(c[1]), c[0], c[1]))
     return allow, prefix, allow
 
 
