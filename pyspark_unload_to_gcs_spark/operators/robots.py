@@ -24,10 +24,9 @@ means allowed. An absent robots.txt (domain not in the rules table)
 is allowed — the RFC's unreachable-robots default.
 
 Deliberately out of scope (documented, not silently wrong): the
-``*``/``$`` wildcard extension (prefix semantics only — a wildcard
-rule still participates as a literal prefix up to its first ``*``? No:
-wildcard-bearing rules are DROPPED and reported by ``has_wildcard`` so
-callers can see what was skipped), ``Crawl-delay``/``Sitemap``
+``*``/``$`` wildcard extension (prefix semantics only — rules bearing
+a ``*`` anywhere or the trailing ``$`` end-anchor are DROPPED and
+reported by ``has_wildcard`` so callers can see what was skipped), ``Crawl-delay``/``Sitemap``
 directives (ignored), percent-encoding equivalence.
 
 Scale shape (100 TB frontier): robots bodies are per-DOMAIN (millions
@@ -65,14 +64,22 @@ def robots_rules(
             F.split(F.coalesce(F.col(robots_column), F.lit("")), "\n")
         ).alias("pos", "line"),
     )
-    # strip comments + whitespace; classify
-    body = F.trim(F.regexp_replace(F.col("line"), r"#.*", ""))
-    key = F.lower(F.trim(F.split_part(body, F.lit(":"), F.lit(1))))
+    # strip comments + whitespace; classify. NOT F.trim — it strips
+    # only ASCII spaces, and a CRLF-served robots.txt (the common
+    # real-server case) leaves '\r' on every line after the '\n'
+    # split: the UA value would become '*\r', match nothing, and the
+    # gate would silently FAIL OPEN (code-review regression)
+    def _wtrim(col: Column) -> Column:
+        return F.regexp_replace(col, r"^[ \t\r]+|[ \t\r]+$", "")
+
+    body = _wtrim(F.regexp_replace(F.col("line"), r"#.*", ""))
+    key = F.lower(_wtrim(F.split_part(body, F.lit(":"), F.lit(1))))
     # value = everything after the FIRST ':' (paths may contain ':')
-    value = F.trim(
-        F.expr("substring(line, instr(line, ':') + 1)")
+    value = _wtrim(
+        F.regexp_replace(
+            F.expr("substring(line, instr(line, ':') + 1)"), r"#.*", ""
+        )
     )
-    value = F.trim(F.regexp_replace(value, r"#.*", ""))
     parsed = (
         lines.select(
             "domain",
@@ -131,7 +138,15 @@ def robots_rules(
             F.col("pos").cast("long").alias("rule_order"),
             (F.col("key") == "allow").alias("allow"),
             F.col("value").alias("path_prefix"),
-            F.col("value").contains("*").alias("has_wildcard"),
+            # the RFC 9309 wildcard EXTENSION is both '*' anywhere and
+            # a trailing '$' end-anchor — flag either so callers see
+            # what prefix matching skipped (a '$'-anchored rule kept
+            # as a literal prefix would be silently inert AND wrongly
+            # deny paths literally starting with it)
+            (
+                F.col("value").contains("*")
+                | F.col("value").endswith("$")
+            ).alias("has_wildcard"),
         )
     )
     return rules
@@ -150,7 +165,7 @@ def robots_allowed(
 
     Plan shape: the usable rules COLLAPSE to one array per domain
     first (rules per domain are dozens, not millions), so the frontier
-    join is one broadcast hash join with NO row fan-out, and the
+    join is one AQE-broadcastable hash join with NO row fan-out, and the
     longest-match pick is an array_max over (length, allow, prefix)
     structs — a narrow map, zero per-URL shuffles or windows. Equal-
     length Allow/Disallow ties go to Allow (the RFC rule); a residual
@@ -170,8 +185,14 @@ def robots_allowed(
             ).alias("__rules")
         )
     )
+    # no forced broadcast: at the module's own stated scale (millions
+    # of domains) the collapsed rules table can reach gigabytes, and a
+    # forced broadcast would override AQE's size-based decision and
+    # OOM exactly where the operator is documented to scale; AQE
+    # broadcasts it whenever it actually is small (code-review
+    # regression)
     joined = urls.join(
-        F.broadcast(r),
+        r,
         F.col(domain_column) == F.col("__rdom"),
         "left",
     )

@@ -720,7 +720,15 @@ def mix_deviation_report(
     map-side-combined groupBy, and the windows run over the few-row
     stratum frame (the ``domain_reweight`` pattern)."""
     for k, v in targets.items():
-        if not 0 <= int(v) <= 1_000_000:
+        # integrality matters, not just range (the containment_join
+        # threshold_pct convention): a fraction-style target like 0.7
+        # would int()-truncate to 0 and report fake contamination
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(
+                f"mix_deviation_report: target ppm for {k!r} must be "
+                f"an int (ppm), got {v!r}"
+            )
+        if not 0 <= v <= 1_000_000:
             raise ValueError(
                 f"mix_deviation_report: target ppm for {k!r} must be "
                 f"in [0, 1e6], got {v}"

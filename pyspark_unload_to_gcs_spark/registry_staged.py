@@ -6124,7 +6124,7 @@ def _auc_oracle() -> str:
 WITH scored AS (
   SELECT ROUND({_QUALITY_SQL}, 6) AS s, (lang = 'en') AS label
   FROM documents
-  WHERE {_QUALITY_SQL} IS NOT NULL
+  WHERE {_QUALITY_SQL} IS NOT NULL AND lang IS NOT NULL
 ), buckets AS (
   SELECT s,
          CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS pos,

@@ -113,3 +113,14 @@ def test_mix_deviation_plan_is_one_scan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mix_deviation_rejects_fraction_targets(spark):
+    """Fraction-style targets (0.7 instead of 700000 ppm) must raise,
+    not int()-truncate to 0 and report fake contamination
+    (code-review regression)."""
+    df = spark.createDataFrame([("a",)], "source string")
+    with pytest.raises(ValueError):
+        mix_deviation_report(df, "source", {"a": 0.7})
+    with pytest.raises(ValueError):
+        mix_deviation_report(df, "source", {"a": True})

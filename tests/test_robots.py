@@ -52,7 +52,8 @@ def _rules_model(robots, agent):
     star = [r for r in recs if "*" in r["agents"]]
     chosen = exact if exact else star
     return [
-        (pos, key == "allow", value, "*" in value)
+        (pos, key == "allow", value,
+         "*" in value or value.endswith("$"))
         for r in chosen
         for (pos, key, value) in r["rules"]
     ]
@@ -190,7 +191,8 @@ def test_robots_fuzz_matches_model(spark):
             "User-agent", "Disallow: /a/", "Disallow: /a/b",
             "Allow: /a/b", "Disallow:", "Allow: /w*z", "# comment",
             "Disallow: /c/ # tail", "Sitemap: http://x/s.xml", "",
-            "  Allow:   /pad/  ",
+            "  Allow:   /pad/  ", "User-agent: *\r",
+            "Disallow: /a/\r", "\tAllow:\t/pad/\t", "Disallow: /w$",
         ]
     )
 
@@ -239,3 +241,56 @@ def test_robots_plan_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_robots_crlf_and_tabs_do_not_fail_open(spark):
+    """A CRLF-served robots.txt (the common real-server case) must
+    parse identically to LF: F.trim strips only spaces, so the UA
+    value would otherwise become '*\\r', match nothing, and the gate
+    would silently allow every disallowed path (code-review
+    regression). Tabs around keys/values likewise."""
+    crlf = "User-agent: *\r\nDisallow: /private/\r\nAllow:\t/private/ok/\r\n"
+    df = spark.createDataFrame(
+        [("d", crlf)], "domain string, robots_txt string"
+    )
+    rules = robots_rules(df, agent="anybot")
+    got = {
+        (r["allow"], r["path_prefix"]) for r in rules.collect()
+    }
+    assert got == {(False, "/private/"), (True, "/private/ok/")}
+    urls = spark.createDataFrame(
+        [("d", "/private/x"), ("d", "/private/ok/y")],
+        "domain string, path string",
+    )
+    verdicts = {
+        r["path"]: r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert verdicts["/private/x"] is False
+    assert verdicts["/private/ok/y"] is True
+
+
+def test_robots_dollar_anchor_flagged(spark):
+    """'$'-anchored rules belong to the wildcard extension: they must
+    be flagged (and skipped by matching) instead of participating as
+    literal prefixes (code-review regression)."""
+    df = spark.createDataFrame(
+        [("d", "User-agent: *\nDisallow: /download$\nDisallow: /dl/")],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(df, agent="b")
+    flags = {r["path_prefix"]: r["has_wildcard"] for r in rules.collect()}
+    assert flags == {"/download$": True, "/dl/": False}
+    urls = spark.createDataFrame(
+        [("d", "/download$trap"), ("d", "/download"), ("d", "/dl/x")],
+        "domain string, path string",
+    )
+    verdicts = {
+        r["path"]: r["allowed"]
+        for r in robots_allowed(urls, rules).collect()
+    }
+    # the anchored rule neither wrongly denies the literal-prefix trap
+    # nor silently denies /download; the plain rule still applies
+    assert verdicts["/download$trap"] is True
+    assert verdicts["/download"] is True
+    assert verdicts["/dl/x"] is False
