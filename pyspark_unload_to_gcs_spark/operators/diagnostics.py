@@ -982,3 +982,147 @@ def score_auc(
             "END AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_column: str,
+    percentiles_ppm: list[int],
+    *,
+    value_decimals: int = 6,
+) -> DataFrame:
+    """EXACT percentiles of a (rounded) numeric column without a
+    global sort — the distribution numbers a pipeline clips, alerts,
+    and documents with. ``percentile_approx`` trades accuracy for one
+    pass; a rank window needs the single-partition global sort that
+    dies at 100 TB. This is the ``score_auc``/``token_budget_select``
+    two-phase shape instead: values round to ``value_decimals`` and
+    aggregate into per-value buckets (bounded by DISTINCT rounded
+    values, independent of corpus size — the documented bounded-range
+    precondition), one cumulative window runs over that bucket frame,
+    and every requested percentile is a conditional aggregation over
+    it (the ``threshold_sweep`` pattern — K percentiles add K
+    expressions, not K passes).
+
+    Percentile semantics are the exact lower-rank step function
+    (``type 1`` / SQL ``PERCENTILE_DISC``): the value whose 1-based
+    rank is ``max(1, ceil(p * N))``, integer arithmetic end to end
+    (``rank = GREATEST((p_ppm * N + 999999) DIV 1e6, 1)``) — so the
+    answer is a value that actually occurs (at the rounding grain),
+    bit-for-bit reproducible across engines. NULLs are excluded from
+    ranking; an all-NULL/empty column yields NULL values with n = 0.
+
+    Returns one row per requested percentile: (p_ppm BIGINT,
+    value DOUBLE, rank BIGINT, n BIGINT)."""
+    ps = [int(p) for p in percentiles_ppm]
+    if not ps:
+        raise ValueError("exact_percentiles: percentiles must be non-empty")
+    for p in ps:
+        if not 0 <= p <= 1_000_000:
+            raise ValueError(
+                f"exact_percentiles: p_ppm must be in [0, 1e6], got {p}"
+            )
+    if len(set(ps)) != len(ps):
+        raise ValueError("exact_percentiles: percentiles must be distinct")
+    v = F.round(F.col(value_column).cast("double"), int(value_decimals))
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = buckets.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy())
+    )
+    aggs = []
+    for i, p in enumerate(ps):
+        rank = F.expr(
+            f"GREATEST((CAST({p} AS DECIMAL(38,0)) * __n + 999999) "
+            "DIV 1000000, 1)"
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("__v"))).alias(
+                f"__p{i}"
+            )
+        )
+        aggs.append(F.min(rank).cast("long").alias(f"__r{i}"))
+    one = cum.agg(
+        *aggs, F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("__N")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("p_ppm"),
+                F.col(f"__p{i}").alias("value"),
+                F.col(f"__r{i}").alias("rank"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return one.select(
+        F.explode(rows).alias("r"), F.col("__N").alias("n")
+    ).select(
+        F.col("r.p_ppm").alias("p_ppm"),
+        F.col("r.value").alias("value"),
+        F.when(F.col("n") > 0, F.col("r.rank")).alias("rank"),
+        "n",
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_column: str,
+    *,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+    out_column: str | None = None,
+    value_decimals: int = 6,
+) -> DataFrame:
+    """Winsorized clip at EXACT percentile bounds (``exact_
+    percentiles`` above — never a global sort): values below the
+    lo_ppm percentile rise to it, values above the hi_ppm percentile
+    drop to it, everything else passes through UNROUNDED (only the
+    bound lookup uses the rounding grain; an interior value keeps its
+    exact bytes). The standard outlier guard before averaging
+    heavy-tailed quality/length/loss columns.
+
+    Adds ``out_column`` (default ``<value_column>_winsor`` DOUBLE) and
+    ``clipped`` BOOLEAN; NULL values stay NULL/unclipped. The bounds
+    attach via one broadcast of the 1-row bounds frame — no driver
+    collect, no second scan of the data beyond the bucket build."""
+    if not 0 <= lo_ppm <= hi_ppm <= 1_000_000:
+        raise ValueError(
+            f"winsorize: need 0 <= lo_ppm <= hi_ppm <= 1e6, got "
+            f"({lo_ppm}, {hi_ppm})"
+        )
+    out = out_column or f"{value_column}_winsor"
+    ps = [lo_ppm] if lo_ppm == hi_ppm else [lo_ppm, hi_ppm]
+    pct = exact_percentiles(
+        df, value_column, ps, value_decimals=value_decimals
+    )
+    bounds = (
+        pct.groupBy()
+        .pivot("p_ppm", ps)
+        .agg(F.first("value"))
+        .select(
+            F.col(str(lo_ppm)).alias("__lo"),
+            F.col(str(hi_ppm)).alias("__hi")
+            if hi_ppm != lo_ppm
+            else F.col(str(lo_ppm)).alias("__hi"),
+        )
+    )
+    joined = df.crossJoin(F.broadcast(bounds))
+    x = F.col(value_column).cast("double")
+    clipped_val = F.when(x < F.col("__lo"), F.col("__lo")).when(
+        x > F.col("__hi"), F.col("__hi")
+    )
+    return (
+        joined.withColumn(out, F.coalesce(clipped_val, x))
+        .withColumn(
+            "clipped",
+            F.when(x.isNotNull(), clipped_val.isNotNull()),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -1,0 +1,159 @@
+"""Exact bucketed percentiles + winsorized clip
+(operators/diagnostics.py) vs an independent python model: lower-rank
+(PERCENTILE_DISC) semantics, integer rank arithmetic, NULL/empty
+discipline, unrounded pass-through of interior values."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark_unload_to_gcs_spark.operators.diagnostics import (  # noqa: E402
+    exact_percentiles,
+    winsorize,
+)
+
+
+def _pct_model(vals, ps):
+    # test values carry <= 6 decimals, so rounding is the identity
+    xs = sorted(v for v in vals if v is not None)
+    n = len(xs)
+    out = {}
+    for p in ps:
+        if n == 0:
+            out[p] = {"value": None, "rank": None, "n": 0}
+        else:
+            r = max((p * n + 999_999) // 1_000_000, 1)
+            out[p] = {"value": xs[r - 1], "rank": r, "n": n}
+    return out
+
+
+def _run_pct(spark, vals, ps):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    return {
+        r["p_ppm"]: {
+            "value": r["value"], "rank": r["rank"], "n": r["n"]
+        }
+        for r in exact_percentiles(df, "x", ps).collect()
+    }
+
+
+_VALS = [5.0, 1.0, 3.5, 2.25, None, 4.0, 2.25, 100.0, -7.5, 3.5]
+
+
+def test_percentiles_match_model(spark):
+    ps = [0, 100_000, 250_000, 500_000, 900_000, 1_000_000]
+    got = _run_pct(spark, _VALS, ps)
+    want = _pct_model(_VALS, ps)
+    assert got == want
+    # spot anchors on the 9 non-NULL values
+    assert got[0]["value"] == -7.5        # rank 1
+    assert got[500_000]["value"] == 3.5   # rank ceil(4.5)=5
+    assert got[1_000_000]["value"] == 100.0
+
+
+def test_percentiles_all_null_and_empty(spark):
+    for vals in ([None, None], []):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        )
+        got = {
+            r["p_ppm"]: r.asDict()
+            for r in exact_percentiles(df, "x", [500_000]).collect()
+        }
+        assert got[500_000]["value"] is None
+        assert got[500_000]["rank"] is None
+        assert got[500_000]["n"] == 0
+
+
+def test_percentiles_validations(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        exact_percentiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_percentiles(df, "x", [1_000_001])
+    with pytest.raises(ValueError):
+        exact_percentiles(df, "x", [1, 1])
+
+
+def test_percentiles_fuzz_matches_model(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(
+        st.none(),
+        st.integers(min_value=-50, max_value=50).map(
+            lambda i: i / 4.0
+        ),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(val, min_size=1, max_size=30),
+        ps=st.lists(
+            st.integers(min_value=0, max_value=1_000_000),
+            min_size=1, max_size=4, unique=True,
+        ),
+    )
+    def run(vals, ps):
+        assert _run_pct(spark, vals, ps) == _pct_model(vals, ps), (
+            vals, ps,
+        )
+
+    run()
+
+
+def test_winsorize_clips_at_exact_bounds(spark):
+    # 11 values 0..9 + an outlier; p10=1.0 (rank ceil(1.2)=2), p90 at
+    # rank ceil(10.8)=11 -> 1000.0? no: sorted 0..9,1000 -> rank 11 is
+    # 1000. Use tighter bounds instead and assert via the model.
+    vals = [float(i) for i in range(10)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    model = _pct_model(vals, [200_000, 800_000])
+    lo, hi = model[200_000]["value"], model[800_000]["value"]
+    got = {
+        r["x"]: (r["x_winsor"], r["clipped"])
+        for r in winsorize(
+            df, "x", lo_ppm=200_000, hi_ppm=800_000
+        ).collect()
+    }
+    for v in vals:
+        want = min(max(v, lo), hi)
+        assert got[v] == (want, v < lo or v > hi), v
+    assert got[1000.0][0] == hi
+
+
+def test_winsorize_null_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (3.0,)], "x double"
+    )
+    rows = {
+        r["x"]: r
+        for r in winsorize(
+            df, "x", lo_ppm=500_000, hi_ppm=500_000
+        ).collect()
+    }
+    # lo == hi: everything clips to the median (rank ceil(1.5)=2 -> 2.0)
+    assert rows[1.0]["x_winsor"] == 2.0 and rows[1.0]["clipped"]
+    assert rows[3.0]["x_winsor"] == 2.0 and rows[3.0]["clipped"]
+    assert rows[2.0]["x_winsor"] == 2.0 and not rows[2.0]["clipped"]
+    assert rows[None]["x_winsor"] is None
+    assert rows[None]["clipped"] is None
+    with pytest.raises(ValueError):
+        winsorize(df, "x", lo_ppm=600_000, hi_ppm=500_000)
+
+
+def test_percentiles_plan_has_no_global_sort_of_data(spark):
+    """The only ordered window runs over the rounded-value bucket
+    frame; the data side is one groupBy. No Python stages."""
+    df = spark.createDataFrame([(1.0,)], "x double")
+    plan = (
+        exact_percentiles(df, "x", [500_000])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
