@@ -707,3 +707,92 @@ def compression_ratio_quality(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema_df.schema)
+
+
+def ensemble_quality_score(
+    df: DataFrame,
+    signal_columns: list[str],
+    *,
+    weights: list[int] | None = None,
+    out_column: str = "ensemble_score",
+) -> DataFrame:
+    """Combine several quality signals (LM logprob, classifier margin,
+    composite heuristics, compression ratio, ...) into ONE ranking
+    score by corpus z-normalization: signals live on incompatible
+    scales, so each standardizes against its own corpus mean/std
+    before the weighted sum — the standard multi-signal curation
+    combiner.
+
+    Cross-engine determinism (the temperature_weights discipline, plus
+    a variance leg): per-row signals round to 6 and accumulate as
+    exact DECIMAL (sum and sum-of-squares); mean rounds to 9; variance
+    = round(sumsq/n - mean², 9) in exact DECIMAL; the ONE sqrt runs in
+    double and rounds to 6; each row's z is one double division of
+    exact-decimal differences; the weighted sum adds terms in the
+    fixed ``signal_columns`` order with integer weights. Same inputs
+    => bit-identical score on any engine.
+
+    NULL handling: a NULL signal contributes z = 0 (a missing signal
+    must not tank or boost the document) and is excluded from that
+    signal's corpus stats; ``signals_present`` (BIGINT) reports how
+    many signals actually scored each row so a gate can require
+    completeness. A constant signal (std = 0) contributes 0 for every
+    row — it cannot rank.
+
+    Shape: ONE global aggregate for all means/variances (map-side
+    combined), broadcast back as a 1-row stats frame, then a narrow
+    per-row map. No window, no per-signal pass."""
+    if not signal_columns:
+        raise ValueError("ensemble_quality_score: need >= 1 signal")
+    ws = weights if weights is not None else [1] * len(signal_columns)
+    if len(ws) != len(signal_columns):
+        raise ValueError(
+            "ensemble_quality_score: weights must match signals "
+            f"({len(ws)} vs {len(signal_columns)})"
+        )
+    for w in ws:
+        if isinstance(w, bool) or not isinstance(w, int):
+            raise ValueError(
+                f"ensemble_quality_score: integer weights only, got {w!r}"
+            )
+
+    def s6(c: str):
+        return F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)")
+
+    aggs = []
+    for i, c in enumerate(signal_columns):
+        aggs.append(F.count(F.col(c)).alias(f"__n{i}"))
+        aggs.append(F.sum(s6(c)).alias(f"__s{i}"))
+        aggs.append(F.sum(s6(c) * s6(c)).alias(f"__q{i}"))
+    stats = df.agg(*aggs)
+    sel = []
+    for i in range(len(signal_columns)):
+        n = F.greatest(F.col(f"__n{i}"), F.lit(1))
+        mean = F.round(F.col(f"__s{i}") / n, 9)
+        var = F.round(F.col(f"__q{i}") / n - mean * mean, 9)
+        std = F.round(
+            F.sqrt(F.greatest(var, F.lit(0)).cast("double")), 6
+        ).cast("decimal(18,6)")
+        sel.append(mean.alias(f"__m{i}"))
+        sel.append(std.alias(f"__d{i}"))
+    stats = stats.select(*sel)
+    joined = df.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    present = F.lit(0).cast("long")
+    for i, (c, w) in enumerate(zip(signal_columns, ws)):
+        x = F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)")
+        z = F.when(
+            F.col(c).isNotNull() & (F.col(f"__d{i}") > 0),
+            (x - F.col(f"__m{i}")).cast("double")
+            / F.col(f"__d{i}").cast("double"),
+        ).otherwise(F.lit(0.0))
+        score = score + F.lit(w) * z
+        present = present + F.col(c).isNotNull().cast("long")
+    return (
+        joined.withColumn(out_column, score)
+        .withColumn("signals_present", present)
+        .drop(
+            *[f"__m{i}" for i in range(len(signal_columns))],
+            *[f"__d{i}" for i in range(len(signal_columns))],
+        )
+    )
