@@ -1126,3 +1126,87 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def exact_percentiles_by(
+    df: DataFrame,
+    group_column: str,
+    value_column: str,
+    percentiles_ppm: list[int],
+    *,
+    value_decimals: int = 6,
+) -> DataFrame:
+    """Per-group ``exact_percentiles`` (same PERCENTILE_DISC
+    semantics, same integer rank arithmetic): the per-language /
+    per-domain distribution profile a pipeline reports and gates on
+    (e.g. token-length p50/p95 per language). The bucket frame is
+    (group, rounded value) and BOTH windows partition by the group —
+    partition-local, never a global sort; K percentiles are K
+    conditional aggregations per group in one groupBy.
+
+    Returns one row per (group, requested percentile):
+    (group_column, p_ppm BIGINT, value DOUBLE, rank BIGINT, n BIGINT).
+    Groups whose values are all NULL do not appear (they have no
+    distribution to report); NULL group keys form their own group."""
+    ps = [int(p) for p in percentiles_ppm]
+    if not ps:
+        raise ValueError(
+            "exact_percentiles_by: percentiles must be non-empty"
+        )
+    for p in ps:
+        if not 0 <= p <= 1_000_000:
+            raise ValueError(
+                f"exact_percentiles_by: p_ppm must be in [0, 1e6], got {p}"
+            )
+    if len(set(ps)) != len(ps):
+        raise ValueError(
+            "exact_percentiles_by: percentiles must be distinct"
+        )
+    v = F.round(F.col(value_column).cast("double"), int(value_decimals))
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_column).alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = buckets.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy("__g"))
+    )
+    aggs = [F.max("__n").cast("long").alias("__N")]
+    for i, p in enumerate(ps):
+        rank = F.expr(
+            f"GREATEST((CAST({p} AS DECIMAL(38,0)) * __n + 999999) "
+            "DIV 1000000, 1)"
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("__v"))).alias(
+                f"__p{i}"
+            )
+        )
+        aggs.append(F.min(rank).cast("long").alias(f"__r{i}"))
+    one = cum.groupBy("__g").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("p_ppm"),
+                F.col(f"__p{i}").alias("value"),
+                F.col(f"__r{i}").alias("rank"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return one.select(
+        F.col("__g").alias(group_column),
+        F.explode(rows).alias("r"),
+        F.col("__N").alias("n"),
+    ).select(
+        group_column,
+        F.col("r.p_ppm").alias("p_ppm"),
+        F.col("r.value").alias("value"),
+        F.col("r.rank").alias("rank"),
+        "n",
+    )

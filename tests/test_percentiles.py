@@ -157,3 +157,75 @@ def test_percentiles_plan_has_no_global_sort_of_data(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percentiles_by_group_matches_model(spark):
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        exact_percentiles_by,
+    )
+
+    rows = [
+        ("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 100.0),
+        ("de", 5.0), ("de", None), ("de", 7.0),
+        ("zz", None),            # all-NULL group: absent from output
+        (None, 9.0), (None, 11.0),  # NULL group key is a group
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0, 500_000, 1_000_000]
+    got = {
+        (r["g"], r["p_ppm"]): (r["value"], r["rank"], r["n"])
+        for r in exact_percentiles_by(df, "g", "x", ps).collect()
+    }
+    by_g = {}
+    for g, x in rows:
+        if x is not None:
+            by_g.setdefault(g, []).append(x)
+    want = {}
+    for g, xs in by_g.items():
+        for p, d in _pct_model(xs, ps).items():
+            want[(g, p)] = (d["value"], d["rank"], d["n"])
+    assert got == want
+    assert ("zz", 0) not in got
+    assert got[("en", 500_000)] == (2.0, 2, 4)
+    assert got[(None, 1_000_000)] == (11.0, 2, 2)
+
+
+def test_percentiles_by_fuzz(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        exact_percentiles_by,
+    )
+
+    row = st.tuples(
+        st.sampled_from(["a", "b", None]),
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-20, max_value=20).map(
+                lambda i: i / 2.0
+            ),
+        ),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows=st.lists(row, min_size=1, max_size=25))
+    def run(rows):
+        df = spark.createDataFrame(rows, "g string, x double")
+        ps = [250_000, 750_000]
+        got = {
+            (r["g"], r["p_ppm"]): (r["value"], r["rank"], r["n"])
+            for r in exact_percentiles_by(df, "g", "x", ps).collect()
+        }
+        by_g = {}
+        for g, x in rows:
+            if x is not None:
+                by_g.setdefault(g, []).append(x)
+        want = {
+            (g, p): (d["value"], d["rank"], d["n"])
+            for g, xs in by_g.items()
+            for p, d in _pct_model(xs, ps).items()
+        }
+        assert got == want, rows
+
+    run()
