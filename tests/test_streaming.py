@@ -1876,3 +1876,69 @@ def test_indexed_dedup_readback_on_uri_scheme_path(spark, tmp_path):
     dedup_batch_indexed(b1, 1, **kw)
     got = {r["event_id"]: r["payload"] for r in read_accepted(spark, state).collect()}
     assert got == {1: "first", 2: "two", 3: "three"}
+
+
+def test_url_frontier_indexed_dedup_composition(spark, tmp_path):
+    """The URL frontier composition: canonicalize (operators/url.py
+    ``url_normalize``) then first-write-wins ingestion dedup keyed on
+    the CANONICAL form (streaming/dedup.py ``dedup_batch_indexed``) —
+    surface variants of one page (case, userinfo, tracking params,
+    fragments) arriving across micro-batches must admit exactly one
+    fetch per canonical key, and rejected grammar (NULL url_norm)
+    stays first-class as its own key group."""
+    from pyspark.sql import functions as F
+
+    from pyspark_unload_to_gcs_spark.operators.url import url_normalize
+    from pyspark_unload_to_gcs_spark.streaming.dedup import (
+        dedup_batch_indexed,
+        read_accepted,
+    )
+
+    state = str(tmp_path / "frontier_state")
+
+    def frontier(rows, seq):
+        df = spark.createDataFrame(rows, "fetch_id long, url string")
+        return url_normalize(df).select(
+            "fetch_id", "url", "url_norm"
+        ).withColumn("__seq", F.lit(seq))
+
+    b0 = frontier(
+        [
+            (1, "http://www.example.com/p?b=2&a=1"),
+            (2, "http://other.example.org/q"),
+        ],
+        0,
+    )
+    # batch 1: two surface variants of fetch 1's page + one new page
+    b1 = frontier(
+        [
+            (3, "HTTP://WWW.EXAMPLE.COM:80/p?a=1&b=2#top"),
+            (4, "http://u@www.example.com./p?utm_x=1&b=2&a=1"),
+            (5, "https://fresh.example.net/new"),
+        ],
+        1,
+    )
+    for i, b in enumerate((b0, b1)):
+        dedup_batch_indexed(
+            b, i, key_columns=["url_norm"], sequence_column="__seq",
+            state_path=state,
+        )
+    acc = {
+        r["fetch_id"]: r["url_norm"]
+        for r in read_accepted(spark, state).collect()
+    }
+    # fetch 1 won its canonical key; 3 and 4 are surface duplicates
+    assert set(acc) == {1, 2, 5}
+    assert acc[1] == "http://www.example.com/p?a=1&b=2"
+
+    # a later batch with a rejected-grammar URL (NULL canonical key):
+    # admitted once as the NULL key group, then deduped like any key
+    b2 = frontier([(6, "not a url"), (7, "also: not /a url")], 2)
+    dedup_batch_indexed(
+        b2, 2, key_columns=["url_norm"], sequence_column="__seq",
+        state_path=state,
+    )
+    acc2 = read_accepted(spark, state)
+    nulls = acc2.filter(F.col("url_norm").isNull()).collect()
+    assert len(nulls) == 1  # one row owns the NULL-key group
+    assert acc2.count() == 4
