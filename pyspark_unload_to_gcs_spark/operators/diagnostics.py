@@ -984,6 +984,58 @@ def score_auc(
     )
 
 
+_PCT_RESERVED = ("p_ppm", "value", "rank", "n", "r")
+
+
+def _pct_validate(percentiles_ppm, caller: str) -> list[int]:
+    """Shared validation for the exact-percentile family (one place —
+    a rank-arithmetic or NULL-discipline fix must not drift between
+    the global and grouped variants)."""
+    ps = [int(p) for p in percentiles_ppm]
+    if not ps:
+        raise ValueError(f"{caller}: percentiles must be non-empty")
+    for p in ps:
+        if not 0 <= p <= 1_000_000:
+            raise ValueError(
+                f"{caller}: p_ppm must be in [0, 1e6], got {p}"
+            )
+    if len(set(ps)) != len(ps):
+        raise ValueError(f"{caller}: percentiles must be distinct")
+    return ps
+
+
+def _pct_rank_expr(p: int):
+    """rank = max(1, ceil(p * N)) in pure integer arithmetic over the
+    window-provided __n column."""
+    return F.expr(
+        f"GREATEST((CAST({p} AS DECIMAL(38,0)) * __n + 999999) "
+        "DIV 1000000, 1)"
+    )
+
+
+def _pct_value(df: DataFrame, value_column: str, decimals: int):
+    """Rounded value with the family's shared non-value discipline:
+    NULL and NaN are both absent (a NaN from upstream double math is
+    not a distribution point — unfiltered it would rank above every
+    real value and surface as a fabricated high percentile)."""
+    x = F.col(value_column).cast("double")
+    v = F.round(x, int(decimals))
+    return F.when(x.isNotNull() & ~F.isnan(x), v)
+
+
+def _pct_row_structs(ps):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("p_ppm"),
+                F.col(f"__p{i}").alias("value"),
+                F.col(f"__r{i}").alias("rank"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+
+
 def exact_percentiles(
     df: DataFrame,
     value_column: str,
@@ -1013,18 +1065,10 @@ def exact_percentiles(
     ranking; an all-NULL/empty column yields NULL values with n = 0.
 
     Returns one row per requested percentile: (p_ppm BIGINT,
-    value DOUBLE, rank BIGINT, n BIGINT)."""
-    ps = [int(p) for p in percentiles_ppm]
-    if not ps:
-        raise ValueError("exact_percentiles: percentiles must be non-empty")
-    for p in ps:
-        if not 0 <= p <= 1_000_000:
-            raise ValueError(
-                f"exact_percentiles: p_ppm must be in [0, 1e6], got {p}"
-            )
-    if len(set(ps)) != len(ps):
-        raise ValueError("exact_percentiles: percentiles must be distinct")
-    v = F.round(F.col(value_column).cast("double"), int(value_decimals))
+    value DOUBLE, rank BIGINT, n BIGINT). NULL and NaN are both
+    excluded from ranking (``_pct_value``)."""
+    ps = _pct_validate(percentiles_ppm, "exact_percentiles")
+    v = _pct_value(df, value_column, value_decimals)
     buckets = (
         df.filter(v.isNotNull())
         .groupBy(v.alias("__v"))
@@ -1038,10 +1082,7 @@ def exact_percentiles(
     )
     aggs = []
     for i, p in enumerate(ps):
-        rank = F.expr(
-            f"GREATEST((CAST({p} AS DECIMAL(38,0)) * __n + 999999) "
-            "DIV 1000000, 1)"
-        )
+        rank = _pct_rank_expr(p)
         aggs.append(
             F.min(F.when(F.col("__cum") >= rank, F.col("__v"))).alias(
                 f"__p{i}"
@@ -1051,18 +1092,9 @@ def exact_percentiles(
     one = cum.agg(
         *aggs, F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("__N")
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("long").alias("p_ppm"),
-                F.col(f"__p{i}").alias("value"),
-                F.col(f"__r{i}").alias("rank"),
-            )
-            for i, p in enumerate(ps)
-        ]
-    )
     return one.select(
-        F.explode(rows).alias("r"), F.col("__N").alias("n")
+        F.explode(_pct_row_structs(ps)).alias("r"),
+        F.col("__N").alias("n"),
     ).select(
         F.col("r.p_ppm").alias("p_ppm"),
         F.col("r.value").alias("value"),
@@ -1115,14 +1147,19 @@ def winsorize(
     )
     joined = df.crossJoin(F.broadcast(bounds))
     x = F.col(value_column).cast("double")
-    clipped_val = F.when(x < F.col("__lo"), F.col("__lo")).when(
-        x > F.col("__hi"), F.col("__hi")
-    )
+    # NaN discipline: Spark orders NaN above every value, so an
+    # unguarded x > hi would rewrite a NaN row to the hi bound —
+    # fabricating a concrete value from an undefined one. NaN rows
+    # pass through as NaN, unclipped (and NaN can never BE a bound:
+    # _pct_value excludes it from the distribution).
+    clipped_val = F.when(F.isnan(x), F.lit(None).cast("double")).when(
+        x < F.col("__lo"), F.col("__lo")
+    ).when(x > F.col("__hi"), F.col("__hi"))
     return (
         joined.withColumn(out, F.coalesce(clipped_val, x))
         .withColumn(
             "clipped",
-            F.when(x.isNotNull(), clipped_val.isNotNull()),
+            F.when(x.isNotNull(), ~F.isnan(x) & clipped_val.isNotNull()),
         )
         .drop("__lo", "__hi")
     )
@@ -1146,23 +1183,17 @@ def exact_percentiles_by(
 
     Returns one row per (group, requested percentile):
     (group_column, p_ppm BIGINT, value DOUBLE, rank BIGINT, n BIGINT).
-    Groups whose values are all NULL do not appear (they have no
-    distribution to report); NULL group keys form their own group."""
-    ps = [int(p) for p in percentiles_ppm]
-    if not ps:
+    Groups whose values are all NULL/NaN do not appear (they have no
+    distribution to report); NULL group keys form their own group.
+    ``group_column`` must not collide with an output column name."""
+    ps = _pct_validate(percentiles_ppm, "exact_percentiles_by")
+    if group_column in _PCT_RESERVED:
         raise ValueError(
-            "exact_percentiles_by: percentiles must be non-empty"
+            f"exact_percentiles_by: group_column {group_column!r} "
+            f"collides with an output column; rename it first "
+            f"(reserved: {_PCT_RESERVED})"
         )
-    for p in ps:
-        if not 0 <= p <= 1_000_000:
-            raise ValueError(
-                f"exact_percentiles_by: p_ppm must be in [0, 1e6], got {p}"
-            )
-    if len(set(ps)) != len(ps):
-        raise ValueError(
-            "exact_percentiles_by: percentiles must be distinct"
-        )
-    v = F.round(F.col(value_column).cast("double"), int(value_decimals))
+    v = _pct_value(df, value_column, value_decimals)
     buckets = (
         df.filter(v.isNotNull())
         .groupBy(F.col(group_column).alias("__g"), v.alias("__v"))
@@ -1178,10 +1209,7 @@ def exact_percentiles_by(
     )
     aggs = [F.max("__n").cast("long").alias("__N")]
     for i, p in enumerate(ps):
-        rank = F.expr(
-            f"GREATEST((CAST({p} AS DECIMAL(38,0)) * __n + 999999) "
-            "DIV 1000000, 1)"
-        )
+        rank = _pct_rank_expr(p)
         aggs.append(
             F.min(F.when(F.col("__cum") >= rank, F.col("__v"))).alias(
                 f"__p{i}"
@@ -1189,19 +1217,9 @@ def exact_percentiles_by(
         )
         aggs.append(F.min(rank).cast("long").alias(f"__r{i}"))
     one = cum.groupBy("__g").agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(p).cast("long").alias("p_ppm"),
-                F.col(f"__p{i}").alias("value"),
-                F.col(f"__r{i}").alias("rank"),
-            )
-            for i, p in enumerate(ps)
-        ]
-    )
     return one.select(
         F.col("__g").alias(group_column),
-        F.explode(rows).alias("r"),
+        F.explode(_pct_row_structs(ps)).alias("r"),
         F.col("__N").alias("n"),
     ).select(
         group_column,

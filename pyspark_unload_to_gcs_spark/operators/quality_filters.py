@@ -725,19 +725,27 @@ def ensemble_quality_score(
 
     Cross-engine determinism (the temperature_weights discipline, plus
     a variance leg): per-row signals round to 6 and accumulate as
-    exact DECIMAL (sum and sum-of-squares); mean rounds to 9; variance
-    = round(sumsq/n - mean², 9) in exact DECIMAL; the ONE sqrt runs in
-    double and rounds to 6; each row's z is one double division of
-    exact-decimal differences; the weighted sum adds terms in the
-    fixed ``signal_columns`` order with integer weights. Same inputs
-    => bit-identical score on any engine.
+    exact DECIMAL(18,6) — NOT (28,12): a (28,12)x(28,12) square needs
+    precision 57, so Spark would clip the product back to scale 6 and
+    silently quantize the variance at 1e-6 grain, zeroing the std of
+    any small-scale signal; (18,6)x(18,6) -> (37,12) stays exact. The
+    mean rounds to 9 and re-quantizes to DECIMAL(18,9) so its square
+    ((37,18)) is exact too; variance = round(sumsq/n - mean², 9); the
+    ONE sqrt runs in double and rounds to 6; each row's z is one
+    double division of exact-decimal differences; the weighted sum
+    adds terms in the fixed ``signal_columns`` order with integer
+    weights. Same inputs => bit-identical score on any engine.
+    Signals must fit DECIMAL(18,6): |x| < 1e12 (any sane quality
+    signal; squash unbounded losses first).
 
-    NULL handling: a NULL signal contributes z = 0 (a missing signal
-    must not tank or boost the document) and is excluded from that
-    signal's corpus stats; ``signals_present`` (BIGINT) reports how
-    many signals actually scored each row so a gate can require
-    completeness. A constant signal (std = 0) contributes 0 for every
-    row — it cannot rank.
+    NULL/NaN handling: a NULL or NaN signal contributes z = 0 (a
+    missing or undefined signal must not tank, boost, or NULL-out the
+    document) and is excluded from that signal's corpus stats — NaN
+    especially: counting it present while the DECIMAL sum drops it
+    would bias the mean for every other row. ``signals_present``
+    (BIGINT) reports how many signals actually scored each row so a
+    gate can require completeness. A constant signal (std = 0)
+    contributes 0 for every row — it cannot rank.
 
     Shape: ONE global aggregate for all means/variances (map-side
     combined), broadcast back as a 1-row stats frame, then a narrow
@@ -756,19 +764,27 @@ def ensemble_quality_score(
                 f"ensemble_quality_score: integer weights only, got {w!r}"
             )
 
+    def _ok(c: str):
+        x = F.col(c).cast("double")
+        return x.isNotNull() & ~F.isnan(x)
+
     def s6(c: str):
-        return F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)")
+        # NaN gates to NULL here so sum/count/sumsq all agree on what
+        # counts as present
+        return F.when(
+            _ok(c), F.round(F.col(c).cast("double"), 6)
+        ).cast("decimal(18,6)")
 
     aggs = []
     for i, c in enumerate(signal_columns):
-        aggs.append(F.count(F.col(c)).alias(f"__n{i}"))
+        aggs.append(F.count(s6(c)).alias(f"__n{i}"))
         aggs.append(F.sum(s6(c)).alias(f"__s{i}"))
         aggs.append(F.sum(s6(c) * s6(c)).alias(f"__q{i}"))
     stats = df.agg(*aggs)
     sel = []
     for i in range(len(signal_columns)):
         n = F.greatest(F.col(f"__n{i}"), F.lit(1))
-        mean = F.round(F.col(f"__s{i}") / n, 9)
+        mean = F.round(F.col(f"__s{i}") / n, 9).cast("decimal(18,9)")
         var = F.round(F.col(f"__q{i}") / n - mean * mean, 9)
         std = F.round(
             F.sqrt(F.greatest(var, F.lit(0)).cast("double")), 6
@@ -780,14 +796,14 @@ def ensemble_quality_score(
     score = F.lit(0.0)
     present = F.lit(0).cast("long")
     for i, (c, w) in enumerate(zip(signal_columns, ws)):
-        x = F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)")
+        x = s6(c)
         z = F.when(
-            F.col(c).isNotNull() & (F.col(f"__d{i}") > 0),
+            _ok(c) & (F.col(f"__d{i}") > 0),
             (x - F.col(f"__m{i}")).cast("double")
             / F.col(f"__d{i}").cast("double"),
         ).otherwise(F.lit(0.0))
         score = score + F.lit(w) * z
-        present = present + F.col(c).isNotNull().cast("long")
+        present = present + _ok(c).cast("long")
     return (
         joined.withColumn(out_column, score)
         .withColumn("signals_present", present)

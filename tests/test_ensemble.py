@@ -130,3 +130,41 @@ def test_ensemble_plan_one_agg_plus_broadcast(spark):
     # the 1-row stats frame joins via broadcast nested loop (a true
     # cross join of one row) — the data side is never shuffled
     assert plan.count("Exchange") <= 2
+
+
+def test_ensemble_small_scale_signal_still_ranks(spark):
+    """Signals in [0, 0.001] (defect rates, boundary probabilities):
+    the sum-of-squares must stay exact DECIMAL — the old (28,12)
+    square clipped to scale 6, zeroed the variance, and the signal
+    silently could not rank (code-review regression)."""
+    rows = [(1, 0.000123), (2, 0.000456), (3, 0.000789)]
+    df = spark.createDataFrame(rows, "id long, a double")
+    s = {
+        r["id"]: r["ensemble_score"]
+        for r in ensemble_quality_score(df, ["a"]).collect()
+    }
+    assert s[1] < s[2] < s[3]
+    assert s[3] > 0.5  # a real z, not a degenerate 0.0
+    want = _model([(v,) for _, v in rows], ["a"], [1])
+    for i, (rid, _) in enumerate(rows):
+        assert s[rid] == pytest.approx(want[i][0], abs=1e-9), rid
+
+
+def test_ensemble_nan_is_absent_not_poisonous(spark):
+    """A NaN signal must behave exactly like NULL: z = 0 for that
+    row, excluded from the signal's corpus stats, not counted
+    present — one upstream 0/0 must not NULL the row's score or bias
+    every other row's mean (code-review regression)."""
+    nan = float("nan")
+    with_nan = [(1, 1.0), (2, 2.0), (3, nan)]
+    with_null = [(1, 1.0), (2, 2.0), (3, None)]
+    out = {}
+    for tag, rows in (("nan", with_nan), ("null", with_null)):
+        df = spark.createDataFrame(rows, "id long, a double")
+        out[tag] = {
+            r["id"]: (r["ensemble_score"], r["signals_present"])
+            for r in ensemble_quality_score(df, ["a"]).collect()
+        }
+    assert out["nan"] == out["null"]
+    assert out["nan"][3] == (0.0, 0)
+    assert out["nan"][1][0] < 0 < out["nan"][2][0]

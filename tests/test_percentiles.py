@@ -229,3 +229,50 @@ def test_percentiles_by_fuzz(spark):
         assert got == want, rows
 
     run()
+
+
+def test_percentiles_and_winsorize_nan_discipline(spark):
+    """NaN is not a distribution point: it must not inflate n,
+    surface as a high percentile, or get clipped into a fabricated
+    concrete value (code-review regression)."""
+    import math
+
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        exact_percentiles_by,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (nan,)], "x double"
+    )
+    got = {
+        r["p_ppm"]: r.asDict()
+        for r in exact_percentiles(df, "x", [1_000_000]).collect()
+    }
+    assert got[1_000_000] == {
+        "p_ppm": 1_000_000, "value": 2.0, "rank": 2, "n": 2
+    }
+    nan_row = [
+        r for r in winsorize(
+            df, "x", lo_ppm=0, hi_ppm=500_000
+        ).collect()
+        if r["x"] is not None and math.isnan(r["x"])
+    ][0]
+    assert math.isnan(nan_row["x_winsor"])
+    assert nan_row["clipped"] is False
+    # grouped variant shares the discipline
+    gdf = spark.createDataFrame(
+        [("a", 1.0), ("a", nan), ("b", nan)], "g string, x double"
+    )
+    grows = exact_percentiles_by(gdf, "g", "x", [500_000]).collect()
+    assert {(r["g"], r["n"]) for r in grows} == {("a", 1)}
+
+
+def test_percentiles_by_rejects_reserved_group_name(spark):
+    from pyspark_unload_to_gcs_spark.operators.diagnostics import (
+        exact_percentiles_by,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "n string, x double")
+    with pytest.raises(ValueError):
+        exact_percentiles_by(df, "n", "x", [500_000])
