@@ -631,6 +631,18 @@ def _load_extensions() -> None:
 # the r11 tail (11 + 8 + 31 = 50). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
 #
+# R16 STAGING CANDIDATES (library + model-twin tests + fuzz +
+# SCALE_AUDIT rows landed in the r13 continuation; rows + oracles
+# when slots open): exact_percentiles / exact_percentiles_by /
+# winsorize (PERCENTILE_DISC bucket shape — all-integer ranks, fully
+# oracle-able; per-group variant partition-local),
+# ensemble_quality_score (z-normalized multi-signal combiner,
+# DECIMAL(18,6)/(18,9) discipline — oracle-able via the
+# temperature_weights precedent), sniff_mime (closed-form payload
+# arms — WAV/BMP synth precedent), and a langid_confusion composition
+# row (lang vs lang_id stopword vote — both sides already have
+# oracles, the confusion matrix is one groupBy).
+#
 # The original r15 candidate notes (kept for provenance — all three
 # are now staged, see above):
 # html_boilerplate_profile (operators/html.py ``html_text_extract`` +
