@@ -623,12 +623,14 @@ def _load_extensions() -> None:
 # DECIMAL(38,12) — DuckDB's '/' on DECIMAL yields DOUBLE),
 # robots_gate_profile (closed-form applicable rule set per synth arm,
 # exact longest-match replay; parser internals model+fuzz-pinned),
-# html_boilerplate_profile (FULL extraction replay, text md5-pinned).
+# html_boilerplate_profile (FULL extraction replay, text md5-pinned);
+# langid_confusion (the K x K eval matrix over the shared _LANGID_SQL
+# guess replay — staged late in the same sitting, cohort now TWELVE).
 #
 # R15 ROTATION PLAN (execute after the r14 rotation): keep the core
-# eight; promote the ELEVEN r15-staged rows; refresh
+# eight; promote the TWELVE r15-staged rows; refresh
 # oldest-evidence-first with the remaining r10-only greens and then
-# the r11 tail (11 + 8 + 31 = 50). After promoting run
+# the r11 tail (12 + 8 + 30 = 50). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
 #
 # R16 STAGING CANDIDATES (library + model-twin tests + fuzz +

@@ -191,9 +191,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@register(
-    "lang_id_heuristic",
-    oracle="""
+# Stopword-vote language guess as portable SQL (mirrors
+# operators/text.py lang_id exactly). Shared by lang_id_heuristic and
+# the staged langid_confusion row.
+_LANGID_SQL = """
     WITH toks AS (
         SELECT doc_id,
                CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
@@ -216,8 +217,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'fr'
            END AS lang_guess
     FROM votes
-    """,
-)
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANGID_SQL)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (alphabetical tie-break)."""
     df = _docs(spark, sf_dir)

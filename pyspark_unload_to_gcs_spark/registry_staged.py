@@ -6766,3 +6766,67 @@ def html_boilerplate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "link_char_ppm",
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    """DuckDB replay of the language-ID confusion matrix: the shared
+    _LANGID_SQL guess joined against the fixture's true lang, counts
+    per (true, guessed) cell, per-true-language recall ppm, and the
+    corpus accuracy ppm repeated per row — all-integer floor
+    arithmetic."""
+    from pyspark_unload_to_gcs_spark.registry_extensions import (
+        _LANGID_SQL,
+    )
+
+    return f"""
+WITH guesses AS ({_LANGID_SQL}),
+joined AS (
+  SELECT d.lang, g.lang_guess
+  FROM documents d JOIN guesses g USING (doc_id)
+), cells AS (
+  SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+  FROM joined GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n,
+       CAST((CAST(n AS HUGEINT) * 1000000)
+            // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_ppm,
+       CAST((SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) OVER ()
+             * 1000000) // SUM(n) OVER () AS BIGINT) AS accuracy_ppm
+FROM cells
+"""
+
+
+@register_staged("langid_confusion", oracle=_langid_confusion_oracle())
+def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (operators/text.py ``lang_id``
+    stopword vote vs the fixture's true lang) — the eval table every
+    heuristic classifier ships with: one row per (true, guessed)
+    cell with its count, the per-true-language row share (recall on
+    the diagonal), and the corpus accuracy repeated per row as the
+    gate scalar. One groupBy over K x K cells; windows run over the
+    <= K^2 aggregated rows. Full value oracle via the shared
+    _LANGID_SQL guess replay ('zh' has no stopword list, so its mass
+    lands off-diagonal by design — the matrix SHOWS the blind spot,
+    which is the point of shipping one)."""
+    from pyspark_unload_to_gcs_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", T.lang_id(F.col("text")).alias("lang_guess")
+    )
+    cells = docs.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) "
+            "DIV SUM(n) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("row_ppm"),
+        F.expr(
+            "CAST((SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) "
+            "OVER () * CAST(1000000 AS DECIMAL(38,0))) "
+            "DIV SUM(n) OVER () AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
