@@ -4657,7 +4657,14 @@ def quota_mix_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection fingerprinted by its exact id sum — head languages lose
     manifest share as the corpus grows, tail languages gain, and every
     number replays bit-for-bit (sqrt-fold quotas, md5 rank, BIGINT
-    sums)."""
+    sums).
+
+    Bench note (the r12 promotion caveat): exact COUPLED quotas mean
+    each batch re-reads the cumulative (doc_id, lang) projection —
+    two narrow columns, never the payload — so per-batch cost grows
+    with the corpus; that is the honest price of exactness, and the
+    rate-based ``temperature_mix`` is the incremental alternative
+    when approximate shares suffice."""
     from pyspark_unload_to_gcs_spark.streaming.manifest import (
         quota_mix_batch,
         read_manifests,
