@@ -830,18 +830,26 @@ def sniff_mime(payload: Column) -> Column:
     Recognizes the containers this engine's decode path and stubs deal
     in (RIFF/WAVE + AVI, PNG, JPEG, GIF87a/89a, BMP, PDF, gzip, zip,
     MP4 ftyp) with their published magic numbers, checked most-
-    specific-first; anything unrecognized falls through to a
-    control-byte heuristic over the first 64 bytes (no control bytes
-    besides tab/newline/CR => ``text/plain``) or
-    ``application/octet-stream``. NULL payload stays NULL (an absent
-    blob has no type); empty bytes are octet-stream.
+    specific-first; anything unrecognized falls through to a BYTE-
+    level ASCII-printable heuristic over the first 64 bytes (every
+    byte in 0x20-0x7E or tab/LF/CR => ``text/plain``) or
+    ``application/octet-stream``. The check runs on hex pairs of the
+    raw bytes, never a UTF-8 decode — casting arbitrary bytes to a
+    string maps invalid sequences to replacement characters, which
+    would pass a control-char test and misread random high-byte
+    binaries as text. The deliberate flip side: non-ASCII text (UTF-8
+    accents, CJK) reads as octet-stream — a conservative triage, not
+    a language detector. NULL payload stays NULL (an absent blob has
+    no type); empty bytes are octet-stream.
 
     Pure byte-compare expressions over bounded prefixes — nothing
     reads past byte 68, so at 100 TB this is a narrow map whose cost
     is the parquet scan of the payload prefix."""
-    text_like = (F.length(payload) > 0) & ~F.substring(
-        payload, 1, 64
-    ).cast("string").rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+    # allowed hex pairs: 09 (tab), 0A (LF), 0D (CR), 20-7E (printable
+    # ASCII); anything else — control bytes AND >= 0x80 — is binary
+    text_like = (F.length(payload) > 0) & F.hex(
+        F.substring(payload, 1, 64)
+    ).rlike(r"^(09|0A|0D|2[0-9A-F]|3[0-9A-F]|4[0-9A-F]|5[0-9A-F]|6[0-9A-F]|7[0-9A-E])*$")
     expr = F.when(text_like, F.lit("text/plain")).otherwise(
         F.lit("application/octet-stream")
     )

@@ -83,3 +83,21 @@ def test_sniff_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sniff_high_byte_binaries_are_not_text(spark):
+    """The text heuristic must run on raw bytes, not a UTF-8 decode:
+    arbitrary high-byte binaries decode to replacement characters
+    (not control chars) and would misread as text/plain. Non-ASCII
+    text is the documented conservative flip side."""
+    blobs = [
+        bytes(range(0x80, 0xC0)),          # random high bytes
+        b"\xde\xad\xbe\xef" * 8,           # classic binary soup
+        "héllo unicode tèxt".encode(),      # UTF-8 accents: conservative
+        b"pure ascii stays text\n",
+    ]
+    got = _sniff(spark, blobs)
+    assert got[0] == "application/octet-stream"
+    assert got[1] == "application/octet-stream"
+    assert got[2] == "application/octet-stream"  # documented trade
+    assert got[3] == "text/plain"
