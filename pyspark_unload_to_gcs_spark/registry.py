@@ -687,58 +687,63 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r12 staged cohort (live as of
-    #    r13) — asymmetric containment dedup + its cross-table
-    #    decontamination arm, categorical/numeric/streaming PSI drift
-    #    gates, the quota-mix manifest stream, hard-negative mining
-    #    off the auto-k spine, and bloom-prune→exact-join composition
-    "quota_mix_stream_replay",
-    "bloom_prune_exact_join",
-    "event_drift_psi",
-    "drift_stream_replay",
-    "value_drift_psi",
-    "hard_negative_mining",
-    "containment_dedup",
-    "incremental_containment_match",
-    # 3a. evidence refresh: the 8 r08-only greens deferred from r12
-    #    (family siblings of fresher in-window evidence at the time)
-    "theta_users_daily",
-    "token_budget_select",
-    "unigram_logprob_quality",
-    "vector_topk_ivf",
-    "vector_topk_ivfpq",
-    "vector_topk_pq",
-    "wav_decode_stats",
-    "zorder_layout",
-    # 3b. evidence refresh: the 26 alphabetically-first of the 41
-    #    r09-only greens (activity_window_overlap .. q11_important_parts;
-    #    the remaining 15 — q14.. xml_ingest_roundtrip — slide to r14)
-    "activity_window_overlap",
-    "asof_forward_tolerance",
-    "asof_nearest_click",
-    "binaryfile_wav_ingest",
-    "c4_page_clean_stats",
-    "constraint_profile_orders",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "dedup_keep_best_exact",
-    "dedup_stream_replay",
-    "doc_fingerprint",
-    "events_approx_users_accuracy",
-    "exact_dedup",
-    "export_manifest_roundtrip",
-    "fuzzy_entity_join_recall",
-    "gopher_quality_profile",
-    "gopher_repetition",
-    "heavy_hitters_daily",
-    "heavy_hitters_stream_replay",
-    "join_cardinality_profile",
-    "join_key_skew_profile",
-    "k_anonymity_suppression",
-    "name_typo_pairs",
-    "orc_ingest_roundtrip",
-    "q10_returned_revenue",
-    "q11_important_parts",
+    # 2. never-checked: the promoted r13 staged cohort (live as of
+    #    r14) — bigram-LM quality scoring, canary survival audit,
+    #    balanced-shard layout profile, audio fingerprint dup pairs,
+    #    key-indexed ingestion dedup + containment decontamination
+    #    stream twins, URL canonicalization profile, and corpus-scope
+    #    exact line dedup (the C4/RefinedWeb boilerplate pass)
+    "bigram_lm_quality",
+    "canary_survival_audit",
+    "shard_balance_profile",
+    "audio_dup_pairs",
+    "indexed_dedup_stream_replay",
+    "containment_stream_replay",
+    "url_canonical_profile",
+    "line_dedup_boilerplate",
+    # 3a. evidence refresh: the 15 remaining r09-only greens (the
+    #    q14.. xml_ingest_roundtrip tail that slid from the r13 window)
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_widget_suppliers",
+    "q21_sole_returning_supplier",
+    "q9_product_profit",
+    "rolling_actives_approx_accuracy",
+    "semantic_dedup_auto",
+    "theta_overlap_estimate_accuracy",
+    "unicode_normalize_stats",
+    "variant_props_profile",
+    "vector_topk_lsh",
+    "vector_topk_quantized",
+    "xml_ingest_roundtrip",
+    # 3b. evidence refresh: the 19 alphabetically-first of the 42
+    #    r10-only greens (asof_latest_click ..
+    #    pq_index_incremental_topk — which also carries the r14
+    #    warmup/row cost-split restructure, so its fresh driver
+    #    evidence lands the same round as the change; the remaining
+    #    23 — q1_pricing_summary .. versioned_stream_replay — slide
+    #    to r15)
+    "asof_latest_click",
+    "balanced_corpus_sample",
+    "benchmark_contamination",
+    "big_orders",
+    "bm25_search",
+    "bpe_ish_token_count",
+    "cdc_apply_changes",
+    "clean_corpus_stats",
+    "footer_stats_profile",
+    "grouping_sets_revenue",
+    "hot_users",
+    "image_ahash_dup_pairs",
+    "json_props_extract",
+    "lang_id_heuristic",
+    "near_dedup_minhash_recall",
+    "near_dedup_ngram_recall",
+    "normalized_dedup",
+    "orders_with_returns",
+    "pq_index_incremental_topk",
 )
 
 

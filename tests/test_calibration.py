@@ -204,3 +204,25 @@ def test_plans_stay_bounded(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_nan_scores_excluded_like_null(spark):
+    """A NaN score passes isNotNull(); without the explicit isnan gate
+    it lands in bin 0 with confidence_ppm 1,000,000 (greatest/least
+    NaN ordering) — a fabricated max-confidence point — and inflates
+    AUC bucket counts (ADVICE r13). NaN must behave exactly like NULL
+    for both diagnostics."""
+    nan = float("nan")
+    clean = [(0.25, True), (0.75, False), (0.6, True)]
+    for extra in ([(nan, True)], [(nan, False)], [(nan, True), (nan, False)]):
+        noisy = clean + extra
+        a = spark.createDataFrame(clean, "score double, label boolean")
+        b = spark.createDataFrame(noisy, "score double, label boolean")
+        assert (
+            sorted(map(tuple, calibration_bins(a, "score", "label").collect()))
+            == sorted(map(tuple, calibration_bins(b, "score", "label").collect()))
+        )
+        assert (
+            score_auc(a, "score", "label").first().asDict()
+            == score_auc(b, "score", "label").first().asDict()
+        )

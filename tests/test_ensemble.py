@@ -168,3 +168,44 @@ def test_ensemble_nan_is_absent_not_poisonous(spark):
     assert out["nan"] == out["null"]
     assert out["nan"][3] == (0.0, 0)
     assert out["nan"][1][0] < 0 < out["nan"][2][0]
+
+
+def test_ensemble_overflow_is_loud_not_silent(spark):
+    """The binding input bound is the MEAN's DECIMAL(18,9) cast:
+    |mean| >= 1e9 overflows to NULL under non-ANSI casts and used to
+    silently NULL every row's score (ADVICE r13). The stats leg now
+    asserts and the job fails with a named error instead. Under ANSI
+    mode (this engine's Spark 4 default) the decimal cast itself
+    raises first — loud either way; the tripwire is the non-ANSI
+    backstop."""
+    from pyspark.errors.exceptions.captured import (
+        ArithmeticException,
+        SparkRuntimeException,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0e9), (2, 2.0e9 + 1.0)], "id long, a double"
+    )
+    with pytest.raises(ArithmeticException, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        ensemble_quality_score(df, ["a"]).collect()
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(
+            (SparkRuntimeException, Exception), match="overflowed the decimal"
+        ):
+            ensemble_quality_score(df, ["a"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    # just inside the bound still scores (and an all-NULL signal is
+    # legitimately NULL-stats without tripping the tripwire)
+    ok = spark.createDataFrame(
+        [(1, 9.0e8, None), (2, -9.0e8, None)],
+        "id long, a double, b double",
+    )
+    rows = {
+        r["id"]: (r["ensemble_score"], r["signals_present"])
+        for r in ensemble_quality_score(ok, ["a", "b"]).collect()
+    }
+    assert rows[1][0] > 0 > rows[2][0]
+    assert rows[1][1] == 1

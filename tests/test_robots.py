@@ -294,3 +294,32 @@ def test_robots_dollar_anchor_flagged(spark):
     assert verdicts["/download$trap"] is True
     assert verdicts["/download"] is True
     assert verdicts["/dl/x"] is False
+
+
+def test_robots_null_path_does_not_fail_open(spark):
+    """A NULL path (url_parse failed) must not pass the compliance
+    gate by default: startswith(NULL) drops every rule and the old
+    coalesce reported allowed=TRUE for a URL that was never checked
+    (ADVICE r13). Unparseable rows now get allowed=NULL, so a filter
+    on allowed=TRUE visibly excludes them."""
+    robots = spark.range(1).select(
+        F.lit("d0").alias("domain"),
+        synth_robots(F.col("id")).alias("robots_txt"),
+    )
+    urls = spark.createDataFrame(
+        [("d0", None), ("d0", "/open/page"), ("dX", None)],
+        "domain string, path string",
+    )
+    got = {
+        (r["domain"], r["path"]): (
+            r["allowed"], r["matched_rule"], r["matched_allow"]
+        )
+        for r in robots_allowed(urls, robots_rules(robots, agent="trainbot")).collect()
+    }
+    assert got[("d0", None)] == (None, None, None)
+    assert got[("dX", None)] == (None, None, None)
+    assert got[("d0", "/open/page")][0] is True
+    kept = robots_allowed(urls, robots_rules(robots, agent="trainbot")).filter(
+        F.col("allowed")
+    )
+    assert [r["path"] for r in kept.collect()] == ["/open/page"]
