@@ -97,6 +97,12 @@ def _part(url: Column, group: int) -> Column:
     return F.regexp_extract(url, _URL_RE, group)
 
 
+# group separator for the packed single-pass extraction below; \x01
+# never appears in sane URLs, and rows that DO contain it take the
+# per-group extraction fallback, so the packing is a pure optimization
+_SEP = "\x01"
+
+
 def url_parse(df: DataFrame, *, url_column: str = "url") -> DataFrame:
     """Add (scheme, host, port, path, query, fragment) string columns.
 
@@ -105,7 +111,22 @@ def url_parse(df: DataFrame, *, url_column: str = "url") -> DataFrame:
     leading ``?``/``#``. userinfo is dropped; a bracketed IPv6
     authority keeps the brackets as the host and splits its port only
     after the closing bracket. NULL or non-absolute input yields NULL
-    for every part (module docstring)."""
+    for every part (module docstring).
+
+    Extraction is ONE anchored-regex pass per row, not one per part
+    (r14: six regexp_extract calls over the full URL — each duplicated
+    into every ``when(present, ...)`` branch, where CaseWhen blocks
+    common-subexpression elimination — made this the slowest
+    expression in the url family): ``regexp_replace`` rewrites the
+    matched URL to its five groups joined on ``\\x01`` (Java
+    substitutes the empty string for an unmatched optional group), one
+    ``split`` fans them out, and the pack is materialized as its OWN
+    projection stage — CollapseProject keeps a non-cheap expression
+    referenced more than once in a separate project, so the regex runs
+    once per row no matter how many part columns read it. A URL that
+    itself contains the separator byte — no real URL does — falls
+    back per row to the per-group extraction, so the result is
+    byte-identical either way (pinned by the url fuzz tests)."""
     url = F.col(url_column)
     # presence must gate on the SAME fully-anchored pattern the parts
     # extract with: gating on the _ABS_RE prefix alone lets a URL that
@@ -115,10 +136,31 @@ def url_parse(df: DataFrame, *, url_column: str = "url") -> DataFrame:
     # such URL onto one shared ':///' canonical key
     present = url.rlike(_URL_RE)
 
-    def _gated(col: Column) -> Column:
-        return F.when(present, col)
+    packed = F.split(
+        F.regexp_replace(
+            url, _URL_RE, _SEP.join(f"${g}" for g in range(1, 6))
+        ),
+        _SEP,
+        -1,
+    )
+    fast = ~url.contains(_SEP)
+    staged = df.withColumns({"__url_parts": packed, "__url_present": present})
+    parts = F.col("__url_parts")
 
-    auth = F.regexp_replace(_part(url, 2), r"^.*@", "")
+    def _grp(g: int) -> Column:
+        # split is 0-based; regex groups are 1-based; the fallback
+        # regex only evaluates on separator-bearing rows
+        return F.when(fast, F.get(parts, g - 1)).otherwise(_part(url, g))
+
+    def _gated(col: Column) -> Column:
+        return F.when(F.col("__url_present"), col)
+
+    # auth feeds host AND port (and the bracket probe) — its own stage,
+    # for the same CollapseProject reason as the pack
+    staged = staged.withColumn(
+        "__url_auth", F.regexp_replace(_grp(2), r"^.*@", "")
+    )
+    auth = F.col("__url_auth")
     # [v6]:port — port is what follows the bracket's ':', else the
     # usual host:port split on the first ':'
     bracketed = auth.startswith("[")
@@ -133,20 +175,21 @@ def url_parse(df: DataFrame, *, url_column: str = "url") -> DataFrame:
         ).otherwise(F.lit(""))
     )
     return (
-        df.withColumn("scheme", _gated(F.lower(_part(url, 1))))
+        staged.withColumn("scheme", _gated(F.lower(_grp(1))))
         .withColumn(
             "host",
             _gated(F.regexp_replace(F.lower(host), r"[.]+$", "")),
         )
         .withColumn("port", _gated(port))
-        .withColumn("path", _gated(_part(url, 3)))
+        .withColumn("path", _gated(_grp(3)))
         .withColumn(
-            "query", _gated(F.regexp_replace(_part(url, 4), r"^\?", ""))
+            "query", _gated(F.regexp_replace(_grp(4), r"^\?", ""))
         )
         .withColumn(
             "fragment",
-            _gated(F.regexp_replace(_part(url, 5), r"^#", "")),
+            _gated(F.regexp_replace(_grp(5), r"^#", "")),
         )
+        .drop("__url_parts", "__url_present", "__url_auth")
     )
 
 
@@ -197,10 +240,6 @@ def url_normalize(
     host = F.col("host")
     port = F.col("port")
 
-    raw_params = F.filter(
-        F.split(F.col("query"), "&"), lambda p: p != ""
-    )
-
     def _dropped(p: Column) -> Column:
         name = F.split_part(p, F.lit("="), F.lit(1))
         hit = name.isin(*strip_params)
@@ -208,7 +247,21 @@ def url_normalize(
             hit = hit | name.startswith(pre)
         return hit
 
-    kept = F.array_sort(F.filter(raw_params, lambda p: ~_dropped(p)))
+    # the param arrays feed two consumers each (counts + the canonical
+    # concat) — materialize them as their own projection stages so the
+    # interpreted higher-order filters run once per row instead of once
+    # per consumer (the url_parse CollapseProject rationale, r14)
+    parsed = parsed.withColumn(
+        "__raw_params",
+        F.filter(F.split(F.col("query"), "&"), lambda p: p != ""),
+    ).withColumn(
+        "__kept_params",
+        F.array_sort(
+            F.filter(F.col("__raw_params"), lambda p: ~_dropped(p))
+        ),
+    )
+    raw_params = F.col("__raw_params")
+    kept = F.col("__kept_params")
     n_raw = F.size(raw_params).cast("long")
     n_kept = F.size(kept).cast("long")
 
@@ -238,7 +291,10 @@ def url_normalize(
         .withColumn("domain", _gated(registrable_domain(host)))
         .withColumn("n_params_kept", _gated(n_kept))
         .withColumn("n_params_stripped", _gated(n_raw - n_kept))
-        .drop("scheme", "port", "path", "query", "fragment")
+        .drop(
+            "scheme", "port", "path", "query", "fragment",
+            "__raw_params", "__kept_params",
+        )
     )
 
 

@@ -594,7 +594,8 @@ def _load_extensions() -> None:
 # (operators/paragraphs.py corpus-scope exact line dedup — the
 # C4/RefinedWeb boilerplate pass; reassembly pinned by md5).
 #
-# R14 ROTATION PLAN (execute next round): keep the core eight;
+# R14 ROTATION PLAN (EXECUTED r14 — _PRIORITY below is this window):
+# keep the core eight;
 # promote the EIGHT r13-staged entries above; then refresh
 # oldest-evidence-first — the 15 remaining r09-only greens
 # (q14_promo_revenue_ratio, q15_top_supplier,
@@ -633,7 +634,19 @@ def _load_extensions() -> None:
 # the r11 tail (12 + 8 + 30 = 50). After promoting run
 # `python tools/plan_digest.py --budgets` and max-merge.
 #
-# R16 STAGING CANDIDATES (library + model-twin tests + fuzz +
+# R16 COHORT — STAGED r14 (registered rows + FULL value oracles in
+# registry_staged.py, parity-green sf0.001+sf0.01+sf0.1,
+# plan-budgeted, ×10-audited 0 superlinear): value_percentiles_exact
+# + winsorized_value_profile (PERCENTILE_DISC rank-rule replay /
+# clip census with exact-cents sum), ensemble_quality_rank (RAW
+# double scores hash-matched — the decimal ladder replays exactly in
+# HUGEINT e9/e18 space because the doc count divides a power of 10
+# at every fixture SF), mime_sniff_profile (14 closed-form payload
+# arms pinning magic precedence, the RIFF-without-WAVE fall-through,
+# and empty/NULL discipline). Promote when rotation slots open
+# (after the r15 cohort).
+#
+# Original R16 STAGING CANDIDATES note (library + model-twin tests + fuzz +
 # SCALE_AUDIT rows landed in the r13 continuation; rows + oracles
 # when slots open): exact_percentiles / exact_percentiles_by /
 # winsorize (PERCENTILE_DISC bucket shape — all-integer ranks, fully

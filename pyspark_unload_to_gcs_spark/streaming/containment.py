@@ -138,11 +138,18 @@ def containment_match_batch(
     id_column: str,
     state_path: str,
     text_column: str = "text",
+    index_path: str | None = None,
 ) -> None:
     """Fold one micro-batch: match its docs against the frozen index
     and (re)write ``matches/b=<batch_id>`` (module docstring). Gram
     parameters and the threshold come from the index meta — a fold
-    can't silently disagree with the structures it joins against."""
+    can't silently disagree with the structures it joins against.
+
+    ``index_path`` lets the frozen index live at a different root
+    from the per-stream match state (default: same root, the original
+    layout) — several streams, or a stream restarted with fresh
+    checkpoints, can then share one bootstrapped corpus index instead
+    of re-freezing it per consumer."""
     from pyspark_unload_to_gcs_spark.operators.dedup import (
         gram_sets,
         rarest_prefix,
@@ -151,7 +158,8 @@ def containment_match_batch(
     from pyspark_unload_to_gcs_spark.sources.versioned import _sub
 
     spark = batch_df.sparkSession
-    meta = spark.read.parquet(_index_dir(state_path, "meta")).first()
+    idx = index_path or state_path
+    meta = spark.read.parquet(_index_dir(idx, "meta")).first()
     shingle_n, n_buckets, threshold_pct = (meta[c] for c in _META_COLS)
 
     ga = (
@@ -163,7 +171,7 @@ def containment_match_batch(
         # prefix + verify both consume the batch grams; one build
         .localCheckpoint(eager=False)
     )
-    df_tab = spark.read.parquet(_index_dir(state_path, "gram_df"))
+    df_tab = spark.read.parquet(_index_dir(idx, "gram_df"))
     # ga's id is already aliased id_a; two consumers (bucket probe +
     # candidate join)
     prefix = rarest_prefix(ga, "id_a", df_tab, threshold_pct).localCheckpoint(
@@ -181,7 +189,7 @@ def containment_match_batch(
         .distinct()
         .collect()
     ]
-    postings = spark.read.parquet(_index_dir(state_path, "postings"))
+    postings = spark.read.parquet(_index_dir(idx, "postings"))
     if len(buckets) < n_buckets:
         postings = postings.filter(F.col("pb").isin(buckets))
     # candidate join on xxhash64 of the gram (the containment_join
@@ -196,7 +204,7 @@ def containment_match_batch(
         .select("id_a", "id_b")
         .distinct()
     )
-    gb_arr = spark.read.parquet(_index_dir(state_path, "grams")).select(
+    gb_arr = spark.read.parquet(_index_dir(idx, "grams")).select(
         "id_b", F.col("__g").alias("__gb")
     )
     out = verify_containment(

@@ -1942,3 +1942,46 @@ def test_url_frontier_indexed_dedup_composition(spark, tmp_path):
     nulls = acc2.filter(F.col("url_norm").isNull()).collect()
     assert len(nulls) == 1  # one row owns the NULL-key group
     assert acc2.count() == 4
+
+
+def test_containment_shared_index_path_separate_state(
+    spark, containment_stream_setup, tmp_path
+):
+    """``index_path`` decouples the frozen index from the per-stream
+    match state (r14): folding against a SHARED bootstrapped index
+    from a fresh state root must produce exactly the matches of the
+    same fold with the index co-located — and the shared index root
+    must gain no matches/ directory of its own."""
+    import os
+
+    from pyspark_unload_to_gcs_spark.streaming.containment import (
+        containment_match_batch,
+        read_matches,
+    )
+
+    state, _stream_dir, _index, new_docs = containment_stream_setup
+    # co-located fold into a copy of the index root (self-contained:
+    # does not rely on a sibling test having folded into `state`)
+    import shutil
+
+    colocated_root = str(tmp_path / "colocated_state")
+    os.makedirs(colocated_root)
+    shutil.copytree(
+        os.path.join(state, "index"),
+        os.path.join(colocated_root, "index"),
+    )
+    containment_match_batch(
+        new_docs, 0, id_column="doc_id", state_path=colocated_root
+    )
+    colocated = read_matches(spark, colocated_root)
+    fresh = str(tmp_path / "fresh_state")
+    containment_match_batch(
+        new_docs, 0, id_column="doc_id", state_path=fresh, index_path=state
+    )
+    got = read_matches(spark, fresh)
+    key = ["id_a", "id_b", "n_grams_a", "n_shared", "containment_r"]
+    assert got is not None and colocated is not None
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, colocated.select(*key).collect())
+    )
+    assert not os.path.exists(os.path.join(fresh, "index"))
