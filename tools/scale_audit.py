@@ -194,6 +194,10 @@ def main() -> None:
     # the incremental-index base build is ALSO a bench-named warmup
     # (r10) — same reasoning as _pq_shared
     registry_staged._pq_incr_base(spark, args.out)
+    # r14 bench-named warmups: the frozen containment index and the
+    # 3-commit versioned fixture — same one-time-build reasoning
+    registry_staged._containment_frozen_index(spark, args.out)
+    registry_staged._versioned_orders(spark, args.out)
     print(f"warmup (shared sigs + bucketed layout + exact pairs): "
           f"{round(time.perf_counter() - t0, 1)}s", file=sys.stderr)
 
