@@ -92,8 +92,17 @@ def html_text_extract(
     max(clean_chars, 1) — exact integer floor, the boilerplate-gate
     number). All BIGINT; NULL html propagates NULLs."""
     raw = F.col(html_column)
-    body = _strip_content_free(raw)
-    anchors = F.regexp_extract_all(body, F.lit(_ANCHOR_RE), 1)
+    # the stripped body and the anchor array each feed SEVERAL gated
+    # output columns — materialize them as their own projection stages
+    # so the regex chains run once per row, not once per consumer
+    # (CaseWhen branches block common-subexpression elimination; the
+    # url_parse r14 finding)
+    df = df.withColumn("__html_body", _strip_content_free(raw))
+    body = F.col("__html_body")
+    df = df.withColumn(
+        "__html_anchors", F.regexp_extract_all(body, F.lit(_ANCHOR_RE), 1)
+    )
+    anchors = F.col("__html_anchors")
     anchor_chars = F.aggregate(
         F.transform(
             anchors,
@@ -132,7 +141,7 @@ def html_text_extract(
             ),
         )
         .withColumn(text_column, F.col("__t"))
-        .drop("__t")
+        .drop("__t", "__html_body", "__html_anchors")
     )
 
 

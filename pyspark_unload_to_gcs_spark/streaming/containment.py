@@ -117,9 +117,16 @@ def containment_index_build(
     postings = grams.select("id_b", F.explode("__g").alias("__p")).withColumn(
         "pb", F.pmod(F.xxhash64("__p"), F.lit(n_buckets)).cast("int")
     )
-    postings.write.mode("overwrite").partitionBy("pb").parquet(
-        _index_dir(state_path, "postings")
-    )
+    # repartition ON the bucket column before the partitioned write:
+    # without it every upstream partition writes a sliver into every
+    # bucket directory (partitions x buckets files — measured ~2k tiny
+    # files at fixture scale, r14), and every later batch fold pays the
+    # listing + tiny-task cost. One compact shard per bucket is also
+    # the 100 TB layout (scale n via repartition(n, "pb") if a single
+    # bucket outgrows a shard).
+    postings.repartition(n_buckets, "pb").write.mode("overwrite").partitionBy(
+        "pb"
+    ).parquet(_index_dir(state_path, "postings"))
     postings.groupBy("__p").agg(
         F.count(F.lit(1)).alias("__df")
     ).write.mode("overwrite").parquet(_index_dir(state_path, "gram_df"))
@@ -195,8 +202,11 @@ def containment_match_batch(
     # candidate join on xxhash64 of the gram (the containment_join
     # trick): 8-byte shuffle key, collisions only add candidates and
     # the exact verify below discards them
+    # the batch's prefix is micro-batch-bounded by definition —
+    # broadcast it so the candidate probe never shuffles the posting
+    # shards (r14; AQE can't infer the size through the localCheckpoint)
     cand = (
-        prefix.select("id_a", F.xxhash64("__p").alias("__hp"))
+        F.broadcast(prefix.select("id_a", F.xxhash64("__p").alias("__hp")))
         .join(
             postings.select("id_b", F.xxhash64("__p").alias("__hp")),
             "__hp",
@@ -207,9 +217,11 @@ def containment_match_batch(
     gb_arr = spark.read.parquet(_index_dir(idx, "grams")).select(
         "id_b", F.col("__g").alias("__gb")
     )
+    # batch-side gram arrays are micro-batch-bounded too — the hint
+    # keeps the verify join from shuffling the index gram table
     out = verify_containment(
         cand,
-        ga.select("id_a", F.col("__g").alias("__ga")),
+        F.broadcast(ga.select("id_a", F.col("__g").alias("__ga"))),
         gb_arr,
         threshold_pct,
     ).select(
