@@ -274,6 +274,10 @@ def test_url_fuzz_matches_model(spark):
             "user@", "/", "/path", "?", "?a=1", "&", "a=1", "b=",
             "=c", "utm_x=1", "fbclid=2", "#", "#f", "[", "]",
             "[::1]", "%20", " ", "Path",
+            # the packed single-pass extraction's group separator —
+            # URLs containing it must take the per-group fallback and
+            # still match the model byte for byte (r14)
+            "\x01",
         ]
     )
 
@@ -312,3 +316,26 @@ def test_url_rejected_by_anchored_grammar_is_null(spark):
         want = _norm_model(url)
         for k, v in want.items():
             assert got[rid][k] == v, (url, k)
+
+
+def test_url_parse_separator_byte_takes_fallback(spark):
+    """A URL containing the \\x01 packing separator must parse via the
+    per-group fallback with results identical to separator-free parts
+    (r14 single-pass extraction): the separator riding in the path
+    must come back verbatim, not shift the group split."""
+    weird = "http://Ex.COM:8080/pa\x01th?a=1&utm_x=2#f"
+    plain = "http://Ex.COM:8080/path?a=1&utm_x=2#f"
+    rows = {
+        r["id"]: r
+        for r in url_parse(
+            spark.createDataFrame(
+                [(1, weird), (2, plain)], "id long, url string"
+            )
+        ).collect()
+    }
+    assert rows[1]["scheme"] == rows[2]["scheme"] == "http"
+    assert rows[1]["host"] == rows[2]["host"] == "ex.com"
+    assert rows[1]["port"] == "8080"
+    assert rows[1]["path"] == "/pa\x01th"
+    assert rows[1]["query"] == rows[2]["query"] == "a=1&utm_x=2"
+    assert rows[1]["fragment"] == "f"
