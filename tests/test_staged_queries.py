@@ -19,11 +19,31 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck_mid(sf_dir_mid):
+    con = duckdb_connection(sf_dir_mid)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(registry_staged.staged_oracle_sql()))
 def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
     q = registry_staged.staged_queries()[name]
     oracle = registry_staged.staged_oracle_sql()[name]
     assert_matches(q(spark, sf_dir), duck, oracle, name=name)
+
+
+@pytest.mark.parametrize("name", sorted(registry_staged.staged_oracle_sql()))
+def test_staged_query_matches_oracle_mid_sf(
+    spark, sf_dir_mid, duck_mid, name
+):
+    """The driver-scale (sf0.01) arm of the staged parity claim: the
+    rotation plan's "parity-green at sf0.001+sf0.01" was previously
+    continuous only at sf0.001 (the sf0.01 leg ran in manual sittings);
+    now both legs live in the suite (r14)."""
+    q = registry_staged.staged_queries()[name]
+    oracle = registry_staged.staged_oracle_sql()[name]
+    assert_matches(q(spark, sf_dir_mid), duck_mid, oracle, name=name)
 
 
 def test_staged_names_do_not_collide_with_live_registry():
