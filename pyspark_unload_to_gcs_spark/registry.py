@@ -631,8 +631,22 @@ def _load_extensions() -> None:
 # R15 ROTATION PLAN (execute after the r14 rotation): keep the core
 # eight; promote the TWELVE r15-staged rows; refresh
 # oldest-evidence-first with the remaining r10-only greens and then
-# the r11 tail (12 + 8 + 30 = 50). After promoting run
-# `python tools/plan_digest.py --budgets` and max-merge.
+# the r11 tail (12 + 8 + 30 = 50). Exact refresh list precomputed at
+# r14 close (assumes the r14 window goes green): the 23 remaining
+# r10-only names — q1_pricing_summary, q3_order_revenue,
+# q4_order_priority, q5_local_supplier_volume, q6_revenue_delta,
+# quality_score, regional_revenue, rolling_user_value, rollup_pricing,
+# salted_user_activity, scd_latest_order_maxby,
+# token_budget_stream_replay, token_count, top_orders_per_customer,
+# top_parts_by_revenue, user_activity, value_histogram,
+# value_percentiles, value_percentiles_approx, versioned_change_feed,
+# versioned_datasource_snapshot, versioned_snapshot_at,
+# versioned_stream_replay — plus the 7 alphabetically-first r11-only
+# greens (customers_without_orders, document_chunks,
+# dsir_incremental_scores, dsir_selected_docs, dsir_shift_accuracy,
+# export_roundtrip_hash, funnel_view_click_purchase). After promoting
+# run `python tools/plan_digest.py --budgets` and max-merge, and
+# regenerate COVERAGE.json.
 #
 # R16 COHORT — STAGED r14 (registered rows + FULL value oracles in
 # registry_staged.py, parity-green sf0.001+sf0.01+sf0.1,
