@@ -7172,3 +7172,143 @@ def mime_sniff_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mime")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Open-protocol Delta log rows (staged r14 continuation): S2/S3/S4
+# runtime semantics on the PUBLIC Delta table format, no delta-spark —
+# the minimal log reader/writer in sources/delta_log.py. Same commit
+# arms and closed-form oracles as the versioned-parquet twins, so the
+# two storage backends pin each other.
+# --------------------------------------------------------------------------
+
+_DELTA_LOG_MEMO: dict = {}
+
+
+def _delta_orders(spark: SparkSession, sf_dir: str) -> str:
+    """3-commit OPEN-FORMAT Delta table from orders (memoized per
+    session; the _versioned_orders arms on the documented protocol):
+    v0 @ ms 1000 = even keys; v1 @ ms 2000 = ALL keys with price+1.0
+    where key % 10 == 0; v2 @ ms 3000 = v1 minus key % 7 == 0. A
+    parquet checkpoint is written at v1 so every snapshot/feed row
+    ALSO exercises the checkpoint replay path."""
+    import tempfile
+
+    from pyspark_unload_to_gcs_spark.sources import delta_log as DL
+
+    key = (session_token(spark), sf_dir)
+    if key not in _DELTA_LOG_MEMO:
+        path = tempfile.mkdtemp(prefix="delta_orders_") + "/t"
+        base = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        v1 = base.withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 10 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        DL.write_delta_commit(
+            base.filter(F.col("o_orderkey") % 2 == 0), path, commit_ms=1000
+        )
+        DL.write_delta_commit(v1, path, commit_ms=2000, mode="overwrite")
+        DL.write_delta_commit(
+            v1.filter(F.col("o_orderkey") % 7 != 0),
+            path,
+            commit_ms=3000,
+            mode="overwrite",
+        )
+        DL.write_checkpoint(spark, path, 1)
+        _DELTA_LOG_MEMO[key] = path
+    return _DELTA_LOG_MEMO[key]
+
+
+@register_staged("delta_time_travel_snapshot", oracle=_VERSIONED_SNAPSHOT_SQL)
+def delta_time_travel_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel on the OPEN Delta format
+    (sources/delta_log.py ``snapshot_at_ms``; reference S2,
+    export.py:112-114) — no delta-spark: the minimal protocol reader
+    lists the commit log, resolves the newest commit <= ms 2500 (= v1),
+    replays add/remove actions THROUGH the v1 parquet checkpoint, and
+    scans the surviving files. Must equal v1 exactly: all keys present,
+    +1.0 on every % 10 == 0 price, no % 7 deletions (v2 is the
+    future). Same closed-form oracle as the versioned-parquet twin —
+    the two storage backends pin each other."""
+    from pyspark_unload_to_gcs_spark.sources import delta_log as DL
+
+    return DL.snapshot_at_ms(spark, _delta_orders(spark, sf_dir), 2500)
+
+
+@register_staged("delta_change_feed_window", oracle=_VERSIONED_CDF_SQL)
+def delta_change_feed_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed window on the OPEN Delta format
+    (sources/delta_log.py ``change_feed_by_diff``; reference S3,
+    export.py:115-128): the window [1500, 3000] reconstructs v1's
+    changes (odd-key INSERTs, preimage-DELETE + postimage-INSERT pairs
+    for the % 10 == 0 updates — the exact pair model the reference
+    maps Delta CDF update rows onto, export.py:121-126) and v2's
+    deletes at v1 prices from the transaction log alone, each stamped
+    with commit version + timestamp. v0 precedes the window and must
+    not leak."""
+    from pyspark_unload_to_gcs_spark.sources import delta_log as DL
+
+    return DL.change_feed_by_diff(
+        spark,
+        _delta_orders(spark, sf_dir),
+        1500,
+        3000,
+        key_columns=["o_orderkey"],
+    )
+
+
+_DELTA_HISTORY_SQL = """
+WITH c AS (
+  SELECT CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n0,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE o_orderkey % 7 != 0) AS BIGINT) AS n2
+  FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS version, CAST(1000 AS BIGINT) AS commit_ms,
+       'WRITE' AS operation, n0 AS n_rows
+FROM c
+UNION ALL SELECT 1, 2000, 'OVERWRITE', n1 FROM c
+UNION ALL SELECT 2, 3000, 'OVERWRITE', n2 FROM c
+"""
+
+
+@register_staged("delta_log_history_probe", oracle=_DELTA_HISTORY_SQL)
+def delta_log_history_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the OPEN Delta format
+    (sources/delta_log.py ``table_history``; the reference's
+    latest-commit probe, export.py:49-60, S4) — version, commit
+    timestamp ms and operation from each commit's commitInfo, plus the
+    ACTIVE row count at that version (one union-all scan over the
+    replayed snapshots, groupBy version — proves every historical
+    replay, not just the tip). The commit metadata rides as literals
+    from the (KB-sized) log; only the row counts touch data."""
+    from pyspark_unload_to_gcs_spark.sources import delta_log as DL
+
+    path = _delta_orders(spark, sf_dir)
+    hist = DL.table_history(path)
+    counts = None
+    for e in hist:
+        s = DL.snapshot_at_version(spark, path, e["version"]).select(
+            F.lit(e["version"]).cast("long").alias("version")
+        )
+        counts = s if counts is None else counts.unionByName(s)
+    counts = counts.groupBy("version").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    meta = spark.createDataFrame(
+        [(e["version"], e["commit_ms"], e["operation"]) for e in hist],
+        "version long, commit_ms long, operation string",
+    )
+    return meta.join(counts, "version", "left").select(
+        "version",
+        "commit_ms",
+        "operation",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+    )

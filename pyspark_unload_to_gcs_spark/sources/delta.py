@@ -1,9 +1,15 @@
-"""Delta Lake sources (SURVEY.md §2a S2-S4), behind an import guard.
+"""Delta Lake sources via delta-spark (SURVEY.md §2a S2-S4), behind an
+import guard.
 
 delta-spark is not available in this build environment, so these
 readers raise a clear error when Delta is absent; the Delta-independent
 CDC logic (change-type mapping, watermark arithmetic, snapshot-as-
 inserts) lives in ``operators/cdc.py`` and is fully tested without it.
+The DEPENDENCY-FREE runtime path for the same capabilities is
+``sources/delta_log.py`` (r14): a minimal open-protocol transaction-log
+reader — history probe, TIMESTAMP AS OF replay through checkpoints,
+diff-derived change feed — executing S2-S4 semantics on the documented
+Delta table format without this package.
 
 Reference behaviors being mirrored:
 - latest commit timestamp probe: DESCRIBE HISTORY ... LIMIT 1
