@@ -705,6 +705,7 @@ def _load_extensions() -> None:
 # mix_deviation_report (delivered vs declared mixture shares, K-row
 # full-outer join, max-abs-dev gate scalar).
 _PRIORITY: tuple[str, ...] = (
+    # R15 WINDOW (the plan above, executed verbatim — VERDICT r14 #3):
     # 1. reference-parity core
     "full_sync_non_null",
     "time_based_window",
@@ -714,63 +715,57 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r13 staged cohort (live as of
-    #    r14) — bigram-LM quality scoring, canary survival audit,
-    #    balanced-shard layout profile, audio fingerprint dup pairs,
-    #    key-indexed ingestion dedup + containment decontamination
-    #    stream twins, URL canonicalization profile, and corpus-scope
-    #    exact line dedup (the C4/RefinedWeb boilerplate pass)
-    "bigram_lm_quality",
-    "canary_survival_audit",
-    "shard_balance_profile",
-    "audio_dup_pairs",
-    "indexed_dedup_stream_replay",
-    "containment_stream_replay",
-    "url_canonical_profile",
-    "line_dedup_boilerplate",
-    # 3a. evidence refresh: the 15 remaining r09-only greens (the
-    #    q14.. xml_ingest_roundtrip tail that slid from the r13 window)
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_widget_suppliers",
-    "q21_sole_returning_supplier",
-    "q9_product_profit",
-    "rolling_actives_approx_accuracy",
-    "semantic_dedup_auto",
-    "theta_overlap_estimate_accuracy",
-    "unicode_normalize_stats",
-    "variant_props_profile",
-    "vector_topk_lsh",
-    "vector_topk_quantized",
-    "xml_ingest_roundtrip",
-    # 3b. evidence refresh: the 19 alphabetically-first of the 42
-    #    r10-only greens (asof_latest_click ..
-    #    pq_index_incremental_topk — which also carries the r14
-    #    warmup/row cost-split restructure, so its fresh driver
-    #    evidence lands the same round as the change; the remaining
-    #    23 — q1_pricing_summary .. versioned_stream_replay — slide
-    #    to r15)
-    "asof_latest_click",
-    "balanced_corpus_sample",
-    "benchmark_contamination",
-    "big_orders",
-    "bm25_search",
-    "bpe_ish_token_count",
-    "cdc_apply_changes",
-    "clean_corpus_stats",
-    "footer_stats_profile",
-    "grouping_sets_revenue",
-    "hot_users",
-    "image_ahash_dup_pairs",
-    "json_props_extract",
-    "lang_id_heuristic",
-    "near_dedup_minhash_recall",
-    "near_dedup_ngram_recall",
-    "normalized_dedup",
-    "orders_with_returns",
-    "pq_index_incremental_topk",
+    # 2. never-checked: the promoted r15 cohort (staged r13
+    #    continuation, live as of r15) — classifier threshold sweep /
+    #    calibration-reliability / exact AUC, declared-vs-delivered
+    #    mixture deviation, per-domain fair keep, multi-round epoch
+    #    scheduling, train/val split leakage, within-doc line dedup,
+    #    temperature reweighting, robots-directive gate, HTML
+    #    boilerplate extraction, and the langid confusion matrix
+    "threshold_sweep_profile",
+    "calibration_profile",
+    "classifier_auc_exact",
+    "mix_deviation_profile",
+    "domain_fair_keep_profile",
+    "epoch_schedule_plan",
+    "split_leakage_profile",
+    "line_dedup_within_doc",
+    "domain_reweight_mix",
+    "robots_gate_profile",
+    "html_boilerplate_profile",
+    "langid_confusion",
+    # 3a. evidence refresh: the 23 remaining r10-only greens
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "quality_score",
+    "regional_revenue",
+    "rolling_user_value",
+    "rollup_pricing",
+    "salted_user_activity",
+    "scd_latest_order_maxby",
+    "token_budget_stream_replay",
+    "token_count",
+    "top_orders_per_customer",
+    "top_parts_by_revenue",
+    "user_activity",
+    "value_histogram",
+    "value_percentiles",
+    "value_percentiles_approx",
+    "versioned_change_feed",
+    "versioned_datasource_snapshot",
+    "versioned_snapshot_at",
+    "versioned_stream_replay",
+    # 3b. evidence refresh: the 7 alphabetically-first r11-only greens
+    "customers_without_orders",
+    "document_chunks",
+    "dsir_incremental_scores",
+    "dsir_selected_docs",
+    "dsir_shift_accuracy",
+    "export_roundtrip_hash",
+    "funnel_view_click_purchase",
 )
 
 

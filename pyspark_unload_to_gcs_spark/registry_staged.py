@@ -571,19 +571,20 @@ GROUP BY user_id, session_seq
 @register("sessionize_stream_replay", oracle=_SESSION_REPLAY_SQL)
 def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned-state incremental sessionizer
-    (streaming/sessionize_fold.py ``fold_batch``) replayed over three
-    event-time-ordered micro-batches (fixed Jan-2024 boundaries,
+    (streaming/sessionize_fold.py ``fold_batch``) replayed over two
+    event-time-ordered micro-batches (a fixed mid-Jan-2024 boundary,
     satisfying the per-user cross-batch ordering precondition), then
     finalized: the closed-session log + finalized opens must equal the
     direct batch sessionization — the same oracle the batch
     ``sessionization`` query carries. This gives the sessions family a
     driver-faced state-protocol check (rollup and MERGE got theirs in
     r06), covering cross-batch session continuation, gap-split across
-    batch boundaries, and users absent from intermediate batches.
-    (Trimmed from four folds to three in r09 per VERDICT r08 #4 — each
-    sequential fold is a full state read+shuffle+write and the fourth
-    boundary proved nothing the second and third don't; the protocol's
-    retry/ordering edge cases live in tests/test_streaming.py.)"""
+    the batch boundary, and users absent from a batch.
+    (Trimmed 4 → 3 folds in r09 per VERDICT r08 #4 and 3 → 2 in r15
+    per VERDICT r14 #1 — each sequential fold is a full state
+    read+shuffle+write, and ONE boundary already exercises every
+    cross-batch transition; the protocol's retry/ordering edge cases
+    live in tests/test_streaming.py.)"""
     from pyspark_unload_to_gcs_spark.streaming.replay import replay_batches
     from pyspark_unload_to_gcs_spark.streaming.sessionize_fold import (
         fold_batch,
@@ -591,11 +592,10 @@ def sessionize_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    bounds = ["2024-01-11", "2024-01-21"]
+    bound = "2024-01-16"
     batches = [
-        ev.filter(F.col("ts") < bounds[0]),
-        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        ev.filter(F.col("ts") >= bounds[1]),
+        ev.filter(F.col("ts") < bound),
+        ev.filter(F.col("ts") >= bound),
     ]
     return replay_batches(
         _SESSION_REPLAY_MEMO,
@@ -2307,11 +2307,23 @@ FROM events
 """
 
 
-@register("dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
+@register_staged("dedup_stream_replay", oracle=_DEDUP_REPLAY_SQL)
 def dedup_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-write-wins ingestion dedup (streaming/dedup.py
     ``dedup_batch``) replayed over three micro-batches that simulate
-    at-least-once delivery with PAYLOAD-MUTATING retries:
+    at-least-once delivery with PAYLOAD-MUTATING retries.
+
+    DEMOTED to staged in r15 (VERDICT r14 #1): this is the FULL-REWRITE
+    state protocol — every fold rewrites the accumulated accepted set —
+    whose 100 TB posture was deliberately replaced by the key-indexed
+    arm. ``indexed_dedup_stream_replay`` (driver-green r14) pins the
+    SAME poisoned-replay semantics on the same batches with O(keys +
+    batch) state I/O per fold; keeping both in the live bench cost
+    14.7 s to prove one thing twice. The operator, its oracle, and its
+    protocol tests (tests/test_streaming.py) all remain; only the
+    bench/driver row is retired.
+
+    Original replay shape:
 
     - batch 0: events from the first 10 days (original payloads,
       seq 0);
@@ -6103,7 +6115,7 @@ GROUP BY c.threshold
 """
 
 
-@register_staged("threshold_sweep_profile", oracle=_sweep_oracle())
+@register("threshold_sweep_profile", oracle=_sweep_oracle())
 def threshold_sweep_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate keep-rate curve (operators/diagnostics.py
     ``threshold_sweep``): ten candidate cutoffs over the composite
@@ -6164,7 +6176,7 @@ FROM rated
 """
 
 
-@register_staged("calibration_profile", oracle=_calibration_oracle())
+@register("calibration_profile", oracle=_calibration_oracle())
 def calibration_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram + ECE (operators/diagnostics.py
     ``calibration_bins``): the composite quality score graded as a
@@ -6218,7 +6230,7 @@ FROM cum
 """
 
 
-@register_staged("classifier_auc_exact", oracle=_auc_oracle())
+@register("classifier_auc_exact", oracle=_auc_oracle())
 def classifier_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected ROC AUC (operators/diagnostics.py
     ``score_auc``) of the composite quality score predicting
@@ -6279,7 +6291,7 @@ FROM rated
 """
 
 
-@register_staged("mix_deviation_profile", oracle=_mix_dev_oracle())
+@register("mix_deviation_profile", oracle=_mix_dev_oracle())
 def mix_deviation_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-export mixture audit (operators/sampling.py
     ``mix_deviation_report``): the corpus's language composition vs a
@@ -6299,7 +6311,7 @@ def mix_deviation_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FAIR_KEEP_PPM = 400_000
 
 
-@register_staged(
+@register(
     "domain_fair_keep_profile",
     oracle=f"""
 WITH scored AS (
@@ -6404,7 +6416,7 @@ FROM fin
 """
 
 
-@register_staged("epoch_schedule_plan", oracle=_epoch_oracle())
+@register("epoch_schedule_plan", oracle=_epoch_oracle())
 def epoch_schedule_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-constrained token-budget schedule (operators/sampling.py
     ``repeat_epoch_schedule``): water-fill a fixed 50k-token budget
@@ -6470,7 +6482,7 @@ FROM per
 """
 
 
-@register_staged("split_leakage_profile", oracle=_leakage_oracle())
+@register("split_leakage_profile", oracle=_leakage_oracle())
 def split_leakage_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split-leakage audit (operators/sampling.py
     ``split_leakage_audit``): normalized-content identity vs the
@@ -6528,7 +6540,7 @@ FROM flags GROUP BY id
 """
 
 
-@register_staged(
+@register(
     "line_dedup_within_doc", oracle=_line_dedup_within_oracle()
 )
 def line_dedup_within_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6605,7 +6617,7 @@ FROM b
 """
 
 
-@register_staged("domain_reweight_mix", oracle=_reweight_oracle())
+@register("domain_reweight_mix", oracle=_reweight_oracle())
 def domain_reweight_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-flavored domain reweighting (operators/sampling.py
     ``domain_reweight``, eta=1, counts baseline): per-language
@@ -6681,7 +6693,7 @@ FROM verdicts GROUP BY domain
 """
 
 
-@register_staged("robots_gate_profile", oracle=_robots_gate_oracle())
+@register("robots_gate_profile", oracle=_robots_gate_oracle())
 def robots_gate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance gate (operators/robots.py): 25 synthetic
     domains (one robots.txt arm each — a TrainBot record with
@@ -6807,7 +6819,7 @@ FROM stats
 """
 
 
-@register_staged("html_boilerplate_profile", oracle=_html_profile_oracle())
+@register("html_boilerplate_profile", oracle=_html_profile_oracle())
 def html_boilerplate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate extraction (operators/html.py
     ``html_text_extract`` over ``synth_html`` pages): clean text plus
@@ -6866,7 +6878,7 @@ FROM cells
 """
 
 
-@register_staged("langid_confusion", oracle=_langid_confusion_oracle())
+@register("langid_confusion", oracle=_langid_confusion_oracle())
 def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (operators/text.py ``lang_id``
     stopword vote vs the fixture's true lang) — the eval table every

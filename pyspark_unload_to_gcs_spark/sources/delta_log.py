@@ -72,6 +72,12 @@ from pyspark_unload_to_gcs_spark.sources.versioned import (
 _LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# protocol: multi-part classic checkpoints are <v>.checkpoint.<i>.<n>.parquet
+_MULTIPART_CP_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# anything else checkpoint-shaped (V2 UUID checkpoints, sidecars) is a
+# format this v1 reader must refuse, not skip — the replay would start
+# from the wrong floor and the protocol-guard action may live inside it
+_OTHER_CP_RE = re.compile(r"^(\d{20})\.checkpoint\..+$")
 
 
 def _log_path(table: str) -> str:
@@ -106,13 +112,63 @@ def commit_versions(table: str) -> list[int]:
 
 
 def checkpoint_versions(table: str) -> list[int]:
-    """Sorted versions with a single-file parquet checkpoint."""
-    out = []
+    """Sorted versions with a readable parquet checkpoint: single-file,
+    or multi-part with ALL parts present. Checkpoint-shaped files this
+    v1 reader does not understand (V2 UUID checkpoints, sidecars) raise
+    instead of being skipped — a skipped checkpoint would silently move
+    the replay floor below log-cleaned commits (ADVICE r14)."""
+    singles: set[int] = set()
+    parts: dict[int, dict[int, set[int]]] = {}
     for name in _list_log_files(table):
         m = _CHECKPOINT_RE.match(name)
         if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+            singles.add(int(m.group(1)))
+            continue
+        m = _MULTIPART_CP_RE.match(name)
+        if m:
+            v, i, n = (int(g) for g in m.groups())
+            parts.setdefault(v, {}).setdefault(n, set()).add(i)
+            continue
+        if _OTHER_CP_RE.match(name):
+            raise ValueError(
+                f"delta_log: {table!r} carries a checkpoint file this "
+                f"protocol-v1 reader does not understand ({name}) — "
+                "refusing rather than replay from the wrong floor"
+            )
+    complete_multis = {
+        v
+        for v, by_n in parts.items()
+        if any(done == set(range(1, n + 1)) for n, done in by_n.items())
+    }
+    return sorted(singles | complete_multis)
+
+
+def _checkpoint_paths(table: str, version: int) -> list[str]:
+    """The parquet files making up the checkpoint at ``version``: the
+    single file when one exists, else the complete multi-part set."""
+    single = None
+    multis: dict[int, dict[int, str]] = {}
+    for name in _list_log_files(table):
+        m = _CHECKPOINT_RE.match(name)
+        if m and int(m.group(1)) == version:
+            single = name
+            continue
+        m = _MULTIPART_CP_RE.match(name)
+        if m and int(m.group(1)) == version:
+            _v, i, n = (int(g) for g in m.groups())
+            multis.setdefault(n, {})[i] = name
+    if single is not None:
+        return [_sub(_log_path(table), single)]
+    for n in sorted(multis):
+        if set(multis[n]) == set(range(1, n + 1)):
+            return [
+                _sub(_log_path(table), multis[n][i])
+                for i in range(1, n + 1)
+            ]
+    raise ValueError(
+        f"delta_log: no complete checkpoint at version {version} of "
+        f"{table!r}"
+    )
 
 
 def _commit_file(table: str, version: int) -> str:
@@ -194,25 +250,30 @@ def _check_protocol(action: dict, table: str) -> None:
 
 def _active_state(
     spark: SparkSession, table: str, version: int
-) -> tuple[dict[str, dict], str | None]:
+) -> tuple[dict[str, dict], dict | None]:
     """Replay the log to ``version``: (active files {relative path ->
-    add action}, latest metaData.schemaString). Starts from the newest
-    single-file checkpoint <= version when one exists — the protocol's
-    compaction — then applies later JSON commits in order."""
+    add action}, latest full metaData action dict). Starts from the
+    newest readable checkpoint <= version when one exists — the
+    protocol's compaction — then applies later JSON commits in order.
+    Every commit version in ``(checkpoint, version]`` must be present
+    as a JSON file: a gap means the log was cleaned past the chosen
+    floor and a partial replay would return wrong rows AND could skip
+    the protocol-guard action, so this refuses instead (ADVICE r14 —
+    the writer already enforced the no-gap invariant; now the reader
+    does too)."""
     files: dict[str, dict] = {}
-    schema_json: str | None = None
+    metadata: dict | None = None
     start = 0
     cps = [c for c in checkpoint_versions(table) if c <= version]
     if cps:
         cp = cps[-1]
-        cp_path = _sub(_log_path(table), f"{cp:020d}.checkpoint.parquet")
-        rows = spark.read.parquet(cp_path).collect()
+        rows = spark.read.parquet(*_checkpoint_paths(table, cp)).collect()
         for r in rows:
             d = r.asDict(recursive=True)
             if d.get("protocol"):
                 _check_protocol({"protocol": d["protocol"]}, table)
             if d.get("metaData") and d["metaData"].get("schemaString"):
-                schema_json = d["metaData"]["schemaString"]
+                metadata = d["metaData"]
             add = d.get("add")
             if add and add.get("path"):
                 files[add["path"]] = add
@@ -220,16 +281,25 @@ def _active_state(
             if rem and rem.get("path"):
                 files.pop(rem["path"], None)
         start = cp + 1
-    for v in [x for x in commit_versions(table) if start <= x <= version]:
+    present = set(commit_versions(table))
+    needed = [v for v in range(start, version + 1) if v not in present]
+    if needed:
+        raise ValueError(
+            f"delta_log: commits {needed} missing from {table!r} between "
+            f"replay floor {start} and requested version {version} — the "
+            "log was cleaned past the newest usable checkpoint; refusing "
+            "to replay an incomplete action set"
+        )
+    for v in range(start, version + 1):
         for action in _read_actions(table, v):
             _check_protocol(action, table)
             if "metaData" in action and action["metaData"].get("schemaString"):
-                schema_json = action["metaData"]["schemaString"]
+                metadata = action["metaData"]
             if "add" in action:
                 files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 files.pop(action["remove"]["path"], None)
-    return files, schema_json
+    return files, metadata
 
 
 def snapshot_at_version(
@@ -248,7 +318,8 @@ def snapshot_at_version(
             f"delta_log: version {version} not in {table!r} "
             f"(have {versions})"
         )
-    files, schema_json = _active_state(spark, table, version)
+    files, metadata = _active_state(spark, table, version)
+    schema_json = metadata.get("schemaString") if metadata else None
     if not files:
         if schema_json is None:
             raise ValueError(
@@ -289,11 +360,19 @@ def change_feed_by_diff(
     past the last commit returns an empty frame instead of erroring
     (the timestampOutOfRange contract, export.py:196)."""
     history = table_history(table)
+    # a commit with no commitInfo.timestamp cannot be placed inside or
+    # outside the window — an incomplete feed with no error is the
+    # silent-wrong path this module promises not to have (ADVICE r14),
+    # so refuse, matching latest_commit_timestamp_ms
+    untimed = [e["version"] for e in history if e["commit_ms"] is None]
+    if untimed:
+        raise ValueError(
+            f"delta_log: commits {untimed} of {table!r} carry no "
+            "commitInfo.timestamp — cannot decide change-feed window "
+            "membership; refusing rather than serve an incomplete feed"
+        )
     in_window = [
-        e
-        for e in history
-        if e["commit_ms"] is not None
-        and start_ms <= e["commit_ms"] <= end_ms
+        e for e in history if start_ms <= e["commit_ms"] <= end_ms
     ]
     latest = history[-1]["version"]
     template = snapshot_at_version(spark, table, latest)
@@ -418,7 +497,7 @@ def write_delta_commit(
             }
         )
     if mode == "overwrite" and version > 0:
-        prev_files, _schema = _active_state(spark, table, version - 1)
+        prev_files, _meta = _active_state(spark, table, version - 1)
         for rel in sorted(prev_files):
             actions.append(
                 {
@@ -455,12 +534,24 @@ def write_delta_commit(
 def write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
     """Compact the log state at ``version`` into a single-file parquet
     checkpoint + ``_last_checkpoint`` pointer (the protocol's replay
-    shortcut; the reader starts from it instead of version 0)."""
+    shortcut; the reader starts from it instead of version 0).
+
+    Rows carry the fields the protocol REQUIRES in checkpoints —
+    ``add.partitionValues`` and the complete ``metaData`` struct
+    (id/format/schemaString/partitionColumns/configuration/createdTime)
+    carried forward from the log — so an external spec reader following
+    ``_last_checkpoint`` sees a well-formed checkpoint, not just the
+    subset this module's own reader happens to consume (ADVICE r14)."""
     from pyspark_unload_to_gcs_spark.sources.versioned import (
         _replace_text_atomic,
     )
 
-    files, schema_json = _active_state(spark, table, version)
+    files, metadata = _active_state(spark, table, version)
+    if metadata is None:
+        raise ValueError(
+            f"delta_log: no metaData action in the log of {table!r} — "
+            "cannot write a spec-complete checkpoint"
+        )
     rows = []
     rows.append(
         {
@@ -470,10 +561,27 @@ def write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
             "remove": None,
         }
     )
+    fmt = metadata.get("format") or {}
     rows.append(
         {
             "protocol": None,
-            "metaData": {"schemaString": schema_json},
+            "metaData": {
+                "id": metadata.get("id"),
+                "format": {
+                    "provider": fmt.get("provider", "parquet"),
+                    "options": dict(fmt.get("options") or {}),
+                },
+                "schemaString": metadata.get("schemaString"),
+                "partitionColumns": list(
+                    metadata.get("partitionColumns") or []
+                ),
+                "configuration": dict(metadata.get("configuration") or {}),
+                "createdTime": (
+                    int(metadata["createdTime"])
+                    if metadata.get("createdTime") is not None
+                    else None
+                ),
+            },
             "add": None,
             "remove": None,
         }
@@ -486,6 +594,7 @@ def write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
                 "metaData": None,
                 "add": {
                     "path": a["path"],
+                    "partitionValues": dict(a.get("partitionValues") or {}),
                     "size": int(a.get("size", 0)),
                     "modificationTime": int(a.get("modificationTime", 0)),
                     "dataChange": False,
@@ -495,9 +604,12 @@ def write_checkpoint(spark: SparkSession, table: str, version: int) -> None:
         )
     schema = (
         "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
-        "metaData struct<schemaString:string>, "
-        "add struct<path:string,size:bigint,modificationTime:bigint,"
-        "dataChange:boolean>, "
+        "metaData struct<id:string,"
+        "format:struct<provider:string,options:map<string,string>>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "configuration:map<string,string>,createdTime:bigint>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>, "
         "remove struct<path:string>"
     )
     cp_path = _sub(_log_path(table), f"{version:020d}.checkpoint.parquet")

@@ -48,6 +48,15 @@ from pyspark.sql import functions as F
 
 _META_COLS = ("shingle_n", "n_buckets", "threshold_pct")
 
+# broadcast-hint gates for containment_match_batch (ADVICE r14): a
+# normal micro-batch sails under both; a backfill batch covering a big
+# window must NOT be force-broadcast past what the driver can hold.
+# Prefix rows are 16 bytes each (id, hash) — 2M ≈ 32 MB serialized.
+# Gram-array rows carry the doc's full distinct-gram array — cap on
+# docs, conservatively, since width scales with doc length.
+_BROADCAST_PREFIX_ROW_CAP = 2_000_000
+_BROADCAST_DOC_CAP = 100_000
+
 
 def _index_dir(state_path: str, name: str) -> str:
     from pyspark_unload_to_gcs_spark.sources.versioned import _sub
@@ -186,28 +195,35 @@ def containment_match_batch(
     )
 
     # partition pruning: the batch's prefix can only meet postings in
-    # its own hash buckets — a bounded collect (≤ n_buckets ints, the
-    # stamps/centroids class), never the data
-    buckets = [
-        r["pb"]
-        for r in prefix.select(
+    # its own hash buckets — a bounded collect (≤ n_buckets rows, the
+    # stamps/centroids class), never the data. Per-bucket counts ride
+    # along so the broadcast gate below costs no extra job.
+    bucket_rows = (
+        prefix.groupBy(
             F.pmod(F.xxhash64("__p"), F.lit(n_buckets)).cast("int").alias("pb")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    ]
+    )
+    buckets = [r["pb"] for r in bucket_rows]
+    prefix_rows = sum(r["n"] for r in bucket_rows)
     postings = spark.read.parquet(_index_dir(idx, "postings"))
     if len(buckets) < n_buckets:
         postings = postings.filter(F.col("pb").isin(buckets))
     # candidate join on xxhash64 of the gram (the containment_join
     # trick): 8-byte shuffle key, collisions only add candidates and
-    # the exact verify below discards them
-    # the batch's prefix is micro-batch-bounded by definition —
-    # broadcast it so the candidate probe never shuffles the posting
-    # shards (r14; AQE can't infer the size through the localCheckpoint)
+    # the exact verify below discards them.
+    # A NORMAL micro-batch is small, and AQE can't size it through the
+    # localCheckpoint, so hint broadcast — but gate the hint on the
+    # measured batch size (ADVICE r14): a replay/backfill batch covering
+    # a big window would blow past maxBroadcastTableBytes or driver
+    # memory and fail the stream, where size-based join selection would
+    # have picked a shuffle. Over the cap, leave the plan to Spark.
+    cand_left = prefix.select("id_a", F.xxhash64("__p").alias("__hp"))
+    if prefix_rows <= _BROADCAST_PREFIX_ROW_CAP:
+        cand_left = F.broadcast(cand_left)
     cand = (
-        F.broadcast(prefix.select("id_a", F.xxhash64("__p").alias("__hp")))
-        .join(
+        cand_left.join(
             postings.select("id_b", F.xxhash64("__p").alias("__hp")),
             "__hp",
         )
@@ -217,11 +233,16 @@ def containment_match_batch(
     gb_arr = spark.read.parquet(_index_dir(idx, "grams")).select(
         "id_b", F.col("__g").alias("__gb")
     )
-    # batch-side gram arrays are micro-batch-bounded too — the hint
-    # keeps the verify join from shuffling the index gram table
+    # batch-side gram arrays are wide per row (the full gram array), so
+    # the doc cap is much lower than the prefix row cap; every doc with
+    # grams contributes >= 1 prefix row, so prefix_rows bounds the doc
+    # count and a small batch skips the count job entirely
+    ga_side = ga.select("id_a", F.col("__g").alias("__ga"))
+    if prefix_rows <= _BROADCAST_DOC_CAP or ga.count() <= _BROADCAST_DOC_CAP:
+        ga_side = F.broadcast(ga_side)
     out = verify_containment(
         cand,
-        F.broadcast(ga.select("id_a", F.col("__g").alias("__ga"))),
+        ga_side,
         gb_arr,
         threshold_pct,
     ).select(

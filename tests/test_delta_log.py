@@ -234,3 +234,119 @@ def test_delta_spark_cross_read_if_available(spark, table):
         map(tuple, spark.read.format("delta").load(table).select("k", "c", "p").collect())
     )
     assert got == _rows(D.snapshot_at_version(spark, table, 2))
+
+
+# --------------------------------------------------------------------------
+# ADVICE r14: the reader refuses incomplete replays instead of silently
+# misreading them, and the checkpoint writer emits the full spec schema
+# --------------------------------------------------------------------------
+
+
+def _mk_table(spark, root, n_commits=3):
+    df = spark.range(0, 4).select(F.col("id").alias("k"))
+    for v in range(n_commits):
+        D.write_delta_commit(
+            df.withColumn("k", F.col("k") + 10 * v),
+            root,
+            commit_ms=(v + 1) * 1000,
+        )
+    return root
+
+
+def test_replay_refuses_commit_gap(spark, tmp_path):
+    """A log-cleaned table (a commit below the replay floor vacuumed
+    away) must raise, not replay a partial action set — the reader now
+    enforces the same no-gap invariant the writer always had."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path) + "/t")
+    log = os.path.join(t, "_delta_log")
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    crc = os.path.join(log, f".{1:020d}.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="missing from"):
+        D.snapshot_at_version(spark, t, 2)
+
+
+def test_unknown_checkpoint_format_refused(spark, tmp_path):
+    """A checkpoint-shaped file this v1 reader does not understand (V2
+    UUID checkpoint) raises instead of being skipped — skipping moves
+    the replay floor below commits the checkpoint may have absorbed."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path) + "/t")
+    junk = os.path.join(
+        t, "_delta_log", f"{1:020d}.checkpoint.abcdef0123456789.parquet"
+    )
+    open(junk, "wb").close()
+    with pytest.raises(ValueError, match="does not understand"):
+        D.snapshot_at_version(spark, t, 2)
+
+
+def test_multipart_checkpoint_replays_and_incomplete_is_ignored(
+    spark, tmp_path
+):
+    """The protocol's <v>.checkpoint.<i>.<n>.parquet spelling is
+    readable when all parts exist; an INCOMPLETE part set is ignored
+    (never an error and never a floor) so replay falls back to JSON."""
+    import os
+    import shutil
+
+    t = _mk_table(spark, str(tmp_path) + "/t")
+    D.write_checkpoint(spark, t, 1)
+    log = os.path.join(t, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    part1 = os.path.join(
+        log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    )
+    # rename single -> part 1 of 2 (part 2 absent): incomplete, ignored
+    shutil.move(single, part1)
+    for extra in (f".{1:020d}.checkpoint.parquet.crc",):
+        p = os.path.join(log, extra)
+        if os.path.exists(p):
+            os.remove(p)
+    assert D.checkpoint_versions(t) == []
+    assert D.snapshot_at_version(spark, t, 2).count() == 12
+    # rename to a COMPLETE 1-of-1 multipart: listed and replayed
+    part11 = os.path.join(
+        log, f"{1:020d}.checkpoint.{1:010d}.{1:010d}.parquet"
+    )
+    shutil.move(part1, part11)
+    assert D.checkpoint_versions(t) == [1]
+    assert D.snapshot_at_version(spark, t, 2).count() == 12
+
+
+def test_change_feed_refuses_untimed_commit(spark, tmp_path):
+    """A spec-valid commit with no commitInfo.timestamp cannot be
+    placed in or out of a change-feed window — raise, don't serve an
+    incomplete feed."""
+    import os
+
+    t = _mk_table(spark, str(tmp_path) + "/t", n_commits=2)
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"operation": "EMPTY"}}) + "\n")
+    with pytest.raises(ValueError, match="no\\s+.*commitInfo.timestamp"):
+        D.change_feed_by_diff(
+            spark, t, 0, 10_000, key_columns=["k"]
+        )
+
+
+def test_checkpoint_rows_carry_required_spec_fields(spark, tmp_path):
+    """The checkpoint the writer emits must be consumable by an
+    EXTERNAL spec reader: add.partitionValues present (empty map, not
+    null) and the complete metaData struct carried forward."""
+    t = _mk_table(spark, str(tmp_path) + "/t")
+    D.write_checkpoint(spark, t, 2)
+    cp = spark.read.parquet(
+        str(tmp_path) + "/t/_delta_log/" + f"{2:020d}.checkpoint.parquet"
+    )
+    meta = [r for r in cp.collect() if r["metaData"] is not None]
+    assert len(meta) == 1
+    md = meta[0]["metaData"].asDict(recursive=True)
+    assert md["id"] and md["format"]["provider"] == "parquet"
+    assert md["partitionColumns"] == [] and md["schemaString"]
+    assert md["createdTime"] == 1000
+    adds = [r["add"].asDict() for r in cp.collect() if r["add"] is not None]
+    assert adds and all(a["partitionValues"] == {} for a in adds)
