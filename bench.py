@@ -280,6 +280,19 @@ def main() -> None:
         "warmup_pq_incr_base_sec": warmup_pq_incr_base_sec,
         "warmup_versioned_fixture_sec": warmup_versioned_fixture_sec,
         "warmup_containment_index_sec": warmup_containment_index_sec,
+        # one line the skeptical reader can check against the budget in
+        # BASELINE.md (warmup_total <= 50% of the counted total): the
+        # named one-time fixture/index builds, summed (VERDICT r14 #5)
+        "warmup_total_sec": round(
+            warmup_shared_sig_sec
+            + warmup_bucketed_layout_sec
+            + warmup_exact_pairs_sec
+            + warmup_pq_index_sec
+            + warmup_pq_incr_base_sec
+            + warmup_versioned_fixture_sec
+            + warmup_containment_index_sec,
+            3,
+        ),
         "noop_floor_sec_per_query": noop_floor_sec,
         "sec_per_query_raw": round(total / n_timed, 4),
         "floor_adjusted_total_sec": round(max(total - noop_floor_sec * len(timings), 0.0), 3),
