@@ -628,8 +628,8 @@ def _load_extensions() -> None:
 # langid_confusion (the K x K eval matrix over the shared _LANGID_SQL
 # guess replay — staged late in the same sitting, cohort now TWELVE).
 #
-# R15 ROTATION PLAN (execute after the r14 rotation): keep the core
-# eight; promote the TWELVE r15-staged rows; refresh
+# R15 ROTATION PLAN (EXECUTED r15 — _PRIORITY below is this window):
+# keep the core eight; promote the TWELVE r15-staged rows; refresh
 # oldest-evidence-first with the remaining r10-only greens and then
 # the r11 tail (12 + 8 + 30 = 50). Exact refresh list precomputed at
 # r14 close (assumes the r14 window goes green): the 23 remaining
@@ -647,6 +647,34 @@ def _load_extensions() -> None:
 # export_roundtrip_hash, funnel_view_click_purchase). After promoting
 # run `python tools/plan_digest.py --budgets` and max-merge, and
 # regenerate COVERAGE.json.
+#
+# R16 ROTATION PLAN (execute after the r15 rotation; composes to
+# exactly 50 from the COVERAGE.json evidence ages at r15 close): keep
+# the core eight; promote SEVEN — the 4-query r16 cohort
+# (value_percentiles_exact, winsorized_value_profile,
+# ensemble_quality_rank, mime_sniff_profile) plus the 3 delta-log rows
+# (delta_time_travel_snapshot, delta_change_feed_window,
+# delta_log_history_probe — at promotion move the delta ×10 fixture
+# build to a named warmup as planned in VERDICT r14 #3/#6); refresh
+# with the THIRTY-FIVE remaining r11-only greens (the whole r11 tail:
+# gap_fill_daily_activity, growth_accounting,
+# incremental_rollup_merge, incremental_topk_merge,
+# margin_align_mining, merge_stream_replay, multimodal_meta,
+# nations_customers_not_suppliers, near_dedup_simhash_recall,
+# pii_redaction, q12_priority_by_linestatus, q16_part_supplier_counts,
+# q2_min_price_supplier, q7_nation_pair_revenue,
+# range_join_attribution, repetition_stats, retention_cohorts,
+# rolling_active_users, rollup_stream_replay, scan_prune_preflight,
+# sequence_packing, session_funnel, sessionization,
+# sliding_window_events, text_stats, tfidf_top_terms,
+# top_event_paths, train_test_split, training_corpus_pipeline,
+# tumbling_daily_events, user_event_gaps, vector_topk,
+# versioned_cdf_merge_stream_replay, weighted_source_mix,
+# winsorized_value_stats). 8 + 7 + 35 = 50. The rows-only legacy
+# approximates (evidence r02-r09 above) stay OUT permanently — their
+# exact/recall pins carry the value evidence. After promoting run
+# `python tools/plan_digest.py --budgets`, max-merge, regenerate
+# COVERAGE.json. r17+ refresh pool is then the r12 greens (42 names).
 #
 # R16 COHORT — STAGED r14 (registered rows + FULL value oracles in
 # registry_staged.py, parity-green sf0.001+sf0.01+sf0.1,
