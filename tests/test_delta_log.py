@@ -571,3 +571,148 @@ def test_foreign_change_feed(spark, foreign_table):
         (3, "DELETE", 2, 3000),
         (4, "INSERT", 1, 2000),
     ]
+
+
+def test_foreign_checkpoint_with_full_spec_schema(spark, foreign_table, tmp_path):
+    """A checkpoint written by an EXTERNAL engine carries the full spec
+    schema — extra top-level actions (txn) and extra nested fields
+    (add.stats, add.tags, metaData struct) our own writer never emits.
+    The reader must (a) replay from it bit-for-bit equal to the pure
+    JSON replay, and (b) keep working when the commits BELOW the
+    checkpoint are vacuumed away — the log-cleaning delta does in
+    production and exactly the case the r15 gap-guard must NOT
+    false-positive on."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path) + "/t"
+    shutil.copytree(foreign_table, t)
+    baseline = sorted(
+        map(
+            tuple,
+            D.snapshot_at_version(spark, t, 2).select("k", "part").collect(),
+        )
+    )
+
+    # hand-build the v2 checkpoint in the delta-spark checkpoint shape:
+    # one row per action, columns txn/add/remove/metaData/protocol
+    schema_string = None
+    adds = {}
+    for v in (0, 1, 2):
+        for a in D._read_actions(t, v):
+            if "metaData" in a:
+                md = a["metaData"]
+                schema_string = md["schemaString"]
+            if "add" in a:
+                adds[a["add"]["path"]] = a["add"]
+            if "remove" in a:
+                adds.pop(a["remove"]["path"], None)
+
+    txn_t = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64()),
+         ("lastUpdated", pa.int64())]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    remove_t = pa.struct(
+        [("path", pa.string()), ("deletionTimestamp", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()),
+                 ("options", pa.map_(pa.string(), pa.string()))]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    rows = [
+        {"txn": None, "add": None, "remove": None,
+         "metaData": None,
+         "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"txn": None, "add": None, "remove": None,
+         "metaData": {
+             "id": "8d3c2e10-1111-4222-8333-944445555666",
+             "name": None, "description": None,
+             "format": {"provider": "parquet", "options": []},
+             "schemaString": schema_string,
+             "partitionColumns": ["part"],
+             "configuration": [], "createdTime": 999,
+         },
+         "protocol": None},
+        # a txn action row — foreign engines checkpoint these; our
+        # reader must pass over it without choking
+        {"txn": {"appId": "stream-1", "version": 7,
+                 "lastUpdated": 2500},
+         "add": None, "remove": None, "metaData": None, "protocol": None},
+    ]
+    for rel in sorted(adds):
+        a = adds[rel]
+        rows.append(
+            {
+                "txn": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
+                    "dataChange": False,
+                    "stats": a.get("stats"),
+                    "tags": [],
+                },
+                "remove": None, "metaData": None, "protocol": None,
+            }
+        )
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("txn", txn_t), ("add", add_t), ("remove", remove_t),
+             ("metaData", meta_t), ("protocol", proto_t)]
+        ),
+    )
+    pq.write_table(table, Path(t) / "_delta_log" / f"{2:020d}.checkpoint.parquet")
+    with open(Path(t) / "_delta_log" / "_last_checkpoint", "w") as f:
+        f.write(json.dumps({"version": 2, "size": len(rows)}))
+
+    # (a) checkpoint replay == JSON replay
+    assert sorted(
+        map(
+            tuple,
+            D.snapshot_at_version(spark, t, 2).select("k", "part").collect(),
+        )
+    ) == baseline
+
+    # (b) vacuum the commits below the checkpoint: still readable at
+    # the checkpoint version (replay floor = 3, no JSON needed)
+    for v in (0, 1):
+        (Path(t) / "_delta_log" / f"{v:020d}.json").unlink()
+    assert sorted(
+        map(
+            tuple,
+            D.snapshot_at_version(spark, t, 2).select("k", "part").collect(),
+        )
+    ) == baseline
