@@ -716,3 +716,50 @@ def test_foreign_checkpoint_with_full_spec_schema(spark, foreign_table, tmp_path
             D.snapshot_at_version(spark, t, 2).select("k", "part").collect(),
         )
     ) == baseline
+
+
+# --------------------------------------------------------------------------
+# Model-based log-replay fuzz: random commit sequences vs a dict model
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# a step is (mode, key-set): append adds the rows, overwrite replaces
+# the whole table with them
+_STEP = st.tuples(
+    st.sampled_from(["append", "overwrite"]),
+    st.sets(st.integers(min_value=0, max_value=19), min_size=0, max_size=5),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(steps=st.lists(_STEP, min_size=1, max_size=4), cp_at=st.integers(0, 3))
+def test_log_replay_matches_dict_model(spark, tmp_path_factory, steps, cp_at):
+    """Apply a random append/overwrite sequence through
+    write_delta_commit and replay EVERY version: the snapshot must
+    equal a trivial Python dict-model of the log (append = bag union,
+    overwrite = replace), with a checkpoint dropped mid-sequence to
+    force the mixed checkpoint+JSON replay path. Multiplicity matters:
+    appends of the same key accumulate rows."""
+    t = str(tmp_path_factory.mktemp("delta_fuzz")) + "/t"
+    model: list[list[int]] = []
+    state: list[int] = []
+    for i, (mode, keys) in enumerate(steps):
+        rows = sorted(keys)
+        df = spark.createDataFrame(
+            [(k,) for k in rows] or [], "k int"
+        )
+        if i == 0:
+            mode = "append"  # v0 defines the table
+        D.write_delta_commit(df, t, commit_ms=(i + 1) * 1000, mode=mode)
+        state = rows if mode == "overwrite" else sorted(state + rows)
+        model.append(list(state))
+        if i == min(cp_at, len(steps) - 1):
+            D.write_checkpoint(spark, t, i)
+    for v, expected in enumerate(model):
+        got = sorted(
+            r["k"] for r in D.snapshot_at_version(spark, t, v).collect()
+        )
+        assert got == expected, f"version {v}: {got} != {expected}"
+        assert D.version_at_timestamp_ms(t, (v + 1) * 1000 + 500) == v
