@@ -68,7 +68,15 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs the whole engine in the driver JVM; 16g (on a
+        # 128 GiB bench box, env-overridable for small hosts) gives the
+        # 200+-query loop headroom for persisted family fixtures +
+        # broadcast blocks without old-gen churn. Measured r15: the
+        # 250 vs 350 s same-code bench spread is NOT heap (a spike
+        # sitting showed guest load 4-5 with zero in-guest processes —
+        # host CPU steal); the larger heap is cheap insurance, not the
+        # variance fix.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
