@@ -84,6 +84,35 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         traceback.print_exc(file=sys.stderr)
 
+    # Pre-warm the Python DataSource machinery the same way (the Arrow
+    # pre-warm's rationale): the FIRST python-datasource read of a
+    # session pays ~3 s of plan/worker plumbing that is
+    # class-independent infra, measured r15 on a 1-row source
+    # (versioned_datasource_snapshot read 3.8 s cold vs 0.9 s with the
+    # machinery warm). A trivial one-row source absorbs it here.
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmupReader(DataSourceReader):
+            def read(self, partition):
+                yield (1,)
+
+        class _WarmupSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warmup_source"
+
+            def schema(self):
+                return "x int"
+
+            def reader(self, schema):
+                return _WarmupReader()
+
+        spark.dataSource.register(_WarmupSource)
+        materialize(spark.read.format("bench_warmup_source").load())
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+
     # Named warmup for the dedup family's shared signature cache: its
     # cold build (shingle + minhash over the documents table, persisted
     # once per session) was previously billed to whichever dedup-family
