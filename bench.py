@@ -230,16 +230,21 @@ def main() -> None:
     # growth. The RAW total remains the driver-parsed headline; the
     # floor-adjusted numbers live in BENCH_LOCAL.json and BASELINE.md
     # explains which gates.
-    floor_samples = []
-    try:
-        empty = spark.range(1).select(F.lit(1).alias("x")).filter(F.col("x") < 0)
-        for _ in range(5):
-            t0 = time.perf_counter()
-            materialize(empty)
-            floor_samples.append(time.perf_counter() - t0)
-    except Exception:  # noqa: BLE001 — floor is informational only
-        traceback.print_exc(file=sys.stderr)
-    noop_floor_sec = round(sorted(floor_samples)[len(floor_samples) // 2], 3) if floor_samples else 0.0
+    def _measure_floor() -> float:
+        samples = []
+        try:
+            empty = spark.range(1).select(F.lit(1).alias("x")).filter(
+                F.col("x") < 0
+            )
+            for _ in range(5):
+                t0 = time.perf_counter()
+                materialize(empty)
+                samples.append(time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 — floor is informational only
+            traceback.print_exc(file=sys.stderr)
+        return round(sorted(samples)[len(samples) // 2], 3) if samples else 0.0
+
+    noop_floor_sec = _measure_floor()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -260,6 +265,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"
             traceback.print_exc(file=sys.stderr)
+
+    # second floor sample AFTER the loop: the start-of-run floor alone
+    # can misclassify a sitting where host steal arrives mid-loop (r15:
+    # a 354 s reading carried a quiet 0.032 start floor because the
+    # steal landed after measurement). start+end together bound the
+    # sitting's ambient window.
+    noop_floor_end_sec = _measure_floor()
 
     total = round(sum(timings.values()), 3)
     # an errored (skipped) query silently shrinks the total, so a partial
@@ -339,6 +351,7 @@ def main() -> None:
             3,
         ),
         "noop_floor_sec_per_query": noop_floor_sec,
+        "noop_floor_end_sec_per_query": noop_floor_end_sec,
         "sec_per_query_raw": round(total / n_timed, 4),
         "floor_adjusted_total_sec": round(max(total - noop_floor_sec * len(timings), 0.0), 3),
         "floor_adjusted_sec_per_query": round(
