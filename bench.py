@@ -246,6 +246,23 @@ def main() -> None:
 
     noop_floor_sec = _measure_floor()
 
+    def _cpu_jiffies() -> tuple[int, int] | None:
+        """(steal, total) jiffies from /proc/stat — the kernel's own
+        host-steal counter. The noop floor samples ambient load only at
+        the instants it runs; intermittent steal slips between samples
+        (observed r15: quiet floors at both ends of a 294 s sitting
+        whose warmups read 2x). The steal delta over the WHOLE run
+        can't be dodged. None off-Linux."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        except Exception:  # noqa: BLE001 — informational only
+            return None
+
+    jiffies_start = _cpu_jiffies()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, (name, q) in enumerate(registry.queries().items()):
@@ -272,6 +289,13 @@ def main() -> None:
     # steal landed after measurement). start+end together bound the
     # sitting's ambient window.
     noop_floor_end_sec = _measure_floor()
+    jiffies_end = _cpu_jiffies()
+    steal_pct = None
+    if jiffies_start and jiffies_end:
+        dsteal = jiffies_end[0] - jiffies_start[0]
+        dtotal = jiffies_end[1] - jiffies_start[1]
+        if dtotal > 0:
+            steal_pct = round(100.0 * dsteal / dtotal, 2)
 
     total = round(sum(timings.values()), 3)
     # an errored (skipped) query silently shrinks the total, so a partial
@@ -352,6 +376,7 @@ def main() -> None:
         ),
         "noop_floor_sec_per_query": noop_floor_sec,
         "noop_floor_end_sec_per_query": noop_floor_end_sec,
+        "host_steal_pct": steal_pct,
         "sec_per_query_raw": round(total / n_timed, 4),
         "floor_adjusted_total_sec": round(max(total - noop_floor_sec * len(timings), 0.0), 3),
         "floor_adjusted_sec_per_query": round(
