@@ -312,8 +312,12 @@ def snapshot_at_version(
     schema format), never a schemaless empty frame."""
     from urllib.parse import unquote
 
+    # a version is addressable if its commit JSON exists OR a
+    # checkpoint at exactly that version does — a log vacuumed all the
+    # way to a checkpoint keeps the checkpointed version readable
+    # (delta-spark serves this; the checkpoint IS the complete state)
     versions = commit_versions(table)
-    if version not in versions:
+    if version not in versions and version not in checkpoint_versions(table):
         raise ValueError(
             f"delta_log: version {version} not in {table!r} "
             f"(have {versions})"

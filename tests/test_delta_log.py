@@ -717,6 +717,20 @@ def test_foreign_checkpoint_with_full_spec_schema(spark, foreign_table, tmp_path
         )
     ) == baseline
 
+    # (c) vacuum EVERYTHING up to and including the checkpointed
+    # commit's JSON: the checkpoint alone fully defines version 2, so
+    # the snapshot must still serve (delta-spark semantics) — while a
+    # version the checkpoint does NOT cover refuses
+    (Path(t) / "_delta_log" / f"{2:020d}.json").unlink()
+    assert sorted(
+        map(
+            tuple,
+            D.snapshot_at_version(spark, t, 2).select("k", "part").collect(),
+        )
+    ) == baseline
+    with pytest.raises(ValueError, match="not in"):
+        D.snapshot_at_version(spark, t, 1)
+
 
 # --------------------------------------------------------------------------
 # Model-based log-replay fuzz: random commit sequences vs a dict model
