@@ -108,31 +108,36 @@ def join_cardinality_profile(
     join would do, but the frames that MEET are count rows, so the
     probe is safe even when the join itself would explode. At extreme
     key cardinality, swap exact counts for theta sketches
-    (operators/sketches.py) to bound the matching-key estimate."""
+    (operators/sketches.py) to bound the matching-key estimate.
+
+    Plan (optimization r15, guide §2.4): ONE full-outer join of the two
+    count frames and ONE final aggregate compute all six numbers —
+    every lc row surfaces exactly once in the outer join, so
+    sum(ca)/count(ca) over it equal the per-side totals, count(ca AND
+    cb) is the matched-key count, and sum(ca*cb) null-skips unmatched
+    rows. The previous shape re-aggregated lc and rc separately for
+    the totals (each side's count frame fed two consumers → recomputed
+    subtree, 7 Exchanges per profile); this one is 4, and the join
+    reuses the groupBy partitioning."""
     lc = left.groupBy(F.col(left_key).alias("k")).agg(
         F.count(F.lit(1)).alias("ca")
     )
     rc = right.groupBy(F.col(right_key).alias("k")).agg(
         F.count(F.lit(1)).alias("cb")
     )
-    joined = lc.join(rc, "k")
-    matched = joined.agg(
-        F.count(F.lit(1)).cast("long").alias("n_common_keys"),
-        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
-        .cast("long")
-        .alias("predicted_rows"),
-    )
-    lt = lc.agg(
-        F.sum("ca").cast("long").alias("n_left"),
-        F.count(F.lit(1)).cast("long").alias("n_left_keys"),
-    )
-    rt = rc.agg(
-        F.sum("cb").cast("long").alias("n_right"),
-        F.count(F.lit(1)).cast("long").alias("n_right_keys"),
-    )
+    both = F.col("ca").isNotNull() & F.col("cb").isNotNull()
     return (
-        lt.crossJoin(rt)
-        .crossJoin(matched)
+        lc.join(rc, "k", "full_outer")
+        .agg(
+            F.sum("ca").cast("long").alias("n_left"),
+            F.sum("cb").cast("long").alias("n_right"),
+            F.count("ca").cast("long").alias("n_left_keys"),
+            F.count("cb").cast("long").alias("n_right_keys"),
+            F.count(F.when(both, F.lit(1))).cast("long").alias("n_common_keys"),
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("predicted_rows"),
+        )
         .select(
             F.lit(label or f"{left_key}={right_key}").alias("join"),
             "n_left",

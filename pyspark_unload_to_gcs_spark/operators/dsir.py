@@ -83,33 +83,37 @@ def hashed_bigram_stream(
     )
 
 
-def dsir_log_ratio_table(
+def dsir_bucket_counts(
     df: DataFrame,
     target: Column,
     *,
     num_buckets: int,
     text_column: str = "text",
 ) -> DataFrame:
-    """(bucket, r_cnt, t_cnt, lr_micro): per hashed-bigram bucket, the
-    raw-corpus and target-domain occurrence counts and the quantized
-    Laplace-smoothed log count ratio
-
-        lr_micro = round(1e6 * (ln(t+1) - ln(T+B) - ln(r+1) + ln(R+B)))
-
-    where T/R are total target/raw bigram occurrences and B the bucket
-    count. ``num_buckets`` rows total."""
+    """(bucket, r_cnt, t_cnt): per hashed-bigram bucket, the raw-corpus
+    and target-domain occurrence counts — the single corpus pass both
+    the log-ratio model and the shift report consume (factored out in
+    the r15 optimization round so ``dsir_shift_report`` shares one
+    pass instead of re-tokenizing the corpus)."""
     grams = hashed_bigram_stream(
         df.withColumn("__is_target", target),
         num_buckets=num_buckets,
         text_column=text_column,
         keep=("__is_target",),
     )
-    counts = grams.groupBy("bucket").agg(
+    return grams.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("r_cnt"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
         .cast("long")
         .alias("t_cnt"),
     )
+
+
+def dsir_ratio_from_counts(counts: DataFrame, *, num_buckets: int) -> DataFrame:
+    """Derive (bucket, r_cnt, t_cnt, lr_micro) from a precomputed
+    ``dsir_bucket_counts`` frame — arithmetic only, no corpus pass.
+    Expression shape is the original ``dsir_log_ratio_table`` body
+    unchanged, so lr_micro stays bit-identical."""
     totals = counts.agg(
         F.sum("r_cnt").cast("long").alias("__R"),
         F.sum("t_cnt").cast("long").alias("__T"),
@@ -133,6 +137,29 @@ def dsir_log_ratio_table(
     )
 
 
+def dsir_log_ratio_table(
+    df: DataFrame,
+    target: Column,
+    *,
+    num_buckets: int,
+    text_column: str = "text",
+) -> DataFrame:
+    """(bucket, r_cnt, t_cnt, lr_micro): per hashed-bigram bucket, the
+    raw-corpus and target-domain occurrence counts and the quantized
+    Laplace-smoothed log count ratio
+
+        lr_micro = round(1e6 * (ln(t+1) - ln(T+B) - ln(r+1) + ln(R+B)))
+
+    where T/R are total target/raw bigram occurrences and B the bucket
+    count. ``num_buckets`` rows total."""
+    return dsir_ratio_from_counts(
+        dsir_bucket_counts(
+            df, target, num_buckets=num_buckets, text_column=text_column
+        ),
+        num_buckets=num_buckets,
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: Column,
@@ -140,15 +167,23 @@ def dsir_weights(
     num_buckets: int,
     text_column: str = "text",
     id_column: str = "doc_id",
+    ratios: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight toward the target domain:
     (id, n_bigrams, w_micro) where ``w_micro`` is the exact BIGINT sum
     of the quantized per-bucket log ratios over the document's bigram
     occurrences. Zero-bigram documents score 0 (preserved via the
-    left join — same contract as the classifier)."""
-    ratios = dsir_log_ratio_table(
-        df, target, num_buckets=num_buckets, text_column=text_column
-    ).select("bucket", "lr_micro")
+    left join — same contract as the classifier).
+
+    ``ratios`` optionally supplies a precomputed (bucket, lr_micro)
+    model table (``dsir_ratio_from_counts`` / a ``dsir_ratio_write``
+    readback) so callers that already hold the model skip the
+    estimation pass — the frozen-model production shape."""
+    if ratios is None:
+        ratios = dsir_log_ratio_table(
+            df, target, num_buckets=num_buckets, text_column=text_column
+        )
+    ratios = ratios.select("bucket", "lr_micro")
     stream = hashed_bigram_stream(
         df, num_buckets=num_buckets, text_column=text_column, keep=(id_column,)
     )
@@ -180,6 +215,7 @@ def dsir_select(
     text_column: str = "text",
     id_column: str = "doc_id",
     normalize: bool = True,
+    ratios: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by importance weight, ties broken on the id —
     fully deterministic, so the whole selection is value-oracle-able.
@@ -203,6 +239,7 @@ def dsir_select(
         num_buckets=num_buckets,
         text_column=text_column,
         id_column=id_column,
+        ratios=ratios,
     )
     if normalize:
         return (
@@ -241,13 +278,30 @@ def dsir_shift_report(
     - ``n_selected``: the actual selected-row count (must be exactly
       k — a selection that silently returns fewer rows is a bug).
 
-    Booleans only — the float KL values stay internal."""
-    # materialize the (<= k)-row selection once: it is referenced by
-    # the flagged join AND the n_selected count below, and each lazy
-    # reference would re-run the full two-pass weight pipeline
+    Booleans only — the float KL values stay internal.
+
+    Plan (optimization r15, guide §1.2/§2.3): the corpus is tokenized
+    TWICE, not three times — the per-bucket (r_cnt, t_cnt) frame is
+    computed once (``dsir_bucket_counts``), feeds the log-ratio model
+    via arithmetic only (``dsir_ratio_from_counts`` → the production
+    ``dsir_select`` path through its frozen-model parameter), and is
+    reused as the report's raw/target counts; the selected-subset
+    counts come from re-streaming ONLY the k selected documents (a
+    broadcast semi-join), not from a third full-corpus pass with a
+    selection flag. Every count is the same aggregation over the same
+    rows, so all values are unchanged."""
+    # materialize the bucket-count frame (num_buckets rows) and the
+    # (<= k)-row selection once: each is referenced more than once, and
+    # each lazy reference would re-run a full corpus pass
     # checkpoint=False is the plan-twin arm (registry_staged.
     # PLAN_TWINS): the eager checkpoint renders 'Scan ExistingRDD' and
     # would hide the selection pipeline from the plan screens
+    counts_rt = dsir_bucket_counts(
+        df, target, num_buckets=num_buckets, text_column=text_column
+    )
+    if checkpoint:
+        counts_rt = counts_rt.localCheckpoint(eager=True)
+    ratios = dsir_ratio_from_counts(counts_rt, num_buckets=num_buckets)
     selected = dsir_select(
         df,
         target,
@@ -255,24 +309,22 @@ def dsir_shift_report(
         num_buckets=num_buckets,
         text_column=text_column,
         id_column=id_column,
+        ratios=ratios,
     ).select(id_column)
     if checkpoint:
         selected = selected.localCheckpoint(eager=True)
-    flagged = df.withColumn("__is_target", target).join(
-        selected.withColumn("__sel", F.lit(True)), id_column, "left"
-    )
-    grams = hashed_bigram_stream(
-        flagged,
+    sel_docs = df.join(F.broadcast(selected), id_column, "left_semi")
+    s_counts = hashed_bigram_stream(
+        sel_docs,
         num_buckets=num_buckets,
         text_column=text_column,
-        keep=("__is_target", "__sel"),
-    )
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("r_cnt"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
-        .cast("long")
-        .alias("t_cnt"),
-        F.sum(F.when(F.col("__sel"), 1).otherwise(0)).cast("long").alias("s_cnt"),
+        keep=(),
+    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("s_cnt"))
+    counts = counts_rt.join(s_counts, "bucket", "left").select(
+        "bucket",
+        "r_cnt",
+        "t_cnt",
+        F.coalesce(F.col("s_cnt"), F.lit(0)).cast("long").alias("s_cnt"),
     )
     b = float(num_buckets)
     t_tot, r_tot, s_tot = "__T", "__R", "__S"

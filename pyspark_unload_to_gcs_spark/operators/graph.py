@@ -156,15 +156,16 @@ def pagerank(
 
     Plan (100 TB posture): edges carry their out-degree (computed once,
     one shuffle) and are repartitioned by src and persisted — every
-    iteration's rank join then reuses that partitioning. The rank and
-    in-flow frames are |V| rows — orders of magnitude smaller than the
-    edge list on real graphs — so when |V| fits a broadcast
+    iteration's rank join then reuses that partitioning. The rank
+    frame is |V| rows — orders of magnitude smaller than the edge list
+    on real graphs — so when |V| fits a broadcast
     (``broadcast_node_limit``, known exactly after the one nodes
-    count), each iteration joins edges against BROADCAST ranks and
-    nodes against BROADCAST in-flows: one shuffle per iteration (the
-    groupBy(dst) in-flow sum), the big edge frame never moves. Above
-    the limit it degrades to sort-merge joins that reuse edged's src
-    partitioning. Ranks checkpoint only every ``checkpoint_interval``
+    count), each iteration joins edges against BROADCAST ranks: one
+    shuffle per iteration (the groupBy(dst) in-flow sum, which also
+    absorbs one zero row per node so dangling nodes surface without a
+    second join or an in-flow broadcast — opt r15). Above the limit
+    the rank join degrades to a sort-merge join that reuses edged's
+    src partitioning. Ranks checkpoint only every ``checkpoint_interval``
     rounds: an eager barrier per round costs a blocking job each (~3x
     wall clock at 5 iterations measured), while the lineage of a
     handful of rounds is shallow enough to run as one composite plan —
@@ -195,6 +196,7 @@ def pagerank(
     hint = F.broadcast if small else (lambda df: df)
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    zero = nodes.select("node", F.lit(0).cast("long").alias("contrib"))
     for i in range(iterations):
         contribs = edged.join(
             hint(ranks.withColumnRenamed("node", "src")), on="src"
@@ -202,12 +204,21 @@ def pagerank(
             F.col("dst").alias("node"),
             F.expr("rank div outdeg").alias("contrib"),
         )
-        inflow = contribs.groupBy("node").agg(F.sum("contrib").alias("inflow"))
-        ranks = nodes.join(hint(inflow), on="node", how="left").select(
+        # zero-row union instead of a nodes LEFT JOIN broadcast(inflow)
+        # (opt r15, guide §2.4): every node rides the in-flow groupBy as
+        # one extra zero row, so dangling nodes still surface and the
+        # per-iteration in-flow BROADCAST BUILD (|V| rows shipped to
+        # every executor, a driver-blocking step each round) disappears;
+        # sum(contrib)+0 is the same exact BIGINT in-flow. Measured
+        # result-identical on the ship graph.
+        inflow = contribs.unionByName(zero).groupBy("node").agg(
+            F.sum("contrib").alias("inflow")
+        )
+        ranks = inflow.select(
             "node",
             (
                 F.lit(teleport)
-                + F.expr(f"({damping_pct} * coalesce(inflow, 0L)) div 100")
+                + F.expr(f"({damping_pct} * inflow) div 100")
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:

@@ -6719,8 +6719,17 @@ def robots_gate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("d"), F.col("nid").cast("string")).alias("domain"),
         synth_robots(F.col("nid")).alias("robots_txt"),
     )
+    from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
+
     okey = F.col("o_orderkey").cast("long")
-    urls = _t(spark, sf_dir, "orders").select(
+    # per-URL longest-match runs in the frontier's scan stage; the
+    # local single-file fixture is one task without this (opt r15,
+    # guide §2.5 unsplittable-input repartition — no-op at scale).
+    # Key projection BEFORE the repartition (guide §2.3): only
+    # o_orderkey crosses the exchange, not the full order row.
+    urls = ensure_parallelism(
+        _t(spark, sf_dir, "orders").select("o_orderkey")
+    ).select(
         F.concat(F.lit("d"), (okey % 25).cast("string")).alias("domain"),
         F.when(
             okey % 4 == 0,
@@ -6891,10 +6900,14 @@ def langid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands off-diagonal by design — the matrix SHOWS the blind spot,
     which is the point of shipping one)."""
     from pyspark_unload_to_gcs_spark.operators import text as T
+    from pyspark_unload_to_gcs_spark.operators.dedup import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "lang", T.lang_id(F.col("text")).alias("lang_guess")
-    )
+    # the stopword-vote regex work runs in the scan stage; parallelize
+    # the single-file local fixture (opt r15, guide §2.5 — no-op at
+    # scale where the corpus already has >= cores partitions)
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("lang", "text")
+    ).select("lang", T.lang_id(F.col("text")).alias("lang_guess"))
     cells = docs.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).alias("n")
     )

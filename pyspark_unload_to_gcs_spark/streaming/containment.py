@@ -57,11 +57,28 @@ _META_COLS = ("shingle_n", "n_buckets", "threshold_pct")
 _BROADCAST_PREFIX_ROW_CAP = 2_000_000
 _BROADCAST_DOC_CAP = 100_000
 
+# (session token, index root) -> meta Row. The meta is FROZEN with the
+# index (one write at bootstrap), so reading it once per session is
+# exact — re-reading it per micro-batch billed one small Spark job to
+# EVERY fold (opt r15, guide §1.2: don't recompute what cannot
+# change). ``containment_index_build`` invalidates on (re)build, so a
+# same-session rebuild at the same path can't serve a stale row.
+_META_MEMO: dict = {}
+
 
 def _index_dir(state_path: str, name: str) -> str:
     from pyspark_unload_to_gcs_spark.sources.versioned import _sub
 
     return _sub(_sub(state_path, "index"), name)
+
+
+def _read_meta(spark: SparkSession, index_root: str):
+    from pyspark_unload_to_gcs_spark.session import session_token
+
+    key = (session_token(spark), index_root)
+    if key not in _META_MEMO:
+        _META_MEMO[key] = spark.read.parquet(_index_dir(index_root, "meta")).first()
+    return _META_MEMO[key]
 
 
 def containment_index_build(
@@ -145,6 +162,9 @@ def containment_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(
         _index_dir(state_path, "meta")
     )
+    from pyspark_unload_to_gcs_spark.session import session_token
+
+    _META_MEMO.pop((session_token(spark), state_path), None)
 
 
 def containment_match_batch(
@@ -175,7 +195,7 @@ def containment_match_batch(
 
     spark = batch_df.sparkSession
     idx = index_path or state_path
-    meta = spark.read.parquet(_index_dir(idx, "meta")).first()
+    meta = _read_meta(spark, idx)
     shingle_n, n_buckets, threshold_pct = (meta[c] for c in _META_COLS)
 
     ga = (
