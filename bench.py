@@ -385,11 +385,20 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-            f.write(json.dumps(detail) + "\n")
-    except OSError:
-        pass
+    # the detail record is cpus-stamped and ALSO mirrored to a
+    # per-core-count file (VERDICT r15 #2): the driver benches the same
+    # tree at two core counts and each run used to overwrite the one
+    # BENCH_LOCAL.json, so the per-query map of the main run was lost
+    # and PERF's per-query/scaling blocks stayed empty every round.
+    # Additions only — the stdout contract is unchanged.
+    detail["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_LOCAL.json", f"BENCH_LOCAL_c{detail['cpus']}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(json.dumps(detail) + "\n")
+        except OSError:
+            pass
     sys.stderr.flush()
     print(json.dumps(result), flush=True)
 

@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 from pyspark_unload_to_gcs_spark.operators.classifier import token_bucket
 from pyspark_unload_to_gcs_spark.operators.text import words_col
 
+# Row cap for the dsir_shift_report broadcast hint on the selected-id
+# frame (ADVICE r15 — the containment gates' convention): 10M ids
+# ≈ 80 MB serialized, comfortably under the driver/executor broadcast
+# budget; a larger k falls back to size-based join selection.
+_BROADCAST_SELECT_CAP = 10_000_000
+
 MICRO = 1_000_000
 
 
@@ -313,7 +319,16 @@ def dsir_shift_report(
     ).select(id_column)
     if checkpoint:
         selected = selected.localCheckpoint(eager=True)
-    sel_docs = df.join(F.broadcast(selected), id_column, "left_semi")
+    # broadcast-hint gate (ADVICE r15, same convention as the
+    # containment _BROADCAST_DOC_CAP gates): k is caller-controlled,
+    # and an unconditional hint would force a driver-side broadcast
+    # build however large the selection. At or under the cap the
+    # (<= k)-row id frame broadcasts (a few MB of ids); above it the
+    # hint is dropped and size-based join selection decides. The join
+    # itself (left_semi on the id) — and therefore the result — is
+    # identical either way.
+    sel = F.broadcast(selected) if k <= _BROADCAST_SELECT_CAP else selected
+    sel_docs = df.join(sel, id_column, "left_semi")
     s_counts = hashed_bigram_stream(
         sel_docs,
         num_buckets=num_buckets,

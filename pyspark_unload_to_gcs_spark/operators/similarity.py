@@ -61,6 +61,68 @@ def _pair_dot(a: str = "__va", b: str = "__vb") -> Column:
     )
 
 
+def _pair_dot_arrow(a: str = "__va", b: str = "__vb") -> Column:
+    """Arrow-batched twin of ``_pair_dot`` (opt r16, guide §4.2) —
+    BIT-IDENTICAL by construction, not merely close: the accumulation
+    runs in element-index order (``acc = acc + a[:,i]*b[:,i]``, one
+    numpy op per dimension over the whole batch), which is exactly the
+    left-to-right double fold the HOF evaluates per row, and IEEE-754
+    ops are deterministic — so each pair's double result carries the
+    same bits as the interpreted fold, and a threshold or rounding
+    downstream cannot flip between the two arms
+    (tests/test_asof.py::test_semantic_match_arrow_verify_matches_fold).
+    No BLAS matmul here on purpose: ``np.dot`` sums in SIMD/pairwise
+    order and could differ in the last ulp.
+
+    PRECONDITION (same fail-fast contract as ``ivf_assign``'s arrow
+    arm): every vector non-null, equal-length, with no NULL/NaN
+    elements — the fold path NULLs such pairs out of a >= filter, but
+    a silent NaN here would compare as GREATEST in Spark and keep the
+    pair; violations raise instead of diverging.
+
+    Marked non-deterministic so the optimizer cannot duplicate the
+    Python stage below a pushed-down filter (guide §4.4)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        if va.isna().any() or vb.isna().any():
+            raise ValueError(
+                "_pair_dot_arrow: NULL vector in batch — the arrow verify "
+                "arm requires non-null fixed-dim vectors (use the fold arm "
+                "or filter first)"
+            )
+        try:
+            ma = np.array(va.tolist(), dtype=np.float64)
+            mb = np.array(vb.tolist(), dtype=np.float64)
+        except ValueError as exc:
+            raise ValueError(
+                "_pair_dot_arrow: ragged vector batch — all vectors must "
+                "share one dimension (use the fold arm)"
+            ) from exc
+        if ma.ndim != 2 or mb.ndim != 2 or ma.shape != mb.shape:
+            raise ValueError(
+                f"_pair_dot_arrow: pair sides disagree on shape "
+                f"({ma.shape} vs {mb.shape})"
+            )
+        if np.isnan(ma).any() or np.isnan(mb).any():
+            raise ValueError(
+                "_pair_dot_arrow: NULL/NaN element inside a vector — the "
+                "fold arm NULLs such pairs out of the threshold filter, a "
+                "NaN here would silently compare as greatest (use the fold "
+                "arm or impute first)"
+            )
+        acc = np.zeros(ma.shape[0], dtype=np.float64)
+        for i in range(ma.shape[1]):
+            acc = acc + ma[:, i] * mb[:, i]
+        return pd.Series(acc)
+
+    return _dot.asNondeterministic()(F.col(a), F.col(b))
+
+
 def cosine_to_query(vec_col: Column, query: Sequence[float]) -> Column:
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     denom = norm(vec_col) * F.lit(qn)
@@ -769,6 +831,7 @@ def semantic_match_against_index(
     vec_column: str = "embedding",
     cell_column: str = "ivf_cell",
     cosine_threshold: float = 0.95,
+    verify_method: str = "fold",
 ) -> DataFrame:
     """Incremental SemDeDup: match a NEW batch of vectors against a
     previously cell-assigned semantic ``index`` (the output of
@@ -778,6 +841,13 @@ def semantic_match_against_index(
     cell. Precondition: ids must be UNIQUE per row in both the batch
     and the index — duplicate-id inputs emit duplicate pairs (ADVICE
     r04).
+
+    ``verify_method`` picks the exact-cosine arm for the joined pairs:
+    ``"fold"`` (default) is the interpreted HOF dot; ``"arrow"`` runs
+    the SAME index-order accumulation vectorized over Arrow batches
+    (``_pair_dot_arrow`` — bit-identical by IEEE determinism, pinned in
+    tests; ~3x on the candidate-pair volume, guide §4.2) and requires
+    fully non-null fixed-dim vectors (fails fast otherwise).
 
     The clustered counterpart of ``ann_match_against_index``: the
     corpus is assigned ONCE when the index is written; each increment
@@ -805,6 +875,11 @@ def semantic_match_against_index(
             "every match silently missed. Rebuild the index or pass the quantizer "
             "it was built with."
         )
+    if verify_method not in ("fold", "arrow"):
+        raise ValueError(
+            f"semantic_match_against_index: unknown verify_method "
+            f"{verify_method!r} (expected 'fold' or 'arrow')"
+        )
     nb = ivf_assign(new_df, centroids, vec_column=vec_column, cell_column=cell_column)
     # per-row norm staging + no defensive pair-dedup: see ann_join
     l = nb.select(
@@ -819,7 +894,8 @@ def semantic_match_against_index(
         F.col(vec_column).alias("__vb"),
         norm(F.col(vec_column)).alias("__nb"),
     )
-    cos = _pair_dot() / (F.col("__na") * F.col("__nb"))
+    pair = _pair_dot_arrow() if verify_method == "arrow" else _pair_dot()
+    cos = pair / (F.col("__na") * F.col("__nb"))
     return (
         l.join(r, cell_column)
         .filter(F.col("new_id") != F.col("index_id"))

@@ -648,7 +648,8 @@ def _load_extensions() -> None:
 # run `python tools/plan_digest.py --budgets` and max-merge, and
 # regenerate COVERAGE.json.
 #
-# R16 ROTATION PLAN (execute after the r15 rotation; composes to
+# R16 ROTATION PLAN (EXECUTED r16 — _PRIORITY below is this window;
+# composed at r15 close to
 # exactly 50 from the COVERAGE.json evidence ages at r15 close): keep
 # the core eight; promote SEVEN — the 4-query r16 cohort
 # (value_percentiles_exact, winsorized_value_profile,
@@ -733,7 +734,8 @@ def _load_extensions() -> None:
 # mix_deviation_report (delivered vs declared mixture shares, K-row
 # full-outer join, max-abs-dev gate scalar).
 _PRIORITY: tuple[str, ...] = (
-    # R15 WINDOW (the plan above, executed verbatim — VERDICT r14 #3):
+    # R16 WINDOW (the R16 ROTATION PLAN above, executed verbatim in the
+    # r16 optimization round's sanctioned rotation):
     # 1. reference-parity core
     "full_sync_non_null",
     "time_based_window",
@@ -743,57 +745,55 @@ _PRIORITY: tuple[str, ...] = (
     "row_count_guard",
     "cdc_change_mapping",
     "cdc_snapshot_diff",
-    # 2. never-checked: the promoted r15 cohort (staged r13
-    #    continuation, live as of r15) — classifier threshold sweep /
-    #    calibration-reliability / exact AUC, declared-vs-delivered
-    #    mixture deviation, per-domain fair keep, multi-round epoch
-    #    scheduling, train/val split leakage, within-doc line dedup,
-    #    temperature reweighting, robots-directive gate, HTML
-    #    boilerplate extraction, and the langid confusion matrix
-    "threshold_sweep_profile",
-    "calibration_profile",
-    "classifier_auc_exact",
-    "mix_deviation_profile",
-    "domain_fair_keep_profile",
-    "epoch_schedule_plan",
-    "split_leakage_profile",
-    "line_dedup_within_doc",
-    "domain_reweight_mix",
-    "robots_gate_profile",
-    "html_boilerplate_profile",
-    "langid_confusion",
-    # 3a. evidence refresh: the 23 remaining r10-only greens
-    "q1_pricing_summary",
-    "q3_order_revenue",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "quality_score",
-    "regional_revenue",
-    "rolling_user_value",
-    "rollup_pricing",
-    "salted_user_activity",
-    "scd_latest_order_maxby",
-    "token_budget_stream_replay",
-    "token_count",
-    "top_orders_per_customer",
-    "top_parts_by_revenue",
-    "user_activity",
-    "value_histogram",
-    "value_percentiles",
-    "value_percentiles_approx",
-    "versioned_change_feed",
-    "versioned_datasource_snapshot",
-    "versioned_snapshot_at",
-    "versioned_stream_replay",
-    # 3b. evidence refresh: the 7 alphabetically-first r11-only greens
-    "customers_without_orders",
-    "document_chunks",
-    "dsir_incremental_scores",
-    "dsir_selected_docs",
-    "dsir_shift_accuracy",
-    "export_roundtrip_hash",
-    "funnel_view_click_purchase",
+    # 2. never-checked: the promoted r16 cohort — exact PERCENTILE_DISC
+    #    replay, winsorized clip census, ensemble quality ranking, MIME
+    #    magic sniffing, and the three OPEN-protocol Delta-log rows
+    #    (time travel through a parquet checkpoint, change-feed window
+    #    by log diff, DESCRIBE HISTORY with active row counts)
+    "value_percentiles_exact",
+    "winsorized_value_profile",
+    "ensemble_quality_rank",
+    "mime_sniff_profile",
+    "delta_time_travel_snapshot",
+    "delta_change_feed_window",
+    "delta_log_history_probe",
+    # 3. evidence refresh: the THIRTY-FIVE remaining r11-only greens
+    #    (the whole r11 tail; r17+ refresh pool is then the r12 greens)
+    "gap_fill_daily_activity",
+    "growth_accounting",
+    "incremental_rollup_merge",
+    "incremental_topk_merge",
+    "margin_align_mining",
+    "merge_stream_replay",
+    "multimodal_meta",
+    "nations_customers_not_suppliers",
+    "near_dedup_simhash_recall",
+    "pii_redaction",
+    "q12_priority_by_linestatus",
+    "q16_part_supplier_counts",
+    "q2_min_price_supplier",
+    "q7_nation_pair_revenue",
+    "range_join_attribution",
+    "repetition_stats",
+    "retention_cohorts",
+    "rolling_active_users",
+    "rollup_stream_replay",
+    "scan_prune_preflight",
+    "sequence_packing",
+    "session_funnel",
+    "sessionization",
+    "sliding_window_events",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_event_paths",
+    "train_test_split",
+    "training_corpus_pipeline",
+    "tumbling_daily_events",
+    "user_event_gaps",
+    "vector_topk",
+    "versioned_cdf_merge_stream_replay",
+    "weighted_source_mix",
+    "winsorized_value_stats",
 )
 
 

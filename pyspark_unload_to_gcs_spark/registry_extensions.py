@@ -1683,12 +1683,19 @@ def incremental_semantic_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     +50000 — runs the k-dot-fold assignment over itself only and
     equality-joins the index on the cell id. Streaming twin:
     tests/test_streaming.py (foreachBatch over micro-batches equals
-    this one-shot match)."""
+    this one-shot match).
+
+    Benches the ARROW pair-verify arm (opt r16, VERDICT r15 #6 — the
+    SemDeDup assignment-arm precedent): the exact cosine over the
+    joined cell pairs runs the index-order Arrow accumulation, which is
+    bit-identical to the HOF fold by IEEE determinism and pinned
+    output-equal in tests/test_asof.py::
+    test_semantic_match_arrow_verify_matches_fold."""
     return _incremental_semantic_match_frame(spark, sf_dir, checkpoint=True)
 
 
 def _incremental_semantic_match_frame(
-    spark: SparkSession, sf_dir: str, *, checkpoint: bool
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool, verify_method: str = "arrow"
 ) -> DataFrame:
     """checkpoint=False is the PLAN TWIN arm (registry_staged.
     PLAN_TWINS): the eager index checkpoint renders as
@@ -1705,7 +1712,9 @@ def _incremental_semantic_match_frame(
     new = emb.filter(F.col("vec_id") % 4 == 0).select(
         (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
     )
-    out = S.semantic_match_against_index(new, index, cents, cosine_threshold=0.95)
+    out = S.semantic_match_against_index(
+        new, index, cents, cosine_threshold=0.95, verify_method=verify_method
+    )
     return out.select("new_id", "index_id", F.round("cosine", 6).alias("cosine_r"))
 
 

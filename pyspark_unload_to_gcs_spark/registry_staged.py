@@ -6956,7 +6956,7 @@ FROM rk JOIN ranked ON ranked.r = rk.rnk
 """
 
 
-@register_staged("value_percentiles_exact", oracle=_PCT_EXACT_SQL)
+@register("value_percentiles_exact", oracle=_PCT_EXACT_SQL)
 def value_percentiles_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distribution percentiles without a global sort
     (operators/diagnostics.py ``exact_percentiles``): p1/p25/p50/p75/p99
@@ -7008,7 +7008,7 @@ FROM w
 """
 
 
-@register_staged("winsorized_value_profile", oracle=_WINSOR_SQL)
+@register("winsorized_value_profile", oracle=_WINSOR_SQL)
 def winsorized_value_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized-clip audit at exact percentile bounds
     (operators/diagnostics.py ``winsorize`` over ``exact_percentiles``
@@ -7091,7 +7091,7 @@ FROM sig s, so
 """
 
 
-@register_staged("ensemble_quality_rank", oracle=_ENSEMBLE_SQL)
+@register("ensemble_quality_rank", oracle=_ENSEMBLE_SQL)
 def ensemble_quality_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal quality ensemble end to end
     (operators/quality_filters.py ``ensemble_quality_score``): every
@@ -7149,7 +7149,7 @@ FROM m GROUP BY mime
 """
 
 
-@register_staged("mime_sniff_profile", oracle=_MIME_SQL)
+@register("mime_sniff_profile", oracle=_MIME_SQL)
 def mime_sniff_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte MIME triage end to end (operators/multimodal.py
     ``sniff_mime``): fourteen closed-form payload arms synthesize in
@@ -7251,7 +7251,7 @@ def _delta_orders(spark: SparkSession, sf_dir: str) -> str:
     return _DELTA_LOG_MEMO[key]
 
 
-@register_staged("delta_time_travel_snapshot", oracle=_VERSIONED_SNAPSHOT_SQL)
+@register("delta_time_travel_snapshot", oracle=_VERSIONED_SNAPSHOT_SQL)
 def delta_time_travel_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP AS OF time travel on the OPEN Delta format
     (sources/delta_log.py ``snapshot_at_ms``; reference S2,
@@ -7267,7 +7267,7 @@ def delta_time_travel_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DL.snapshot_at_ms(spark, _delta_orders(spark, sf_dir), 2500)
 
 
-@register_staged("delta_change_feed_window", oracle=_VERSIONED_CDF_SQL)
+@register("delta_change_feed_window", oracle=_VERSIONED_CDF_SQL)
 def delta_change_feed_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed window on the OPEN Delta format
     (sources/delta_log.py ``change_feed_by_diff``; reference S3,
@@ -7304,7 +7304,7 @@ UNION ALL SELECT 2, 3000, 'OVERWRITE', n2 FROM c
 """
 
 
-@register_staged("delta_log_history_probe", oracle=_DELTA_HISTORY_SQL)
+@register("delta_log_history_probe", oracle=_DELTA_HISTORY_SQL)
 def delta_log_history_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY on the OPEN Delta format
     (sources/delta_log.py ``table_history``; the reference's

@@ -79,6 +79,14 @@ _MULTIPART_CP_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parqu
 # from the wrong floor and the protocol-guard action may live inside it
 _OTHER_CP_RE = re.compile(r"^(\d{20})\.checkpoint\..+$")
 
+# Hard bound on the checkpoint actions materialized on the driver per
+# replay (VERDICT r15 #4): each projected action row is ~100-300 B, so
+# the cap is a few hundred MB of driver heap — the scale at which real
+# deployments shard state or move to the manifest-checkpoint formats
+# this v1 reader refuses anyway. Over-cap checkpoints REFUSE loudly,
+# the same posture as the reader's other v1 caps.
+_CHECKPOINT_ACTION_CAP = 2_000_000
+
 
 def _log_path(table: str) -> str:
     return _sub(table, _LOG_DIR)
@@ -267,27 +275,79 @@ def _active_state(
     cps = [c for c in checkpoint_versions(table) if c <= version]
     if cps:
         cp = cps[-1]
-        # driver-side collect of LOG METADATA (one row per action, KBs
-        # each), not data — the same economics as every Delta reader,
-        # which also materializes the active-file list to plan the
-        # scan. It grows with the table's FILE count, not row count:
-        # ~1M active files ≈ a few hundred MB of driver heap, the
-        # scale at which real deployments shard state or move to
-        # manifest-checkpoint formats this v1 reader refuses anyway
-        # (VERDICT r14 cap note).
-        rows = spark.read.parquet(*_checkpoint_paths(table, cp)).collect()
+        # driver-side collect of LOG METADATA (one row per action, the
+        # same economics as every Delta reader, which also materializes
+        # the active-file list to plan the scan) — but BOUNDED and
+        # COLUMN-PRUNED (VERDICT r15 #1/#4): the collect is capped at
+        # _CHECKPOINT_ACTION_CAP actions (limit(cap+1) — ONE job, and
+        # an over-cap checkpoint REFUSES like the reader's other v1
+        # caps instead of growing the driver without bound), and only
+        # the action fields the replay consumes cross the wire — the
+        # protocol guard, the metaData struct, add's
+        # path/partitionValues/size/modificationTime (what
+        # write_checkpoint re-emits; the scan needs only path) and
+        # remove.path. Foreign checkpoints may carry wide per-file
+        # stats/tags columns that this projection drops before collect.
+        cp_df = spark.read.parquet(*_checkpoint_paths(table, cp))
+        cols = []
+        if "protocol" in cp_df.columns:
+            cols.append(F.col("protocol.minReaderVersion").alias("p_mrv"))
+        else:
+            cols.append(F.lit(None).cast("int").alias("p_mrv"))
+        if "metaData" not in cp_df.columns:
+            raise ValueError(
+                f"delta_log: checkpoint {cp} of {table!r} has no metaData "
+                "column — not a protocol-v1 classic checkpoint"
+            )
+        cols.append(F.col("metaData"))
+        cols.append(
+            F.when(
+                F.col("add").isNotNull(),
+                F.struct(
+                    F.col("add.path").alias("path"),
+                    F.col("add.partitionValues").alias("partitionValues"),
+                    F.col("add.size").alias("size"),
+                    F.col("add.modificationTime").alias("modificationTime"),
+                ),
+            ).alias("add")
+            if "add" in cp_df.columns
+            else F.lit(None).alias("add")
+        )
+        cols.append(
+            F.col("remove.path").alias("rm_path")
+            if "remove" in cp_df.columns
+            else F.lit(None).cast("string").alias("rm_path")
+        )
+        rows = cp_df.select(*cols).limit(_CHECKPOINT_ACTION_CAP + 1).collect()
+        if len(rows) > _CHECKPOINT_ACTION_CAP:
+            raise ValueError(
+                f"delta_log: checkpoint {cp} of {table!r} holds more than "
+                f"{_CHECKPOINT_ACTION_CAP} actions — refusing to "
+                "materialize an unbounded active-file list on the driver "
+                "(shard state or use a manifest-checkpoint format)"
+            )
+        # adds first, removes popped after: a spec checkpoint carries
+        # each path as EITHER an active add or a remove tombstone, so
+        # this is row-order-independent (collect order is not a
+        # protocol guarantee)
+        removed: set[str] = set()
         for r in rows:
-            d = r.asDict(recursive=True)
-            if d.get("protocol"):
-                _check_protocol({"protocol": d["protocol"]}, table)
-            if d.get("metaData") and d["metaData"].get("schemaString"):
-                metadata = d["metaData"]
-            add = d.get("add")
-            if add and add.get("path"):
-                files[add["path"]] = add
-            rem = d.get("remove")
-            if rem and rem.get("path"):
-                files.pop(rem["path"], None)
+            if r["p_mrv"] is not None:
+                _check_protocol(
+                    {"protocol": {"minReaderVersion": r["p_mrv"]}}, table
+                )
+            md = r["metaData"]
+            if md is not None and md["schemaString"] is not None:
+                metadata = md.asDict(recursive=True)
+            add = r["add"]
+            if add is not None and add["path"] is not None:
+                d = add.asDict(recursive=True)
+                d["dataChange"] = False
+                files[d["path"]] = d
+            if r["rm_path"] is not None:
+                removed.add(r["rm_path"])
+        for p in removed:
+            files.pop(p, None)
         start = cp + 1
     present = set(commit_versions(table))
     needed = [v for v in range(start, version + 1) if v not in present]

@@ -103,10 +103,57 @@ def _version_files(path: str, version: int) -> list[str]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, version: int, commit_ms: int):
-        self.file_path = file_path
+    """One reader task: one or more part files of ONE committed
+    version (``file_path`` stays the first file's path for
+    compatibility; ``file_paths`` is the full group)."""
+
+    def __init__(self, file_path: str | list[str], version: int, commit_ms: int):
+        self.file_paths = (
+            [file_path] if isinstance(file_path, str) else list(file_path)
+        )
+        self.file_path = self.file_paths[0]
         self.version = version
         self.commit_ms = commit_ms
+
+
+# Target bytes per reader partition (opt r16, guide §4/§2.2): one
+# Python worker round-trip per PART FILE made tiny fixture commits pay
+# several task startups for KBs of data, while at real scale a fixed
+# per-file split stays fine because files are large. Group a version's
+# files by cumulative size up to this target — small commits collapse
+# to one task, big commits keep one task per ~128 MB, the same
+# economics as spark.sql.files.maxPartitionBytes.
+_TARGET_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITION_BYTES", 128 * 1024 * 1024)
+)
+
+
+def _grouped_partitions(
+    path: str, version: int, commit_ms: int, target_bytes: int | None = None
+) -> list[_FilePartition]:
+    """Partitions for one committed version: files packed
+    first-fit-in-listing-order into ~_TARGET_PARTITION_BYTES groups.
+    Listing order is the sorted glob, so the grouping is deterministic
+    for a committed (immutable) version — replayed batches stay
+    byte-identical."""
+    if target_bytes is None:
+        target_bytes = _TARGET_PARTITION_BYTES
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in _version_files(path, version):
+        try:
+            size = os.path.getsize(f)
+        except OSError:
+            size = target_bytes  # unknown -> its own group
+        if cur and cur_bytes + size > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += size
+    if cur:
+        groups.append(cur)
+    return [_FilePartition(g, version, commit_ms) for g in groups]
 
 
 def _arrow_targets(schema) -> list:
@@ -122,33 +169,44 @@ def _arrow_targets(schema) -> list:
 
 
 def _read_file(partition: _FilePartition, targets: list):
-    """Yield pyarrow RecordBatches for one committed part file aligned
-    to the resolved schema: columns a version predates come back as
-    typed NULLs (schema evolution — additive only), and the commit
-    stamps are appended as constants."""
+    """Yield pyarrow RecordBatches for one committed partition's part
+    file(s) aligned to the resolved schema: columns a version predates
+    come back as typed NULLs (schema evolution — additive only), and
+    the commit stamps are appended as constants. The stamp arrays are
+    built as numpy full-arrays (opt r16, guide §4): the previous
+    ``pa.array([v] * n)`` materialized two n-element Python lists per
+    batch — pure interpreter overhead on a constant column."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(partition.file_path)
-    for batch in table.to_batches():
-        n = batch.num_rows
-        arrays, names = [], []
-        for name, typ in targets:
-            if name in batch.schema.names:
-                arrays.append(batch.column(name))
-            else:
-                arrays.append(pa.nulls(n, typ))
-            names.append(name)
-        arrays += [
-            pa.array([partition.version] * n, pa.int64()),
-            pa.array([partition.commit_ms] * n, pa.int64()),
-        ]
-        names += ["_commit_version", "_commit_timestamp"]
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+    for file_path in partition.file_paths:
+        table = pq.read_table(file_path)
+        for batch in table.to_batches():
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, typ in targets:
+                if name in batch.schema.names:
+                    arrays.append(batch.column(name))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+                names.append(name)
+            arrays += [
+                pa.array(np.full(n, partition.version, dtype=np.int64)),
+                pa.array(np.full(n, partition.commit_ms, dtype=np.int64)),
+            ]
+            names += ["_commit_version", "_commit_timestamp"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, path: str, as_of_ms: int | None, targets: list):
+    def __init__(
+        self,
+        path: str,
+        as_of_ms: int | None,
+        targets: list,
+        target_bytes: int | None = None,
+    ):
         self._targets = targets
         history = _history(path)
         if not history:
@@ -163,10 +221,9 @@ class _SnapshotReader(DataSourceReader):
                     f"first commit of {path!r}"
                 )
             entry = eligible[-1]
-        self._parts = [
-            _FilePartition(f, entry["version"], entry["commit_ms"])
-            for f in _version_files(path, entry["version"])
-        ]
+        self._parts = _grouped_partitions(
+            path, entry["version"], entry["commit_ms"], target_bytes
+        )
 
     def partitions(self):
         return self._parts
@@ -186,9 +243,10 @@ class _CommitsStreamReader(DataSourceStreamReader):
     batch is byte-identical — exactly-once composition with the
     versioned-state folds downstream."""
 
-    def __init__(self, path: str, targets: list):
+    def __init__(self, path: str, targets: list, target_bytes: int | None = None):
         self._path = path
         self._targets = targets
+        self._target_bytes = target_bytes
 
     def initialOffset(self):
         return {"version": -1}
@@ -206,8 +264,9 @@ class _CommitsStreamReader(DataSourceStreamReader):
             if e is None:
                 continue  # gap = torn write, invisible by contract
             parts.extend(
-                _FilePartition(f, v, e["commit_ms"])
-                for f in _version_files(self._path, v)
+                _grouped_partitions(
+                    self._path, v, e["commit_ms"], self._target_bytes
+                )
             )
         return parts
 
@@ -249,13 +308,23 @@ class VersionedCommitsDataSource(DataSource):
         # snapshot reads and the commit stream alike
         return base + ", `_commit_version` bigint, `_commit_timestamp` bigint"
 
+    def _target_bytes(self) -> int | None:
+        """Optional ``partition_bytes`` reader option: target bytes per
+        reader partition (see ``_grouped_partitions``); default is the
+        module/env constant."""
+        v = self.options.get("partition_bytes")
+        return int(v) if v is not None else None
+
     def reader(self, schema):
         as_of = self.options.get("as_of_ms")
         return _SnapshotReader(
             self._path(),
             int(as_of) if as_of is not None else None,
             _arrow_targets(schema),
+            self._target_bytes(),
         )
 
     def streamReader(self, schema):
-        return _CommitsStreamReader(self._path(), _arrow_targets(schema))
+        return _CommitsStreamReader(
+            self._path(), _arrow_targets(schema), self._target_bytes()
+        )

@@ -130,7 +130,17 @@ def cdf_merge_batch(
     spark = batch_df.sparkSession
     # several passes over the batch below (a stamps collect + one
     # filter per version) — pin the Python-source read FIRST so the
-    # files aren't re-decoded per pass
+    # files aren't re-decoded per pass.
+    # MEASURED AND REJECTED (opt r16, guide §2.4): hash-partitioning
+    # the pinned frame by the merge key so the per-version diff joins
+    # share one exchange — interleaved A/B (5 reps, tagged fold
+    # timings) read fold min 3.25 s (as-is) vs 7.62 s (co-partitioned):
+    # a cached repartition is pinned to the STATIC shuffle partition
+    # count (AQE leaves cached plan partitioning alone), while the
+    # joins' own exchanges are AQE-coalesced to the batch's real size.
+    # At cluster scale the trade reverses only when batch bytes make
+    # shuffle volume dominate; revisit with a size gate if commits per
+    # batch grow.
     batch_df.persist()
     try:
         # bounded collect: one (version, commit_ms) pair per commit in

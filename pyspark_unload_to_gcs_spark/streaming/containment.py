@@ -57,13 +57,39 @@ _META_COLS = ("shingle_n", "n_buckets", "threshold_pct")
 _BROADCAST_PREFIX_ROW_CAP = 2_000_000
 _BROADCAST_DOC_CAP = 100_000
 
-# (session token, index root) -> meta Row. The meta is FROZEN with the
-# index (one write at bootstrap), so reading it once per session is
-# exact — re-reading it per micro-batch billed one small Spark job to
-# EVERY fold (opt r15, guide §1.2: don't recompute what cannot
-# change). ``containment_index_build`` invalidates on (re)build, so a
-# same-session rebuild at the same path can't serve a stale row.
+# (session token, NORMALIZED index root) -> meta Row. The meta is
+# FROZEN with the index (one write at bootstrap), so reading it once
+# per session is exact — re-reading it per micro-batch billed one
+# small Spark job to EVERY fold (opt r15, guide §1.2: don't recompute
+# what cannot change). ``containment_index_build`` invalidates on
+# (re)build; the key is the Hadoop-FS-qualified root (ADVICE r15: raw
+# path strings let a same-session rebuild referenced via a textually
+# different but equivalent spelling — trailing slash, file: scheme —
+# serve a stale row past the invalidation). Cross-PROCESS freshness is
+# deliberately traded away for the per-fold job: a rebuild by another
+# process is not observed for this session's lifetime (the meta is
+# frozen-by-design; rebuilding an index under a live consumer was
+# never supported).
 _META_MEMO: dict = {}
+
+
+def _memo_root(path: str) -> str:
+    """Canonical memo key for an index root: the fully-qualified
+    Hadoop-FS path (same resolution as the versioned ledger), so
+    ``/t``, ``/t/`` and ``file:/t`` key identically; falls back to the
+    local abspath in a py4j-less process."""
+    import os as _os
+
+    from pyspark_unload_to_gcs_spark.sources.versioned import (
+        _jfs,
+        _strip_file_scheme,
+    )
+
+    handle = _jfs(path)
+    if handle is None:
+        return _os.path.abspath(_strip_file_scheme(path))
+    _jvm, _gw, fs, p = handle
+    return str(fs.makeQualified(p).toString())
 
 
 def _index_dir(state_path: str, name: str) -> str:
@@ -75,7 +101,7 @@ def _index_dir(state_path: str, name: str) -> str:
 def _read_meta(spark: SparkSession, index_root: str):
     from pyspark_unload_to_gcs_spark.session import session_token
 
-    key = (session_token(spark), index_root)
+    key = (session_token(spark), _memo_root(index_root))
     if key not in _META_MEMO:
         _META_MEMO[key] = spark.read.parquet(_index_dir(index_root, "meta")).first()
     return _META_MEMO[key]
@@ -164,7 +190,7 @@ def containment_index_build(
     )
     from pyspark_unload_to_gcs_spark.session import session_token
 
-    _META_MEMO.pop((session_token(spark), state_path), None)
+    _META_MEMO.pop((session_token(spark), _memo_root(state_path)), None)
 
 
 def containment_match_batch(

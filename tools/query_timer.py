@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
+    # explicit names combined with a selector flag used to be silently
+    # discarded by the elif chain below (ADVICE r15) — reject instead
+    if args.names and (args.top or args.all):
+        ap.error("pass explicit query names OR --top/--all, not both")
+    if args.top and args.all:
+        ap.error("--top and --all are mutually exclusive")
 
     spark = get_spark(
         app_name="query-timer",
