@@ -843,11 +843,14 @@ def semantic_match_against_index(
     r04).
 
     ``verify_method`` picks the exact-cosine arm for the joined pairs:
-    ``"fold"`` (default) is the interpreted HOF dot; ``"arrow"`` runs
+    ``"fold"`` (default) is the codegen'd HOF dot; ``"arrow"`` runs
     the SAME index-order accumulation vectorized over Arrow batches
-    (``_pair_dot_arrow`` — bit-identical by IEEE determinism, pinned in
-    tests; ~3x on the candidate-pair volume, guide §4.2) and requires
-    fully non-null fixed-dim vectors (fails fast otherwise).
+    (``_pair_dot_arrow`` — bit-identical by IEEE determinism, pinned
+    in tests) and requires fully non-null fixed-dim vectors (fails
+    fast otherwise). Measured r16: at ~63k pairs x 64 dims the fold
+    WINS (1.49 vs 1.97 s quiet min — the JVM->Python boundary costs
+    more than the fused fold); reach for "arrow" only when pair
+    volume x dim makes the interpreted-per-pair work dominate.
 
     The clustered counterpart of ``ann_match_against_index``: the
     corpus is assigned ONCE when the index is written; each increment

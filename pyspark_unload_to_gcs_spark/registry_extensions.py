@@ -1685,17 +1685,21 @@ def incremental_semantic_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py (foreachBatch over micro-batches equals
     this one-shot match).
 
-    Benches the ARROW pair-verify arm (opt r16, VERDICT r15 #6 — the
-    SemDeDup assignment-arm precedent): the exact cosine over the
-    joined cell pairs runs the index-order Arrow accumulation, which is
-    bit-identical to the HOF fold by IEEE determinism and pinned
-    output-equal in tests/test_asof.py::
-    test_semantic_match_arrow_verify_matches_fold."""
+    Keeps the FOLD pair-verify arm after measurement (opt r16, VERDICT
+    r15 #6 explored): an Arrow pair-verify arm was built
+    (`_pair_dot_arrow`, bit-identical by IEEE determinism, pinned in
+    tests/test_asof.py::test_semantic_match_arrow_verify_matches_fold)
+    but measured SLOWER here — isolated quiet A/B min 1.49 s (fold) vs
+    1.97 s (arrow) — because this row's candidate volume (~63k pairs x
+    64 dims) is far below where the JVM->Python boundary amortizes;
+    the codegen'd fold is ~4M fused multiply-adds. The arrow arm stays
+    available via ``verify_method`` for index scales where pair volume
+    dominates (the assignment-arm precedent at high k)."""
     return _incremental_semantic_match_frame(spark, sf_dir, checkpoint=True)
 
 
 def _incremental_semantic_match_frame(
-    spark: SparkSession, sf_dir: str, *, checkpoint: bool, verify_method: str = "arrow"
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool, verify_method: str = "fold"
 ) -> DataFrame:
     """checkpoint=False is the PLAN TWIN arm (registry_staged.
     PLAN_TWINS): the eager index checkpoint renders as

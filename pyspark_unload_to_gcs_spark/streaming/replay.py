@@ -30,10 +30,22 @@ def replay_batches(
 ) -> DataFrame:
     """Fold ``batches`` in order into fresh versioned state via
     ``fold_one(frame, batch_id, state_path)``, memoize
-    ``read_state(state_path)`` under ``memo[key]``, and return it."""
+    ``read_state(state_path)`` under ``memo[key]``, and return it.
+
+    The whole invocation runs under the per-invocation read-back
+    schema memo (streaming/rollup.py ``replay_readback_memo``, opt
+    r16): every fold still re-reads the newest COMMITTED state — the
+    exactly-once semantics the rows pin — but the state schema, a
+    constant across one replay's versions, is inferred once instead of
+    per fold (~130-200 ms of footer inference per fold measured)."""
+    from pyspark_unload_to_gcs_spark.streaming.rollup import (
+        replay_readback_memo,
+    )
+
     if key not in memo:
         state = tempfile.mkdtemp(prefix=prefix)
-        for b, frame in enumerate(batches):
-            fold_one(frame, b, state)
-        memo[key] = read_state(state)
+        with replay_readback_memo():
+            for b, frame in enumerate(batches):
+                fold_one(frame, b, state)
+            memo[key] = read_state(state)
     return memo[key]
