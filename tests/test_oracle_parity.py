@@ -27,8 +27,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
 
 def test_every_query_runs_and_all_have_oracle_or_reason(spark, sf_dir):
     """Queries without an oracle (approximate ops) must still run and
-    return a stable schema."""
+    return a stable schema. Restricted to the NO-oracle rows (opt r16):
+    every oracled query already executes and schema-validates in the
+    parametrized parity test above, so re-running all 227 here was one
+    290 s test duplicating the suite's own coverage — the suite's
+    single biggest row in --durations."""
+    oracled = set(registry.oracle_sql())
     for name, q in registry.queries().items():
+        if name in oracled:
+            continue
         df = q(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
