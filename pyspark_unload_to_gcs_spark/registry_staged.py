@@ -5437,7 +5437,22 @@ def containment_stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + stride).alias("doc_id"),
         F.array_join(F.slice(w, 1, 12), " ").alias("text"),
     )
-    new_batch = docs.filter(F.col("doc_id") % 5 == 4).unionByName(excerpts)
+    # Checkpoint the arriving-doc frame BEFORE splitting it into
+    # micro-batches (opt r16, guide §7.3/§3.3): the excerpt branch is a
+    # deep HOF tree (array_join(slice(filter(split(...))))) and each
+    # fold re-plans gram_sets COMPOSED over it — measured 1.2-3.4 s of
+    # pure driver planning per fold (the localCheckpoint handles plan
+    # eagerly), over half the fold's wall. A real decontamination
+    # stream hands foreachBatch materialized source rows, not a lazy
+    # expression over the base corpus — so materializing the batch
+    # input once is both faithful and truncates every downstream plan
+    # to an RDD leaf. eager=False: blocks land with the first fold's
+    # first action; same rows fold either way.
+    new_batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .unionByName(excerpts)
+        .localCheckpoint(eager=False)
+    )
     b0 = new_batch.filter(F.col("doc_id") % 2 == 0)
     b1 = new_batch.filter(F.col("doc_id") % 2 == 1)
     index_path = _containment_frozen_index(spark, sf_dir)

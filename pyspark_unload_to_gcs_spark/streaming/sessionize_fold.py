@@ -152,33 +152,41 @@ def fold_batch(
         F.coalesce(F.col("__ev_max"), F.col("__st_last")).cast("long").alias("end_ms"),
         (F.col("__seg") == F.col("__max_seg")).alias("__open"),
     )
-    # two writes consume the same frame; persist so the window/agg
-    # pipeline runs once (unpersisted after — foreachBatch must not
-    # leak one cached frame per epoch, see match_against_index lore)
-    sessions = sessions.persist()
-    try:
-        sessions.count()
-        closed = sessions.filter(~F.col("__open")).select(
-            "user_id",
-            "session_seq",
-            "n_events",
-            "start_ms",
-            "end_ms",
-            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
-        )
-        closed.write.mode("overwrite").parquet(
-            os.path.join(state_path, "closed", f"v={batch_id}")
-        )
-        state = sessions.filter(F.col("__open")).select(
-            "user_id",
-            "session_seq",
-            "n_events",
-            "start_ms",
-            F.col("end_ms").alias("last_ms"),
-        )
-        state.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
-    finally:
-        sessions.unpersist()
+    # two writes consume the same frame; materialize so the window/agg
+    # pipeline runs once. localCheckpoint, not persist (opt r16): a
+    # CACHED plan's output partitioning is pinned to the static shuffle
+    # partition count (AQE leaves cached plans alone —
+    # canChangeCachedPlanOutputPartitioning default), so both writes
+    # emitted one tiny part-file per static partition (measured: 32
+    # files x ~2.5 KB per state version at sf0.1) and every read-back
+    # re-paid the listing + footer count (guide §6). The checkpoint
+    # materializes the AQE-FINAL plan — partitions coalesced by size —
+    # so file count tracks state bytes at every scale. Blocks are
+    # reference-managed (no unpersist bookkeeping; a foreachBatch epoch
+    # cannot leak a cached frame — the align.py localCheckpoint lore).
+    # An executor loss while the two writes run fails the batch instead
+    # of recomputing; the retry refolds from committed state, which the
+    # overwrite-by-version protocol is built for.
+    sessions = sessions.localCheckpoint()
+    closed = sessions.filter(~F.col("__open")).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "start_ms",
+        "end_ms",
+        (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+    )
+    closed.write.mode("overwrite").parquet(
+        os.path.join(state_path, "closed", f"v={batch_id}")
+    )
+    state = sessions.filter(F.col("__open")).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "start_ms",
+        F.col("end_ms").alias("last_ms"),
+    )
+    state.write.mode("overwrite").parquet(os.path.join(state_path, f"v={batch_id}"))
 
 
 def read_sessions(
