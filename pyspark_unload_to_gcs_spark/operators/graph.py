@@ -179,7 +179,7 @@ def pagerank(
     # localCheckpoint rather than persist: same one-job barrier, but the
     # blocks are reference-managed (no unpersist bookkeeping for a frame
     # the lazily-returned result still depends on).
-    edged = e.join(outdeg, on="src").repartition(F.col("src")).localCheckpoint()
+    edged = e.join(outdeg, on="src").localCheckpoint()
     nodes = (
         edged.select(F.col("src").alias("node"))
         .unionByName(edged.select(F.col("dst").alias("node")))
@@ -194,6 +194,15 @@ def pagerank(
     # job over the checkpointed nodes frame.
     small = nodes.count() <= broadcast_node_limit
     hint = F.broadcast if small else (lambda df: df)
+    if not small:
+        # Only the above-limit arm joins ranks by sort-merge, which is
+        # what the src partitioning is FOR. In the broadcast arm the
+        # rank join never shuffles edges, so pre-partitioning them was
+        # a pure extra exchange of the edge list (opt r16, §2.4 —
+        # measured as the dominant setup cost at fixture scale). One
+        # exchange over the checkpointed blocks, shared by every
+        # iteration's join via the per-plan exchange reuse.
+        edged = edged.repartition(F.col("src"))
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     zero = nodes.select("node", F.lit(0).cast("long").alias("contrib"))

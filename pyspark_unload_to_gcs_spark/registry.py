@@ -42,10 +42,29 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Session-scoped fixture-table catalog (opt r16, guide §6/§7.3): every
+# _t call paid load_parquet's pyarrow footer probe + spark.read schema
+# inference fresh (~110 ms/call measured), and the suite makes ~270+
+# such calls — tens of seconds of pure per-query DRIVER overhead. The
+# memo returns the same immutable DataFrame handle per (session,
+# sf_dir, table) — exactly what a metastore/catalog provides at scale:
+# schema and file listing resolved once, every action still scans the
+# parquet. No data or results are cached (no persist; the plan is a
+# bare scan), and the key includes the session token so a new session
+# (new JVM, possibly changed fixtures) re-resolves from disk.
+_TABLE_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark_unload_to_gcs_spark.session import session_token
     from pyspark_unload_to_gcs_spark.sources.catalog import load_parquet
 
-    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    key = (session_token(spark), os.path.abspath(sf_dir), name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_MEMO[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
