@@ -66,7 +66,18 @@ def near_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     A banding, signature-mask, or verify regression breaks one of the
     three equalities and turns this driver row red — previously the
     production path had only rows-only driver evidence."""
-    prod = _shared_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    # TWO branches consume prod (own count + the semi join); without a
+    # barrier the band-join+verify subtree executes once per branch
+    # (exchange reuse is a plan-cache lookup, not a guarantee — the
+    # _shared_minhash_pairs lore). Lazily checkpoint the small pair
+    # frame so it materializes once at the row's action (opt r16; the
+    # interleaved A/B on the sibling fuzzy row read min 2.40 -> 1.64 s).
+    # exact is already eagerly checkpointed by _shared_exact_pairs.
+    prod = (
+        _shared_minhash_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     exact = _shared_exact_pairs(spark, sf_dir).select("id_a", "id_b")
     overlap = prod.join(exact, ["id_a", "id_b"], "left_semi")
     return (
@@ -101,24 +112,35 @@ def near_dedup_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     same construction the r4 verdict validated for the 0.8 family.
     The DuckDB side brute-forces all pairs at 0.7."""
     docs = _docs(spark, sf_dir)
-    prod = D.minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        bands=16,
-        jaccard_threshold=0.7,
-        signatures=_shared_signatures(spark, sf_dir),
-    ).select("id_a", "id_b")
-    exact = D.minhash_candidate_pairs(
-        docs,
-        "doc_id",
-        "text",
-        bands=32,
-        num_hashes=32,
-        jaccard_threshold=0.7,
-        signatures=_shared_signatures(spark, sf_dir),
-        min_matching_bands=10,
-    ).select("id_a", "id_b")
+    # both pair frames feed two branches each (own count + the semi
+    # join) — lazily checkpoint so the re-band + verify runs once per
+    # frame (opt r16, same A/B evidence as the fuzzy sibling row)
+    prod = (
+        D.minhash_candidate_pairs(
+            docs,
+            "doc_id",
+            "text",
+            bands=16,
+            jaccard_threshold=0.7,
+            signatures=_shared_signatures(spark, sf_dir),
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        D.minhash_candidate_pairs(
+            docs,
+            "doc_id",
+            "text",
+            bands=32,
+            num_hashes=32,
+            jaccard_threshold=0.7,
+            signatures=_shared_signatures(spark, sf_dir),
+            min_matching_bands=10,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     overlap = prod.join(exact, ["id_a", "id_b"], "left_semi")
     return (
         prod.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
@@ -165,18 +187,28 @@ def fuzzy_entity_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = docs.filter(F.col("doc_id") % 3 == 0)
     right = docs.filter(F.col("doc_id") % 3 != 0)
     sig = _shared_fuzzy_signatures(spark, sf_dir)
-    prod = fuzzy_text_join(
-        left, right, jaccard_threshold=0.8, signatures=sig
-    ).select("left_id", "right_id")
-    exact = fuzzy_text_join(
-        left,
-        right,
-        jaccard_threshold=0.8,
-        bands=32,
-        num_hashes=32,
-        min_matching_bands=12,
-        signatures=sig,
-    ).select("left_id", "right_id")
+    # both pair frames feed two branches each — lazily checkpoint so
+    # the re-band + verify runs once per frame (opt r16: interleaved
+    # A/B on this row read min 2.40 -> 1.64 s, every pair faster,
+    # values collect-equal)
+    prod = (
+        fuzzy_text_join(left, right, jaccard_threshold=0.8, signatures=sig)
+        .select("left_id", "right_id")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        fuzzy_text_join(
+            left,
+            right,
+            jaccard_threshold=0.8,
+            bands=32,
+            num_hashes=32,
+            min_matching_bands=12,
+            signatures=sig,
+        )
+        .select("left_id", "right_id")
+        .localCheckpoint(eager=False)
+    )
     overlap = prod.join(exact, ["left_id", "right_id"], "left_semi")
     return (
         prod.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
