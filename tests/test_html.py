@@ -34,8 +34,14 @@ def _model(html: str) -> dict:
             s = s.replace(e, c)
         return s
 
+    # strip(" ") not strip(): the operator's F.trim (and DuckDB's trim,
+    # the oracle engine) removes only the SPACE character, so an anchor
+    # whose inner text is "\n" or "\t" keeps that character in
+    # anchor_chars. Python str.strip() removes all whitespace and
+    # diverged from both engines on such anchors (fuzz finding, r16:
+    # <a href='/x'>\n</a> counted 1 by the engines, 0 by the model).
     anchor_chars = sum(
-        len(dec(re.sub(r"(?s)<[^>]*>", "", a)).strip()) for a in anchors
+        len(dec(re.sub(r"(?s)<[^>]*>", "", a)).strip(" ")) for a in anchors
     )
     text = re.sub(_BLOCK, "\n", body)
     text = dec(re.sub(r"(?s)<[^>]*>", "", text))
@@ -75,6 +81,11 @@ _CASES = [
     "<p>before <unclosed attr text after</p>",
     "no markup at all",
     "",
+    # fuzz regression (r16): newline-only / tab-only anchor inner text —
+    # space-only trim keeps the character (engines agree; a python
+    # .strip() model would read 0)
+    "<a href='/x'>\n</a>",
+    "<a href='/x'>\t</a><p>body</p>",
 ]
 
 
