@@ -1103,8 +1103,16 @@ def pq_index_write(
         code_column=code_column,
         method=method,
     )
+    # Cluster by cell before the partitioned write (guide §6: hash
+    # distribution before a partitionBy avoids the many-small-files
+    # problem at the cost of one shuffle — and the shuffled rows are
+    # the 32x-compressed codes, never vectors). Without it each of the
+    # encoder's input partitions leaves a file in EVERY cell dir
+    # (measured: ~20 files x ~1 KB per cell at fixture scale, ~320
+    # footers for the serving row to re-read per query).
     (
         enc.select(id_column, cell_column, code_column)
+        .repartition(F.col(cell_column))
         .write.mode("overwrite")
         .partitionBy(cell_column)
         .parquet(path)
@@ -1170,8 +1178,13 @@ def pq_index_append(
 
     tmp = path.rstrip("/") + f"__compact_tmp_{_uuid.uuid4().hex[:12]}"
     old = spark.read.parquet(path).filter(F.col(cell_column).isin(touched))
+    # compaction IS the small-file fix — cluster by cell so each
+    # touched cell compacts to one file per task (same §6 rationale as
+    # the base write; the non-compact append path stays shuffle-free
+    # because a per-arrival micro-append should not pay an exchange)
     (
         old.unionByName(enc)
+        .repartition(F.col(cell_column))
         .write.mode("overwrite")
         .partitionBy(cell_column)
         .parquet(tmp)
